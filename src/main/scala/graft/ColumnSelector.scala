@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import scala.util.matching.Regex
+
+/** The select mini-language used across verbs (reference:
+  * janitor/functions/select.py:332-865 — exact labels, globs, regex,
+  * label slices, dtype predicates, complements, combinations). Resolution is
+  * pure driver-side name matching against the schema; the result feeds one
+  * `df.select(...)`, so Catalyst sees a plain projection.
+  */
+sealed trait ColumnSelector
+
+object ColumnSelector {
+  /** Exact label; errors if absent (select.py:556-566). */
+  final case class Exact(name: String) extends ColumnSelector
+  /** Shell glob, fnmatch-style `*`/`?` (select.py:569-602). */
+  final case class Glob(pattern: String) extends ColumnSelector
+  /** Regular expression, matched via `search` semantics (select.py:605-617). */
+  final case class Rx(pattern: Regex) extends ColumnSelector
+  /** Inclusive label slice in schema order (select.py:620-642). */
+  final case class Slice(from: String, to: String) extends ColumnSelector
+  /** Predicate over the StructField (dtype callables, select.py:645-665). */
+  final case class Pred(f: StructField => Boolean) extends ColumnSelector
+  /** Complement (DropLabel, select.py:538-552). */
+  final case class Not(sel: ColumnSelector) extends ColumnSelector
+  /** Union preserving first-mention order (list form, select.py:770-820). */
+  final case class Any(sels: Seq[ColumnSelector]) extends ColumnSelector
+
+  def glob(p: String): ColumnSelector = Glob(p)
+  def rx(p: String): ColumnSelector = Rx(p.r)
+  def ofType(dt: DataType): ColumnSelector = Pred(_.dataType == dt)
+  def numeric: ColumnSelector = Pred(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+
+  private def globToRegex(p: String): Regex = {
+    val sb = new StringBuilder("^")
+    p.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c if "\\.[]{}()+-^$|".contains(c) => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString.r
+  }
+
+  /** Names matched by one selector, in schema order (Exact keeps its own). */
+  private def matchOne(fields: Seq[StructField], sel: ColumnSelector): Seq[String] = sel match {
+    case Exact(n) =>
+      if (fields.exists(_.name == n)) Seq(n)
+      else throw new IllegalArgumentException(s"Column '$n' not found. Columns: ${fields.map(_.name).mkString(", ")}")
+    case Glob(p) =>
+      val r = globToRegex(p)
+      fields.map(_.name).filter(n => r.pattern.matcher(n).matches)
+    case Rx(r) => fields.map(_.name).filter(n => r.findFirstIn(n).isDefined)
+    case Slice(from, to) =>
+      val names = fields.map(_.name)
+      val i = names.indexOf(from); val j = names.indexOf(to)
+      if (i < 0 || j < 0) throw new IllegalArgumentException(s"Slice bounds $from..$to not in schema")
+      if (i <= j) names.slice(i, j + 1) else names.slice(j, i + 1).reverse
+    case Pred(f) => fields.filter(f).map(_.name)
+    case Not(s) =>
+      val excluded = matchOne(fields, s).toSet
+      fields.map(_.name).filterNot(excluded)
+    case Any(sels) => dedupe(sels.flatMap(s => matchOne(fields, s)))
+  }
+
+  private def dedupe(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    names.foreach(seen.add)
+    seen.toSeq
+  }
+
+  /** Resolve a selector list to concrete column names. `invert` complements
+    * the final set, preserving schema order (select.py:410-447 invert flag).
+    */
+  def resolve(schema: StructType, sels: Seq[ColumnSelector], invert: Boolean = false): Seq[String] = {
+    val fields = schema.fields.toSeq
+    val hit = dedupe(sels.flatMap(s => matchOne(fields, s)))
+    if (invert) fields.map(_.name).filterNot(hit.toSet) else hit
+  }
+}

@@ -1,0 +1,434 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.syntax._
+import graft.Tables._
+import graft.functions.MathFunctions
+
+/** Correctness-gate queries for SURVEY §2.1-2.3, §2.5, §2.7-2.10, §2.12 verbs.
+  * Each entry exercises one verb over the driver parquet tables; the oracle is
+  * the equivalent DuckDB SQL with identical output column names. Floating
+  * aggregates whose summation order is engine-dependent are rounded on both
+  * sides.
+  */
+object QueriesCore {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val entries: Map[String, Q] = Map(
+    // ----- §2.1 name hygiene -----
+    "clean_names" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey").as("L OrderKey?"),
+        col("l_quantity").as("Quantity (Units)"),
+        col("l_returnflag").as("Return-Flag"))
+      .cleanNames()),
+    "rename_column" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .renameColumn("l_quantity", "qty")),
+    "rename_columns" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .renameColumns(fn = Some(_.toUpperCase))),
+    "limit_column_characters" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .limitColumnCharacters(5)),
+    "collapse_levels" -> ((s, d) => events(s, d)
+      .select(struct(col("value").as("v"), col("user_id").as("u")).as("m"), col("event_id"))
+      .collapseLevels("_")),
+
+    // ----- §2.2 selection -----
+    "select_columns" -> ((s, d) => lineitem(s, d)
+      .selectColumns(ColumnSelector.glob("*key"))),
+    "remove_columns" -> ((s, d) => lineitem(s, d)
+      .removeColumns("l_tax", "l_returnflag", "l_linestatus")),
+    "reorder_columns" -> ((s, d) => lineitem(s, d)
+      .reorderColumns("l_quantity", "l_orderkey")),
+    "move" -> ((s, d) => lineitem(s, d)
+      .moveColumn("l_quantity", "l_orderkey", "before")),
+    "drop_constant_columns" -> ((s, d) => lineitem(s, d)
+      .addColumn("const_col", lit(1))
+      .addColumn("all_null", lit(null).cast("int"))
+      .dropConstantColumns()),
+    "drop_duplicate_columns" -> ((s, d) => {
+      val li = lineitem(s, d)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("q"), col("l_discount").as("q"))
+        .dropDuplicateColumns("q", nth = 0)
+    }),
+
+    // ----- §2.3 filters -----
+    "filter_string" -> ((s, d) => part(s, d).filterString("p_name", "^red", regex = true)),
+    "filter_on" -> ((s, d) => lineitem(s, d)
+      .filterOn("l_quantity > 30 AND l_discount < 0.05")),
+    "filter_date" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .filterDate("l_shipdate", years = Seq(1994), months = Seq(1, 2, 3))),
+    "filter_column_isin" -> ((s, d) => orders(s, d)
+      .filterColumnIsin("o_orderpriority", Seq("1-URGENT", "2-HIGH"))),
+    "dropnotnull" -> ((s, d) => events(s, d)
+      .select("event_id", "user_id", "value")
+      .addColumn("v", when(col("value") < 2, col("value")))
+      .dropNotNull("v")),
+    "remove_empty" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("user_id"), when(col("value") < 0, col("value")).as("neg"))
+      .removeEmpty()),
+    "get_dupes" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .getDupes("l_partkey")),
+    "update_where" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .updateWhere("l_discount > 0.05", "flag", 1)),
+
+    // ----- §2.5 grouped / window -----
+    "groupby_agg" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .groupbyAgg(Seq("l_orderkey"), "l_quantity", "sum", "sum_qty")),
+    "groupby_topk" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .groupbyTopk(Seq("l_returnflag"), "l_extendedprice", 3,
+        ascending = false, tiebreak = Seq("l_orderkey", "l_linenumber"))),
+    "take_first" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate")
+      .takeFirst(Seq("l_partkey"), "l_shipdate", ascending = true,
+        tiebreak = Seq("l_orderkey", "l_linenumber"))),
+    "count_cumulative_unique" -> ((s, d) => events(s, d)
+      .select("event_id", "user_id")
+      .countCumulativeUnique("user_id", "event_id", "cum_unique")),
+    "shuffle" -> ((s, d) => events(s, d)
+      .select("event_id", "user_id", "value").shuffleRows(seed = 7L)),
+    "sort_naturally" -> ((s, d) => part(s, d)
+      .select(concat(lit("p"), col("p_partkey")).as("tag"))
+      .sortNaturally("tag").limit(20)),
+    "sort_column_value_order" -> ((s, d) => {
+      val order = Seq("signup", "click", "view", "purchase", "error")
+      events(s, d).select("event_id", "event_type")
+        .addColumn("type_rank", operators.GroupedOps.valueRank("event_type", order))
+        .sortColumnValueOrder("event_type", order)
+    }),
+    "toset" -> ((s, d) => lineitem(s, d).toSetOf("l_returnflag")),
+
+    // ----- §2.7 missing data -----
+    "fill_direction" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_type") === "click", col("value")).as("v"))
+      .fillDirection(Map("v" -> "down"), "event_id")),
+    "fill_empty" -> ((s, d) => events(s, d)
+      .select(col("event_id"), when(col("value") < 2, col("value")).as("v"))
+      .fillEmpty(Map("v" -> 0.0d))),
+    "impute" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.03, col("l_quantity")).as("v"))
+      .impute("v", statistic = Some("mean"))),
+    "coalesce" -> ((s, d) => events(s, d)
+      .select(col("event_id"),
+        when(col("event_type") === "click", col("value")).as("c1"),
+        when(col("event_type") === "view", col("value") * 2).as("c2"))
+      .coalesceColumns(Seq("c1", "c2"), targetColumn = Some("merged"),
+        defaultValue = Some(-1.0d))),
+    "flag_nulls" -> ((s, d) => events(s, d)
+      .select(col("event_id"),
+        when(col("value") < 2, col("value")).as("v1"),
+        when(col("value") > 19, col("value")).as("v2"))
+      .flagNulls("any_null", Seq("v1", "v2"))),
+
+    // ----- §2.8 types / encodings -----
+    "change_type" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .changeType("l_quantity", "int")),
+    "to_datetime" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_str"))
+      .toDatetime("ship_str", Some("yyyy-MM-dd HH:mm:ss"))),
+    "convert_excel_date" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (lit(30000L) + col("l_orderkey") % 10000).as("serial"))
+      .convertExcelDate("serial")),
+    "convert_matlab_date" -> ((s, d) => events(s, d)
+      .select(col("event_id"), (lit(738000.0d) + col("event_id") % 100 + 0.5d).as("datenum"))
+      .convertMatlabDate("datenum")),
+    "convert_unix_date" -> ((s, d) => events(s, d)
+      .select(col("event_id"), (lit(1700000000L) + col("event_id")).as("epoch"))
+      .convertUnixDate("epoch")),
+    "truncate_datetime" -> ((s, d) => events(s, d)
+      .select("event_id", "ts").truncateDatetime("HOUR")
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_hour"))),
+    "factorize_columns" -> ((s, d) => events(s, d)
+      .select("event_id", "event_type")
+      .factorizeColumns("event_type", "event_id")),
+    "currency_column_to_numeric" -> ((s, d) => orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 1,
+          concat(lit("($"), round(col("o_totalprice"), 2).cast("string"), lit(")")))
+          .otherwise(concat(lit("$"), round(col("o_totalprice"), 2).cast("string")))
+          .as("amount"))
+      .currencyColumnToNumeric("amount")),
+    "round_to_fraction" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .roundToFraction("l_extendedprice", 4d)),
+    "bin_numeric" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .binNumeric("l_quantity", "qty_bin", 0d, 50d, 10)),
+    "min_max_scale" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .minMaxScale("l_extendedprice", destColumn = Some("scaled"))
+      .removeColumns("l_extendedprice")),
+    "encode_categorical" -> ((s, d) => events(s, d)
+      .encodeCategorical("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .toSetOf("event_type")),
+
+    // ----- §2.9 transforms -----
+    "case_when" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .caseWhenSql("qty_class", Seq(
+        "l_quantity < 10" -> "low", "l_quantity < 30" -> "mid"), "high")),
+    "find_replace" -> ((s, d) => events(s, d)
+      .select("event_id", "event_type")
+      .findReplace("event_type", Map("click" -> "c", "view" -> "v"))),
+    "transform_column" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .transformColumn("l_extendedprice", c => round(log(c), 6), Some("log_price"))
+      .removeColumns("l_extendedprice")),
+    "process_text" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_name")
+      .processText("p_name", "upper")),
+    "add_column" -> ((s, d) => orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .addColumn("fee", col("o_totalprice") * 0.1d)
+      .addColumn("tag", lit("x"))),
+    "join_apply" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .joinApply(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6), "net")),
+
+    // ----- §2.10 math -----
+    "math_sigmoid" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .addColumn("sig", round(MathFunctions.sigmoid(col("l_discount")), 10))),
+    "math_logit" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), (col("l_discount") + 0.01d).as("p"))
+      .addColumn("lg", round(MathFunctions.logit(col("p")), 10))),
+    "math_zscore" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .zScoreOf("l_extendedprice", "z")
+      .transformColumn("z", c => round(c, 6))
+      .removeColumns("l_extendedprice")),
+    "math_softmax" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .softmaxOf("l_discount", "sm")
+      .transformColumn("sm", c => round(c, 12))),
+    "math_ecdf" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .ecdfOf("l_quantity", "p")),
+
+    // ----- §2.12 timeseries -----
+    "fill_missing_timestamps" -> ((s, d) => {
+      val ev = events(s, d)
+      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val hours = bounds.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      hours.join(counts, Seq("hour"), "left")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+    "sort_timestamps_monotonically" -> ((s, d) => events(s, d)
+      .select("event_id", "ts", "user_id")
+      .takeFirst(Seq("ts"), "event_id")
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"), col("user_id"))),
+    "flag_jumps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, d).select("event_id", "value")
+        .addColumn("jump",
+          when(abs(col("value") - lag(col("value"), 1)
+            .over(Window.orderBy(col("event_id")))) > 10d, 1).otherwise(0))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "clean_names" ->
+      """SELECT l_orderkey, l_quantity AS quantity_units, l_returnflag AS return_flag FROM lineitem""",
+    "rename_column" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem""",
+    "rename_columns" ->
+      """SELECT l_orderkey AS "L_ORDERKEY", l_linenumber AS "L_LINENUMBER", l_quantity AS "L_QUANTITY" FROM lineitem""",
+    "limit_column_characters" ->
+      """SELECT l_orderkey AS "l_ord", l_linenumber AS "l_lin", l_quantity AS "l_qua" FROM lineitem""",
+    "collapse_levels" ->
+      """SELECT value AS m_v, user_id AS m_u, event_id FROM events""",
+    "select_columns" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem""",
+    "remove_columns" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_shipdate FROM lineitem""",
+    "reorder_columns" ->
+      """SELECT * FROM lineitem""",
+    "move" ->
+      """SELECT * FROM lineitem""",
+    "drop_constant_columns" ->
+      """SELECT * FROM lineitem""",
+    "drop_duplicate_columns" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS q FROM lineitem""",
+    "filter_string" ->
+      """SELECT * FROM part WHERE regexp_matches(p_name, '^red')""",
+    "filter_on" ->
+      """SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05""",
+    "filter_date" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE year(l_shipdate) = 1994 AND month(l_shipdate) IN (1,2,3)""".stripMargin,
+    "filter_column_isin" ->
+      """SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')""",
+    "dropnotnull" ->
+      """SELECT event_id, user_id, value, CAST(NULL AS DOUBLE) AS v FROM events WHERE value >= 2""",
+    "remove_empty" ->
+      """SELECT event_id, user_id FROM events""",
+    "get_dupes" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |QUALIFY count(*) OVER (PARTITION BY l_partkey) > 1""".stripMargin,
+    "update_where" ->
+      """SELECT l_orderkey, l_linenumber, l_discount,
+        |CASE WHEN l_discount > 0.05 THEN 1 END AS flag FROM lineitem""".stripMargin,
+    "groupby_agg" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |sum(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_qty FROM lineitem""".stripMargin,
+    "groupby_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3""".stripMargin,
+    "take_first" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_partkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1""".stripMargin,
+    "count_cumulative_unique" ->
+      """SELECT event_id, user_id,
+        |sum(f) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_unique
+        |FROM (SELECT event_id, user_id,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1 THEN 1 ELSE 0 END AS f
+        |  FROM events)""".stripMargin,
+    "shuffle" ->
+      """SELECT event_id, user_id, value FROM events""",
+    "sort_naturally" ->
+      """SELECT 'p' || p_partkey AS tag FROM part ORDER BY p_partkey LIMIT 20""",
+    "sort_column_value_order" ->
+      """SELECT event_id, event_type,
+        |CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |  WHEN 'purchase' THEN 3 WHEN 'error' THEN 4 ELSE 5 END AS type_rank
+        |FROM events""".stripMargin,
+    "toset" ->
+      """SELECT DISTINCT l_returnflag FROM lineitem""",
+    "fill_direction" ->
+      """SELECT event_id, event_type,
+        |last_value(v IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM (SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN value END AS v FROM events)""".stripMargin,
+    "fill_empty" ->
+      """SELECT event_id, coalesce(CASE WHEN value < 2 THEN value END, 0.0) AS v FROM events""",
+    "impute" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount > 0.03 THEN l_quantity END AS v FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, coalesce(v, (SELECT avg(v) FROM t)) AS v FROM t""".stripMargin,
+    "coalesce" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN value END AS c1,
+        |  CASE WHEN event_type = 'view' THEN value * 2 END AS c2,
+        |  coalesce(
+        |  CASE WHEN event_type = 'click' THEN value END,
+        |  CASE WHEN event_type = 'view' THEN value * 2 END,
+        |  -1.0) AS merged FROM events""".stripMargin,
+    "flag_nulls" ->
+      """SELECT event_id,
+        |CASE WHEN value < 2 THEN value END AS v1,
+        |CASE WHEN value > 19 THEN value END AS v2,
+        |CASE WHEN (CASE WHEN value < 2 THEN value END) IS NULL
+        |  OR (CASE WHEN value > 19 THEN value END) IS NULL THEN 1 ELSE 0 END AS any_null
+        |FROM events""".stripMargin,
+    "change_type" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS l_quantity FROM lineitem""",
+    "to_datetime" ->
+      """SELECT l_orderkey, l_linenumber,
+        |strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ship_str
+        |FROM lineitem""".stripMargin,
+    "convert_excel_date" ->
+      """SELECT l_orderkey, l_linenumber,
+        |TIMESTAMP '1899-12-30 00:00:00' + (30000 + l_orderkey % 10000) * INTERVAL '1 day' AS serial
+        |FROM lineitem""".stripMargin,
+    "convert_matlab_date" ->
+      """SELECT event_id,
+        |make_timestamp(CAST(round((738000.0 + event_id % 100 + 0.5 - 719529) * 86400 * 1e6) AS BIGINT)) AS datenum
+        |FROM events""".stripMargin,
+    "convert_unix_date" ->
+      """SELECT event_id,
+        |TIMESTAMP '1970-01-01 00:00:00' + (1700000000 + event_id) * INTERVAL '1 second' AS epoch
+        |FROM events""".stripMargin,
+    "truncate_datetime" ->
+      """SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_hour FROM events""",
+    "factorize_columns" ->
+      """WITH f AS (SELECT event_type AS v, min(event_id) AS first_seen FROM events GROUP BY 1),
+        |c AS (SELECT v, CAST(row_number() OVER (ORDER BY first_seen) - 1 AS INTEGER) AS code FROM f)
+        |SELECT e.event_id, e.event_type, c.code AS event_type_enc
+        |FROM events e JOIN c ON e.event_type = c.v""".stripMargin,
+    "currency_column_to_numeric" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 2 = 1 THEN -round(o_totalprice, 2) ELSE round(o_totalprice, 2) END AS amount
+        |FROM orders""".stripMargin,
+    "round_to_fraction" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice * 4) / 4 AS l_extendedprice FROM lineitem""",
+    "bin_numeric" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |CAST(least(greatest(floor((l_quantity - 0.0) / 5.0), 0), 9) AS INTEGER) AS qty_bin
+        |FROM lineitem""".stripMargin,
+    "min_max_scale" ->
+      """WITH m AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (l_extendedprice - m.mn) * (1.0 / (m.mx - m.mn)) + 0.0 AS scaled
+        |FROM lineitem, m""".stripMargin,
+    "encode_categorical" ->
+      """SELECT DISTINCT event_type FROM events""",
+    "case_when" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_class
+        |FROM lineitem""".stripMargin,
+    "find_replace" ->
+      """SELECT event_id,
+        |CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' ELSE event_type END AS event_type
+        |FROM events""".stripMargin,
+    "transform_column" ->
+      """SELECT l_orderkey, l_linenumber, round(ln(l_extendedprice), 6) AS log_price FROM lineitem""",
+    "process_text" ->
+      """SELECT p_partkey, upper(p_name) AS p_name FROM part""",
+    "add_column" ->
+      """SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS fee, 'x' AS tag FROM orders""",
+    "join_apply" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |round(l_extendedprice * (1.0 - l_discount), 6) AS net FROM lineitem""".stripMargin,
+    "math_sigmoid" ->
+      """SELECT l_orderkey, l_linenumber, l_discount,
+        |round(1.0 / (1.0 + exp(-l_discount)), 10) AS sig FROM lineitem""".stripMargin,
+    "math_logit" ->
+      """SELECT l_orderkey, l_linenumber, l_discount + 0.01 AS p,
+        |round(ln((l_discount + 0.01) / (1.0 - (l_discount + 0.01))), 10) AS lg FROM lineitem""".stripMargin,
+    "math_zscore" ->
+      """WITH m AS (SELECT avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sd FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |round((l_extendedprice - m.mu) / m.sd, 6) AS z FROM lineitem, m""".stripMargin,
+    "math_softmax" ->
+      """WITH m AS (SELECT max(l_discount) AS mx FROM lineitem),
+        |s AS (SELECT sum(exp(l_discount - m.mx)) AS denom FROM lineitem, m)
+        |SELECT l_orderkey, l_linenumber, l_discount,
+        |round(exp(l_discount - m.mx) / s.denom, 12) AS sm FROM lineitem, m, s""".stripMargin,
+    "math_ecdf" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |cume_dist() OVER (ORDER BY l_quantity) AS p FROM lineitem""".stripMargin,
+    "fill_missing_timestamps" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1)
+        |SELECT strftime(hours.hour, '%Y-%m-%d %H:%M:%S') AS hour, coalesce(c.n, 0) AS n
+        |FROM hours LEFT JOIN c ON hours.hour = c.hour""".stripMargin,
+    "sort_timestamps_monotonically" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, user_id FROM events
+        |QUALIFY row_number() OVER (PARTITION BY ts ORDER BY event_id) = 1""".stripMargin,
+    "flag_jumps" ->
+      """SELECT event_id, value,
+        |CASE WHEN abs(value - lag(value) OVER (ORDER BY event_id)) > 10 THEN 1 ELSE 0 END AS jump
+        |FROM events""".stripMargin
+  )
+}

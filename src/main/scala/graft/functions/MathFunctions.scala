@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Series math module (SURVEY §2.10; reference: janitor/math.py).
+  * Scalar transforms are `Column => Column`; aggregate-normalized transforms
+  * (softmax, z_score, ecdf) are DataFrame-level since they need a global
+  * aggregate — computed as one tiny agg + projection, not a global window.
+  */
+object MathFunctions {
+
+  /** (reference: janitor/math.py:14) */
+  def log_(c: Column): Column = log(c)
+  /** (reference: janitor/math.py:62) */
+  def exp_(c: Column): Column = exp(c)
+  /** (reference: janitor/math.py:87) 1/(1+e^-x) */
+  def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+  /** (reference: janitor/math.py:154) log(p/(1-p)) */
+  def logit(c: Column): Column = log(c / (lit(1.0) - c))
+  /** (reference: janitor/math.py:207) */
+  def normalCdf(c: Column): Column = expressions.normal_cdf(c)
+  /** (reference: janitor/math.py:233) */
+  def probit(c: Column): Column = expressions.probit(c)
+
+  /** Softmax over the whole column (reference: janitor/math.py:118).
+    * Numerically-stabilized with max subtraction; two scalar aggregates.
+    */
+  def softmax(df: DataFrame, column: String, dest: String): DataFrame = {
+    val c = col(s"`$column`").cast("double")
+    val mx = df.agg(max(c)).collect()(0).getDouble(0)
+    val denom = df.agg(sum(exp(c - mx))).collect()(0).getDouble(0)
+    df.withColumn(dest, exp(c - mx) / denom)
+  }
+
+  /** (reference: janitor/math.py:284) (x - mean) / std */
+  def zScore(df: DataFrame, column: String, dest: String): DataFrame = {
+    val c = col(s"`$column`").cast("double")
+    val row = df.agg(avg(c).as("m"), stddev(c).as("s")).collect()(0)
+    df.withColumn(dest, (c - row.getDouble(0)) / row.getDouble(1))
+  }
+
+  /** Empirical CDF (reference: janitor/math.py:330) == cume_dist over the
+    * value order. Single-partition window at full scale; use within groups or
+    * sample at 100 TB.
+    */
+  def ecdf(df: DataFrame, column: String, dest: String): DataFrame =
+    df.withColumn(dest, cume_dist().over(Window.orderBy(col(s"`$column`"))))
+}

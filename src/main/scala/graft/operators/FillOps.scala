@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Missing-data verbs (SURVEY §2.7). */
+object FillOps {
+
+  /** Directional fill over an explicit ordering column (the Spark replacement
+    * for pandas' implicit row order — SURVEY §1.1).
+    * direction ∈ down(ffill) | up(bfill) | updown | downup
+    * (reference: janitor/functions/fill.py:25-107)
+    *
+    * Scale note: a global `orderBy` window is single-partition; when
+    * `partitionBy` keys are supplied the fill runs per-group and scales.
+    */
+  def fillDirection(df: DataFrame, columns: Map[String, String], orderCol: String,
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    val base = if (partitionBy.nonEmpty)
+      Window.partitionBy(partitionBy.map(n => col(s"`$n`")): _*).orderBy(col(s"`$orderCol`"))
+    else Window.orderBy(col(s"`$orderCol`"))
+    val down = base.rowsBetween(Window.unboundedPreceding, 0)
+    val up = base.rowsBetween(0, Window.unboundedFollowing)
+    columns.foldLeft(df) { case (acc, (c, dir)) =>
+      val cc = col(s"`$c`")
+      val filled = dir match {
+        case "down" => last(cc, ignoreNulls = true).over(down)
+        case "up"   => first(cc, ignoreNulls = true).over(up)
+        case "updown" => coalesce(first(cc, ignoreNulls = true).over(up),
+          last(cc, ignoreNulls = true).over(down))
+        case "downup" => coalesce(last(cc, ignoreNulls = true).over(down),
+          first(cc, ignoreNulls = true).over(up))
+        case other => throw new IllegalArgumentException(s"fill_direction: bad direction $other")
+      }
+      acc.withColumn(c, filled)
+    }
+  }
+
+  /** (reference: janitor/functions/fill.py:137-206) */
+  def fillEmpty(df: DataFrame, values: Map[String, Any]): DataFrame =
+    values.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(s"`$c`"), lit(v)))
+    }
+
+  /** Fill with a statistic ∈ mean|average|median|mode|min|max|sum or a scalar
+    * (reference: janitor/functions/impute.py:17). The statistic is one tiny
+    * aggregate (driver-collected scalar) — no global window, scales freely.
+    */
+  def impute(df: DataFrame, column: String, statistic: Option[String] = None,
+      value: Option[Any] = None): DataFrame = {
+    val c = col(s"`$column`")
+    val fillValue: Column = (statistic, value) match {
+      case (None, Some(v)) => lit(v)
+      case (Some(stat), None) =>
+        val aggExpr = stat match {
+          case "mean" | "average" => avg(c)
+          case "median" => expr(s"percentile(`$column`, 0.5)")
+          case "mode" => expr(s"mode(`$column`)")
+          case "min" => min(c)
+          case "max" => max(c)
+          case "sum" => sum(c)
+          case other => throw new IllegalArgumentException(s"impute: bad statistic $other")
+        }
+        lit(df.agg(aggExpr.as("v")).collect()(0).get(0))
+      case _ => throw new IllegalArgumentException("impute: provide exactly one of statistic or value")
+    }
+    df.withColumn(column, coalesce(c, fillValue))
+  }
+
+  /** First non-null across columns into target (reference:
+    * janitor/functions/coalesce.py:14-134). Exact 1:1 with `coalesce`.
+    */
+  def coalesceColumns(df: DataFrame, columns: Seq[String], targetColumn: Option[String] = None,
+      defaultValue: Option[Any] = None): DataFrame = {
+    val exprs = columns.map(n => col(s"`$n`")) ++ defaultValue.map(lit).toSeq
+    val target = targetColumn.getOrElse(columns.head)
+    val out = df.withColumn(target, coalesce(exprs: _*))
+    if (targetColumn.isEmpty) out.drop(columns.tail: _*) else out
+  }
+
+  /** 0/1 any-null flag column (reference: janitor/functions/flag_nulls.py:13). */
+  def flagNulls(df: DataFrame, columnName: String = "null_flag",
+      columns: Seq[String] = Nil): DataFrame = {
+    val cs = if (columns.nonEmpty) columns else df.columns.toSeq
+    val anyNull = cs.map(n => col(s"`$n`").isNull).reduce(_ || _)
+    df.withColumn(columnName, when(anyNull, 1).otherwise(0))
+  }
+}

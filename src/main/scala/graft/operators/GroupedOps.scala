@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Grouped aggregation / window-style verbs (SURVEY §2.5). */
+object GroupedOps {
+
+  /** Group-transform broadcast back to every row — exact 1:1 with a window
+    * aggregate (reference: janitor/functions/groupby_agg.py:19,101-107).
+    * Map-side partial aggregation + shuffle on `by` only; scales.
+    */
+  def groupbyAgg(df: DataFrame, by: Seq[String], aggColumn: String, agg: String,
+      newColumnName: String): DataFrame = {
+    val w = Window.partitionBy(by.map(n => col(s"`$n`")): _*)
+    val c = col(s"`$aggColumn`")
+    val a = agg match {
+      case "sum" => sum(c)
+      case "mean" | "average" | "avg" => avg(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case "count" => count(c)
+      case "size" => count(lit(1))
+      case "nunique" => size(collect_set(c))
+      case "first" => first(c)
+      case "last" => last(c)
+      case "std" => stddev(c)
+      case "var" => variance(c)
+      case "median" => expr(s"percentile(`$aggColumn`, 0.5)")
+      case other => throw new IllegalArgumentException(s"groupby_agg: bad agg $other")
+    }
+    df.withColumn(newColumnName, a.over(w))
+  }
+
+  /** Top/bottom-k rows per group by a column (reference:
+    * janitor/functions/groupby_topk.py:13,109-125). `tiebreak` columns make
+    * the result deterministic in a distributed setting.
+    */
+  def groupbyTopk(df: DataFrame, by: Seq[String], column: String, k: Int,
+      ascending: Boolean = false, tiebreak: Seq[String] = Nil): DataFrame = {
+    val sortCols = (col(s"`$column`") +: tiebreak.map(n => col(s"`$n`"))).map(c =>
+      if (ascending) c.asc else c.desc)
+    val w = Window.partitionBy(by.map(n => col(s"`$n`")): _*).orderBy(sortCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Sort by `by`, keep first/last row per `subset` group
+    * (reference: janitor/functions/take_first.py:10,42-46).
+    */
+  def takeFirst(df: DataFrame, subset: Seq[String], by: String,
+      ascending: Boolean = true, tiebreak: Seq[String] = Nil): DataFrame = {
+    val sortCols = (col(s"`$by`") +: tiebreak.map(n => col(s"`$n`"))).map(c =>
+      if (ascending) c.asc else c.desc)
+    val w = Window.partitionBy(subset.map(n => col(s"`$n`")): _*).orderBy(sortCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Running count of distinct values seen so far, in `orderCol` order
+    * (reference: janitor/functions/count_cumulative_unique.py:13,107-112 —
+    * groupby-cumcount==0 → cumsum). Two windows: first-occurrence flag, then
+    * a running sum. Global order ⇒ single-partition window; the streaming
+    * variant (graft.streaming) is the scale path.
+    */
+  def countCumulativeUnique(df: DataFrame, column: String, orderCol: String,
+      newColumnName: String, caseSensitive: Boolean = true): DataFrame = {
+    val v = if (caseSensitive) col(s"`$column`") else lower(col(s"`$column`"))
+    val wFirst = Window.partitionBy(v).orderBy(col(s"`$orderCol`"))
+    val wRun = Window.orderBy(col(s"`$orderCol`"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__new", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn(newColumnName, sum(col("__new")).over(wRun))
+      .drop("__new")
+  }
+
+  /** Random row permutation (reference: janitor/functions/shuffle.py:10). */
+  def shuffle(df: DataFrame, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed))
+
+  /** Natural (human/alphanumeric) sort by a column (reference:
+    * janitor/functions/sort_naturally.py:11) via the NaturalSortKey expression.
+    */
+  def sortNaturally(df: DataFrame, column: String): DataFrame =
+    df.orderBy(graft.functions.expressions.natural_sort_key(col(s"`$column`")))
+
+  /** Sort by a user-given precedence list of values (reference:
+    * janitor/functions/sort_column_value_order.py:10). Value→rank is a literal
+    * CASE chain — no join, no shuffle beyond the sort.
+    */
+  def sortColumnValueOrder(df: DataFrame, column: String, order: Seq[String]): DataFrame =
+    df.orderBy(valueRank(column, order))
+
+  def valueRank(column: String, order: Seq[String]): Column = {
+    val c = col(s"`$column`")
+    order.zipWithIndex.foldRight(lit(order.size): Column) { case ((v, i), acc) =>
+      when(c === lit(v), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Distinct values of a column (reference: janitor/functions/toset.py:18 —
+    * Series → set). Distributed form: a distinct DataFrame.
+    */
+  def toSet(df: DataFrame, column: String): DataFrame =
+    df.select(col(s"`$column`")).distinct()
+}

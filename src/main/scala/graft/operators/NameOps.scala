@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.ColumnSelector
+import graft.functions.{Norm, expressions => gx}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-name hygiene / header verbs (SURVEY §2.1).
+  * All pure driver-side renames → a single projection; nothing touches data
+  * except the value-mode of clean_names and row_to_names' bounded collect.
+  */
+object NameOps {
+
+  /** clean_names on column labels (reference: janitor/functions/clean_names.py:19-169;
+    * Spark precedent: janitor/spark/functions.py:28-88).
+    */
+  def cleanNames(
+      df: DataFrame,
+      caseType: String = "lower",
+      removeSpecial: Boolean = false,
+      stripAccents: Boolean = false,
+      stripUnderscores: Option[String] = Some("both"),
+      truncateLimit: Int = 0): DataFrame = {
+    val cleaned = df.columns.map(c =>
+      Norm.cleanName(c, caseType, removeSpecial, stripAccents, stripUnderscores, truncateLimit))
+    // de-duplicate collisions with _1, _2 suffixes (pandas allows dup labels;
+    // parquet/Spark downstream does not)
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val unique = cleaned.map { c =>
+      val n = seen.getOrElse(c, 0)
+      seen(c) = n + 1
+      if (n == 0) c else s"${c}_$n"
+    }
+    df.toDF(unique.toIndexedSeq: _*)
+  }
+
+  /** clean_names applied to string *values* of selected columns
+    * (reference: clean_names.py axis=None + column_names mode).
+    */
+  def cleanNamesValues(
+      df: DataFrame,
+      columns: Seq[String],
+      caseType: String = "lower",
+      removeSpecial: Boolean = false,
+      stripAccentsFlag: Boolean = false): DataFrame = {
+    val colsSet = columns.toSet
+    val projected = df.columns.map { c =>
+      if (!colsSet.contains(c)) col(c)
+      else {
+        var e: Column = col(c)
+        e = caseType.toLowerCase match {
+          case "upper" => upper(e)
+          case "preserve" => e
+          case _ => lower(e)
+        }
+        e = regexp_replace(e, "[ /:,?()\\.-]", "_")
+        e = regexp_replace(e, "['’]", "")
+        if (removeSpecial) e = regexp_replace(e, "[^A-Za-z_\\d]", "")
+        if (stripAccentsFlag) e = gx.strip_accents(e)
+        e = regexp_replace(e, "_+", "_")
+        e = regexp_replace(regexp_replace(e, "^_+", ""), "_+$", "")
+        e.as(c)
+      }
+    }
+    df.select(projected.toIndexedSeq: _*)
+  }
+
+  /** (reference: janitor/functions/rename_columns.py:17) */
+  def renameColumn(df: DataFrame, old: String, newName: String): DataFrame = {
+    require(df.columns.contains(old), s"Column '$old' not found")
+    df.withColumnRenamed(old, newName)
+  }
+
+  /** (reference: janitor/functions/rename_columns.py:68) — mapping or function */
+  def renameColumns(df: DataFrame, mapping: Map[String, String] = Map.empty,
+      fn: Option[String => String] = None): DataFrame = {
+    val renamed = df.columns.map { c =>
+      mapping.getOrElse(c, fn.map(_(c)).getOrElse(c))
+    }
+    df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  /** (reference: janitor/functions/limit_column_characters.py:10) */
+  def limitColumnCharacters(df: DataFrame, length: Int, sep: String = "_"): DataFrame = {
+    val truncated = df.columns.map(_.take(length))
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val unique = truncated.map { c =>
+      val n = seen.getOrElse(c, 0)
+      seen(c) = n + 1
+      if (n == 0) c else s"$c$sep$n"
+    }
+    df.toDF(unique.toIndexedSeq: _*)
+  }
+
+  /** Promote row(s) to header by position in `orderCol` order
+    * (reference: janitor/functions/row_to_names.py:16-183). Bounded action:
+    * collects only the header rows. Multiple rows join with `sep`
+    * (polars precedent: janitor/polars/row_to_names.py:23).
+    */
+  def rowToNames(df: DataFrame, orderCol: String, rowNumbers: Seq[Int],
+      removeRows: Boolean = false, removeRowsAbove: Boolean = false,
+      sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(orderCol))
+    val withRn = df.withColumn("__rn", row_number().over(w) - 1)
+    val hdrRows = withRn.filter(col("__rn").isin(rowNumbers.map(Integer.valueOf): _*))
+      .orderBy("__rn").collect()
+    require(hdrRows.length == rowNumbers.length, "row_to_names: header rows missing")
+    val dataCols = df.columns
+    val newNames = dataCols.map { c =>
+      val idx = withRn.columns.indexOf(c)
+      hdrRows.map(r => String.valueOf(r.get(idx))).mkString(sep)
+    }
+    var out = withRn
+    if (removeRows) out = out.filter(!col("__rn").isin(rowNumbers.map(Integer.valueOf): _*))
+    if (removeRowsAbove) out = out.filter(col("__rn") >= rowNumbers.max)
+    out.drop("__rn").toDF(newNames.toIndexedSeq: _*)
+  }
+
+  /** Flatten multi-part names: our normal form is already flat, so this joins
+    * struct-column subfields into top-level `parent<sep>child` columns
+    * (reference: janitor/functions/collapse_levels.py:11).
+    */
+  def collapseLevels(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val cols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: StructType =>
+          s.fieldNames.toSeq.map(sub => col(s"`${f.name}`.`$sub`").as(s"${f.name}$sep$sub"))
+        case _ => Seq(col(s"`${f.name}`"))
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Inverse of collapseLevels: split labels on `sep` into struct columns
+    * (reference: janitor/functions/explode_index.py:15).
+    */
+  def explodeIndex(df: DataFrame, sep: String = "_"): DataFrame = {
+    val groups = df.columns.groupBy(c => c.split(java.util.regex.Pattern.quote(sep), 2).head)
+    val cols = groups.toSeq.sortBy { case (p, _) => df.columns.indexWhere(_.startsWith(p)) }
+      .map { case (parent, cs) =>
+        if (cs.length == 1 && !cs.head.contains(sep)) col(s"`${cs.head}`")
+        else struct(cs.map(c => col(s"`$c`").as(c.split(java.util.regex.Pattern.quote(sep), 2).last)).toIndexedSeq: _*).as(parent)
+      }
+    df.select(cols: _*)
+  }
+}

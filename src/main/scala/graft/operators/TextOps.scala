@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** process_text: pandas `.str` method surface mapped to codegen'd Spark
+  * functions (reference: janitor/functions/process_text.py:25,98-107 —
+  * introspects pd.Series.str; here the finite dispatch table is explicit).
+  */
+object TextOps {
+
+  def processText(df: DataFrame, column: String, method: String,
+      args: Seq[Any] = Nil): DataFrame =
+    df.withColumn(column, strMethod(col(s"`$column`"), method, args))
+
+  def strMethod(c: Column, method: String, args: Seq[Any] = Nil): Column = {
+    def s(i: Int): String = args(i).toString
+    def i(idx: Int): Int = args(idx).toString.toInt
+    method match {
+      case "lower" => lower(c)
+      case "upper" => upper(c)
+      case "title" => initcap(c)
+      case "capitalize" => concat(upper(substring(c, 1, 1)), lower(expr_substr(c, 2)))
+      case "strip" => trim(c)
+      case "lstrip" => ltrim(c)
+      case "rstrip" => rtrim(c)
+      case "len" => length(c)
+      case "contains" => c.contains(s(0))
+      case "startswith" => c.startsWith(s(0))
+      case "endswith" => c.endsWith(s(0))
+      case "find" => instr(c, s(0)) - 1
+      case "slice" => substring(c, i(0) + 1, i(1) - i(0)) // python slice [a,b)
+      case "get" => substring(c, i(0) + 1, 1)
+      case "replace" => regexp_replace(c, s(0), s(1))
+      case "extract" => regexp_extract(c, s(0), if (args.length > 1) i(1) else 1)
+      case "split" => split(c, s(0))
+      case "pad_left" | "rjust" | "zfill" =>
+        lpad(c, i(0), if (args.length > 1) s(1) else if (method == "zfill") "0" else " ")
+      case "pad_right" | "ljust" => rpad(c, i(0), if (args.length > 1) s(1) else " ")
+      case "count" => size(split(c, s(0))) - 1
+      case "repeat" => repeat(c, i(0))
+      case "reverse" => reverse(c)
+      case "swapcase" =>
+        // no builtin; upper/lower xor via translate is impractical — document
+        throw new UnsupportedOperationException("process_text: swapcase unsupported")
+      case other => throw new IllegalArgumentException(s"process_text: unknown str method $other")
+    }
+  }
+
+  private def expr_substr(c: Column, from: Int): Column =
+    c.substr(lit(from), length(c))
+
+  /** String-concat columns with separator; concat_ws already skips nulls —
+    * matching ignore_empty semantics needs empty-string filtering too
+    * (reference: janitor/functions/concatenate_columns.py:12,67).
+    */
+  def concatenateColumns(df: DataFrame, columns: Seq[String], newColumnName: String,
+      sep: String = "-", ignoreEmpty: Boolean = false): DataFrame = {
+    val cs = columns.map(n => col(s"`$n`").cast("string"))
+    val combined = if (ignoreEmpty)
+      concat_ws(sep, cs.map(c => when(c === "", null).otherwise(c)): _*)
+    else concat_ws(sep, cs: _*)
+    df.withColumn(newColumnName, combined)
+  }
+
+  /** Split one column into N by separator (reference:
+    * janitor/functions/deconcatenate_column.py:14).
+    */
+  def deconcatenateColumn(df: DataFrame, column: String, sep: String,
+      newColumnNames: Seq[String], preservePosition: Boolean = false): DataFrame = {
+    val parts = split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))
+    val withParts = newColumnNames.zipWithIndex.foldLeft(df) { case (acc, (n, idx)) =>
+      acc.withColumn(n, parts.getItem(idx))
+    }
+    if (preservePosition) withParts.drop(column) else withParts
+  }
+
+  /** One-hot expand a delimited categorical cell (reference:
+    * janitor/functions/expand_column.py:13). The label universe is a bounded
+    * distinct collect (data-dependent schema — SURVEY §7.7).
+    */
+  def expandColumn(df: DataFrame, column: String, sep: String,
+      concatDf: Boolean = true): DataFrame = {
+    val labels = df.select(explode(split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))).as("__l"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val parts = split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))
+    val dummies = labels.map(l => array_contains(parts, l).cast("int").as(l))
+    if (concatDf) df.select((df.columns.map(n => col(s"`$n`")) ++ dummies).toIndexedSeq: _*)
+    else df.select(dummies.toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row/value transforms & chaining combinators (SURVEY §2.9). */
+object TransformOps {
+
+  /** SQL CASE with first-match-wins (reference:
+    * janitor/functions/case_when.py:23,50-58). Conditions are SQL boolean
+    * strings or Columns; 1:1 with chained `when`.
+    */
+  def caseWhen(df: DataFrame, targetColumn: String,
+      condsAndValues: Seq[(Column, Column)], default: Column): DataFrame = {
+    val chained = condsAndValues.foldLeft(Option.empty[Column]) {
+      case (None, (c, v)) => Some(when(c, v))
+      case (Some(acc), (c, v)) => Some(acc.when(c, v))
+    }.map(_.otherwise(default)).getOrElse(default)
+    df.withColumn(targetColumn, chained)
+  }
+
+  def caseWhenSql(df: DataFrame, targetColumn: String,
+      condsAndValues: Seq[(String, Any)], default: Any): DataFrame =
+    caseWhen(df, targetColumn,
+      condsAndValues.map { case (c, v) => (expr(c), lit(v)) }, lit(default))
+
+  /** Per-column value mapping, exact or regex (reference:
+    * janitor/functions/find_replace.py:18).
+    */
+  def findReplace(df: DataFrame, column: String, mapping: Map[Any, Any],
+      matchMode: String = "exact"): DataFrame = {
+    val c = col(s"`$column`")
+    val replaced = matchMode match {
+      case "exact" =>
+        mapping.foldLeft(Option.empty[Column]) {
+          case (None, (k, v)) => Some(when(c === lit(k), lit(v)))
+          case (Some(acc), (k, v)) => Some(acc.when(c === lit(k), lit(v)))
+        }.map(_.otherwise(c)).getOrElse(c)
+      case "regex" =>
+        mapping.foldLeft(c) { case (acc, (k, v)) =>
+          regexp_replace(acc, k.toString, v.toString)
+        }
+      case other => throw new IllegalArgumentException(s"find_replace: bad match $other")
+    }
+    df.withColumn(column, replaced)
+  }
+
+  /** Apply a Column→Column function (reference:
+    * janitor/functions/transform_columns.py:22,127). Stays codegen'd when `f`
+    * composes built-ins.
+    */
+  def transformColumn(df: DataFrame, column: String, f: Column => Column,
+      destColumn: Option[String] = None): DataFrame =
+    df.withColumn(destColumn.getOrElse(column), f(col(s"`$column`")))
+
+  def transformColumns(df: DataFrame, columns: Seq[String], f: Column => Column,
+      suffix: Option[String] = None): DataFrame =
+    columns.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c + suffix.getOrElse(""), f(col(s"`$c`")))
+    }
+
+  /** Add column from scalar/expression (reference:
+    * janitor/functions/add_columns.py:18,146).
+    */
+  def addColumn(df: DataFrame, name: String, value: Column): DataFrame =
+    df.withColumn(name, value)
+
+  /** Row-wise function as a new column (reference:
+    * janitor/functions/join_apply.py:10 — not a join; a projection).
+    */
+  def joinApply(df: DataFrame, f: Column, newColumnName: String): DataFrame =
+    df.withColumn(newColumnName, f)
+
+  /** Side-effect combinator (reference: janitor/functions/also.py:10). */
+  def also(df: DataFrame, f: DataFrame => Unit): DataFrame = { f(df); df }
+
+  /** Pipe combinator (reference: janitor/functions/then.py:16) — Spark's own
+    * `transform` is the native equivalent; kept for API parity.
+    */
+  def andThen(df: DataFrame, f: DataFrame => DataFrame): DataFrame = f(df)
+}

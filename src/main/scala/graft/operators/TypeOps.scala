@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DataType
+
+/** Type conversion / encoding verbs (SURVEY §2.8). */
+object TypeOps {
+
+  /** Cast with failure policy (reference: janitor/functions/change_type.py:19).
+    * ignoreException: "none" (strict cast), "fillna" (null on failure via
+    * try_cast), "keep_values" (original value on failure).
+    */
+  def changeType(df: DataFrame, column: String, dtype: String,
+      ignoreException: String = "none"): DataFrame = {
+    val c = col(s"`$column`")
+    val out = ignoreException match {
+      case "none" => c.cast(dtype)
+      case "fillna" => c.try_cast(dtype)
+      case "keep_values" =>
+        when(c.try_cast(dtype).isNotNull, c.cast(dtype).cast("string")).otherwise(c.cast("string"))
+      case other => throw new IllegalArgumentException(s"change_type: bad ignore_exception $other")
+    }
+    df.withColumn(column, out)
+  }
+
+  /** (reference: janitor/functions/to_datetime.py:19) */
+  def toDatetime(df: DataFrame, column: String, format: Option[String] = None): DataFrame =
+    df.withColumn(column,
+      format.map(f => to_timestamp(col(s"`$column`"), f)).getOrElse(to_timestamp(col(s"`$column`"))))
+
+  /** Excel serial day → timestamp, origin 1899-12-30
+    * (reference: janitor/functions/convert_date.py:12; polars precedent
+    * janitor/polars/dates_to_polars.py:19).
+    */
+  def convertExcelDate(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column,
+      timestamp_seconds(col(s"`$column`").cast("double") * 86400d +
+        lit(java.time.LocalDate.of(1899, 12, 30).toEpochDay * 86400d)))
+
+  /** MATLAB datenum → timestamp (reference: janitor/functions/convert_date.py:60).
+    * datenum 719529 == 1970-01-01, fractional days supported.
+    */
+  def convertMatlabDate(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column,
+      timestamp_seconds((col(s"`$column`").cast("double") - 719529d) * 86400d))
+
+  /** Epoch seconds → timestamp (reference: janitor/functions/convert_date.py:113). */
+  def convertUnixDate(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, timestamp_seconds(col(s"`$column`").cast("double")))
+
+  /** Truncate every timestamp column to a precision ∈
+    * YEAR|MONTH|DAY|HOUR|MINUTE|SECOND (reference:
+    * janitor/functions/truncate_datetime.py:10,55-77).
+    */
+  def truncateDatetime(df: DataFrame, precision: String): DataFrame = {
+    val part = precision.toUpperCase match {
+      case "YEAR" => "year"; case "MONTH" => "month"; case "DAY" => "day"
+      case "HOUR" => "hour"; case "MINUTE" => "minute"; case "SECOND" => "second"
+      case other => throw new IllegalArgumentException(s"truncate_datetime: bad precision $other")
+    }
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          date_trunc(part, col(s"`${f.name}`")).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Integer codes per distinct value (reference:
+    * janitor/functions/factorize_columns.py:12; kernel functions/utils.py:231-243).
+    * First-seen order needs an ordering column in a distributed setting; codes
+    * are assigned by min(orderCol) per value via an aggregate + broadcast join
+    * (no global window — scales).
+    */
+  def factorizeColumns(df: DataFrame, column: String, orderCol: String,
+      suffix: String = "_enc"): DataFrame = {
+    val firstSeen = df.groupBy(col(s"`$column`").as("__v"))
+      .agg(min(col(s"`$orderCol`")).as("__first"))
+    val codes = firstSeen.withColumn("__code",
+      row_number().over(Window.orderBy(col("__first"))) - 1)
+      .select(col("__v"), col("__code"))
+    df.join(broadcast(codes), df(column) === codes("__v"), "left")
+      .drop("__v")
+      .withColumnRenamed("__code", column + suffix)
+  }
+
+  /** Currency string → numeric (reference:
+    * janitor/functions/currency_column_to_numeric.py:12). Accounting style:
+    * strip currency symbols/commas, parentheses mean negative.
+    */
+  def currencyColumnToNumeric(df: DataFrame, column: String,
+      cleaningStyle: String = "accounting"): DataFrame = {
+    val c = col(s"`$column`")
+    val stripped = regexp_replace(c, "[^0-9.()\\-]", "")
+    val isNeg = c.contains("(") && c.contains(")")
+    val numStr = regexp_replace(stripped, "[()]", "")
+    val parsed = numStr.try_cast("double")
+    df.withColumn(column, when(isNeg, -parsed).otherwise(parsed))
+  }
+
+  /** Round to nearest 1/denominator (reference:
+    * janitor/functions/round_to_fraction.py:14).
+    */
+  def roundToFraction(df: DataFrame, column: String, denominator: Double,
+      digits: Option[Int] = None): DataFrame = {
+    val c = round(col(s"`$column`") * denominator) / denominator
+    df.withColumn(column, digits.map(d => round(c, d)).getOrElse(c))
+  }
+
+  /** Labeled fixed-width bins (reference: janitor/functions/bin_numeric.py:19).
+    * Pure expression (`floor`), no MLlib fit pass — scales and streams.
+    */
+  def binNumeric(df: DataFrame, column: String, newColumnName: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val c = col(s"`$column`")
+    val width = (hi - lo) / bins
+    val idx = least(greatest(floor((c - lo) / width), lit(0)), lit(bins - 1))
+    df.withColumn(newColumnName, when(c.isNull, null).otherwise(idx.cast("int")))
+  }
+
+  /** Scale to [newMin,newMax] (reference:
+    * janitor/functions/min_max_scale.py:21,150-191). One min/max aggregate
+    * (driver scalar) + arithmetic projection.
+    */
+  def minMaxScale(df: DataFrame, column: String, newMin: Double = 0d,
+      newMax: Double = 1d, destColumn: Option[String] = None): DataFrame = {
+    val row = df.agg(min(col(s"`$column`")).cast("double").as("mn"),
+      max(col(s"`$column`")).cast("double").as("mx")).collect()(0)
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val scaled = (col(s"`$column`") - mn) * ((newMax - newMin) / (mx - mn)) + newMin
+    df.withColumn(destColumn.getOrElse(column), scaled)
+  }
+
+  /** Add N(0, scale) noise with optional clip (reference:
+    * janitor/functions/jitter.py:13). Seeded but not pandas-bit-equal —
+    * distributional tests only (SURVEY §7.3.6).
+    */
+  def jitter(df: DataFrame, column: String, destColumn: String, scale: Double,
+      clip: Option[(Double, Double)] = None, seed: Long = 42L): DataFrame = {
+    val noisy = col(s"`$column`") + randn(seed) * scale
+    val clipped = clip.map { case (lo, hi) =>
+      least(greatest(noisy, lit(lo)), lit(hi))
+    }.getOrElse(noisy)
+    df.withColumn(destColumn, clipped)
+  }
+
+  /** Record declared categories for a column (reference:
+    * janitor/functions/encode_categorical.py:16,150-166). Spark has no
+    * categorical dtype (SURVEY §1.2): the registry is column metadata, data
+    * stays StringType. `complete`/`pivot_wider(expand)` read it back.
+    */
+  def encodeCategorical(df: DataFrame, column: String, categories: Seq[String],
+      ordered: Boolean = false): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putStringArray("graft.categories", categories.toArray)
+      .putBoolean("graft.ordered", ordered)
+      .build()
+    df.withColumn(column, col(s"`$column`").as(column, meta))
+  }
+
+  /** Read back a category registry written by [[encodeCategorical]]. */
+  def categoriesOf(df: DataFrame, column: String): Option[Seq[String]] = {
+    val f = df.schema(column)
+    if (f.metadata.contains("graft.categories"))
+      Some(f.metadata.getStringArray("graft.categories").toSeq)
+    else None
+  }
+}

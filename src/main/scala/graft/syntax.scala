@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.operators._
+
+/** The public verb surface: `import graft.syntax._` then chain
+  * `df.cleanNames().filterOn("x > 1").groupbyAgg(...)` — the Spark-native
+  * equivalent of pyjanitor's method chaining (reference registers each verb on
+  * pd.DataFrame via pandas_flavor; janitor/functions/clean_names.py:17).
+  * Every verb is lazy (returns a plan) unless its output schema is
+  * data-dependent (SURVEY §7.7) — those perform one bounded action.
+  */
+object syntax {
+
+  implicit class JanitorOps(val df: DataFrame) extends AnyVal {
+
+    // §2.1 name hygiene
+    def cleanNames(caseType: String = "lower", removeSpecial: Boolean = false,
+        stripAccents: Boolean = false, stripUnderscores: Option[String] = Some("both"),
+        truncateLimit: Int = 0): DataFrame =
+      NameOps.cleanNames(df, caseType, removeSpecial, stripAccents, stripUnderscores, truncateLimit)
+    def cleanNamesValues(columns: Seq[String], caseType: String = "lower",
+        removeSpecial: Boolean = false, stripAccents: Boolean = false): DataFrame =
+      NameOps.cleanNamesValues(df, columns, caseType, removeSpecial, stripAccents)
+    def renameColumn(old: String, newName: String): DataFrame = NameOps.renameColumn(df, old, newName)
+    def renameColumns(mapping: Map[String, String] = Map.empty, fn: Option[String => String] = None): DataFrame =
+      NameOps.renameColumns(df, mapping, fn)
+    def limitColumnCharacters(length: Int, sep: String = "_"): DataFrame =
+      NameOps.limitColumnCharacters(df, length, sep)
+    def rowToNames(orderCol: String, rowNumbers: Seq[Int], removeRows: Boolean = false,
+        removeRowsAbove: Boolean = false, sep: String = "_"): DataFrame =
+      NameOps.rowToNames(df, orderCol, rowNumbers, removeRows, removeRowsAbove, sep)
+    def collapseLevels(sep: String = "_"): DataFrame = NameOps.collapseLevels(df, sep)
+    def explodeIndex(sep: String = "_"): DataFrame = NameOps.explodeIndex(df, sep)
+
+    // §2.2 selection
+    def selectColumns(sels: ColumnSelector*): DataFrame = SelectOps.selectColumns(df, sels)
+    def selectColumnsInvert(sels: ColumnSelector*): DataFrame = SelectOps.selectColumns(df, sels, invert = true)
+    def removeColumns(names: String*): DataFrame = SelectOps.removeColumns(df, names)
+    def reorderColumns(first: String*): DataFrame = SelectOps.reorderColumns(df, first)
+    def moveColumn(source: String, target: String, position: String = "before"): DataFrame =
+      SelectOps.moveColumn(df, source, target, position)
+    def dropConstantColumns(): DataFrame = SelectOps.dropConstantColumns(df)
+    def dropDuplicateColumns(name: String, nth: Int = 0): DataFrame =
+      SelectOps.dropDuplicateColumns(df, name, nth)
+
+    // §2.3 filters
+    def filterString(column: String, searchString: String, regex: Boolean = true,
+        caseSensitive: Boolean = true, complement: Boolean = false, naDefault: Boolean = false): DataFrame =
+      FilterOps.filterString(df, column, searchString, regex, caseSensitive, complement, naDefault)
+    def filterOn(criteria: String, complement: Boolean = false): DataFrame =
+      FilterOps.filterOn(df, criteria, complement)
+    def filterDate(column: String, startDate: Option[String] = None, endDate: Option[String] = None,
+        years: Seq[Int] = Nil, months: Seq[Int] = Nil, days: Seq[Int] = Nil,
+        format: Option[String] = None): DataFrame =
+      FilterOps.filterDate(df, column, startDate, endDate, years, months, days, format)
+    def filterColumnIsin(column: String, values: Seq[Any], complement: Boolean = false): DataFrame =
+      FilterOps.filterColumnIsin(df, column, values, complement)
+    def dropNotNull(column: String): DataFrame = FilterOps.dropNotNull(df, column)
+    def removeEmpty(): DataFrame = FilterOps.removeEmpty(df)
+    def getDupes(subset: String*): DataFrame = FilterOps.getDupes(df, subset)
+    def updateWhere(condition: String, targetColumn: String, targetVal: Any): DataFrame =
+      FilterOps.updateWhere(df, condition, targetColumn, targetVal)
+
+    // §2.5 grouped / window
+    def groupbyAgg(by: Seq[String], aggColumn: String, agg: String, newColumnName: String): DataFrame =
+      GroupedOps.groupbyAgg(df, by, aggColumn, agg, newColumnName)
+    def groupbyTopk(by: Seq[String], column: String, k: Int, ascending: Boolean = false,
+        tiebreak: Seq[String] = Nil): DataFrame =
+      GroupedOps.groupbyTopk(df, by, column, k, ascending, tiebreak)
+    def takeFirst(subset: Seq[String], by: String, ascending: Boolean = true,
+        tiebreak: Seq[String] = Nil): DataFrame =
+      GroupedOps.takeFirst(df, subset, by, ascending, tiebreak)
+    def countCumulativeUnique(column: String, orderCol: String, newColumnName: String,
+        caseSensitive: Boolean = true): DataFrame =
+      GroupedOps.countCumulativeUnique(df, column, orderCol, newColumnName, caseSensitive)
+    def shuffleRows(seed: Long = 42L): DataFrame = GroupedOps.shuffle(df, seed)
+    def sortNaturally(column: String): DataFrame = GroupedOps.sortNaturally(df, column)
+    def sortColumnValueOrder(column: String, order: Seq[String]): DataFrame =
+      GroupedOps.sortColumnValueOrder(df, column, order)
+    def toSetOf(column: String): DataFrame = GroupedOps.toSet(df, column)
+
+    // §2.7 missing data
+    def fillDirection(columns: Map[String, String], orderCol: String,
+        partitionBy: Seq[String] = Nil): DataFrame =
+      FillOps.fillDirection(df, columns, orderCol, partitionBy)
+    def fillEmpty(values: Map[String, Any]): DataFrame = FillOps.fillEmpty(df, values)
+    def impute(column: String, statistic: Option[String] = None, value: Option[Any] = None): DataFrame =
+      FillOps.impute(df, column, statistic, value)
+    def coalesceColumns(columns: Seq[String], targetColumn: Option[String] = None,
+        defaultValue: Option[Any] = None): DataFrame =
+      FillOps.coalesceColumns(df, columns, targetColumn, defaultValue)
+    def flagNulls(columnName: String = "null_flag", columns: Seq[String] = Nil): DataFrame =
+      FillOps.flagNulls(df, columnName, columns)
+
+    // §2.8 types / encodings
+    def changeType(column: String, dtype: String, ignoreException: String = "none"): DataFrame =
+      TypeOps.changeType(df, column, dtype, ignoreException)
+    def toDatetime(column: String, format: Option[String] = None): DataFrame =
+      TypeOps.toDatetime(df, column, format)
+    def convertExcelDate(column: String): DataFrame = TypeOps.convertExcelDate(df, column)
+    def convertMatlabDate(column: String): DataFrame = TypeOps.convertMatlabDate(df, column)
+    def convertUnixDate(column: String): DataFrame = TypeOps.convertUnixDate(df, column)
+    def truncateDatetime(precision: String): DataFrame = TypeOps.truncateDatetime(df, precision)
+    def factorizeColumns(column: String, orderCol: String, suffix: String = "_enc"): DataFrame =
+      TypeOps.factorizeColumns(df, column, orderCol, suffix)
+    def currencyColumnToNumeric(column: String, cleaningStyle: String = "accounting"): DataFrame =
+      TypeOps.currencyColumnToNumeric(df, column, cleaningStyle)
+    def roundToFraction(column: String, denominator: Double, digits: Option[Int] = None): DataFrame =
+      TypeOps.roundToFraction(df, column, denominator, digits)
+    def binNumeric(column: String, newColumnName: String, lo: Double, hi: Double, bins: Int): DataFrame =
+      TypeOps.binNumeric(df, column, newColumnName, lo, hi, bins)
+    def minMaxScale(column: String, newMin: Double = 0d, newMax: Double = 1d,
+        destColumn: Option[String] = None): DataFrame =
+      TypeOps.minMaxScale(df, column, newMin, newMax, destColumn)
+    def jitter(column: String, destColumn: String, scale: Double,
+        clip: Option[(Double, Double)] = None, seed: Long = 42L): DataFrame =
+      TypeOps.jitter(df, column, destColumn, scale, clip, seed)
+    def encodeCategorical(column: String, categories: Seq[String], ordered: Boolean = false): DataFrame =
+      TypeOps.encodeCategorical(df, column, categories, ordered)
+
+    // §2.9 transforms
+    def caseWhenSql(targetColumn: String, condsAndValues: Seq[(String, Any)], default: Any): DataFrame =
+      TransformOps.caseWhenSql(df, targetColumn, condsAndValues, default)
+    def findReplace(column: String, mapping: Map[Any, Any], matchMode: String = "exact"): DataFrame =
+      TransformOps.findReplace(df, column, mapping, matchMode)
+    def transformColumn(column: String, f: Column => Column, destColumn: Option[String] = None): DataFrame =
+      TransformOps.transformColumn(df, column, f, destColumn)
+    def transformColumns(columns: Seq[String], f: Column => Column, suffix: Option[String] = None): DataFrame =
+      TransformOps.transformColumns(df, columns, f, suffix)
+    def addColumn(name: String, value: Column): DataFrame = TransformOps.addColumn(df, name, value)
+    def joinApply(f: Column, newColumnName: String): DataFrame = TransformOps.joinApply(df, f, newColumnName)
+    def also(f: DataFrame => Unit): DataFrame = TransformOps.also(df, f)
+    def processText(column: String, method: String, args: Seq[Any] = Nil): DataFrame =
+      TextOps.processText(df, column, method, args)
+    def concatenateColumns(columns: Seq[String], newColumnName: String, sep: String = "-",
+        ignoreEmpty: Boolean = false): DataFrame =
+      TextOps.concatenateColumns(df, columns, newColumnName, sep, ignoreEmpty)
+    def deconcatenateColumn(column: String, sep: String, newColumnNames: Seq[String],
+        preservePosition: Boolean = false): DataFrame =
+      TextOps.deconcatenateColumn(df, column, sep, newColumnNames, preservePosition)
+    def expandColumn(column: String, sep: String, concatDf: Boolean = true): DataFrame =
+      TextOps.expandColumn(df, column, sep, concatDf)
+
+    // §2.10 math (aggregate-normalized forms)
+    def softmaxOf(column: String, dest: String): DataFrame =
+      graft.functions.MathFunctions.softmax(df, column, dest)
+    def zScoreOf(column: String, dest: String): DataFrame =
+      graft.functions.MathFunctions.zScore(df, column, dest)
+    def ecdfOf(column: String, dest: String): DataFrame =
+      graft.functions.MathFunctions.ecdf(df, column, dest)
+  }
+}
