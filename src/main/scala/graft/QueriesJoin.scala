@@ -1,10 +1,63 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.syntax._
+import graft.Tables._
 
-/** Join verbs (SURVEY §2.4) — filled in M5. */
+/** Join verbs (SURVEY §2.4): conditional_join (mixed equi+non-equi, keep),
+  * get_join_indices, and the banded range join.
+  */
 object QueriesJoin {
   private type Q = (SparkSession, String) => DataFrame
-  val entries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Interval table derived from supplier: [lo, lo+7] on the quantity axis. */
+  private def bins(s: SparkSession, d: String): DataFrame =
+    supplier(s, d).select(col("s_suppkey"),
+      ((col("s_suppkey") % 10) * 5.0d).as("lo"),
+      ((col("s_suppkey") % 10) * 5.0d + 7.0d).as("hi"))
+
+  val entries: Map[String, Q] = Map(
+    "conditional_join" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .conditionalJoin(
+        orders(s, d).select("o_orderkey", "o_orderdate"),
+        Seq(("l_orderkey", "o_orderkey", "=="), ("l_shipdate", "o_orderdate", ">")))),
+    "conditional_join_keep_first" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_size")
+      .conditionalJoin(bins(s, d),
+        Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
+        keep = "first")),
+    "get_join_indices" -> ((s, d) => operators.JoinOps.getJoinIndices(
+      part(s, d), bins(s, d), Seq("p_partkey"), Seq("s_suppkey"),
+      Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")))),
+    "range_join" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+      .rangeJoin(bins(s, d), "l_quantity", "lo", "hi", bandWidth = 5.0d)
+      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "conditional_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderkey, o.o_orderdate
+        |FROM lineitem l JOIN orders o
+        |ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate""".stripMargin,
+    "conditional_join_keep_first" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi
+        |FROM part p JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi
+        |QUALIFY row_number() OVER (PARTITION BY p.p_partkey ORDER BY b.lo, b.hi) = 1""".stripMargin,
+    "get_join_indices" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT p.p_partkey, b.s_suppkey
+        |FROM part p JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi""".stripMargin,
+    "range_join" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT b.s_suppkey, count(*) AS n
+        |FROM lineitem l JOIN bins b ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+        |GROUP BY b.s_suppkey""".stripMargin
+  )
 }

@@ -1,10 +1,110 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.syntax._
+import graft.Tables._
 
-/** Reshape verbs (SURVEY §2.6) — filled in M4. */
+/** Reshape verbs (SURVEY §2.6): pivot_longer (plain, names_sep, .value,
+  * spec), pivot_wider, expand_grid, expand, complete, concat/deconcat,
+  * expand_column.
+  */
 object QueriesReshape {
   private type Q = (SparkSession, String) => DataFrame
-  val entries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  val entries: Map[String, Q] = Map(
+    "pivot_longer" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .pivotLonger(index = Seq("l_orderkey", "l_linenumber"),
+        namesTo = Seq("name"), valuesTo = "value")),
+    "pivot_longer_names_sep" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("m_qty"), col("l_discount").as("m_disc"))
+      .pivotLonger(index = Seq("l_orderkey", "l_linenumber"),
+        namesTo = Seq("prefix", "metric"), valuesTo = "value",
+        namesSep = Some("_"))),
+    "pivot_longer_dot_value" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty_a"), (col("l_quantity") * 2).as("qty_b"),
+        col("l_extendedprice").as("price_a"), (col("l_extendedprice") * 2).as("price_b"))
+      .pivotLonger(index = Seq("l_orderkey", "l_linenumber"),
+        namesTo = Seq(".value", "grp"), namesSep = Some("_"))),
+    "pivot_longer_spec" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .pivotLongerSpec(index = Seq("l_orderkey", "l_linenumber"),
+        spec = Seq(
+          ("l_quantity", "val", Map("kind" -> "quantity")),
+          ("l_discount", "val", Map("kind" -> "discount"))))),
+    "pivot_wider" -> ((s, d) => orders(s, d)
+      .pivotWider(index = Seq("o_custkey"), namesFrom = "o_orderstatus",
+        valuesFrom = "o_totalprice", agg = "sum", knownValues = Seq("F", "O", "P"))
+      .transformColumns(Seq("F", "O", "P"), c => round(c, 4))),
+    "expand_grid" -> ((s, d) =>
+      operators.ReshapeOps.expandGrid(s, Seq(
+        "k" -> Seq(1, 2, 3), "v" -> Seq("a", "b")))),
+    "expand" -> ((s, d) => lineitem(s, d).expand("l_returnflag", "l_linestatus")),
+    "complete" -> ((s, d) => events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .complete(Seq("user_id", "event_type"), fillValue = Map("n" -> 0L))),
+    "concatenate_columns" -> ((s, d) => nation(s, d)
+      .concatenateColumns(Seq("n_name", "n_regionkey"), "combined", sep = "-")),
+    "deconcatenate_column" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_name")
+      .deconcatenateColumn("p_name", " ", Seq("adjective", "noun"))),
+    "expand_column" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        concat_ws(",", col("l_returnflag"), col("l_linestatus")).as("labels"))
+      .expandColumn("labels", ","))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pivot_longer" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS name, l_discount AS value FROM lineitem""".stripMargin,
+    "pivot_longer_names_sep" ->
+      """SELECT l_orderkey, l_linenumber, 'm' AS prefix, 'qty' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'm' AS prefix, 'disc' AS metric, l_discount AS value FROM lineitem""".stripMargin,
+    "pivot_longer_dot_value" ->
+      """SELECT l_orderkey, l_linenumber, 'a' AS grp, l_extendedprice AS price, l_quantity AS qty FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'b' AS grp, l_extendedprice * 2 AS price, l_quantity * 2 AS qty FROM lineitem""".stripMargin,
+    "pivot_longer_spec" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS kind, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount' AS kind, l_discount AS val FROM lineitem""".stripMargin,
+    "pivot_wider" ->
+      """SELECT o_custkey,
+        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+        |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "expand_grid" ->
+      """SELECT * FROM (VALUES (1),(2),(3)) t(k) CROSS JOIN (VALUES ('a'),('b')) s(v)""",
+    "expand" ->
+      """SELECT * FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        |CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)""".stripMargin,
+    "complete" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+        |FROM (SELECT DISTINCT user_id FROM c) u
+        |CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+        |LEFT JOIN c USING (user_id, event_type)""".stripMargin,
+    "concatenate_columns" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |n_name || '-' || CAST(n_regionkey AS VARCHAR) AS combined FROM nation""".stripMargin,
+    "deconcatenate_column" ->
+      """SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS adjective,
+        |split_part(p_name, ' ', 2) AS noun FROM part""".stripMargin,
+    "expand_column" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_returnflag || ',' || l_linestatus AS labels,
+        |CAST(l_returnflag = 'A' AS INTEGER) AS "A",
+        |CAST(l_linestatus = 'F' AS INTEGER) AS "F",
+        |CAST(l_returnflag = 'N' AS INTEGER) AS "N",
+        |CAST(l_linestatus = 'O' AS INTEGER) AS "O",
+        |CAST(l_returnflag = 'R' AS INTEGER) AS "R"
+        |FROM lineitem""".stripMargin
+  )
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** conditional_join and friends (SURVEY §2.4).
+  *
+  * The reference's 1.5k-line binary-search/numba machinery
+  * (janitor/functions/conditional_join.py:450-1148) collapses into Spark's
+  * own join planning: equi conjuncts → BroadcastHash/SortMerge, residual
+  * non-equi conjuncts → join condition (exactly the reference's step-3
+  * residual filtering, conditional_join.py:808-840, done by Catalyst).
+  * Pure range joins additionally get the banding rewrite ([[rangeJoin]]) —
+  * the same search-space pruning the reference's `_range_indices` does
+  * (conditional_join.py:1004-1148), expressed as an equi-join Catalyst can
+  * shuffle-parallelize instead of BNLJ.
+  */
+object JoinOps {
+
+  /** One condition: (left column, right column, operator). Ops per
+    * functions/utils.py:246-257: ==, !=, <, <=, >, >=.
+    */
+  type Cond = (String, String, String)
+
+  private def opToColumn(l: Column, r: Column, op: String): Column = op match {
+    case "==" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case other => throw new IllegalArgumentException(s"conditional_join: bad op $other")
+  }
+
+  /** Non-equi / mixed join (reference: janitor/functions/conditional_join.py:30-283).
+    * how ∈ inner|left|right|outer (an equality-only condition set is rejected,
+    * conditional_join.py:363-369). keep ∈ all|first|last keeps one right match
+    * per left row, ordered by the right join columns (SURVEY §7.7: tie order
+    * is defined by explicit sort, not pandas positional order).
+    * Overlapping output names get a "right_" prefix (our flattened stand-in
+    * for the reference's left/right MultiIndex, conditional_join.py:1151-1171).
+    * indicator adds a `_merge` column (both|left_only|right_only).
+    */
+  def conditionalJoin(left: DataFrame, right: DataFrame, conditions: Seq[Cond],
+      how: String = "inner", keep: String = "all",
+      indicator: Boolean = false): DataFrame = {
+    require(conditions.nonEmpty, "conditional_join: no conditions")
+    require(conditions.exists(_._3 != "=="),
+      "conditional_join: equality-only joins should use a regular merge (conditional_join.py:363-369)")
+
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    val r = overlap.foldLeft(right)((acc, c) => acc.withColumnRenamed(c, s"right_$c"))
+    def rname(c: String): String = if (overlap.contains(c)) s"right_$c" else c
+
+    val needLeftId = keep != "all"
+    val l = if (needLeftId) left.withColumn("__lid", monotonically_increasing_id()) else left
+
+    val cond = conditions.map { case (lc, rc, op) =>
+      opToColumn(l(lc), r(rname(rc)), op)
+    }.reduce(_ && _)
+
+    val lMark = if (indicator) l.withColumn("__lpresent", lit(1)) else l
+    val rMark = if (indicator) r.withColumn("__rpresent", lit(1)) else r
+
+    var joined = lMark.join(rMark, cond, how)
+
+    if (keep != "all") {
+      val rightOrderCols = conditions.map(c => col(s"`${rname(c._2)}`"))
+      val ordered = if (keep == "first") rightOrderCols.map(_.asc_nulls_last)
+        else rightOrderCols.map(_.desc_nulls_last)
+      val w = Window.partitionBy(col("__lid")).orderBy(ordered: _*)
+      joined = joined.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    if (indicator) {
+      joined = joined.withColumn("_merge",
+        when(col("__lpresent").isNotNull && col("__rpresent").isNotNull, "both")
+          .when(col("__lpresent").isNotNull, "left_only")
+          .otherwise("right_only"))
+        .drop("__lpresent", "__rpresent")
+    }
+    joined.drop("__lid")
+  }
+
+  /** Matching index pairs only (reference: conditional_join.py:1457-1512).
+    * Caller supplies the id columns (the explicit stand-in for pandas row
+    * positions).
+    */
+  def getJoinIndices(left: DataFrame, right: DataFrame, leftId: Seq[String],
+      rightId: Seq[String], conditions: Seq[Cond]): DataFrame = {
+    val joined = conditionalJoin(
+      left.select(leftId.map(n => col(s"`$n`")) ++
+        conditions.map(_._1).distinct.filterNot(leftId.contains(_)).map(n => col(s"`$n`")): _*),
+      right.select(rightId.map(n => col(s"`$n`")) ++
+        conditions.map(_._2).distinct.filterNot(rightId.contains(_)).map(n => col(s"`$n`")): _*),
+      conditions)
+    val rightOut = rightId.map(n =>
+      if (left.columns.contains(n) || joined.columns.contains(s"right_$n")) s"right_$n" else n)
+    joined.select((leftId ++ rightOut).map(n => col(s"`$n`")): _*)
+  }
+
+  /** Banded range join: `left.x BETWEEN right.lo AND right.hi` rewritten as an
+    * equi-join on band = floor(x/W) with the right side exploded over its
+    * interval's bands, plus the residual range filter (SURVEY §7.5 — the
+    * standard banding trick; same pruning intent as the reference's
+    * binary-search `_range_indices`, conditional_join.py:1004-1148).
+    *
+    * Each left row lands in exactly one band → no dedup needed. Chooses
+    * shuffle-parallel hash join over BroadcastNestedLoop at scale; W should
+    * be ~ the typical interval width (pass explicitly or derive via
+    * approxQuantile upstream).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, xCol: String, loCol: String,
+      hiCol: String, bandWidth: Double, how: String = "inner",
+      loInclusive: Boolean = true, hiInclusive: Boolean = true): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    val r0 = overlap.foldLeft(right)((acc, c) => acc.withColumnRenamed(c, s"right_$c"))
+    def rn(c: String): String = if (overlap.contains(c)) s"right_$c" else c
+
+    val lb = left.withColumn("__band", floor(col(s"`$xCol`") / bandWidth))
+    val rb = r0.withColumn("__band",
+      explode(sequence(floor(col(s"`${rn(loCol)}`") / bandWidth),
+        floor(col(s"`${rn(hiCol)}`") / bandWidth))))
+    val loC = if (loInclusive) lb(xCol) >= rb(rn(loCol)) else lb(xCol) > rb(rn(loCol))
+    val hiC = if (hiInclusive) lb(xCol) <= rb(rn(hiCol)) else lb(xCol) < rb(rn(hiCol))
+    lb.join(rb, lb("__band") === rb("__band") && loC && hiC, how)
+      .drop("__band")
+  }
+}

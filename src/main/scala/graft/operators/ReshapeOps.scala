@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reshape verbs (SURVEY §2.6): pivot_longer/wider, expand/expand_grid,
+  * complete. The pivot_longer spec computation is pure driver-side schema
+  * work (reference computes it the same way — janitor/functions/pivot.py:913);
+  * execution is one shuffle-free `explode(array(struct(...)))` projection.
+  */
+object ReshapeOps {
+
+  /** One output-row template per label-combination: the new label values plus,
+    * per value-target column, which source column feeds it (None → null).
+    */
+  private case class LongSpecRow(labelValues: Seq[String], sources: Map[String, Option[String]])
+
+  /** tidyr-style wide→long (reference: janitor/functions/pivot.py:26-410).
+    * Supports namesSep or namesPattern (regex with capture groups), the
+    * `.value` placeholder in namesTo (label fragments become output column
+    * names), namesTransform casts, and dropna.
+    */
+  def pivotLonger(
+      df: DataFrame,
+      index: Seq[String],
+      namesTo: Seq[String] = Seq("name"),
+      valuesTo: String = "value",
+      namesSep: Option[String] = None,
+      namesPattern: Option[String] = None,
+      columnNames: Seq[String] = Nil,
+      dropna: Boolean = false,
+      namesTransform: Map[String, String] = Map.empty): DataFrame = {
+
+    val valueCols = if (columnNames.nonEmpty) columnNames
+      else df.columns.filterNot(index.contains(_)).toSeq
+
+    // 1. driver-side spec: source label -> per-namesTo fragments
+    val fragments: Seq[(String, Seq[String])] = valueCols.map { c =>
+      val parts: Seq[String] = (namesSep, namesPattern) match {
+        case (Some(sep), _) => c.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+        case (_, Some(pat)) =>
+          val m = java.util.regex.Pattern.compile(pat).matcher(c)
+          if (m.matches()) (1 to m.groupCount()).map(m.group)
+          else throw new IllegalArgumentException(s"pivot_longer: '$c' does not match names_pattern")
+        case _ => Seq(c)
+      }
+      require(parts.length == namesTo.length,
+        s"pivot_longer: label '$c' split into ${parts.length} parts but names_to has ${namesTo.length}")
+      c -> parts
+    }
+
+    val hasDotValue = namesTo.contains(".value")
+    val labelNames = namesTo.filterNot(_ == ".value")
+
+    val spec: Seq[LongSpecRow] =
+      if (!hasDotValue) {
+        fragments.map { case (src, parts) =>
+          LongSpecRow(parts, Map(valuesTo -> Some(src)))
+        }
+      } else {
+        // group source columns by their non-.value label combo; each .value
+        // fragment becomes an output column (pivot.py:1308-1725)
+        val rows = fragments.map { case (src, parts) =>
+          val labels = namesTo.zip(parts).collect { case (n, p) if n != ".value" => p }
+          val target = namesTo.zip(parts).collect { case (".value", p) => p }.mkString("_")
+          (labels, target, src)
+        }
+        val targets = rows.map(_._2).distinct
+        rows.groupBy(_._1).toSeq.sortBy(g => rows.indexWhere(_._1 == g._1)).map {
+          case (labels, group) =>
+            val srcByTarget = group.map(r => r._2 -> r._3).toMap
+            LongSpecRow(labels, targets.map(t => t -> srcByTarget.get(t)).toMap)
+        }
+      }
+
+    val targetNames: Seq[String] =
+      if (hasDotValue) spec.head.sources.keys.toSeq.sorted
+      else Seq(valuesTo)
+
+    // 2. execution: one explode over per-spec-row structs
+    val structs = spec.map { row =>
+      val labelCols = labelNames.zip(row.labelValues).map { case (n, v) =>
+        val c = lit(v)
+        namesTransform.get(n).map(t => c.cast(t)).getOrElse(c).as(n)
+      }
+      val valCols = targetNames.map { t =>
+        row.sources.getOrElse(t, None) match {
+          case Some(src) => col(s"`$src`").as(t)
+          case None => lit(null).as(t)
+        }
+      }
+      struct(labelCols ++ valCols: _*)
+    }
+    // value columns of heterogeneous types: Spark unifies via common type in
+    // array(); mismatches surface as analysis errors (document).
+    val exploded = df.select((index.map(n => col(s"`$n`")) :+
+      explode(array(structs: _*)).as("__pl")): _*)
+    val out = exploded.select((index.map(n => col(s"`$n`")) ++
+      (labelNames ++ targetNames).map(n => col(s"__pl.`$n`").as(n))): _*)
+    if (dropna) out.na.drop("all", targetNames) else out
+  }
+
+  /** Declarative long-form with a user-provided spec
+    * (reference: janitor/functions/pivot.py:413-552). The spec DataFrame-free
+    * form: rows of (sourceColumn, valueTarget, labelValues).
+    */
+  def pivotLongerSpec(df: DataFrame, index: Seq[String],
+      spec: Seq[(String, String, Map[String, String])]): DataFrame = {
+    val labelNames = spec.flatMap(_._3.keys).distinct
+    val targets = spec.map(_._2).distinct
+    val combos = spec.groupBy(_._3).toSeq
+      .sortBy(g => spec.indexWhere(_._3 == g._1))
+    val structs = combos.map { case (labels, group) =>
+      val srcByTarget = group.map(r => r._2 -> r._1).toMap
+      struct(
+        labelNames.map(n => lit(labels(n)).as(n)) ++
+          targets.map(t => srcByTarget.get(t).map(s0 => col(s"`$s0`")).getOrElse(lit(null)).as(t)): _*)
+    }
+    val exploded = df.select((index.map(n => col(s"`$n`")) :+
+      explode(array(structs: _*)).as("__pl")): _*)
+    exploded.select((index.map(n => col(s"`$n`")) ++
+      (labelNames ++ targets).map(n => col(s"__pl.`$n`").as(n))): _*)
+  }
+
+  /** long→wide (reference: janitor/functions/pivot.py:1865-2203).
+    * `namesExpand` supplies the full category universe (from
+    * [[TypeOps.encodeCategorical]]'s registry or explicitly) so unseen
+    * categories still become (null) columns AND Spark skips the extra
+    * distinct-values job — both correctness and a scale win.
+    */
+  def pivotWider(df: DataFrame, index: Seq[String], namesFrom: String,
+      valuesFrom: String, agg: String = "first", namesPrefix: String = "",
+      knownValues: Seq[String] = Nil): DataFrame = {
+    val grouped = df.groupBy(index.map(n => col(s"`$n`")): _*)
+    val piv = if (knownValues.nonEmpty) grouped.pivot(namesFrom, knownValues)
+      else grouped.pivot(namesFrom)
+    val out = agg match {
+      case "first" => piv.agg(first(col(s"`$valuesFrom`")))
+      case "sum" => piv.agg(sum(col(s"`$valuesFrom`")))
+      case "avg" | "mean" => piv.agg(avg(col(s"`$valuesFrom`")))
+      case "count" => piv.agg(count(col(s"`$valuesFrom`")))
+      case "max" => piv.agg(max(col(s"`$valuesFrom`")))
+      case "min" => piv.agg(min(col(s"`$valuesFrom`")))
+      case other => throw new IllegalArgumentException(s"pivot_wider: bad agg $other")
+    }
+    if (namesPrefix.isEmpty) out
+    else {
+      val renamed = out.columns.map(c =>
+        if (index.contains(c)) c else namesPrefix + c)
+      out.toDF(renamed.toIndexedSeq: _*)
+    }
+  }
+
+  /** Cartesian product of named value lists
+    * (reference: janitor/functions/expand_grid.py:27-137; kernel
+    * janitor/utils.py:49-140). Chained crossJoins of tiny literal frames —
+    * Catalyst plans BroadcastNestedLoop over broadcast singles.
+    */
+  def expandGrid(spark: SparkSession, inputs: Seq[(String, Seq[Any])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    require(inputs.nonEmpty, "expand_grid: empty input")
+    inputs.map { case (name, values) =>
+      val dt: DataType = values.head match {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _: Double => DoubleType
+        case _: Boolean => BooleanType
+        case _: String => StringType
+        case _: java.sql.Timestamp => TimestampType
+        case _: java.sql.Date => DateType
+        case other => throw new IllegalArgumentException(
+          s"expand_grid: unsupported value type ${other.getClass}")
+      }
+      spark.createDataFrame(
+        values.map(v => org.apache.spark.sql.Row(v)).asJava,
+        StructType(Seq(StructField(name, dt))))
+    }.reduce(_.crossJoin(_))
+  }
+
+  /** Cartesian product of the distinct values of given columns, from the data
+    * itself (reference: janitor/functions/expand_grid.py:141-405).
+    */
+  def expand(df: DataFrame, columns: Seq[String]): DataFrame =
+    columns.map(c => df.select(col(s"`$c`")).distinct()).reduce(_.crossJoin(_))
+
+  /** Expose implicit-missing rows: expand the key universe, left-join the
+    * data back, fill (reference: janitor/functions/complete.py:13-342).
+    * fillValue fills only the value columns; explicitOnlyNew=true (reference
+    * explicit=False) fills only rows created by the expansion, using the
+    * join-side indicator.
+    */
+  def complete(df: DataFrame, columns: Seq[String],
+      fillValue: Map[String, Any] = Map.empty,
+      explicitOnlyNew: Boolean = false): DataFrame = {
+    val universe = expand(df, columns)
+    val marked = df.withColumn("__present", lit(1))
+    val joined = universe.join(marked, columns, "left")
+    val valueCols = df.columns.filterNot(columns.contains(_))
+    val filled = fillValue.foldLeft(joined) { case (acc, (c, v)) =>
+      if (explicitOnlyNew)
+        acc.withColumn(c, when(col("__present").isNull, lit(v)).otherwise(col(s"`$c`")))
+      else
+        acc.withColumn(c, coalesce(col(s"`$c`"), lit(v)))
+    }
+    filled.drop("__present")
+      .select((columns ++ valueCols).map(n => col(s"`$n`")): _*)
+  }
+}

@@ -142,6 +142,35 @@ object syntax {
     def expandColumn(column: String, sep: String, concatDf: Boolean = true): DataFrame =
       TextOps.expandColumn(df, column, sep, concatDf)
 
+    // §2.6 reshape
+    def pivotLonger(index: Seq[String], namesTo: Seq[String] = Seq("name"),
+        valuesTo: String = "value", namesSep: Option[String] = None,
+        namesPattern: Option[String] = None, columnNames: Seq[String] = Nil,
+        dropna: Boolean = false, namesTransform: Map[String, String] = Map.empty): DataFrame =
+      ReshapeOps.pivotLonger(df, index, namesTo, valuesTo, namesSep, namesPattern,
+        columnNames, dropna, namesTransform)
+    def pivotLongerSpec(index: Seq[String], spec: Seq[(String, String, Map[String, String])]): DataFrame =
+      ReshapeOps.pivotLongerSpec(df, index, spec)
+    def pivotWider(index: Seq[String], namesFrom: String, valuesFrom: String,
+        agg: String = "first", namesPrefix: String = "", knownValues: Seq[String] = Nil): DataFrame =
+      ReshapeOps.pivotWider(df, index, namesFrom, valuesFrom, agg, namesPrefix, knownValues)
+    def expand(columns: String*): DataFrame = ReshapeOps.expand(df, columns)
+    def complete(columns: Seq[String], fillValue: Map[String, Any] = Map.empty,
+        explicitOnlyNew: Boolean = false): DataFrame =
+      ReshapeOps.complete(df, columns, fillValue, explicitOnlyNew)
+
+    // §2.4 joins
+    def conditionalJoin(right: DataFrame, conditions: Seq[operators.JoinOps.Cond],
+        how: String = "inner", keep: String = "all", indicator: Boolean = false): DataFrame =
+      JoinOps.conditionalJoin(df, right, conditions, how, keep, indicator)
+    def getJoinIndices(right: DataFrame, leftId: Seq[String], rightId: Seq[String],
+        conditions: Seq[operators.JoinOps.Cond]): DataFrame =
+      JoinOps.getJoinIndices(df, right, leftId, rightId, conditions)
+    def rangeJoin(right: DataFrame, xCol: String, loCol: String, hiCol: String,
+        bandWidth: Double, how: String = "inner", loInclusive: Boolean = true,
+        hiInclusive: Boolean = true): DataFrame =
+      JoinOps.rangeJoin(df, right, xCol, loCol, hiCol, bandWidth, how, loInclusive, hiInclusive)
+
     // §2.10 math (aggregate-normalized forms)
     def softmaxOf(column: String, dest: String): DataFrame =
       graft.functions.MathFunctions.softmax(df, column, dest)
