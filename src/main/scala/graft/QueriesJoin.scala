@@ -47,7 +47,7 @@ object QueriesJoin {
         |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
         |SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi
         |FROM part p JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi
-        |QUALIFY row_number() OVER (PARTITION BY p.p_partkey ORDER BY b.lo, b.hi) = 1""".stripMargin,
+        |QUALIFY row_number() OVER (PARTITION BY p.p_partkey ORDER BY b.lo, b.hi, b.s_suppkey) = 1""".stripMargin,
     "get_join_indices" ->
       """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
         |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)

@@ -1,10 +1,180 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
 
-/** LLM-pipeline extension operators — filled in M7. */
+/** LLM-pipeline extension operators (builder brief): dedup (exact, MinHash
+  * LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search,
+  * text analysis, multimodal plumbing. Oracles verify against DuckDB except
+  * where the hash family (xxhash64) is Spark-only — those are rows-only.
+  */
 object QueriesLlm {
   private type Q = (SparkSession, String) => DataFrame
-  val entries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** documents + perturbed near-duplicate copies of doc_id < 20 —
+    * reproduced identically in the oracle SQL.
+    */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text")))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' extraword' AS text
+      |  FROM documents WHERE doc_id < 20""".stripMargin
+
+  /** embeddings + exact copies of vec_id < 10. */
+  private def vecCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  val entries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(documents(s, d), "doc_id", "text")),
+    "dedup_fingerprint" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8)),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(corpus(s, d), "doc_id", "text", threshold = 0.8)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(documents(s, d), "doc_id", "text")),
+    "similarity_topk" -> ((s, d) => Similarity.cosineTopK(
+      embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
+      "vec_id", "embedding", k = 5)),
+    "similarity_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(
+      vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99)),
+    "similarity_lsh_topk" -> ((s, d) => Similarity.lshCosineTopK(
+      embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
+      "vec_id", "embedding", k = 5)),
+    "lang_id" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "token_count" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))),
+    "quality_score" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "multimodal_featurize" -> ((s, d) =>
+      Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain")
+        .select(col("doc_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))),
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.featurize(
+        Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain"))
+        .select(col("doc_id"), col("features")))
+  )
+
+  private val jaccardPairsSql =
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |),
+       |w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM w
+       |)
+       |SELECT id1, id2, j FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE j >= 0.8""".stripMargin
+
+  private val simhashOracle: String = {
+    val bits = 48
+    val bitSums = (0 until bits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val recomb = (0 until bits).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h FROM tok),
+       |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id AS id, $recomb AS simhash FROM b""".stripMargin
+  }
+
+  private val dotSql =
+    "list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))"
+  private def normSql(v: String) =
+    s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT doc_id,
+        |md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_minhash" -> jaccardPairsSql,
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_simhash" -> simhashOracle,
+    "similarity_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    round($dotSql / (${normSql("qv")} * ${normSql("c.embedding")}), 6) AS sim
+         |  FROM q JOIN embeddings c ON q.qid <> c.vec_id
+         |  CROSS JOIN LATERAL (SELECT c.embedding AS nv) l
+         |)
+         |SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |WHERE rn <= 5""".stripMargin,
+    "similarity_dup_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+         |),
+         |s AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round($dotSql / (${normSql("qv")} * ${normSql("nv")}), 6) AS sim
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
+         |)
+         |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
+    "lang_id" -> {
+      val langs = TextAnalysis.stopwords
+      val lists = langs.map { case (lang, ws) =>
+        s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
+      }.mkString(", ")
+      val best = s"greatest(${langs.map(l => s"s_${l._1}").mkString(", ")})"
+      val cases = langs.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks FROM documents),
+         |sc AS (SELECT doc_id, $lists FROM t),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b""".stripMargin
+    },
+    "token_count" ->
+      """SELECT doc_id,
+        |len(string_split_regex(text, '\s+')) AS n_ws,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, round(
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) >= 3
+        |        AND CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) <= 10
+        |   THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |  (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.2 +
+        |  (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.1,
+        |  6) AS quality
+        |FROM documents""".stripMargin,
+    "multimodal_featurize" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |md5(text) AS checksum FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — at 100 TB this is one pass, embarrassingly parallel).
+  * Scale path: random-hyperplane LSH bucketing so each query only scans
+  * its bucket.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double — both engines (and the oracle)
+    * sum in list order, so results are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x))
+
+  /** cosine = dot / (|a| * |b|), computed as dot / (sqrt(na) * sqrt(nb)). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded). Deterministic: rank on (rounded sim desc, id).
+    * The query side is broadcast; the corpus is never collected.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("qid", "nid", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with rounded
+    * cosine ≥ threshold. Quadratic baseline; block with [[lshBuckets]] at
+    * scale.
+    */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("sim", round(cosine(col("v1"), col("v2")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
+  /** Random-hyperplane LSH bucket id (sign bits of numPlanes pseudo-random
+    * projections). Plane components are deterministic hash-derived values in
+    * [-1, 1]: component(p, i) = xxhash64(p, i) scaled. Vectors in the same
+    * bucket are likely-similar; search within buckets only.
+    */
+  def lshBuckets(vec: Column, numPlanes: Int): Column = {
+    def planeComponent(p: Int, i: Column): Column =
+      (pmod(xxhash64(lit(p), i), lit(2000001)).cast("double") - 1000000d) / 1000000d
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed approximate top-k: exact cosine rank, but only among corpus
+    * vectors sharing the query's LSH bucket. One shuffle on the bucket id.
+    */
+  def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8, roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      lshBuckets(col(vecCol), numPlanes).as("bucket"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      lshBuckets(col(vecCol), numPlanes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qvec"), col("nvec")), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("qid", "nid", "sim")
+  }
+}

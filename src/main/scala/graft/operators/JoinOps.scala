@@ -66,7 +66,12 @@ object JoinOps {
     var joined = lMark.join(rMark, cond, how)
 
     if (keep != "all") {
-      val rightOrderCols = conditions.map(c => col(s"`${rname(c._2)}`"))
+      // order by the right join columns, then every remaining right column in
+      // schema order — ties must break deterministically in a distributed
+      // setting (SURVEY §7.7: pandas breaks them positionally; we can't)
+      val condCols = conditions.map(c => rname(c._2)).distinct
+      val restCols = r.columns.filterNot(condCols.contains(_)).toSeq
+      val rightOrderCols = (condCols ++ restCols).map(n => col(s"`$n`"))
       val ordered = if (keep == "first") rightOrderCols.map(_.asc_nulls_last)
         else rightOrderCols.map(_.desc_nulls_last)
       val w = Window.partitionBy(col("__lid")).orderBy(ordered: _*)
