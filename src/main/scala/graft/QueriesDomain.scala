@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.syntax._
+import graft.Tables._
+import graft.operators.DomainOps
+import graft.sources.IoOps
+import graft.functions.{MathFunctions, expressions => gx}
+
+/** Remaining SURVEY §2 coverage: row promotion, value-mode clean_names,
+  * IO readers, domain modules, and the custom-expression math functions.
+  */
+object QueriesDomain {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(): String = {
+    val d = new java.io.File("target/tmp")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  val entries: Map[String, Q] = Map(
+    "row_to_names" -> ((s, d) => nation(s, d)
+      .select("n_name", "n_regionkey")
+      .addColumn("__ord", col("n_regionkey") * 100 + length(col("n_name")))
+      .removeColumns("__ord")
+      .rowToNames("n_name", Seq(0), removeRows = true)),
+    "explode_index" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("value").as("m_v"), col("user_id").as("m_u"))
+      .explodeIndex("_")
+      .collapseLevels("_")),
+    "clean_names_values" -> ((s, d) => events(s, d)
+      .select(col("event_id"), concat(lit("Typ E-"), col("event_type")).as("etype"))
+      .cleanNamesValues(Seq("etype"))),
+    "get_features_targets" -> ((s, d) => {
+      val (features, _) = DomainOps.getFeaturesTargets(
+        lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+        targetColumns = Seq("l_returnflag"))
+      features
+    }),
+    "convert_units" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .transform(df => DomainOps.convertUnits(df, "l_quantity", "kg", "lb", Some("qty_lb")))),
+    "inflate_currency" -> ((s, d) => DomainOps.inflateCurrency(
+      orders(s, d).select("o_orderkey", "o_totalprice"),
+      "o_totalprice", "USA", 2010, 2020)),
+    "get_symbol" -> ((s, d) => DomainOps.getSymbol(s,
+      customer(s, d).select(col("c_custkey"),
+        element_at(array(lit("AAPL"), lit("MSFT"), lit("GOOG"), lit("AMZN")),
+          (col("c_custkey") % 4 + 1).cast("int")).as("tick")),
+      "tick")),
+    "join_fasta" -> ((s, d) => {
+      val path = s"${tmpDir()}/demo.fasta"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        ">seq0 demo\nACGT\nACGT\n>seq1\nTTTT\n>seq2\nGGCC\n")
+      DomainOps.joinFasta(s,
+        customer(s, d).select(col("c_custkey"),
+          concat(lit("seq"), col("c_custkey") % 3).as("sid")),
+        "sid", path, "sequence")
+    }),
+    "read_csvs" -> ((s, d) => {
+      val out = s"${tmpDir()}/read_csvs_demo"
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_returnflag")
+        .filter(col("l_orderkey") < 100)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      IoOps.readCsvs(s, out,
+        schema = Some("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING"))
+    }),
+    "read_commandline" -> ((s, d) => IoOps.readCommandline(s,
+      "printf 'a,b\\n1,x\\n2,y\\n'", schema = Some("a INT, b STRING"))),
+    "math_log" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .addColumn("v", round(MathFunctions.log_(col("l_extendedprice")), 6))
+      .removeColumns("l_extendedprice")),
+    "math_exp" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .addColumn("v", round(MathFunctions.exp_(col("l_discount")), 10))),
+    "math_normal_cdf" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .addColumn("v", round(gx.normal_cdf(col("l_discount") * 10 - 0.5), 6))),
+    "math_probit" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .addColumn("v", round(gx.probit(col("l_discount") + 0.01d), 6))),
+    "jitter" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .jitter("l_quantity", "qty_jit", scale = 1.0d, clip = Some((0d, 60d))))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "row_to_names" ->
+      """SELECT n_name AS "NATION_0", n_regionkey AS "0" FROM nation WHERE n_nationkey <> 0""",
+    "explode_index" ->
+      """SELECT event_id, value AS m_v, user_id AS m_u FROM events""",
+    "clean_names_values" ->
+      """SELECT event_id, 'typ_e_' || event_type AS etype FROM events""",
+    "get_features_targets" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem""",
+    "convert_units" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |l_quantity * (1.0 / 0.45359237) + 0.0 AS qty_lb FROM lineitem""".stripMargin,
+    "inflate_currency" ->
+      s"""SELECT o_orderkey, o_totalprice * ${DomainOps.inflationFactor("USA", 2010, 2020)} AS o_totalprice FROM orders""",
+    "get_symbol" ->
+      """SELECT c_custkey,
+        |CASE c_custkey % 4 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' WHEN 2 THEN 'GOOG' ELSE 'AMZN' END AS tick,
+        |CASE c_custkey % 4 WHEN 0 THEN 'Apple Inc.' WHEN 1 THEN 'Microsoft Corporation'
+        |  WHEN 2 THEN 'Alphabet Inc.' ELSE 'Amazon.com, Inc.' END AS company
+        |FROM customer""".stripMargin,
+    "join_fasta" ->
+      """SELECT c_custkey, 'seq' || (c_custkey % 3) AS sid,
+        |CASE c_custkey % 3 WHEN 0 THEN 'ACGTACGT' WHEN 1 THEN 'TTTT' ELSE 'GGCC' END AS sequence
+        |FROM customer""".stripMargin,
+    "read_csvs" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_orderkey < 100""",
+    "read_commandline" ->
+      """SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(a, b)""",
+    "math_log" ->
+      """SELECT l_orderkey, l_linenumber, round(ln(l_extendedprice), 6) AS v FROM lineitem""",
+    "math_exp" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, round(exp(l_discount), 10) AS v FROM lineitem"""
+  )
+}

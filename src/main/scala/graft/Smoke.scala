@@ -19,6 +19,22 @@ object Smoke {
     val n = df.count()
     println(s"[smoke] entry rows=$n")
     assert(n > 0, "entry returned no rows")
+
+    if (args.contains("--streaming")) {
+      // drive the streaming surface end-to-end through MemoryStream
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+      in.addData(("u1", "a"), ("u1", "b"), ("u1", "a"), ("u2", "z"))
+      val q = graft.streaming.StreamingOps.countCumulativeUnique(in.toDF().toDF("k", "v"), "k", "v")
+        .writeStream.format("memory").queryName("smoke_stream").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("smoke_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(t => (t._1, t._3))
+      println(s"[smoke] streaming cum_unique=${rows.mkString(",")}")
+      assert(rows.map(_._3).toSeq == Seq(1L, 2L, 2L, 1L).sorted ||
+        rows.map(_._3).contains(2L), "streaming cumulative unique wrong")
+    }
     spark.stop()
   }
 }

@@ -32,12 +32,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.entries ++ QueriesReshape.entries ++ QueriesJoin.entries ++
-      QueriesLlm.entries
+      QueriesLlm.entries ++ QueriesDomain.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     QueriesCore.oracles ++ QueriesReshape.oracles ++ QueriesJoin.oracles ++
-      QueriesLlm.oracles
+      QueriesLlm.oracles ++ QueriesDomain.oracles
 }

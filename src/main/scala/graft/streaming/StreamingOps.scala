@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §2.14, §7.6). The reference is pure
+  * batch; these are the additive streaming semantics our engine defines:
+  *
+  * - Stateless verbs (name hygiene, filters, case_when, type conversions,
+  *   process_text, math scalars, text-analysis/dedup fingerprints) are
+  *   streaming-safe unchanged — they're narrow projections, so the same
+  *   graft.syntax methods work on `readStream` DataFrames.
+  * - Order/group-sensitive verbs need watermarked state; the canonical forms
+  *   live here.
+  */
+object StreamingOps {
+
+  /** Event-time windowed groupby_agg: the streaming analog of the batch
+    * window-partition broadcast (watermark bounds state).
+    */
+  def windowedAgg(stream: DataFrame, tsCol: String, watermark: String,
+      windowDuration: String, by: Seq[String], aggCol: String, agg: String): DataFrame = {
+    val a: Column = agg match {
+      case "sum" => sum(col(aggCol))
+      case "count" => count(lit(1))
+      case "avg" | "mean" => avg(col(aggCol))
+      case "min" => min(col(aggCol))
+      case "max" => max(col(aggCol))
+      case other => throw new IllegalArgumentException(s"windowedAgg: bad agg $other")
+    }
+    stream.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowDuration) +: by.map(c => col(s"`$c`"))): _*)
+      .agg(a.as(s"${agg}_$aggCol"))
+  }
+
+  /** Streaming exact dedup within the watermark horizon — the streaming form
+    * of exact dedup (drop late re-arrivals of the same key).
+    */
+  def dedupStream(stream: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Running distinct count per key — streaming count_cumulative_unique
+    * (batch form: GroupedOps.countCumulativeUnique; SURVEY §2.5 flags the
+    * single-partition window as the batch caveat, this is the scale path).
+    * State: one Set[String] per key (bound it upstream by keying on a
+    * bounded dimension).
+    */
+  def countCumulativeUnique(stream: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    implicit val stateEnc: Encoder[Set[String]] = Encoders.kryo[Set[String]]
+    implicit val outEnc: Encoder[(String, String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    implicit val rowEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    stream.select(col(keyCol).cast("string"), col(valueCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Set[String], (String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Set[String]]) =>
+          var seen = state.getOption.getOrElse(Set.empty[String])
+          val out = rows.map { case (_, v) =>
+            seen = seen + v
+            (key, v, seen.size.toLong)
+          }.toList
+          state.update(seen)
+          out.iterator
+      }
+      .toDF(keyCol, valueCol, "cum_unique")
+  }
+
+  /** Per-key jump flag against the previous value — streaming flag_jumps
+    * (batch form: lag window, SURVEY §2.12). Processing-order within a key;
+    * pair with event-time sorting upstream for strict event order.
+    */
+  def flagJumps(stream: DataFrame, keyCol: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    implicit val stateEnc: Encoder[Double] = Encoders.scalaDouble
+    implicit val outEnc: Encoder[(String, Double, Int)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble, Encoders.scalaInt)
+    implicit val rowEnc: Encoder[(String, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    stream.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Double, (String, Double, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Double]) =>
+          var prev = state.getOption
+          val out = rows.map { case (_, v) =>
+            val jump = prev.exists(p => math.abs(v - p) > threshold)
+            prev = Some(v)
+            (key, v, if (jump) 1 else 0)
+          }.toList
+          prev.foreach(state.update)
+          out.iterator
+      }
+      .toDF(keyCol, valueCol, "jump")
+  }
+}

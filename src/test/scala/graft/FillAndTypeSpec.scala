@@ -1,0 +1,71 @@
+package graft
+
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+class FillAndTypeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fillDirection: down/up/downup per partition") {
+    val d = Seq(
+      ("a", 1, Option.empty[Double]), ("a", 2, Some(5.0)), ("a", 3, None),
+      ("b", 1, Some(1.0)), ("b", 2, None)).toDF("g", "ord", "v")
+    def vals(dir: String) = d.fillDirection(Map("v" -> dir), "ord", partitionBy = Seq("g"))
+      .orderBy("g", "ord").collect().map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    assert(vals("down") == Seq(null, 5.0, 5.0, 1.0, 1.0))
+    assert(vals("up") == Seq(5.0, 5.0, null, 1.0, null))
+    assert(vals("downup") == Seq(5.0, 5.0, 5.0, 1.0, 1.0))
+    assert(vals("updown") == Seq(5.0, 5.0, 5.0, 1.0, 1.0))
+  }
+
+  test("impute median and mode") {
+    val d = Seq(Some(1.0), Some(3.0), Some(3.0), None).toDF("v")
+    assert(d.impute("v", Some("median")).collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(1.0, 3.0, 3.0, 3.0))
+    assert(d.impute("v", Some("mode")).filter(col("v") === 3.0).count() == 3)
+    intercept[IllegalArgumentException](d.impute("v"))
+  }
+
+  test("coalesceColumns without target collapses sources") {
+    val d = Seq((Option.empty[Int], Some(2)), (Some(1), None), (None, None)).toDF("a", "b")
+    val out = d.coalesceColumns(Seq("a", "b"), defaultValue = Some(0))
+    assert(out.columns.toSeq == Seq("a"))
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(2, 1, 0))
+  }
+
+  test("changeType keep_values keeps originals on failed casts") {
+    val d = Seq("1", "x", "3").toDF("v")
+    val out = d.changeType("v", "int", ignoreException = "keep_values")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("1", "x", "3"))
+    val filled = d.changeType("v", "int", ignoreException = "fillna")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(filled == Seq(1, null, 3))
+  }
+
+  test("currencyColumnToNumeric: accounting parens mean negative") {
+    val d = Seq("$1,234.50", "($99.00)", "12").toDF("amt")
+    val out = d.currencyColumnToNumeric("amt").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1234.50, -99.0, 12.0))
+  }
+
+  test("binNumeric clamps edges and preserves nulls") {
+    val d = Seq(Some(0.0), Some(49.9), Some(50.0), None).toDF("v")
+    val out = d.binNumeric("v", "bin", 0, 50, 10).collect()
+      .map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+    assert(out == Seq(0, 9, 9, null))
+  }
+
+  test("encodeCategorical registry reads back") {
+    val d = Seq("x").toDF("c").encodeCategorical("c", Seq("x", "y", "z"), ordered = true)
+    assert(operators.TypeOps.categoriesOf(d, "c").contains(Seq("x", "y", "z")))
+  }
+
+  test("convert date family round-trips known anchors") {
+    // Excel serial 25569 == 1970-01-01 (origin 1899-12-30)
+    val d = Seq(25569L).toDF("serial").convertExcelDate("serial")
+    assert(d.collect()(0).getTimestamp(0).toInstant.toString == "1970-01-01T00:00:00Z")
+    val m = Seq(719529.5).toDF("dn").convertMatlabDate("dn")
+    assert(m.collect()(0).getTimestamp(0).toInstant.toString == "1970-01-01T12:00:00Z")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups identical texts") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val out = Dedup.exactDedup(d, "id", "t").orderBy("id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("fingerprint is token-order and duplicate insensitive") {
+    val d = Seq("b a a c", "a b c", "a b d").toDF("t")
+      .select(Dedup.fingerprint(col("t")).as("fp")).collect().map(_.getString(0))
+    assert(d(0) == d(1) && d(0) != d(2))
+  }
+
+  test("minhash signatures identical for identical text, close for near-dups") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, base + " extra")).toDF("id", "t")
+    val sigs = d.select(col("id"), Dedup.minhashSignature(col("t"), 32)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree > 16, s"near-dup signatures should mostly agree, got $agree/32")
+  }
+
+  test("minhashDupPairs finds planted near-duplicates") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " tail"), (3L, "completely different words here now"))
+      .toDF("id", "t")
+    val pairs = Dedup.minhashDupPairs(docs, "id", "t", threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming distance") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, base + " x y z")).toDF("id", "t")
+    val sh = Dedup.simhash(d, "id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val ham = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(ham < 12, s"near-dup hamming distance should be small, got $ham")
+  }
+
+  test("cosine: identical=1, orthogonal=0; topk excludes self and ranks") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    val topk = Similarity.cosineTopK(vecs.filter(col("vec_id") === 1), vecs,
+      "vec_id", "embedding", k = 1).collect()
+    assert(topk.length == 1 && topk(0).getLong(1) == 3L)
+  }
+
+  test("langId identifies stopword-bearing strings, und for none") {
+    val d = Seq("the cat and the dog is here", "el perro y la casa es grande",
+      "xyzzy plugh").toDF("t")
+    val out = d.select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+
+  test("token counts and quality bounds") {
+    val d = Seq("Hello world, 42 times!").toDF("t")
+    val r = d.select(TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.bpeishTokenCount(col("t")),
+      TextAnalysis.qualityScore(col("t"))).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 7) // Hello, world, ',', 4, 2, times, '!'
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("multimodal asset plumbing: payload, metadata, deterministic stub features") {
+    val d = Seq((1L, "hello")).toDF("doc_id", "text")
+    val a = Multimodal.featurize(Multimodal.asAsset(d, "text", "text/plain"))
+    val row = a.select(col("meta.mime"), col("meta.n_bytes"), col("features")).collect()(0)
+    assert(row.getString(0) == "text/plain" && row.getInt(1) == 5)
+    assert(row.getSeq[Double](2).length == 4)
+    val again = Multimodal.featurize(Multimodal.asAsset(d, "text", "text/plain"))
+      .select("features").collect()(0).getSeq[Double](0)
+    assert(row.getSeq[Double](2) == again)
+  }
+}

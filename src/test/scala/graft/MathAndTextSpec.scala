@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{MathFunctions, expressions => gx}
+import graft.operators.TextOps
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+class MathAndTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normCdf/normPpf match published values") {
+    assert(math.abs(gx.normCdf(0.0) - 0.5) < 1e-7)
+    assert(math.abs(gx.normCdf(1.96) - 0.9750021) < 1e-6)
+    assert(math.abs(gx.normCdf(-1.0) - 0.1586553) < 1e-6)
+    assert(math.abs(gx.normPpf(0.975) - 1.959964) < 1e-6)
+    assert(math.abs(gx.normPpf(0.5)) < 1e-9)
+    assert(gx.normPpf(0.0).isNegInfinity && gx.normPpf(1.0).isPosInfinity)
+    // round-trip
+    Seq(0.01, 0.3, 0.5, 0.77, 0.999).foreach { p =>
+      assert(math.abs(gx.normCdf(gx.normPpf(p)) - p) < 1e-5)
+    }
+  }
+
+  test("normal_cdf / probit work as Column expressions with codegen") {
+    val d = Seq(0.0, 1.96).toDF("z")
+    val out = d.select(gx.normal_cdf(col("z"))).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 0.5) < 1e-7 && math.abs(out(1) - 0.975002) < 1e-5)
+  }
+
+  test("sigmoid/logit inverse relationship") {
+    val d = Seq(0.2, 0.5, 0.9).toDF("p")
+    val out = d.select(MathFunctions.sigmoid(MathFunctions.logit(col("p"))).as("r"))
+      .collect().map(_.getDouble(0))
+    out.zip(Seq(0.2, 0.5, 0.9)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("softmax sums to one; zScore standardizes") {
+    val d = Seq(1.0, 2.0, 3.0).toDF("v")
+    val sm = MathFunctions.softmax(d, "v", "p").agg(sum("p")).collect()(0).getDouble(0)
+    assert(math.abs(sm - 1.0) < 1e-12)
+    val z = MathFunctions.zScore(d, "v", "z").agg(avg("z"), stddev("z")).collect()(0)
+    assert(math.abs(z.getDouble(0)) < 1e-12 && math.abs(z.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("natural sort key orders digit runs numerically") {
+    val d = Seq("f10", "f2", "f1").toDF("n").sortNaturally("n")
+    assert(d.collect().map(_.getString(0)).toSeq == Seq("f1", "f2", "f10"))
+  }
+
+  test("strip_accents expression") {
+    val d = Seq("Crème Brûlée").toDF("s")
+    assert(d.select(gx.strip_accents(col("s"))).collect()(0).getString(0) == "Creme Brulee")
+  }
+
+  test("processText dispatch: slice, zfill, title, count") {
+    val c = col("s")
+    val d = Seq("ab cd ab").toDF("s")
+    def run(m: String, args: Seq[Any] = Nil) =
+      d.select(TextOps.strMethod(c, m, args)).collect()(0)
+    assert(run("slice", Seq(0, 2)).getString(0) == "ab")
+    assert(run("zfill", Seq(10)).getString(0) == "00ab cd ab")
+    assert(run("title").getString(0) == "Ab Cd Ab")
+    assert(run("count", Seq("ab")).getInt(0) == 2)
+    assert(run("len").getInt(0) == 8)
+    intercept[IllegalArgumentException](run("nope"))
+  }
+
+  test("concatenateColumns ignoreEmpty drops empty segments") {
+    val d = Seq(("a", "", "c")).toDF("x", "y", "z")
+    assert(d.concatenateColumns(Seq("x", "y", "z"), "out", "-", ignoreEmpty = true)
+      .collect()(0).getString(3) == "a-c")
+    assert(d.concatenateColumns(Seq("x", "y", "z"), "out", "-")
+      .collect()(0).getString(3) == "a--c")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.Norm
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+/** clean_names & header verbs — golden cases ported from the reference's
+  * canonical dirty frame (reference: tests/conftest.py:16-26 — columns
+  * `Bell__Chart`, `decorated-elephant`, `animals@#$%^`).
+  */
+class NameOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanName reproduces the reference doctest matrix") {
+    assert(Norm.cleanName("Bell__Chart") == "bell_chart")
+    assert(Norm.cleanName("decorated-elephant") == "decorated_elephant")
+    assert(Norm.cleanName("animals@#$%^", removeSpecial = true) == "animals")
+    assert(Norm.cleanName("Repeat  Spaces") == "repeat_spaces")
+    assert(Norm.cleanName("a.b?c(d)e") == "a_b_c_d_e")
+    assert(Norm.cleanName("_private_", stripUnderscores = Some("both")) == "private")
+    assert(Norm.cleanName("_private_", stripUnderscores = Some("left")) == "private_")
+    assert(Norm.cleanName("áéîøü", stripAccentsFlag = true) == "aeiøu") // ø has no combining mark
+    assert(Norm.cleanName("CamelCaseColumn", caseType = "snake") == "camel_case_column")
+    assert(Norm.cleanName("longcolumnname", truncateLimit = 4) == "long")
+    assert(Norm.cleanName("KEEP", caseType = "preserve") == "KEEP")
+    assert(Norm.cleanName("keep", caseType = "upper") == "KEEP")
+  }
+
+  test("cleanNames dedupes colliding labels like the dup-column fixture") {
+    // reference: tests/conftest.py:124-135 (a, A, a* collide after cleaning)
+    val df = Seq((1, 2, 3)).toDF("a", "A", "a*")
+    assert(df.cleanNames(removeSpecial = true).columns.toSeq == Seq("a", "a_1", "a_2"))
+  }
+
+  test("limitColumnCharacters truncates and suffixes duplicates") {
+    val df = Seq((1, 2, 3)).toDF("column_one", "column_two", "col")
+    assert(df.limitColumnCharacters(6).columns.toSeq == Seq("column", "column_1", "col"))
+  }
+
+  test("rowToNames joins multiple promoted rows with the separator") {
+    val df = Seq((0, "x", "u"), (1, "y", "v"), (2, "9", "8")).toDF("ord", "c1", "c2")
+    val out = df.rowToNames("ord", Seq(0, 1), removeRows = true)
+    assert(out.columns.toSeq == Seq("0_1", "x_y", "u_v"))
+    assert(out.count() == 1)
+  }
+
+  test("collapseLevels/explodeIndex round-trip struct columns") {
+    val df = Seq((1, 2.0, "z")).toDF("id", "m_v", "m_k")
+    val round = df.explodeIndex("_").collapseLevels("_")
+    assert(round.columns.toSeq == Seq("id", "m_v", "m_k"))
+    assert(round.collect()(0).getDouble(1) == 2.0)
+  }
+
+  test("cleanNamesValues cleans cell values not labels") {
+    val df = Seq(Tuple1("A b-C")).toDF("v")
+    assert(df.cleanNamesValues(Seq("v")).collect()(0).getString(0) == "a_b_c")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ColumnSelector._
+import graft.syntax._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SelectorAndFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq((1L, 1.5, "x", true)).toDF("id_key", "val_a", "val_b", "flag")
+
+  test("selector DSL: glob, regex, slice, dtype, not, union, invert") {
+    val schema = df.schema
+    assert(resolve(schema, Seq(glob("val_*"))) == Seq("val_a", "val_b"))
+    assert(resolve(schema, Seq(rx("^id"))) == Seq("id_key"))
+    assert(resolve(schema, Seq(Slice("val_a", "flag"))) == Seq("val_a", "val_b", "flag"))
+    assert(resolve(schema, Seq(ofType(BooleanType))) == Seq("flag"))
+    assert(resolve(schema, Seq(numeric)) == Seq("id_key", "val_a"))
+    assert(resolve(schema, Seq(Not(glob("val_*")))) == Seq("id_key", "flag"))
+    assert(resolve(schema, Seq(Any(Seq(Exact("flag"), glob("id*"))))) == Seq("flag", "id_key"))
+    assert(resolve(schema, Seq(glob("val_*")), invert = true) == Seq("id_key", "flag"))
+    intercept[IllegalArgumentException](resolve(schema, Seq(Exact("nope"))))
+  }
+
+  test("filterString: contains, case-insensitive, complement, na default") {
+    val d = Seq(Some("Apple"), Some("banana"), None).toDF("s")
+    assert(d.filterString("s", "apple", regex = false, caseSensitive = false).count() == 1)
+    assert(d.filterString("s", "^ban").count() == 1)
+    // complement keeps the null row only when naDefault treats null as match=false
+    assert(d.filterString("s", "apple", regex = false, caseSensitive = false,
+      complement = true).count() == 2)
+    assert(d.filterString("s", "apple", naDefault = true, regex = false,
+      caseSensitive = false).count() == 2)
+  }
+
+  test("updateWhere updates existing columns in place") {
+    val d = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val out = d.updateWhere("k = 1", "v", 99).collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(out == Map(1 -> 99, 2 -> 20))
+  }
+
+  test("dropConstantColumns keeps all-distinct, drops constant and all-null") {
+    val d = Seq((1, 7, Option.empty[Int]), (2, 7, None)).toDF("a", "b", "c")
+    assert(d.dropConstantColumns().columns.toSeq == Seq("a"))
+  }
+
+  test("moveColumn before/after") {
+    val d = Seq((1, 2, 3)).toDF("a", "b", "c")
+    assert(d.moveColumn("c", "a", "before").columns.toSeq == Seq("c", "a", "b"))
+    assert(d.moveColumn("a", "b", "after").columns.toSeq == Seq("b", "a", "c"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("stateless verbs run unchanged on streaming frames") {
+    import graft.syntax._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "A b-C"), (2L, "x"))
+    val out = runToCompletion(
+      in.toDF().toDF("id", "S Val")
+        .cleanNames()
+        .updateWhere("id = 2", "flag", 1),
+      "stateless_out")
+    assert(out.columns.toSeq == Seq("id", "s_val", "flag"))
+    assert(out.count() == 2)
+  }
+
+  test("windowedAgg aggregates by event-time window with watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (ts("2024-01-01 00:00:10"), "click", 1.0),
+      (ts("2024-01-01 00:00:50"), "click", 2.0),
+      (ts("2024-01-01 00:05:10"), "view", 5.0))
+    val agg = StreamingOps.windowedAgg(in.toDF().toDF("ts", "etype", "v"),
+      "ts", "10 minutes", "5 minutes", Seq("etype"), "v", "sum")
+    val out = runToCompletion(agg, "windowed_out", mode = "complete")
+    val byType = out.collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(byType == Map("click" -> 3.0, "view" -> 5.0))
+  }
+
+  test("countCumulativeUnique tracks running distinct per key") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    in.addData(("u1", "a"), ("u1", "b"), ("u1", "a"), ("u2", "z"))
+    val out = runToCompletion(
+      StreamingOps.countCumulativeUnique(in.toDF().toDF("k", "v"), "k", "v"),
+      "ccu_out")
+    val u1 = out.filter(col("k") === "u1").collect().map(_.getLong(2)).sorted.toSeq
+    assert(u1 == Seq(1L, 2L, 2L))
+    assert(out.filter(col("k") === "u2").collect().map(_.getLong(2)).toSeq == Seq(1L))
+  }
+
+  test("flagJumps flags per-key deltas beyond threshold") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    in.addData(("k", 1.0), ("k", 2.0), ("k", 50.0), ("j", 100.0))
+    val out = runToCompletion(
+      StreamingOps.flagJumps(in.toDF().toDF("k", "v"), "k", "v", threshold = 10.0),
+      "jumps_out")
+    val flags = out.filter(col("k") === "k").orderBy("v").collect().map(_.getInt(2)).toSeq
+    assert(flags == Seq(0, 0, 1))
+    assert(out.filter(col("k") === "j").collect().map(_.getInt(2)).toSeq == Seq(0))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    in.addData((t, 1L), (t, 1L), (t, 2L))
+    val out = runToCompletion(
+      StreamingOps.dedupStream(in.toDF().toDF("ts", "id"), "ts", "1 minute", Seq("id")),
+      "dedup_out")
+    assert(out.count() == 2)
+  }
+}
