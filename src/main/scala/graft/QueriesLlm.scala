@@ -44,7 +44,10 @@ object QueriesLlm {
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8)),
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(corpus(s, d), "doc_id", "text", threshold = 0.8)),
+      // quadratic baseline: bounded corpus slice (the LSH path above is the
+      // full-corpus scale path; all-pairs on 100 TB is never the plan)
+      Dedup.ngramJaccardPairs(corpus(s, d).filter(col("doc_id") % 100000 < 1000),
+        "doc_id", "text", threshold = 0.8)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")),
     "similarity_topk" -> ((s, d) => Similarity.cosineTopK(
@@ -73,9 +76,9 @@ object QueriesLlm {
         .select(col("doc_id"), col("features")))
   )
 
-  private val jaccardPairsSql =
+  private def jaccardSql(corpusExpr: String) =
     s"""WITH corpus AS (
-       |  $corpusSql
+       |  $corpusExpr
        |),
        |w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus),
        |sh AS (
@@ -90,6 +93,10 @@ object QueriesLlm {
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |WHERE j >= 0.8""".stripMargin
+
+  private val jaccardPairsSql = jaccardSql(corpusSql)
+  private val jaccardPairsBoundedSql =
+    jaccardSql(s"SELECT doc_id, text FROM ($corpusSql) WHERE doc_id % 100000 < 1000")
 
   private val simhashOracle: String = {
     val bits = 48
@@ -117,7 +124,7 @@ object QueriesLlm {
         |md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql,
-    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_ngram_jaccard" -> jaccardPairsBoundedSql,
     "dedup_simhash" -> simhashOracle,
     "similarity_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

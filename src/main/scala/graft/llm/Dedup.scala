@@ -38,13 +38,33 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
 
-  /** MinHash signature: numHashes values, each the min over shingles of a
-    * seeded xxhash64. Pure narrow projection (no explode).
+  /** MinHash signature as a single Column: numHashes values, each the min
+    * over shingles of a seeded xxhash64.
+    *
+    * NOTE: expression form only — Catalyst inlines the shingle subtree into
+    * every hash lane, so cost grows numHashes × shingling. Fine for a few
+    * rows / tests; pipelines use [[minhashSignatures]] (explode + aggregate),
+    * which hashes each shingle once and map-side-combines the mins.
     */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
     val sh = shingles(text, shingleN)
     array((0 until numHashes).map(i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+  }
+
+  /** Per-document MinHash signatures via explode + 128-way min aggregate —
+    * the scalable form: each shingle is hashed once per lane on (doc,shingle)
+    * rows, partial mins combine map-side, and the shuffle carries only
+    * (id, numHashes longs).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle Jaccard.
@@ -60,22 +80,38 @@ object Dedup {
       threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
       shingleN: Int = 3): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), numHashes, shingleN))
-      .withColumn("sh", shingles(col("text"), shingleN))
-    val banded = withSig.select(col("id"), col("sh"),
+    // small parquet inputs arrive as one partition; shingle hashing is the
+    // dominant narrow cost — spread it across the executor threads
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val docs = df.repartition(par).select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = minhashSignatures(docs, "id", "text", numHashes, shingleN)
+      .join(docs, Seq("id"))
+      .localCheckpoint(eager = false)
+    // band rows carry only (id, band, bandhash) — the shuffle stays tiny no
+    // matter how long the documents are
+    val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
           .cast("string"), b))).as(Seq("band", "bandhash")))
-    val a = banded.select(col("band"), col("bandhash"),
-      col("id").as("id1"), col("sh").as("sh1"))
-    val b = banded.select(col("band"), col("bandhash"),
-      col("id").as("id2"), col("sh").as("sh2"))
-    val cands = a.join(b, Seq("band", "bandhash"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2")
+    val cands = banded.as("a").join(banded.as("b"), Seq("band", "bandhash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    cands
+    // cheap estimated-Jaccard prefilter from the signatures, then exact
+    // verification on the shingle sets — both joined back by id
+    val sigs = base.select(col("id"), col("sig"))
+    val margin = math.max(0.0, threshold - 0.15)
+    val estimated = cands
+      .join(sigs.withColumnRenamed("id", "id1").withColumnRenamed("sig", "sig1"), Seq("id1"))
+      .join(sigs.withColumnRenamed("id", "id2").withColumnRenamed("sig", "sig2"), Seq("id2"))
+      .withColumn("est", size(filter(zip_with(col("sig1"), col("sig2"),
+        (x, y) => x === y), b => b)).cast("double") / numHashes)
+      .filter(col("est") >= margin)
+      .select("id1", "id2")
+    val sh = base.select(col("id"), shingles(col("text"), shingleN).as("sh"))
+    estimated
+      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("j", col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")))
@@ -90,7 +126,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    val a = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+    // the pair join is a broadcast nested loop: parallelism = streamed-side
+    // partitions, so fan the streamed side out explicitly
+    val a = sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id").as("id1"), col("sh").as("sh1"))
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, col("id1") < col("id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))

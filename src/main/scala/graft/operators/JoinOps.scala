@@ -54,7 +54,13 @@ object JoinOps {
     def rname(c: String): String = if (overlap.contains(c)) s"right_$c" else c
 
     val needLeftId = keep != "all"
-    val l = if (needLeftId) left.withColumn("__lid", monotonically_increasing_id()) else left
+    // a purely non-equi condition set plans as BroadcastNestedLoop whose
+    // parallelism is the streamed side's partition count — single-partition
+    // inputs (one small parquet file) would run on one thread
+    val hasEqui = conditions.exists(_._3 == "==")
+    val l0 = if (hasEqui) left
+      else left.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    val l = if (needLeftId) l0.withColumn("__lid", monotonically_increasing_id()) else l0
 
     val cond = conditions.map { case (lc, rc, op) =>
       opToColumn(l(lc), r(rname(rc)), op)
