@@ -20,6 +20,30 @@ object Smoke {
     println(s"[smoke] entry rows=$n")
     assert(n > 0, "entry returned no rows")
 
+    if (args.contains("--band")) {
+      // drive the BandJoinRewrite extension end-to-end in its own session.
+      // getOrCreate() returns the ACTIVE session and silently ignores
+      // withExtensions — clear it first or the rule never installs.
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[4]").appName("graft-band-smoke")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.graft.bandJoin.enabled", "true")
+        .config("spark.graft.bandJoin.width", "5.0")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(s2, "/root/testdata/sf0.001").select("l_orderkey", "l_quantity")
+      val sup = Tables.supplier(s2, "/root/testdata/sf0.001")
+        .select(col("s_suppkey"), (col("s_suppkey") % 10 * 5.0).as("lo"),
+          (col("s_suppkey") % 10 * 5.0 + 7.0).as("hi"))
+      val j = li.join(sup, col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      val plan = j.queryExecution.executedPlan.toString
+      println(s"[smoke] band rule BNLJ-free=${!plan.contains("BroadcastNestedLoopJoin")} rows=${j.count()}")
+    }
+
     if (args.contains("--streaming")) {
       // drive the streaming surface end-to-end through MemoryStream
       implicit val sq = spark.sqlContext

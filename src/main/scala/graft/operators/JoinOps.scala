@@ -130,9 +130,12 @@ object JoinOps {
     def rn(c: String): String = if (overlap.contains(c)) s"right_$c" else c
 
     val lb = left.withColumn("__band", floor(col(s"`$xCol`") / bandWidth))
+    val loB = floor(col(s"`${rn(loCol)}`") / bandWidth)
+    val hiB = floor(col(s"`${rn(hiCol)}`") / bandWidth)
+    // empty intervals (hi < lo) must contribute zero bands, not a Sequence error
     val rb = r0.withColumn("__band",
-      explode(sequence(floor(col(s"`${rn(loCol)}`") / bandWidth),
-        floor(col(s"`${rn(hiCol)}`") / bandWidth))))
+      explode(when(loB <= hiB, sequence(loB, hiB))
+        .otherwise(array().cast("array<bigint>"))))
     val loC = if (loInclusive) lb(xCol) >= rb(rn(loCol)) else lb(xCol) > rb(rn(loCol))
     val hiC = if (hiInclusive) lb(xCol) <= rb(rn(hiCol)) else lb(xCol) < rb(rn(hiCol))
     lb.join(rb, lb("__band") === rb("__band") && loC && hiC, how)

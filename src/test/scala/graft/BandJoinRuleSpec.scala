@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer rule must change the PLAN (BNLJ → hash join on bands)
+  * without changing RESULTS.
+  */
+class BandJoinRuleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-bandrule-test")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("pure range join rewrites to banded equi join and keeps results") {
+    import spark.implicits._
+    val l = (1 to 100).map(i => (i, i.toDouble)).toDF("id", "x")
+    val r = Seq((1, 3.0, 9.0), (2, 8.0, 42.0), (3, 90.0, 95.0)).toDF("rid", "lo", "hi")
+    val joined = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
+
+    spark.conf.set("spark.graft.bandJoin.enabled", "false")
+    val naive = joined.select("id", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).sorted
+    val planOff = joined.queryExecution.executedPlan.toString
+    assert(planOff.contains("BroadcastNestedLoopJoin"),
+      s"expected BNLJ with rule disabled, got:\n$planOff")
+
+    spark.conf.set("spark.graft.bandJoin.enabled", "true")
+    spark.conf.set("spark.graft.bandJoin.width", "10.0")
+    val joined2 = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
+    val planOn = joined2.queryExecution.executedPlan.toString
+    assert(!planOn.contains("BroadcastNestedLoopJoin"),
+      s"expected banded hash join with rule enabled, got:\n$planOn")
+    assert(planOn.contains("Generate"), s"expected band explode, got:\n$planOn")
+    val banded = joined2.select("id", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).sorted
+    assert(banded.toSeq == naive.toSeq)
+    spark.conf.set("spark.graft.bandJoin.enabled", "false")
+  }
+
+  test("joins with an equi key are left untouched") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.bandJoin.enabled", "true")
+    val l = Seq((1, 5.0)).toDF("k", "x")
+    val r = Seq((1, 1.0, 9.0)).toDF("k2", "lo", "hi")
+    val j = l.join(r, col("k") === col("k2") && col("x") >= col("lo") && col("x") <= col("hi"))
+    assert(!j.queryExecution.executedPlan.toString.contains("__graft_band"))
+    assert(j.count() == 1)
+    spark.conf.set("spark.graft.bandJoin.enabled", "false")
+  }
+
+  test("strict bounds and empty intervals keep exact semantics") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.bandJoin.enabled", "true")
+    val l = Seq((1, 3.0), (2, 9.0)).toDF("id", "x")
+    // interval (3, 9) exclusive both ends; plus an empty interval hi<lo
+    val r = Seq((1, 3.0, 9.0), (2, 50.0, 40.0)).toDF("rid", "lo", "hi")
+    val j = l.join(r, col("x") > col("lo") && col("x") < col("hi"))
+    assert(j.count() == 0) // 3.0 and 9.0 are both excluded by strict bounds
+    spark.conf.set("spark.graft.bandJoin.enabled", "false")
+  }
+}

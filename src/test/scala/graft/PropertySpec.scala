@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.Norm
+import graft.operators.{JoinOps, ReshapeOps}
+import graft.syntax._
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded randomized properties, mirroring the reference's Hypothesis
+  * strategy (reference: janitor/testing_utils/strategies.py:11-107 — small
+  * mixed frames; conditional-join oracle = cross-join + filter,
+  * tests/functions/test_conditional_join.py:642-666).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanName is idempotent and emits only [a-z0-9_] under removeSpecial") {
+    val rng = new Random(42)
+    val alphabet = "aZ3 _-./:?()#é'å @"
+    (1 to 200).foreach { _ =>
+      val s = (1 to (1 + rng.nextInt(12))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      val once = Norm.cleanName(s, removeSpecial = true, stripAccentsFlag = true)
+      val twice = Norm.cleanName(once, removeSpecial = true, stripAccentsFlag = true)
+      assert(once == twice, s"not idempotent on ${s.toList}")
+      assert(once.matches("[a-z0-9_]*"), s"bad chars in '$once' from ${s.toList}")
+    }
+  }
+
+  test("conditionalJoin inner == crossJoin + filter (random frames)") {
+    val rng = new Random(7)
+    (1 to 5).foreach { _ =>
+      val l = (1 to 30).map(i => (i, rng.nextInt(20), rng.nextDouble() * 10)).toDF("lid", "la", "lx")
+      val r = (1 to 25).map(i => (i, rng.nextInt(20), rng.nextDouble() * 10)).toDF("rid", "ra", "rx")
+      val conds: Seq[JoinOps.Cond] = Seq(("la", "ra", "<="), ("lx", "rx", ">"))
+      val got = JoinOps.conditionalJoin(l, r, conds).select("lid", "rid")
+      val naive = l.crossJoin(r).filter(col("la") <= col("ra") && col("lx") > col("rx"))
+        .select("lid", "rid")
+      assert(sorted(got) == sorted(naive))
+    }
+  }
+
+  test("conditionalJoin keep=first == min matching right key (random)") {
+    val rng = new Random(13)
+    val l = (1 to 40).map(i => (i, rng.nextDouble() * 50)).toDF("lid", "x")
+    val r = (1 to 30).map(i => (i, rng.nextDouble() * 50)).toDF("rid", "lo")
+    val got = JoinOps.conditionalJoin(l, r, Seq(("x", "lo", ">=")), keep = "first")
+      .select("lid", "rid")
+    // keep=first orders by right join column then remaining right cols
+    val naive = l.crossJoin(r).filter(col("x") >= col("lo"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lid").orderBy("lo", "rid")))
+      .filter(col("rn") === 1).select("lid", "rid")
+    assert(sorted(got) == sorted(naive))
+  }
+
+  test("rangeJoin == naive theta join across random band widths") {
+    val rng = new Random(99)
+    val l = (1 to 60).map(i => (i, rng.nextDouble() * 100)).toDF("id", "x")
+    val r = (1 to 20).map { i =>
+      val lo = rng.nextDouble() * 100 - 10
+      (i, lo, lo + rng.nextDouble() * 30 - 5) // sometimes empty (hi < lo)
+    }.toDF("rid", "lo", "hi")
+    Seq(0.5, 3.0, 17.0, 100.0).foreach { w =>
+      val banded = JoinOps.rangeJoin(l, r, "x", "lo", "hi", bandWidth = w).select("id", "rid")
+      val naive = l.crossJoin(r).filter(col("x") >= col("lo") && col("x") <= col("hi"))
+        .select("id", "rid")
+      assert(sorted(banded) == sorted(naive), s"width $w differs")
+    }
+  }
+
+  test("pivotLonger/pivotWider round-trip on unique keys") {
+    val rng = new Random(5)
+    val d = (1 to 20).map(i => (i, rng.nextDouble(), rng.nextDouble())).toDF("id", "m_a", "m_b")
+    val long = d.pivotLonger(index = Seq("id"), namesTo = Seq("pre", "k"), namesSep = Some("_"))
+    assert(long.count() == 40)
+    val wide = long.withColumn("name", concat_ws("_", col("pre"), col("k")))
+      .pivotWider(index = Seq("id"), namesFrom = "name", valuesFrom = "value",
+        knownValues = Seq("m_a", "m_b"))
+    assert(sorted(wide.select("id", "m_a", "m_b")) == sorted(d))
+  }
+}
