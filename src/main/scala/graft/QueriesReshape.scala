@@ -29,6 +29,19 @@ object QueriesReshape {
         col("l_extendedprice").as("price_a"), (col("l_extendedprice") * 2).as("price_b"))
       .pivotLonger(index = Seq("l_orderkey", "l_linenumber"),
         namesTo = Seq(".value", "grp"), namesSep = Some("_"))),
+    "pivot_longer_multi" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty1"), (col("l_quantity") * 2).as("qty2"),
+        col("l_discount").as("disc1"), (col("l_discount") * 2).as("disc2"))
+      .pivotLongerMulti(index = Seq("l_orderkey", "l_linenumber"),
+        namesTo = Seq("qty", "disc"), namesPatterns = Seq("^qty", "^disc"))),
+    "pivot_longer_dot_value_multi" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("x_1_mean"), (col("l_quantity") * 2).as("x_2_mean"),
+        col("l_discount").as("y_1_mean"), (col("l_discount") * 2).as("y_2_mean"))
+      .pivotLonger(index = Seq("l_orderkey", "l_linenumber"),
+        namesTo = Seq(".value", "time", ".value"),
+        namesPattern = Some("(x|y)_([0-9])(_mean)"))),
     "pivot_longer_spec" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
       .pivotLongerSpec(index = Seq("l_orderkey", "l_linenumber"),
@@ -70,6 +83,14 @@ object QueriesReshape {
       """SELECT l_orderkey, l_linenumber, 'a' AS grp, l_extendedprice AS price, l_quantity AS qty FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'b' AS grp, l_extendedprice * 2 AS price, l_quantity * 2 AS qty FROM lineitem""".stripMargin,
+    "pivot_longer_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_discount AS disc FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty, l_discount * 2 AS disc FROM lineitem""".stripMargin,
+    "pivot_longer_dot_value_multi" ->
+      """SELECT l_orderkey, l_linenumber, '1' AS time, l_quantity AS x_mean, l_discount AS y_mean FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, '2' AS time, l_quantity * 2 AS x_mean, l_discount * 2 AS y_mean FROM lineitem""".stripMargin,
     "pivot_longer_spec" ->
       """SELECT l_orderkey, l_linenumber, 'quantity' AS kind, l_quantity AS val FROM lineitem
         |UNION ALL

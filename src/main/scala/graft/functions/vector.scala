@@ -67,8 +67,38 @@ object vector {
     override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
   }
 
+  /** Count of common elements between two SORTED string arrays — a linear
+    * merge with zero allocation, replacing array_intersect's per-row hash
+    * set in the Jaccard verify loops. Inputs must be sorted ascending and
+    * distinct (array_sort(array_distinct(...))).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    var i = 0; var j = 0; var n = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.vector.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
   import org.apache.spark.sql.graftx.Bridge
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def l2_norm(a: Column): Column = Bridge.column(L2Norm(Bridge.expression(a)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

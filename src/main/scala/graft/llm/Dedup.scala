@@ -108,11 +108,11 @@ object Dedup {
         (x, y) => x === y), b => b)).cast("double") / numHashes)
       .filter(col("est") >= margin)
       .select("id1", "id2")
-    val sh = base.select(col("id"), shingles(col("text"), shingleN).as("sh"))
+    val sh = base.select(col("id"), array_sort(shingles(col("text"), shingleN)).as("sh"))
     estimated
       .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", graft.functions.vector.sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("j", col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .filter(col("j") >= threshold)
@@ -125,14 +125,17 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // sorted-distinct shingles once per doc -> the pair loop can use the
+    // allocation-free sorted-merge intersect kernel
+    val sh = df.select(col(idCol).as("id"),
+      array_sort(shingles(col(textCol), shingleN)).as("sh"))
     // the pair join is a broadcast nested loop: parallelism = streamed-side
     // partitions, so fan the streamed side out explicitly
     val a = sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id").as("id1"), col("sh").as("sh1"))
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", graft.functions.vector.sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("j", col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .filter(col("j") >= threshold)

@@ -62,7 +62,9 @@ object ReshapeOps {
         // fragment becomes an output column (pivot.py:1308-1725)
         val rows = fragments.map { case (src, parts) =>
           val labels = namesTo.zip(parts).collect { case (n, p) if n != ".value" => p }
-          val target = namesTo.zip(parts).collect { case (".value", p) => p }.mkString("_")
+          // multiple .value fragments concatenate directly: ("x","_mean") →
+          // "x_mean" (reference: pivot.py doctest "multiple .value")
+          val target = namesTo.zip(parts).collect { case (".value", p) => p }.mkString
           (labels, target, src)
         }
         val targets = rows.map(_._2).distinct
@@ -98,6 +100,38 @@ object ReshapeOps {
     val out = exploded.select((index.map(n => col(s"`$n`")) ++
       (labelNames ++ targetNames).map(n => col(s"__pl.`$n`").as(n))): _*)
     if (dropna) out.na.drop("all", targetNames) else out
+  }
+
+  /** Sequence-of-regexes form of pivot_longer (reference: pivot.py doctest
+    * "Reshape the dataframe by passing a sequence to names_pattern"):
+    * each source column is claimed by the FIRST regex (search semantics)
+    * that matches it; each names_to entry becomes an output value column
+    * fed by its regex's columns, paired positionally across groups
+    * (ragged groups null-fill).
+    */
+  def pivotLongerMulti(df: DataFrame, index: Seq[String], namesTo: Seq[String],
+      namesPatterns: Seq[String]): DataFrame = {
+    require(namesTo.length == namesPatterns.length,
+      "pivot_longer: names_to and names_pattern sequences must align")
+    val valueCols = df.columns.filterNot(index.contains(_)).toSeq
+    val regexes = namesPatterns.map(_.r)
+    val claimed = valueCols.flatMap { c =>
+      regexes.zipWithIndex.collectFirst {
+        case (r, gi) if r.findFirstIn(c).isDefined => (gi, c)
+      }
+    }
+    val groups: Seq[Seq[String]] =
+      namesTo.indices.map(gi => claimed.collect { case (`gi`, c) => c })
+    val maxLen = groups.map(_.length).max
+    val structs = (0 until maxLen).map { p =>
+      struct(namesTo.zip(groups).map { case (n, cols) =>
+        cols.lift(p).map(c => col(s"`$c`")).getOrElse(lit(null)).as(n)
+      }: _*)
+    }
+    df.select((index.map(n => col(s"`$n`")) :+
+      explode(array(structs: _*)).as("__pl")): _*)
+      .select((index.map(n => col(s"`$n`")) ++
+        namesTo.map(n => col(s"__pl.`$n`").as(n))): _*)
   }
 
   /** Declarative long-form with a user-provided spec

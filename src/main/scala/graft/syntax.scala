@@ -162,6 +162,8 @@ object syntax {
         dropna: Boolean = false, namesTransform: Map[String, String] = Map.empty): DataFrame =
       ReshapeOps.pivotLonger(df, index, namesTo, valuesTo, namesSep, namesPattern,
         columnNames, dropna, namesTransform)
+    def pivotLongerMulti(index: Seq[String], namesTo: Seq[String], namesPatterns: Seq[String]): DataFrame =
+      ReshapeOps.pivotLongerMulti(df, index, namesTo, namesPatterns)
     def pivotLongerSpec(index: Seq[String], spec: Seq[(String, String, Map[String, String])]): DataFrame =
       ReshapeOps.pivotLongerSpec(df, index, spec)
     def pivotWider(index: Seq[String], namesFrom: String, valuesFrom: String,
