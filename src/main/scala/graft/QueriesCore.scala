@@ -86,6 +86,11 @@ object QueriesCore {
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       .groupbyTopk(Seq("l_returnflag"), "l_extendedprice", 3,
         ascending = false, tiebreak = Seq("l_orderkey", "l_linenumber"))),
+    "groupby_topk_salted" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .transform(df => operators.GroupedOps.groupbyTopkSalted(df,
+        Seq("l_returnflag"), "l_extendedprice", 3, ascending = false,
+        tiebreak = Seq("l_orderkey", "l_linenumber")))),
     "take_first" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate")
       .takeFirst(Seq("l_partkey"), "l_shipdate", ascending = true,
@@ -289,6 +294,10 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |sum(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_qty FROM lineitem""".stripMargin,
     "groupby_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3""".stripMargin,
+    "groupby_topk_salted" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3""".stripMargin,

@@ -48,6 +48,9 @@ object QueriesLlm {
       // full-corpus scale path; all-pairs on 100 TB is never the plan)
       Dedup.ngramJaccardPairs(corpus(s, d).filter(col("doc_id") % 100000 < 1000),
         "doc_id", "text", threshold = 0.8)),
+    "dedup_clusters" -> ((s, d) => Dedup.dupClusters(
+      corpus(s, d).select(col("doc_id").as("id")), "id",
+      Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")),
     "similarity_topk" -> ((s, d) => Similarity.cosineTopK(
@@ -124,6 +127,21 @@ object QueriesLlm {
         |md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  $corpusSql
+         |),
+         |pairs AS ($jaccardPairsSql),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT c.doc_id AS id,
+         |  least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS cluster
+         |FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+         |GROUP BY c.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsBoundedSql,
     "dedup_simhash" -> simhashOracle,
     "similarity_topk" ->

@@ -142,6 +142,41 @@ object Dedup {
       .select("id1", "id2", "j")
   }
 
+  /** Connected components over near-duplicate pairs → cluster id = the
+    * minimum reachable doc id. This is the step after pair generation in a
+    * real dedup pipeline: clusters → keep one canonical doc per cluster.
+    *
+    * Distributed min-label propagation: every iteration joins current labels
+    * across the (symmetrized) edge list and takes the min of neighbor
+    * labels; converges in graph-diameter iterations (near-dup clusters are
+    * shallow — chains longer than `maxIters` would leave stale labels, so
+    * we iterate to a fixpoint with a bounded driver loop; each check is one
+    * tiny count).
+    */
+  def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint(eager = false)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(eager = true)
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 48-bit SimHash over distinct tokens, with md5-derived token hashes
     * (md5 so the oracle can reproduce it; 48 bits keeps the value in a
     * signed BIGINT). One explode + one map-side-combinable aggregation.

@@ -47,6 +47,30 @@ object GroupedOps {
       .drop("__rn")
   }
 
+  /** Skew-safe two-phase top-k: a single window per group sorts the whole
+    * group on one task — a giant (skewed) group stalls the stage at scale.
+    * Phase 1 computes top-k within (group, salt) — salts × k candidate rows
+    * per group — then phase 2 ranks the survivors. Results are identical to
+    * [[groupbyTopk]] when `tiebreak` makes the order total. The salt is a
+    * deterministic hash of the tiebreak columns, so re-runs agree.
+    */
+  def groupbyTopkSalted(df: DataFrame, by: Seq[String], column: String, k: Int,
+      ascending: Boolean = false, tiebreak: Seq[String] = Nil,
+      salts: Int = 16): DataFrame = {
+    require(tiebreak.nonEmpty, "groupbyTopkSalted: tiebreak columns required for determinism")
+    val sortCols = (col(s"`$column`") +: tiebreak.map(n => col(s"`$n`"))).map(c =>
+      if (ascending) c.asc else c.desc)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(tiebreak.map(n => col(s"`$n`")): _*), lit(salts)))
+    val w1 = Window.partitionBy((by.map(n => col(s"`$n`")) :+ col("__salt")): _*)
+      .orderBy(sortCols: _*)
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k).drop("__rn", "__salt")
+    val w2 = Window.partitionBy(by.map(n => col(s"`$n`")): _*).orderBy(sortCols: _*)
+    survivors.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Sort by `by`, keep first/last row per `subset` group
     * (reference: janitor/functions/take_first.py:10,42-46).
     */

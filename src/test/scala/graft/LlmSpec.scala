@@ -79,6 +79,25 @@ class LlmSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("dupClusters: chains collapse to the minimum reachable id") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // chain 1-2-3 (diameter 2), pair 4-5
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val out = Dedup.dupClusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("groupbyTopkSalted equals single-phase groupbyTopk") {
+    val rng = new scala.util.Random(3)
+    val d = (1 to 200).map(i => (i, s"g${i % 3}", rng.nextDouble())).toDF("id", "g", "v")
+    val single = graft.operators.GroupedOps.groupbyTopk(d, Seq("g"), "v", 5,
+      ascending = false, tiebreak = Seq("id"))
+    val salted = graft.operators.GroupedOps.groupbyTopkSalted(d, Seq("g"), "v", 5,
+      ascending = false, tiebreak = Seq("id"), salts = 7)
+    assert(sorted(single) == sorted(salted))
+  }
+
   test("multimodal asset plumbing: payload, metadata, deterministic stub features") {
     val d = Seq((1L, "hello")).toDF("doc_id", "text")
     val a = Multimodal.featurize(Multimodal.asAsset(d, "text", "text/plain"))
