@@ -58,6 +58,9 @@ object QueriesLlm {
       "vec_id", "embedding", k = 5)),
     "similarity_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(
       vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99)),
+    "similarity_ivf_topk" -> ((s, d) => Similarity.ivfCosineTopK(
+      embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
+      "vec_id", "embedding", k = 5)),
     "similarity_lsh_topk" -> ((s, d) => Similarity.lshCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),

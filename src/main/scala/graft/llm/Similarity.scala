@@ -81,6 +81,47 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style approximate top-k: quantize every vector to its nearest of
+    * `nCells` centroids (deterministically sampled from the corpus itself:
+    * ids ≡ 0 mod ⌈n/nCells⌉), then rank only within the query's cell. One
+    * small collect for the centroid table (broadcast), one shuffle on the
+    * cell id — the standard inverted-file layout, minus the training loop
+    * (k-means refinement would slot in where the sample is taken).
+    */
+  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, roundTo: Int = 6): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCells)
+    val centroids = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .limit(nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(centroids.nonEmpty, "ivfCosineTopK: empty centroid sample")
+    val centroidArr = array(centroids.map { case (_, v) =>
+      array(v.map(x => lit(x)).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    def cellOf(vec: Column): Column = {
+      // argmax cosine over the centroid table (count is small; the transform
+      // stays narrow). aggregate carries (bestIdx, bestSim, curIdx).
+      val sims = transform(centroidArr, c =>
+        dot(vec, c) / (norm(vec) * norm(c)))
+      array_position(sims, array_max(sims)).cast("int")
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"), cellOf(col(vecCol)).as("cell"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm(col(vecCol)).as("nnorm"), cellOf(col(vecCol)).as("cell"))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(
+        dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("qid", "nid", "sim")
+  }
+
   /** Bucketed approximate top-k: exact cosine rank, but only among corpus
     * vectors sharing the query's LSH bucket. One shuffle on the bucket id.
     */
