@@ -40,6 +40,17 @@ object TextOps {
       case "count" => size(split(c, s(0))) - 1
       case "repeat" => repeat(c, i(0))
       case "reverse" => reverse(c)
+      case "casefold" => lower(c)
+      case "removeprefix" =>
+        when(c.startsWith(s(0)), c.substr(lit(s(0).length + 1), length(c))).otherwise(c)
+      case "removesuffix" =>
+        when(c.endsWith(s(0)), c.substr(lit(1), length(c) - s(0).length)).otherwise(c)
+      case "isdigit" => c.rlike("^[0-9]+$")
+      case "isalpha" => c.rlike("^\\p{L}+$")
+      case "isalnum" => c.rlike("^[\\p{L}0-9]+$")
+      case "isspace" => c.rlike("^\\s+$")
+      case "islower" => (c === lower(c)) && (c =!= upper(c))
+      case "isupper" => (c === upper(c)) && (c =!= lower(c))
       case "swapcase" =>
         // no builtin; upper/lower xor via translate is impractical — document
         throw new UnsupportedOperationException("process_text: swapcase unsupported")

@@ -62,6 +62,12 @@ class MathAndTextSpec extends SparkSpec {
     assert(run("title").getString(0) == "Ab Cd Ab")
     assert(run("count", Seq("ab")).getInt(0) == 2)
     assert(run("len").getInt(0) == 8)
+    assert(run("removeprefix", Seq("ab ")).getString(0) == "cd ab")
+    assert(run("removesuffix", Seq(" ab")).getString(0) == "ab cd")
+    assert(run("removeprefix", Seq("zz")).getString(0) == "ab cd ab")
+    assert(!run("isdigit").getBoolean(0))
+    assert(run("islower").getBoolean(0))
+    assert(!run("isupper").getBoolean(0))
     intercept[IllegalArgumentException](run("nope"))
   }
 

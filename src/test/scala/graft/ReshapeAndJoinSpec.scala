@@ -76,6 +76,18 @@ class ReshapeAndJoinSpec extends SparkSpec {
     assert(byId == Map(1 -> "both", 2 -> "left_only"))
   }
 
+  test("conditionalJoin right and outer joins preserve unmatched sides") {
+    val l = Seq((1, 10)).toDF("id", "x")
+    val r = Seq((5, 20), (50, 60)).toDF("lo", "hi")
+    val right = JoinOps.conditionalJoin(l, r,
+      Seq(("x", "lo", ">="), ("x", "hi", "<=")), how = "right")
+    assert(right.count() == 2 && right.filter(col("id").isNull).count() == 1)
+    val outer = JoinOps.conditionalJoin(l, r,
+      Seq(("x", "lo", ">="), ("x", "hi", "<=")), how = "full", indicator = true)
+    val merges = outer.collect().map(_.getString(4)).sorted.toSeq
+    assert(merges == Seq("both", "right_only"))
+  }
+
   test("conditionalJoin keep=last picks highest right ordering") {
     val l = Seq((1, 10)).toDF("id", "x")
     val r = Seq((1, 1), (2, 5), (3, 8)).toDF("rid", "lo")
