@@ -56,6 +56,8 @@ object QueriesReshape {
       operators.ReshapeOps.expandGrid(s, Seq(
         "k" -> Seq(1, 2, 3), "v" -> Seq("a", "b")))),
     "expand" -> ((s, d) => lineitem(s, d).expand("l_returnflag", "l_linestatus")),
+    "expand_by" -> ((s, d) => lineitem(s, d)
+      .expandBy(Seq("l_returnflag"), Seq("l_linestatus", "l_linenumber"))),
     "complete" -> ((s, d) => events(s, d)
       .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
       .complete(Seq("user_id", "event_type"), fillValue = Map("n" -> 0L))),
@@ -106,6 +108,11 @@ object QueriesReshape {
     "expand" ->
       """SELECT * FROM (SELECT DISTINCT l_returnflag FROM lineitem)
         |CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)""".stripMargin,
+    "expand_by" ->
+      """SELECT a.l_returnflag, a.l_linestatus, b.l_linenumber
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_returnflag, l_linenumber FROM lineitem) b
+        |USING (l_returnflag)""".stripMargin,
     "complete" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
         |SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n

@@ -218,6 +218,16 @@ object ReshapeOps {
   def expand(df: DataFrame, columns: Seq[String]): DataFrame =
     columns.map(c => df.select(col(s"`$c`")).distinct()).reduce(_.crossJoin(_))
 
+  /** Grouped expand (reference: expand_grid.py:141-405 `by=` form): the
+    * cartesian product of the distinct values is taken WITHIN each `by`
+    * group — distinct (by, col) frames equi-joined on the group key, so
+    * the cross product never leaves the group and the plan shuffles only
+    * on `by`.
+    */
+  def expandBy(df: DataFrame, by: Seq[String], columns: Seq[String]): DataFrame =
+    columns.map(c => df.select((by :+ c).map(n => col(s"`$n`")): _*).distinct())
+      .reduce((a, b) => a.join(b, by))
+
   /** Expose implicit-missing rows: expand the key universe, left-join the
     * data back, fill (reference: janitor/functions/complete.py:13-342).
     * fillValue fills only the value columns; explicitOnlyNew=true (reference

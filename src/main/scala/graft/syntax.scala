@@ -170,6 +170,8 @@ object syntax {
         agg: String = "first", namesPrefix: String = "", knownValues: Seq[String] = Nil): DataFrame =
       ReshapeOps.pivotWider(df, index, namesFrom, valuesFrom, agg, namesPrefix, knownValues)
     def expand(columns: String*): DataFrame = ReshapeOps.expand(df, columns)
+    def expandBy(by: Seq[String], columns: Seq[String]): DataFrame =
+      ReshapeOps.expandBy(df, by, columns)
     def complete(columns: Seq[String], fillValue: Map[String, Any] = Map.empty,
         explicitOnlyNew: Boolean = false): DataFrame =
       ReshapeOps.complete(df, columns, fillValue, explicitOnlyNew)
