@@ -23,8 +23,6 @@ object QueriesDomain {
   val entries: Map[String, Q] = Map(
     "row_to_names" -> ((s, d) => nation(s, d)
       .select("n_name", "n_regionkey")
-      .addColumn("__ord", col("n_regionkey") * 100 + length(col("n_name")))
-      .removeColumns("__ord")
       .rowToNames("n_name", Seq(0), removeRows = true)),
     "explode_index" -> ((s, d) => events(s, d)
       .select(col("event_id"), col("value").as("m_v"), col("user_id").as("m_u"))

@@ -27,6 +27,10 @@ object SparkEntry {
       .updateWhere("l_discount > 0.05", "high_discount", 1)
       .groupbyAgg(Seq("l_orderkey"), "l_extendedprice", "sum", "order_total")
       .filterOn("order_total > 1000")
+      .conditionalJoin(orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        Seq(("l_orderkey", "o_orderkey", "=="), ("l_shipdate", "o_orderdate", ">")))
+      .groupbyTopk(Seq("l_returnflag"), "order_total", 100,
+        tiebreak = Seq("l_orderkey", "l_linenumber"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
