@@ -15,7 +15,9 @@ object QueriesDomain {
   private type Q = (SparkSession, String) => DataFrame
 
   private def tmpDir(): String = {
-    val d = new java.io.File("target/tmp")
+    // absolute: the driver may launch Verify/Bench from outside the repo,
+    // and scratch files must stay inside it
+    val d = new java.io.File("/root/repo/target/tmp")
     d.mkdirs()
     d.getAbsolutePath
   }
