@@ -69,10 +69,18 @@ def main():
                     results[name] = "OK-approx (exact hash may differ!)"
                 except AssertionError:
                     results[name] = "VALUE-MISMATCH " + str(e).splitlines()[0][:150]
-    npass = sum(1 for v in results.values() if v.startswith("OK"))
+    # the driver compares EXACT hashes — OK-approx would fail there, so it
+    # must never be conflated with a pass
+    npass = sum(1 for v in results.values() if v == "OK")
+    napprox = sum(1 for v in results.values() if v.startswith("OK-approx"))
     for k, v in sorted(results.items()):
-        print(f"{'PASS' if v.startswith('OK') else 'FAIL' if not v.startswith('rows-only') else 'ROWS'}\t{k}\t{v}")
-    print(f"\n{npass}/{len(results)} comparable queries pass")
+        tag = ('PASS' if v == 'OK'
+               else 'ROWS' if v.startswith('rows-only')
+               else 'APPROX' if v.startswith('OK-approx')
+               else 'FAIL')
+        print(f"{tag}\t{k}\t{v}")
+    print(f"\n{npass}/{len(results)} comparable queries pass exactly"
+          + (f" ({napprox} approx-only = would FAIL driver hash)" if napprox else ""))
 
 
 if __name__ == "__main__":

@@ -307,7 +307,7 @@ object QueriesCore {
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1""".stripMargin,
     "count_cumulative_unique" ->
       """SELECT event_id, user_id,
-        |sum(f) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_unique
+        |CAST(sum(f) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_unique
         |FROM (SELECT event_id, user_id,
         |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1 THEN 1 ELSE 0 END AS f
         |  FROM events)""".stripMargin,

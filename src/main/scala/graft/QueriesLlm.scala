@@ -77,9 +77,12 @@ object QueriesLlm {
         .select(col("doc_id"), col("meta.mime").as("mime"),
           col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))),
     "multimodal_decode" -> ((s, d) =>
+      // scalar per-dim projection (not the raw array column) so the driver's
+      // canonicalizer can sort/hash the result
       Multimodal.featurize(
         Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain"))
-        .select(col("doc_id"), col("features")))
+        .select(col("doc_id") +:
+          (0 until 4).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*))
   )
 
   private def jaccardSql(corpusExpr: String) =
@@ -203,6 +206,11 @@ object QueriesLlm {
     "multimodal_featurize" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |md5(text) AS checksum FROM documents""".stripMargin
+        |md5(text) AS checksum FROM documents""".stripMargin,
+    "multimodal_decode" -> {
+      val feats = (0 until 4).map(i =>
+        s"CAST(('0x' || substr(md5(text || '$i'), 1, 6)) AS BIGINT) % 1000 / 1000.0 AS f$i").mkString(",\n")
+      s"SELECT doc_id,\n$feats\nFROM documents"
+    }
   )
 }

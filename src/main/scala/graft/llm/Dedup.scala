@@ -17,12 +17,17 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. Texts with fewer than
+    * `n` tokens yield an EMPTY set (no partial shingles) — matches the
+    * oracle's generate_series(1, len-n+1) which is empty for short docs.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+    when(size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact dedup: keep the lowest-id row per identical text (hash groupBy —

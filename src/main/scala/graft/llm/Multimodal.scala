@@ -26,10 +26,18 @@ object Multimodal {
     * emit fixed-size feature vectors. The container has no codec libs, so
     * this emits a deterministic fake feature vector derived from the bytes
     * — the schema, batching, and partitioning are the real contract.
+    * Derived from md5 (not xxhash64) so an external oracle can reproduce
+    * the exact values.
     */
   def decodeStub(payload: Column, dims: Int = 4): Column =
-    array((0 until dims).map(i =>
-      (pmod(xxhash64(payload, lit(i)), lit(1000)).cast("double") / 1000.0d)): _*)
+    array((0 until dims).map(i => stubFeature(payload, i)): _*)
+
+  /** One deterministic pseudo-feature in [0, 1): lane `i` salts the payload,
+    * md5, take 6 hex digits, scale. Pure codegen'd expressions.
+    */
+  def stubFeature(payload: Column, i: Int): Column =
+    (conv(substring(md5(concat(payload, lit(i.toString).cast("binary"))), 1, 6), 16, 10)
+      .cast("long") % 1000L).cast("double") / 1000.0d
 
   /** Frame-sample stub: pick every `stride`-th byte as a "frame" marker —
     * stands in for video frame sampling; shows the explode-based fan-out a

@@ -81,8 +81,11 @@ object JoinOps {
       val ordered = if (keep == "first") rightOrderCols.map(_.asc_nulls_last)
         else rightOrderCols.map(_.desc_nulls_last)
       val w = Window.partitionBy(col("__lid")).orderBy(ordered: _*)
+      // unmatched right rows under how=right/outer all carry a null __lid;
+      // they are not "matches per left row", so the keep filter must pass
+      // every one of them through untouched (reference keeps unmatched rows)
       joined = joined.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+        .filter(col("__rn") === 1 || col("__lid").isNull).drop("__rn")
     }
     if (indicator) {
       joined = joined.withColumn("_merge",
@@ -111,6 +114,19 @@ object JoinOps {
     joined.select((leftId ++ rightOut).map(n => col(s"`$n`")): _*)
   }
 
+  /** Median interval width of the right side — the data-derived band width
+    * for [[rangeJoin]] (SURVEY §7.5). One bounded approxQuantile action;
+    * a skewed interval table no longer hot-spots a single band the way a
+    * badly-guessed constant W would.
+    */
+  def autoBandWidth(right: DataFrame, loCol: String, hiCol: String): Double = {
+    val widths = right
+      .select((col(s"`$hiCol`").cast("double") - col(s"`$loCol`").cast("double")).as("w"))
+      .filter(col("w") >= 0)
+    val med = widths.stat.approxQuantile("w", Array(0.5), 0.01).headOption.getOrElse(0.0)
+    if (med > 0) med else 1.0
+  }
+
   /** Banded range join: `left.x BETWEEN right.lo AND right.hi` rewritten as an
     * equi-join on band = floor(x/W) with the right side exploded over its
     * interval's bands, plus the residual range filter (SURVEY §7.5 — the
@@ -118,27 +134,71 @@ object JoinOps {
     * binary-search `_range_indices`, conditional_join.py:1004-1148).
     *
     * Each left row lands in exactly one band → no dedup needed. Chooses
-    * shuffle-parallel hash join over BroadcastNestedLoop at scale; W should
-    * be ~ the typical interval width (pass explicitly or derive via
-    * approxQuantile upstream).
+    * shuffle-parallel hash join over BroadcastNestedLoop at scale.
+    * bandWidth <= 0 derives W from the data ([[autoBandWidth]] median width).
+    * Intervals spanning more than `maxBands` bands would blow the explode up
+    * (or hit Spark's Sequence length limit), so they are routed through a
+    * separate nested-loop branch instead — by construction few rows relative
+    * to W, and unioned back losslessly.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, xCol: String, loCol: String,
-      hiCol: String, bandWidth: Double, how: String = "inner",
-      loInclusive: Boolean = true, hiInclusive: Boolean = true): DataFrame = {
+      hiCol: String, bandWidth: Double = 0.0, how: String = "inner",
+      loInclusive: Boolean = true, hiInclusive: Boolean = true,
+      maxBands: Int = 256): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     val r0 = overlap.foldLeft(right)((acc, c) => acc.withColumnRenamed(c, s"right_$c"))
     def rn(c: String): String = if (overlap.contains(c)) s"right_$c" else c
+    val w = if (bandWidth > 0) bandWidth else autoBandWidth(r0, rn(loCol), rn(hiCol))
 
-    val lb = left.withColumn("__band", floor(col(s"`$xCol`") / bandWidth))
-    val loB = floor(col(s"`${rn(loCol)}`") / bandWidth)
-    val hiB = floor(col(s"`${rn(hiCol)}`") / bandWidth)
+    val lid = "__graft_lid"
+    val rid = "__graft_rid"
+    val needIds = how != "inner"
+    val l1 = if (needIds) left.withColumn(lid, monotonically_increasing_id()) else left
+    val r1 = if (needIds) r0.withColumn(rid, monotonically_increasing_id()) else r0
+
+    val loB = floor(col(s"`${rn(loCol)}`") / w)
+    val hiB = floor(col(s"`${rn(hiCol)}`") / w)
+    val span = hiB - loB
+    // null-bound rows ride the narrow path (their band array is empty; they
+    // can't satisfy the range condition anyway)
+    val rNarrow = r1.filter(coalesce(span <= maxBands, lit(true)))
+    val rWide = r1.filter(span > maxBands)
+
+    def rangeCond(lSide: DataFrame, rSide: DataFrame): Column = {
+      val loC = if (loInclusive) lSide(xCol) >= rSide(rn(loCol)) else lSide(xCol) > rSide(rn(loCol))
+      val hiC = if (hiInclusive) lSide(xCol) <= rSide(rn(hiCol)) else lSide(xCol) < rSide(rn(hiCol))
+      loC && hiC
+    }
+
+    val lb = l1.withColumn("__band", floor(col(s"`$xCol`") / w))
     // empty intervals (hi < lo) must contribute zero bands, not a Sequence error
-    val rb = r0.withColumn("__band",
+    val rb = rNarrow.withColumn("__band",
       explode(when(loB <= hiB, sequence(loB, hiB))
         .otherwise(array().cast("array<bigint>"))))
-    val loC = if (loInclusive) lb(xCol) >= rb(rn(loCol)) else lb(xCol) > rb(rn(loCol))
-    val hiC = if (hiInclusive) lb(xCol) <= rb(rn(hiCol)) else lb(xCol) < rb(rn(hiCol))
-    lb.join(rb, lb("__band") === rb("__band") && loC && hiC, how)
+    val banded = lb.join(rb, lb("__band") === rb("__band") && rangeCond(lb, rb), "inner")
       .drop("__band")
+    val wide = l1.join(rWide, rangeCond(l1, rWide), "inner")
+    val inner = banded.unionByName(wide)
+
+    if (how == "inner") inner
+    else {
+      // outer complements via cheap equi anti-joins on the generated row ids
+      val lFields = l1.schema.fields
+      val rFields = r1.schema.fields
+      val unmatchedL = l1.join(inner.select(col(lid)).distinct(), Seq(lid), "left_anti")
+        .select(lFields.map(f => col(s"`${f.name}`")) ++
+          rFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      val unmatchedR = r1.join(inner.select(col(rid)).distinct(), Seq(rid), "left_anti")
+        .select(lFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          rFields.map(f => col(s"`${f.name}`")): _*)
+      val out = how match {
+        case "left" => inner.unionByName(unmatchedL)
+        case "right" => inner.unionByName(unmatchedR)
+        case "outer" | "full" | "full_outer" =>
+          inner.unionByName(unmatchedL).unionByName(unmatchedR)
+        case other => throw new IllegalArgumentException(s"range_join: bad how $other")
+      }
+      out.drop(lid, rid)
+    }
   }
 }

@@ -113,7 +113,9 @@ object NameOps {
     }
     var out = withRn
     if (removeRows) out = out.filter(!col("__rn").isin(rowNumbers.map(Integer.valueOf): _*))
-    if (removeRowsAbove) out = out.filter(col("__rn") >= rowNumbers.max)
+    // only rows ABOVE the first header row are removed (row_to_names.py:144-183);
+    // the header rows themselves are governed by removeRows
+    if (removeRowsAbove) out = out.filter(col("__rn") >= rowNumbers.min)
     out.drop("__rn").toDF(newNames.toIndexedSeq: _*)
   }
 

@@ -27,11 +27,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * (reference: janitor/functions/conditional_join.py:1004-1148), expressed
   * as a plan rewrite instead of a kernel.
   *
+  * Intervals spanning more than `spark.graft.bandJoin.maxBands` bands would
+  * turn the explode into a row blow-up (or a Sequence length error), so they
+  * are split into a second nested-loop join branch and unioned back — the
+  * rewrite stays lossless for arbitrarily wide intervals.
+  *
   * Off by default; enable per session:
   *   spark.graft.bandJoin.enabled=true
-  *   spark.graft.bandJoin.width=<W>   (band width in value units, default 10)
+  *   spark.graft.bandJoin.width=<W>      (band width in value units, default 10)
+  *   spark.graft.bandJoin.maxBands=<N>   (per-row explode cap, default 4096)
   */
 case class BandJoinRewrite() extends Rule[LogicalPlan] {
+  import BandJoinRewrite.REWRITTEN
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -64,9 +71,10 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.bandJoin.enabled", "false") != "true") return plan
     val w = conf.getConfString("spark.graft.bandJoin.width", "10.0").toDouble
+    val maxBands = conf.getConfString("spark.graft.bandJoin.maxBands", "4096").toLong
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if left.resolved && right.resolved =>
+          if left.resolved && right.resolved && j.getTagValue(REWRITTEN).isEmpty =>
         val parts = conjuncts(cond)
         val ranges = parts.flatMap(p => asRange(p, left.outputSet, right.outputSet).map(p -> _))
         val hasEqui = parts.exists {
@@ -85,6 +93,13 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] {
         if (hasEqui || ranges.size != parts.size || pair.isEmpty) j
         else {
           val (x, lo, hi) = pair.head
+          val span = Subtract(band(hi, w), band(lo, w))
+          // wide intervals (> maxBands bands per row) must not be exploded:
+          // route them through a plain nested-loop branch instead. Null-bound
+          // rows ride the narrow branch — their band array is empty, and an
+          // inner join can't match them anyway.
+          val narrowPred = Or(IsNull(span), LessThanOrEqual(span, Literal(maxBands)))
+          val widePred = GreaterThan(span, Literal(maxBands))
           val bandL = Alias(band(x, w), "__graft_band_l")()
           val leftP = Project(left.output :+ bandL, left)
           val bandR = AttributeReference("__graft_band_r", LongType)()
@@ -97,12 +112,22 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] {
           val gen = Generate(
             Explode(bandsExpr),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(bandR), child = right)
+            generatorOutput = Seq(bandR), child = Filter(narrowPred, right))
           val newCond = And(EqualTo(bandL.toAttribute, bandR), cond)
-          Project(j.output, Join(leftP, gen, Inner, Some(newCond), hint))
+          val bandedBranch = Project(j.output, Join(leftP, gen, Inner, Some(newCond), hint))
+          val wideJoin = Join(left, Filter(widePred, right), Inner, Some(cond), hint)
+          // the wide branch is itself a pure range join — tag it so the
+          // fixpoint pass doesn't rewrite it again forever
+          wideJoin.setTagValue(REWRITTEN, ())
+          Union(Seq(bandedBranch, Project(j.output, wideJoin)))
         }
     }
   }
+}
+
+object BandJoinRewrite {
+  private[plans] val REWRITTEN =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.bandJoin.rewritten")
 }
 
 /** Session extension registration:

@@ -57,6 +57,27 @@ class BandJoinRuleSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.bandJoin.enabled", "false")
   }
 
+  test("over-wide intervals are routed through the capped union branch losslessly") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.bandJoin.enabled", "false")
+    val l = (1 to 80).map(i => (i, i.toDouble)).toDF("id", "x")
+    // interval 2 spans ~70 bands at W=1 — over maxBands=4
+    val r = Seq((1, 3.0, 6.0), (2, 2.0, 72.0), (3, 78.0, 79.0)).toDF("rid", "lo", "hi")
+    def run() = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("id", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+    val naive = run()
+    spark.conf.set("spark.graft.bandJoin.enabled", "true")
+    spark.conf.set("spark.graft.bandJoin.width", "1.0")
+    spark.conf.set("spark.graft.bandJoin.maxBands", "4")
+    val joined = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected band explode branch, got:\n$plan")
+    assert(plan.contains("Union"), s"expected wide-interval union branch, got:\n$plan")
+    assert(run() == naive)
+    spark.conf.set("spark.graft.bandJoin.enabled", "false")
+    spark.conf.unset("spark.graft.bandJoin.maxBands")
+  }
+
   test("strict bounds and empty intervals keep exact semantics") {
     import spark.implicits._
     spark.conf.set("spark.graft.bandJoin.enabled", "true")

@@ -98,6 +98,14 @@ class LlmSpec extends SparkSpec {
     assert(sorted(single) == sorted(salted))
   }
 
+  test("shingles of a short text are empty, not a partial n-gram") {
+    val d = Seq((1L, "two words"), (2L, "a full three token doc")).toDF("id", "text")
+    val sh = d.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L).nonEmpty && sh(2L).forall(_.split(" ").length == 3))
+  }
+
   test("multimodal asset plumbing: payload, metadata, deterministic stub features") {
     val d = Seq((1L, "hello")).toDF("doc_id", "text")
     val a = Multimodal.featurize(Multimodal.asAsset(d, "text", "text/plain"))

@@ -44,6 +44,14 @@ class NameOpsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("rowToNames removeRowsAbove keeps all promoted header rows when removeRows=false") {
+    val df = Seq((0, "junk"), (1, "h1"), (2, "h2"), (3, "data")).toDF("ord", "c")
+    val out = df.rowToNames("ord", Seq(1, 2), removeRows = false, removeRowsAbove = true)
+    // only the row ABOVE the first header row goes; headers 1 and 2 stay
+    assert(out.columns.toSeq == Seq("1_2", "h1_h2"))
+    assert(out.count() == 3)
+  }
+
   test("collapseLevels/explodeIndex round-trip struct columns") {
     val df = Seq((1, 2.0, "z")).toDF("id", "m_v", "m_k")
     val round = df.explodeIndex("_").collapseLevels("_")

@@ -109,4 +109,50 @@ class ReshapeAndJoinSpec extends SparkSpec {
     val naive = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
     assert(sorted(banded.select("id", "rid")) == sorted(naive.select("id", "rid")))
   }
+
+  test("rangeJoin routes over-wide intervals through the capped branch losslessly") {
+    val l = (1 to 60).map(i => (i, i.toDouble)).toDF("id", "x")
+    // interval 2 spans 50 bands at W=1 — far over maxBands=4
+    val r = Seq((1, 3.0, 5.0), (2, 1.0, 51.0), (3, 58.0, 59.0)).toDF("rid", "lo", "hi")
+    val capped = JoinOps.rangeJoin(l, r, "x", "lo", "hi", bandWidth = 1.0, maxBands = 4)
+    val naive = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
+    assert(sorted(capped.select("id", "rid")) == sorted(naive.select("id", "rid")))
+  }
+
+  test("rangeJoin derives band width from data when not given") {
+    val l = (1 to 40).map(i => (i, i.toDouble)).toDF("id", "x")
+    val r = Seq((1, 3.0, 9.0), (2, 8.0, 12.0), (3, 30.0, 31.0)).toDF("rid", "lo", "hi")
+    val auto = JoinOps.rangeJoin(l, r, "x", "lo", "hi")
+    val naive = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
+    assert(sorted(auto.select("id", "rid")) == sorted(naive.select("id", "rid")))
+  }
+
+  test("rangeJoin outer forms keep unmatched rows from both sides") {
+    val l = Seq((1, 5.0), (2, 99.0)).toDF("id", "x")
+    val r = Seq((1, 3.0, 9.0), (2, 40.0, 41.0)).toDF("rid", "lo", "hi")
+    def got(how: String) = JoinOps.rangeJoin(l, r, "x", "lo", "hi",
+        bandWidth = 2.0, how = how)
+      .select("id", "rid").collect()
+      .map(row => (if (row.isNullAt(0)) -1 else row.getInt(0),
+        if (row.isNullAt(1)) -1 else row.getInt(1))).sorted.toSeq
+    assert(got("left") == Seq((1, 1), (2, -1)))
+    assert(got("right") == Seq((-1, 2), (1, 1)))
+    assert(got("outer") == Seq((-1, 2), (1, 1), (2, -1)))
+  }
+
+  test("conditionalJoin keep=first with how=right/full keeps every unmatched right row") {
+    val l = Seq((1, 10)).toDF("id", "x")
+    // two matching right rows (keep=first picks lo=1) + two unmatched rows
+    val r = Seq((1, 1), (2, 5), (3, 50), (4, 60)).toDF("rid", "lo")
+    val right = JoinOps.conditionalJoin(l, r, Seq(("x", "lo", ">")),
+      how = "right", keep = "first")
+    val gotRight = right.select("id", "rid").collect()
+      .map(row => (if (row.isNullAt(0)) -1 else row.getInt(0), row.getInt(1))).sorted.toSeq
+    assert(gotRight == Seq((-1, 3), (-1, 4), (1, 1)))
+    val full = JoinOps.conditionalJoin(l, r, Seq(("x", "lo", ">")),
+      how = "full", keep = "last")
+    val gotFull = full.select("id", "rid").collect()
+      .map(row => (if (row.isNullAt(0)) -1 else row.getInt(0), row.getInt(1))).sorted.toSeq
+    assert(gotFull == Seq((-1, 3), (-1, 4), (1, 2)))
+  }
 }
