@@ -10,15 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force every column through the executors: a noop-sink write serializes
+    // each output row in full, so Catalyst cannot prune the projections the
+    // query exists to compute (a bare .count() measured little more than the
+    // scan for narrow transforms).
+    def exhaust(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // warm up the session (codegen, parquet footer reads, JIT) so the first
     // timed query doesn't absorb ~5s of one-time cost
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .selectExpr("count(distinct l_returnflag)", "sum(l_quantity)").count()
+      exhaust(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("count(distinct l_returnflag)", "sum(l_quantity)"))
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
