@@ -64,6 +64,28 @@ object QueriesLlm {
     "similarity_lsh_topk" -> ((s, d) => Similarity.lshCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),
+    // Recall gates: the approximate paths measured against the exact
+    // brute-force ranking on the same deterministic query set. The oracle
+    // pins (n_queries, floor, meets_floor=true); a recall regression flips
+    // the boolean and turns the row red. Observed at sf0.01: LSH 0.94
+    // (floor 0.80), IVF 0.80 (floor 0.65) — the synthetic embeddings are
+    // near-uniform, the adversarial case for space partitioning.
+    "similarity_lsh_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallGate(
+        Similarity.lshCosineTopK(q, emb, "vec_id", "embedding", k = 5),
+        Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.80)
+    }),
+    "similarity_ivf_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallGate(
+        Similarity.ivfCosineTopK(q, emb, "vec_id", "embedding", k = 5),
+        Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.65)
+    }),
     "lang_id" -> ((s, d) => documents(s, d)
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "token_count" -> ((s, d) => documents(s, d)
@@ -174,6 +196,10 @@ object QueriesLlm {
          |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
          |)
          |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
+    "similarity_lsh_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, 0.80 AS recall_floor, TRUE AS meets_floor",
+    "similarity_ivf_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, 0.65 AS recall_floor, TRUE AS meets_floor",
     "lang_id" -> {
       val langs = TextAnalysis.stopwords
       val lists = langs.map { case (lang, ws) =>

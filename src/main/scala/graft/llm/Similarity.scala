@@ -64,13 +64,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id (sign bits of numPlanes pseudo-random
-    * projections). Plane components are deterministic hash-derived values in
-    * [-1, 1]: component(p, i) = xxhash64(p, i) scaled. Vectors in the same
-    * bucket are likely-similar; search within buckets only.
+    * projections) for one hash table. Plane components are deterministic
+    * hash-derived values in [-1, 1]: component(table, p, i) =
+    * xxhash64(table * 4096 + p, i) scaled. Vectors in the same bucket are
+    * likely-similar; search within buckets only.
     */
-  def lshBuckets(vec: Column, numPlanes: Int): Column = {
+  def lshBuckets(vec: Column, numPlanes: Int, table: Int = 0): Column = {
     def planeComponent(p: Int, i: Column): Column =
-      (pmod(xxhash64(lit(p), i), lit(2000001)).cast("double") - 1000000d) / 1000000d
+      (pmod(xxhash64(lit(table * 4096 + p), i), lit(2000001)).cast("double") - 1000000d) / 1000000d
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -81,35 +82,86 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** IVF-style approximate top-k: quantize every vector to its nearest of
-    * `nCells` centroids (deterministically sampled from the corpus itself:
-    * ids ≡ 0 mod ⌈n/nCells⌉), then rank only within the query's cell. One
-    * small collect for the centroid table (broadcast), one shuffle on the
-    * cell id — the standard inverted-file layout, minus the training loop
-    * (k-means refinement would slot in where the sample is taken).
+  /** (table, bucket) pairs for all hash tables, as an array column to
+    * explode. OR-amplification: a candidate only needs to collide in ONE
+    * table, so recall grows with numTables while each table's numPlanes
+    * keeps bucket sizes (and thus the per-bucket scan cost) small.
+    */
+  private def lshTableBuckets(vec: Column, numPlanes: Int, numTables: Int): Column =
+    array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), lshBuckets(vec, numPlanes, t).as("bucket"))
+    }: _*)
+
+  /** K-means (Lloyd) refinement of an initial centroid table, run as
+    * DataFrame jobs: assign every training vector to its nearest centroid
+    * by cosine, recompute per-cell component means via posexplode +
+    * groupBy(cell, pos) (a map-side-combinable agg — the collect is
+    * bounded at nCells × dim rows), repeat. Components are rounded to 6 dp
+    * so float summation order can't leak into the result. Empty cells keep
+    * their previous centroid. At 100 TB, train on a deterministic sample
+    * (pass a filtered `train` frame), not the full corpus.
+    */
+  private def kmeansRefine(train: DataFrame, vecCol: String,
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var centroids = init
+    val dim = init.head.length
+    for (_ <- 0 until iters) {
+      // float literals so the codegen dot/norm kernels see matching
+      // array<float> element types on both sides
+      val centroidArr = array(centroids.map(v =>
+        array(v.map(x => lit(x.toFloat)).toIndexedSeq: _*)).toIndexedSeq: _*)
+      val sims = transform(centroidArr, c => dot(col(vecCol), c) / (norm(col(vecCol)) * norm(c)))
+      val cell = array_position(sims, array_max(sims)).cast("int")
+      val means = train.select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0) - 1)(r.getInt(1)) =
+          math.rint(r.getDouble(2) * 1e6) / 1e6
+      }
+      require(next.forall(_.length == dim))
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF-style approximate top-k: k-means-quantize every corpus vector to
+    * its nearest of `nCells` centroids (seeded by a deterministic stride
+    * sample, refined by `kmeansIters` Lloyd steps), then rank only within
+    * the `nProbe` cells nearest to each query. One bounded collect per
+    * Lloyd step for the centroid table (broadcast as literals), one shuffle
+    * on the cell id — the standard inverted-file layout. Raising nProbe
+    * trades candidate-scan cost for recall.
     */
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, roundTo: Int = 6): DataFrame = {
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8,
+      kmeansIters: Int = 5, roundTo: Int = 6): DataFrame = {
     val n = corpus.count()
     val stride = math.max(1L, n / nCells)
-    val centroids = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+    val seed = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(centroids.nonEmpty, "ivfCosineTopK: empty centroid sample")
-    val centroidArr = array(centroids.map { case (_, v) =>
-      array(v.map(x => lit(x)).toIndexedSeq: _*)
-    }.toIndexedSeq: _*)
-    def cellOf(vec: Column): Column = {
-      // argmax cosine over the centroid table (count is small; the transform
-      // stays narrow). aggregate carries (bestIdx, bestSim, curIdx).
-      val sims = transform(centroidArr, c =>
-        dot(vec, c) / (norm(vec) * norm(c)))
-      array_position(sims, array_max(sims)).cast("int")
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seed.nonEmpty, "ivfCosineTopK: empty centroid sample")
+    val centroids = kmeansRefine(corpus.select(vecCol), vecCol, seed, kmeansIters)
+    val centroidArr = array(centroids.map(v =>
+      array(v.map(x => lit(x.toFloat)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    def cellSims(vec: Column): Column =
+      transform(centroidArr, c => dot(vec, c) / (norm(vec) * norm(c)))
+    // corpus vector -> its single nearest cell (argmax cosine; narrow)
+    def cellOf(vec: Column): Column =
+      array_position(cellSims(vec), array_max(cellSims(vec))).cast("int")
+    // query -> its nProbe nearest cells: sort struct(-sim, idx) ascending,
+    // slice the head. Stays a narrow expression; no window needed.
+    def probeCells(vec: Column): Column = {
+      val zipped = zip_with(cellSims(vec), sequence(lit(1), lit(nCells)),
+        (s, i) => struct((-s).as("neg"), i.as("idx")))
+      transform(slice(array_sort(zipped), 1, nProbe), s => s.getField("idx").cast("int"))
     }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      norm(col(vecCol)).as("qnorm"), cellOf(col(vecCol)).as("cell"))
+      norm(col(vecCol)).as("qnorm"), explode(probeCells(col(vecCol))).as("cell"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       norm(col(vecCol)).as("nnorm"), cellOf(col(vecCol)).as("cell"))
     val scored = c.join(q, Seq("cell"))
@@ -123,16 +175,27 @@ object Similarity {
   }
 
   /** Bucketed approximate top-k: exact cosine rank, but only among corpus
-    * vectors sharing the query's LSH bucket. One shuffle on the bucket id.
+    * vectors sharing one of the query's LSH buckets across `numTables`
+    * independent hash tables. Each side explodes ×numTables and joins on
+    * (table, bucket) — the standard multi-table LSH cost; candidates are
+    * deduped on (qid, nid) before ranking.
     */
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int = 8, roundTo: Int = 6): DataFrame = {
+      vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 16,
+      roundTo: Int = 6): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      norm(col(vecCol)).as("qnorm"), lshBuckets(col(vecCol), numPlanes).as("bucket"))
+      norm(col(vecCol)).as("qnorm"),
+      explode(lshTableBuckets(col(vecCol), numPlanes, numTables)).as("tb"))
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      norm(col(vecCol)).as("nnorm"), lshBuckets(col(vecCol), numPlanes).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+      norm(col(vecCol)).as("nnorm"),
+      explode(lshTableBuckets(col(vecCol), numPlanes, numTables)).as("tb"))
+      .select(col("nid"), col("nvec"), col("nnorm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val scored = c.join(q, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
       .withColumn("sim", round(
         dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), roundTo))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
@@ -140,4 +203,26 @@ object Similarity {
       .filter(col("__rn") <= k)
       .select("qid", "nid", "sim")
   }
+
+  /** Mean per-query recall of an approximate top-k result against the
+    * exact one. Both inputs carry (qid, nid); recall for a query is the
+    * fraction of its exact neighbors the approximate path recovered.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("nid")).withColumn("__hit", lit(1))
+    exact.select("qid", "nid").join(a, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("recall"))
+  }
+
+  /** One-row recall gate: n_queries + whether mean recall clears `floor`.
+    * The boolean (rather than the raw recall) is what the oracle pins, so
+    * knife-edge float effects can't flake the gate while a real recall
+    * regression still trips it.
+    */
+  def recallGate(approx: DataFrame, exact: DataFrame, floor: Double): DataFrame =
+    recallAtK(approx, exact).agg(
+      count(lit(1)).as("n_queries"),
+      lit(floor).as("recall_floor"),
+      (avg(col("recall")) >= floor).as("meets_floor"))
 }

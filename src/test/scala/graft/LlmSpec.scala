@@ -106,6 +106,38 @@ class LlmSpec extends SparkSpec {
     assert(sh(2L).nonEmpty && sh(2L).forall(_.split(" ").length == 3))
   }
 
+  test("recallAtK: exact fraction of recovered neighbors per query") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    val per = Similarity.recallAtK(approx, exact)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(per(1L) == 0.5 && per(2L) == 1.0)
+    val gate = Similarity.recallGate(approx, exact, floor = 0.7)
+      .collect()(0)
+    assert(gate.getLong(0) == 2 && gate.getBoolean(2)) // mean 0.75 >= 0.7
+    assert(!Similarity.recallGate(approx, exact, floor = 0.8).collect()(0).getBoolean(2))
+  }
+
+  test("LSH and IVF top-k clear their recall floors on clustered vectors") {
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(4, 16)(rng.nextGaussian().toFloat * 5f)
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rng.nextGaussian().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, vecs, "vec_id", "embedding", 5)
+    val lsh = Similarity.lshCosineTopK(q, vecs, "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfCosineTopK(q, vecs, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 2, kmeansIters = 3)
+    val rl = Similarity.recallAtK(lsh, exact).agg(avg("recall")).head.getDouble(0)
+    val ri = Similarity.recallAtK(ivf, exact).agg(avg("recall")).head.getDouble(0)
+    assert(rl >= 0.9, s"LSH recall@5 on clustered data should be high, got $rl")
+    assert(ri >= 0.9, s"IVF recall@5 on clustered data should be high, got $ri")
+  }
+
   test("multimodal asset plumbing: payload, metadata, deterministic stub features") {
     val d = Seq((1L, "hello")).toDF("doc_id", "text")
     val a = Multimodal.featurize(Multimodal.asAsset(d, "text", "text/plain"))
