@@ -41,10 +41,20 @@ object MathFunctions {
     df.withColumn(dest, (c - row.getDouble(0)) / row.getDouble(1))
   }
 
-  /** Empirical CDF (reference: janitor/math.py:330) == cume_dist over the
-    * value order. Single-partition window at full scale; use within groups or
-    * sample at 100 TB.
+  /** Empirical CDF (reference: janitor/math.py:330) — cume_dist semantics
+    * (fraction of rows with value ≤ v, ties included) computed scale-safe:
+    * count per distinct value, two-phase prefix sum over the value order
+    * ([[graft.operators.ScaleWindows.runningSum]]), null-safe join back.
+    * Every shuffle is keyed on the value; no single-partition window.
     */
-  def ecdf(df: DataFrame, column: String, dest: String): DataFrame =
-    df.withColumn(dest, cume_dist().over(Window.orderBy(col(s"`$column`"))))
+  def ecdf(df: DataFrame, column: String, dest: String): DataFrame = {
+    val n = df.count()
+    val counts = df.groupBy(col(s"`$column`").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = graft.operators.ScaleWindows.runningSum(counts, "__v", "__cnt", "__cum")
+      .select(col("__v"), col("__cum"))
+    df.join(cum, df(column) <=> cum("__v"), "left")
+      .withColumn(dest, col("__cum").cast("double") / n)
+      .drop("__v", "__cum")
+  }
 }

@@ -84,18 +84,18 @@ object GroupedOps {
 
   /** Running count of distinct values seen so far, in `orderCol` order
     * (reference: janitor/functions/count_cumulative_unique.py:13,107-112 —
-    * groupby-cumcount==0 → cumsum). Two windows: first-occurrence flag, then
-    * a running sum. Global order ⇒ single-partition window; the streaming
-    * variant (graft.streaming) is the scale path.
+    * groupby-cumcount==0 → cumsum). First-occurrence flag is a window keyed
+    * on the value; the global running sum is a two-phase range-bucketed
+    * prefix sum ([[ScaleWindows.runningSum]]) — no single-partition window,
+    * so the batch form now scales like the streaming one.
     */
   def countCumulativeUnique(df: DataFrame, column: String, orderCol: String,
       newColumnName: String, caseSensitive: Boolean = true): DataFrame = {
     val v = if (caseSensitive) col(s"`$column`") else lower(col(s"`$column`"))
     val wFirst = Window.partitionBy(v).orderBy(col(s"`$orderCol`"))
-    val wRun = Window.orderBy(col(s"`$orderCol`"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("__new", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      .withColumn(newColumnName, sum(col("__new")).over(wRun))
+    val flagged = df.withColumn("__new",
+      when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+    ScaleWindows.runningSum(flagged, orderCol, "__new", newColumnName)
       .drop("__new")
   }
 

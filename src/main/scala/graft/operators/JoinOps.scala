@@ -153,8 +153,15 @@ object JoinOps {
     val lid = "__graft_lid"
     val rid = "__graft_rid"
     val needIds = how != "inner"
-    val l1 = if (needIds) left.withColumn(lid, monotonically_increasing_id()) else left
-    val r1 = if (needIds) r0.withColumn(rid, monotonically_increasing_id()) else r0
+    // the id-tagged frames are consumed twice (inner join + anti-join
+    // complement); mono ids are only stable for a fixed partition layout, so
+    // pin them with localCheckpoint before reuse — under AQE repartitioning
+    // or an executor retry the two lineages could otherwise disagree and
+    // silently drop or duplicate complement rows
+    val l1 = if (needIds) left.withColumn(lid, monotonically_increasing_id()).localCheckpoint()
+      else left
+    val r1 = if (needIds) r0.withColumn(rid, monotonically_increasing_id()).localCheckpoint()
+      else r0
 
     val loB = floor(col(s"`${rn(loCol)}`") / w)
     val hiB = floor(col(s"`${rn(hiCol)}`") / w)

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Scale-safe replacements for `Window.orderBy(...)` with no partition key —
+  * the pattern that funnels every row through a single task.
+  *
+  * The trick: carve the global order into range buckets using approxQuantile
+  * bounds baked in as literals (deterministic, narrow bucket assignment; all
+  * ties land in one bucket), run the running aggregate per bucket, then add
+  * each bucket's cumulative offset back via a tiny join. The bucketing only
+  * affects parallelism, never values: a prefix sum over `order <= x` is
+  * bucket-invariant.
+  */
+object ScaleWindows {
+
+  /** Double view of an orderable column for quantile bucketing; None when the
+    * type has no meaningful numeric order (caller falls back to the
+    * single-partition window).
+    */
+  def orderAsDouble(df: DataFrame, column: String): Option[Column] = {
+    val c = col(s"`$column`")
+    df.schema(column).dataType match {
+      case _: NumericType => Some(c.cast("double"))
+      case TimestampType | TimestampNTZType => Some(c.cast("double"))
+      case DateType => Some(c.cast("timestamp").cast("double"))
+      case _ => None
+    }
+  }
+
+  /** Bucket id = number of quantile bounds strictly below the value; nulls
+    * land in bucket 0 (they sort first, matching asc_nulls_first).
+    */
+  private def bucketOf(ord: Column, bounds: Array[Double]): Column =
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(ord > lit(b), 1).otherwise(0)
+    }
+
+  /** Global running sum of `valueCol` in ascending `orderCol` order, without
+    * a single-partition window: per-bucket prefix sums + cumulative bucket
+    * offsets (the offsets table is ≤ nBuckets rows; AQE broadcasts the join).
+    * Ties in `orderCol` accumulate in arbitrary order within their bucket —
+    * the same contract as the global-window form it replaces. Falls back to
+    * that form when the order column isn't numerically bucketable.
+    */
+  def runningSum(df: DataFrame, orderCol: String, valueCol: String,
+      dest: String, nBuckets: Int = 0): DataFrame = {
+    val n = if (nBuckets > 0) nBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    orderAsDouble(df, orderCol) match {
+      case None =>
+        val w = Window.orderBy(col(s"`$orderCol`"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        df.withColumn(dest, sum(col(s"`$valueCol`")).over(w))
+      case Some(ord) =>
+        val probes = (1 until n).map(_.toDouble / n).toArray
+        val bounds = df.select(ord.as("__ord")).na.drop()
+          .stat.approxQuantile("__ord", probes, 0.001)
+          .distinct.sorted
+        val b = df.withColumn("__bkt", bucketOf(ord, bounds))
+        val wLocal = Window.partitionBy(col("__bkt"))
+          .orderBy(col(s"`$orderCol`"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val local = b.withColumn("__loc", sum(col(s"`$valueCol`")).over(wLocal))
+        // per-bucket totals: a bounded collect (≤ nBuckets rows — SURVEY
+        // §7.7), folded into exclusive prefix offsets on the driver and baked
+        // back in as a literal CASE — no global window, no extra join
+        val totalsDf = b.groupBy(col("__bkt"))
+          .agg(sum(col(s"`$valueCol`")).as("__tot"))
+        val sumType = totalsDf.schema("__tot").dataType
+        val totals = totalsDf.collect()
+          .map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
+        def plus(a: Any, x: Any): Any = (a, x) match {
+          case (null, v) => v
+          case (v, null) => v
+          case (p: java.lang.Long, v: java.lang.Long) => java.lang.Long.valueOf(p + v)
+          case (p: java.lang.Double, v: java.lang.Double) => java.lang.Double.valueOf(p + v)
+          case (p: java.math.BigDecimal, v: java.math.BigDecimal) => p.add(v)
+          case (p, v) => throw new IllegalStateException(
+            s"runningSum: unsupported sum type ${p.getClass}/${v.getClass}")
+        }
+        var acc: Any = null
+        val offs = totals.map { case (bkt, tot) =>
+          val before = acc; acc = plus(acc, tot); bkt -> before
+        }.collect { case (bkt, off) if off != null => bkt -> off }
+        val offExpr = offs.foldLeft(lit(0).cast(sumType)) { case (e, (bkt, off)) =>
+          when(col("__bkt") === bkt, lit(off)).otherwise(e)
+        }
+        local.withColumn(dest, col("__loc") + offExpr)
+          .drop("__bkt", "__loc")
+    }
+  }
+}

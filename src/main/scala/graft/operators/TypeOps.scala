@@ -73,17 +73,21 @@ object TypeOps {
   /** Integer codes per distinct value (reference:
     * janitor/functions/factorize_columns.py:12; kernel functions/utils.py:231-243).
     * First-seen order needs an ordering column in a distributed setting; codes
-    * are assigned by min(orderCol) per value via an aggregate + broadcast join
-    * (no global window — scales).
+    * are assigned by rank of min(orderCol) per value via a two-phase prefix
+    * sum ([[ScaleWindows.runningSum]]) — no single-partition window even when
+    * the column is a high-cardinality id. The join back is deliberately NOT
+    * hinted: AQE broadcasts the codes table at runtime when it is actually
+    * small, and falls back to a shuffle join when it isn't (an unconditional
+    * broadcast OOMed executors on high-cardinality columns).
     */
   def factorizeColumns(df: DataFrame, column: String, orderCol: String,
       suffix: String = "_enc"): DataFrame = {
     val firstSeen = df.groupBy(col(s"`$column`").as("__v"))
       .agg(min(col(s"`$orderCol`")).as("__first"))
-    val codes = firstSeen.withColumn("__code",
-      row_number().over(Window.orderBy(col("__first"))) - 1)
-      .select(col("__v"), col("__code"))
-    df.join(broadcast(codes), df(column) === codes("__v"), "left")
+      .withColumn("__one", lit(1L))
+    val codes = ScaleWindows.runningSum(firstSeen, "__first", "__one", "__rank")
+      .select(col("__v"), (col("__rank") - 1).cast("int").as("__code"))
+    df.join(codes, df(column) === codes("__v"), "left")
       .drop("__v")
       .withColumnRenamed("__code", column + suffix)
   }

@@ -140,6 +140,21 @@ class ReshapeAndJoinSpec extends SparkSpec {
     assert(got("outer") == Seq((-1, 2), (1, 1), (2, -1)))
   }
 
+  test("rangeJoin how=outer round-trips under AQE: union of matches and complements is lossless") {
+    // AQE is on session-wide (SparkSpec); enough rows that the id-tagged
+    // frames span several partitions, exercising the localCheckpoint pin
+    val l = (1 to 500).map(i => (i, (i % 97).toDouble)).toDF("id", "x")
+      .repartition(7)
+    val r = (1 to 60).map(j => (j, j * 1.5, j * 1.5 + 2.0)).toDF("rid", "lo", "hi")
+      .repartition(5)
+    val outer = JoinOps.rangeJoin(l, r, "x", "lo", "hi", bandWidth = 2.0, how = "outer")
+    val naive = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"), "full_outer")
+    assert(sorted(outer.select("id", "rid")) == sorted(naive.select("id", "rid")))
+    // every left id appears, every right id appears (no dropped complements)
+    assert(outer.select("id").na.drop().distinct().count() == 500)
+    assert(outer.select("rid").na.drop().distinct().count() == 60)
+  }
+
   test("conditionalJoin keep=first with how=right/full keeps every unmatched right row") {
     val l = Seq((1, 10)).toDF("id", "x")
     // two matching right rows (keep=first picks lo=1) + two unmatched rows

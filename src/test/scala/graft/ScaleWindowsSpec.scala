@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{GroupedOps, ScaleWindows, TypeOps}
+import graft.functions.MathFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.window.WindowExec
+
+class ScaleWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hasGlobalWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }
+
+  test("runningSum equals the single-partition global window") {
+    val rng = new scala.util.Random(11)
+    val d = (1 to 2000).map(i => (i, rng.nextInt(50).toLong)).toDF("ord", "v")
+      .repartition(8)
+    val global = d.withColumn("cum", sum("v").over(
+      Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)))
+    val twoPhase = ScaleWindows.runningSum(d, "ord", "v", "cum")
+    assert(sorted(twoPhase) == sorted(global))
+  }
+
+  test("runningSum falls back gracefully for non-numeric order columns") {
+    val d = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+    val out = ScaleWindows.runningSum(d, "k", "v", "cum")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 3L, "c" -> 6L))
+  }
+
+  test("countCumulativeUnique: correct and no single-partition window in the plan") {
+    val d = Seq((1, "x"), (2, "y"), (3, "x"), (4, "z"), (5, "y"), (6, "w"))
+      .toDF("t", "v").repartition(4)
+    val out = GroupedOps.countCumulativeUnique(d, "v", "t", "cum")
+    val got = out.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 2L, 3 -> 2L, 4 -> 3L, 5 -> 3L, 6 -> 4L))
+    assert(!hasGlobalWindow(out), "batch countCumulativeUnique must not funnel rows through one task")
+  }
+
+  test("ecdf matches cume_dist semantics incl. ties and nulls; no global window") {
+    val d = Seq[java.lang.Double](3.0, 1.0, 4.0, 1.0, 5.0, null, 2.0).toDF("x")
+      .repartition(3)
+    val out = MathFunctions.ecdf(d, "x", "e")
+    val expected = d.withColumn("e", cume_dist().over(Window.orderBy(col("x"))))
+    assert(sorted(out) == sorted(expected))
+    assert(!hasGlobalWindow(out))
+  }
+
+  test("factorizeColumns assigns first-seen codes without a global window or forced broadcast") {
+    val d = Seq((1, "b"), (2, "a"), (3, "b"), (4, "c"), (5, "a"))
+      .toDF("ord", "k").repartition(3)
+    val out = TypeOps.factorizeColumns(d, "k", "ord")
+    val got = out.collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("b", 0), ("a", 1), ("c", 2)))
+    assert(!hasGlobalWindow(out))
+  }
+}
