@@ -42,6 +42,26 @@ object QueriesReshape {
       .pivotLonger(index = Seq("l_orderkey", "l_linenumber"),
         namesTo = Seq(".value", "time", ".value"),
         namesPattern = Some("(x|y)_([0-9])(_mean)"))),
+    "pivot_longer_values_to_multi" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("mango"), col("l_discount").as("orange"),
+        col("l_extendedprice").as("watermelon"),
+        col("l_tax").as("gin"), (col("l_quantity") * 2).as("vodka"))
+      .pivotLongerValuesTo(index = Seq("l_orderkey", "l_linenumber"),
+        namesTo = Seq("fruit", "drink"), valuesTo = Seq("pounds", "ounces"),
+        namesPatterns = Seq("^(m|o|w)", "^(g|v)"))),
+    "pivot_longer_dict" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty1"), (col("l_quantity") * 2).as("qty2"),
+        col("l_discount").as("disc1"), (col("l_discount") * 2).as("disc2"))
+      .pivotLongerDict(index = Seq("l_orderkey", "l_linenumber"),
+        pattern = Seq("qty" -> "^qty", "disc" -> "^disc"))),
+    "pivot_longer_named_groups" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("x_1_mean"), (col("l_quantity") * 2).as("x_2_mean"),
+        col("l_discount").as("y_1_mean"), (col("l_discount") * 2).as("y_2_mean"))
+      .pivotLongerNamedGroups(index = Seq("l_orderkey", "l_linenumber"),
+        namesPattern = "(?P<_>x|y)_(?P<time>[0-9])(?P<__>_mean)")),
     "pivot_longer_spec" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
       .pivotLongerSpec(index = Seq("l_orderkey", "l_linenumber"),
@@ -52,6 +72,12 @@ object QueriesReshape {
       .pivotWider(index = Seq("o_custkey"), namesFrom = "o_orderstatus",
         valuesFrom = "o_totalprice", agg = "sum", knownValues = Seq("F", "O", "P"))
       .transformColumns(Seq("F", "O", "P"), c => round(c, 4))),
+    "pivot_wider_glue" -> ((s, d) => orders(s, d)
+      .pivotWider(index = Seq("o_custkey"), namesFrom = "o_orderstatus",
+        valuesFrom = "o_totalprice", agg = "sum", knownValues = Seq("F", "O", "P"),
+        namesGlue = "{_value}_{o_orderstatus}")
+      .transformColumns(Seq("o_totalprice_F", "o_totalprice_O", "o_totalprice_P"),
+        c => round(c, 4))),
     "expand_grid" -> ((s, d) =>
       operators.ReshapeOps.expandGrid(s, Seq(
         "k" -> Seq(1, 2, 3), "v" -> Seq("a", "b")))),
@@ -93,6 +119,20 @@ object QueriesReshape {
       """SELECT l_orderkey, l_linenumber, '1' AS time, l_quantity AS x_mean, l_discount AS y_mean FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, '2' AS time, l_quantity * 2 AS x_mean, l_discount * 2 AS y_mean FROM lineitem""".stripMargin,
+    "pivot_longer_values_to_multi" ->
+      """SELECT l_orderkey, l_linenumber, 'mango' AS fruit, 'gin' AS drink, l_quantity AS pounds, l_tax AS ounces FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'orange' AS fruit, 'vodka' AS drink, l_discount AS pounds, l_quantity * 2 AS ounces FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'watermelon' AS fruit, CAST(NULL AS VARCHAR) AS drink, l_extendedprice AS pounds, CAST(NULL AS DOUBLE) AS ounces FROM lineitem""".stripMargin,
+    "pivot_longer_dict" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_discount AS disc FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty, l_discount * 2 AS disc FROM lineitem""".stripMargin,
+    "pivot_longer_named_groups" ->
+      """SELECT l_orderkey, l_linenumber, '1' AS time, l_quantity AS x_mean, l_discount AS y_mean FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, '2' AS time, l_quantity * 2 AS x_mean, l_discount * 2 AS y_mean FROM lineitem""".stripMargin,
     "pivot_longer_spec" ->
       """SELECT l_orderkey, l_linenumber, 'quantity' AS kind, l_quantity AS val FROM lineitem
         |UNION ALL
@@ -102,6 +142,12 @@ object QueriesReshape {
         |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
         |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
         |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "pivot_wider_glue" ->
+      """SELECT o_custkey,
+        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS o_totalprice_F,
+        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_totalprice_O,
+        |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS o_totalprice_P
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "expand_grid" ->
       """SELECT * FROM (VALUES (1),(2),(3)) t(k) CROSS JOIN (VALUES ('a'),('b')) s(v)""",

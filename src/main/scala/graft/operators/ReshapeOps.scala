@@ -114,14 +114,7 @@ object ReshapeOps {
     require(namesTo.length == namesPatterns.length,
       "pivot_longer: names_to and names_pattern sequences must align")
     val valueCols = df.columns.filterNot(index.contains(_)).toSeq
-    val regexes = namesPatterns.map(_.r)
-    val claimed = valueCols.flatMap { c =>
-      regexes.zipWithIndex.collectFirst {
-        case (r, gi) if r.findFirstIn(c).isDefined => (gi, c)
-      }
-    }
-    val groups: Seq[Seq[String]] =
-      namesTo.indices.map(gi => claimed.collect { case (`gi`, c) => c })
+    val groups = claimColumns(valueCols, namesPatterns)
     val maxLen = groups.map(_.length).max
     val structs = (0 until maxLen).map { p =>
       struct(namesTo.zip(groups).map { case (n, cols) =>
@@ -132,6 +125,97 @@ object ReshapeOps {
       explode(array(structs: _*)).as("__pl")): _*)
       .select((index.map(n => col(s"`$n`")) ++
         namesTo.map(n => col(s"__pl.`$n`").as(n))): _*)
+  }
+
+  /** Tuple `values_to` form (reference: pivot.py:1044-1161, doctest
+    * "Multiple values_to"): each regex claims its matching source columns
+    * (first match wins, search semantics); group g's claimed column at
+    * position p contributes its NAME to output column namesTo(g) and its
+    * VALUE to output column valuesTo(g). Positions pair across groups
+    * zip_longest-style: ragged groups null-fill both the name and the value
+    * (the reference's (watermelon, None) pairing).
+    */
+  def pivotLongerValuesTo(df: DataFrame, index: Seq[String], namesTo: Seq[String],
+      valuesTo: Seq[String], namesPatterns: Seq[String],
+      columnNames: Seq[String] = Nil): DataFrame = {
+    require(namesTo.length == namesPatterns.length,
+      "pivot_longer: names_to and names_pattern sequences must align (pivot.py:721-726)")
+    require(valuesTo.length == namesPatterns.length,
+      "pivot_longer: values_to and names_pattern sequences must align (pivot.py:736-741)")
+    val valueCols = if (columnNames.nonEmpty) columnNames
+      else df.columns.filterNot(index.contains(_)).toSeq
+    val groups = claimColumns(valueCols, namesPatterns)
+    val maxLen = groups.map(_.length).max
+    val structs = (0 until maxLen).map { p =>
+      val nameCols = namesTo.zip(groups).map { case (n, cols) =>
+        cols.lift(p).map(c => lit(c)).getOrElse(lit(null).cast("string")).as(n)
+      }
+      val valCols = valuesTo.zip(groups).map { case (v, cols) =>
+        cols.lift(p).map(c => col(s"`$c`")).getOrElse(lit(null)).as(v)
+      }
+      struct(nameCols ++ valCols: _*)
+    }
+    df.select((index.map(n => col(s"`$n`")) :+
+      explode(array(structs: _*)).as("__pl")): _*)
+      .select((index.map(n => col(s"`$n`")) ++
+        (namesTo ++ valuesTo).map(n => col(s"__pl.`$n`").as(n))): _*)
+  }
+
+  /** Dictionary `names_pattern` (reference: pivot.py:762-789, doctest
+    * "passing a dictionary"): keys are the new value-column names, values
+    * are the claiming regexes — exactly the sequence form with
+    * names_to = keys. Ordered pairs stand in for Python's dict.
+    */
+  def pivotLongerDict(df: DataFrame, index: Seq[String],
+      pattern: Seq[(String, String)]): DataFrame =
+    pivotLongerMulti(df, index, pattern.map(_._1), pattern.map(_._2))
+
+  /** Nested-dictionary `names_pattern` (reference: pivot.py doctest
+    * "nested dictionary"): outer key → names_to, inner key → values_to,
+    * inner value → claiming regex. Triples (namesTo, valuesTo, regex)
+    * stand in for Python's nested dict.
+    */
+  def pivotLongerNestedDict(df: DataFrame, index: Seq[String],
+      pattern: Seq[(String, String, String)]): DataFrame =
+    pivotLongerValuesTo(df, index, pattern.map(_._1), pattern.map(_._2),
+      pattern.map(_._3))
+
+  /** Named-group `names_pattern` with no names_to (reference: pivot.py
+    * doctest "named groups", :196-204): group names become names_to; a name
+    * of only underscores (_, __, ...) is the `.value` placeholder. Accepts
+    * both Python `(?P<name>...)` and Java `(?<name>...)` spellings; names
+    * are stripped before matching so underscore names (illegal in Java
+    * regex) never reach the compiler.
+    */
+  def pivotLongerNamedGroups(df: DataFrame, index: Seq[String],
+      namesPattern: String, valuesTo: String = "value",
+      columnNames: Seq[String] = Nil, dropna: Boolean = false,
+      namesTransform: Map[String, String] = Map.empty): DataFrame = {
+    val nameRe = """\(\?P?<([^>]+)>""".r
+    val names = nameRe.findAllMatchIn(namesPattern).map(_.group(1)).toSeq
+    require(names.nonEmpty, "pivot_longer: names_pattern has no named groups and names_to is absent")
+    val namesTo = names.map(n => if (n.forall(_ == '_')) ".value" else n)
+    val stripped = nameRe.replaceAllIn(namesPattern, "(")
+    pivotLonger(df, index, namesTo, valuesTo, namesPattern = Some(stripped),
+      columnNames = columnNames, dropna = dropna, namesTransform = namesTransform)
+  }
+
+  /** First-match-wins column claiming shared by the sequence forms; raises
+    * when a regex claims nothing, like the reference (pivot.py:1066-1070).
+    */
+  private def claimColumns(valueCols: Seq[String],
+      namesPatterns: Seq[String]): Seq[Seq[String]] = {
+    val regexes = namesPatterns.map(_.r)
+    val claimed = valueCols.flatMap { c =>
+      regexes.zipWithIndex.collectFirst {
+        case (r, gi) if r.findFirstIn(c).isDefined => (gi, c)
+      }
+    }
+    namesPatterns.zipWithIndex.foreach { case (p, gi) =>
+      require(claimed.exists(_._1 == gi),
+        s"pivot_longer: no match was returned for the regex $p")
+    }
+    namesPatterns.indices.map(gi => claimed.collect { case (`gi`, c) => c })
   }
 
   /** Declarative long-form with a user-provided spec
@@ -157,16 +241,27 @@ object ReshapeOps {
   }
 
   /** long→wide (reference: janitor/functions/pivot.py:1865-2203).
-    * `namesExpand` supplies the full category universe (from
-    * [[TypeOps.encodeCategorical]]'s registry or explicitly) so unseen
-    * categories still become (null) columns AND Spark skips the extra
-    * distinct-values job — both correctness and a scale win.
+    * `knownValues` supplies the full category universe explicitly;
+    * `namesExpand` (pivot.py:1874,1960-1980) reads it from the
+    * [[TypeOps.encodeCategorical]] registry on `namesFrom`. Either way,
+    * unseen categories still become (null) columns AND Spark skips the
+    * extra distinct-values job — both correctness and a scale win.
+    * `namesGlue` (pivot.py:1872,1937-1943) templates the new labels:
+    * `{_value}` is the values_from name, `{<names_from>}` the pivoted value
+    * — e.g. "{_value}_step{step}" → "a_step1".
     */
   def pivotWider(df: DataFrame, index: Seq[String], namesFrom: String,
       valuesFrom: String, agg: String = "first", namesPrefix: String = "",
-      knownValues: Seq[String] = Nil): DataFrame = {
+      knownValues: Seq[String] = Nil, namesGlue: String = "",
+      namesExpand: Boolean = false): DataFrame = {
+    val universe =
+      if (namesExpand)
+        TypeOps.categoriesOf(df, namesFrom).getOrElse(throw new IllegalArgumentException(
+          s"pivot_wider: names_expand=true but '$namesFrom' has no category registry " +
+            "(encode_categorical it first, or pass knownValues)"))
+      else knownValues
     val grouped = df.groupBy(index.map(n => col(s"`$n`")): _*)
-    val piv = if (knownValues.nonEmpty) grouped.pivot(namesFrom, knownValues)
+    val piv = if (universe.nonEmpty) grouped.pivot(namesFrom, universe)
       else grouped.pivot(namesFrom)
     val out = agg match {
       case "first" => piv.agg(first(col(s"`$valuesFrom`")))
@@ -177,12 +272,13 @@ object ReshapeOps {
       case "min" => piv.agg(min(col(s"`$valuesFrom`")))
       case other => throw new IllegalArgumentException(s"pivot_wider: bad agg $other")
     }
-    if (namesPrefix.isEmpty) out
-    else {
-      val renamed = out.columns.map(c =>
-        if (index.contains(c)) c else namesPrefix + c)
-      out.toDF(renamed.toIndexedSeq: _*)
-    }
+    val rename: String => String =
+      if (namesGlue.nonEmpty)
+        v => namesGlue.replace("{_value}", valuesFrom).replace(s"{$namesFrom}", v)
+      else if (namesPrefix.nonEmpty) v => namesPrefix + v
+      else identity
+    val renamed = out.columns.map(c => if (index.contains(c)) c else rename(c))
+    out.toDF(renamed.toIndexedSeq: _*)
   }
 
   /** Cartesian product of named value lists

@@ -164,11 +164,25 @@ object syntax {
         columnNames, dropna, namesTransform)
     def pivotLongerMulti(index: Seq[String], namesTo: Seq[String], namesPatterns: Seq[String]): DataFrame =
       ReshapeOps.pivotLongerMulti(df, index, namesTo, namesPatterns)
+    def pivotLongerValuesTo(index: Seq[String], namesTo: Seq[String], valuesTo: Seq[String],
+        namesPatterns: Seq[String], columnNames: Seq[String] = Nil): DataFrame =
+      ReshapeOps.pivotLongerValuesTo(df, index, namesTo, valuesTo, namesPatterns, columnNames)
+    def pivotLongerDict(index: Seq[String], pattern: Seq[(String, String)]): DataFrame =
+      ReshapeOps.pivotLongerDict(df, index, pattern)
+    def pivotLongerNestedDict(index: Seq[String], pattern: Seq[(String, String, String)]): DataFrame =
+      ReshapeOps.pivotLongerNestedDict(df, index, pattern)
+    def pivotLongerNamedGroups(index: Seq[String], namesPattern: String,
+        valuesTo: String = "value", columnNames: Seq[String] = Nil,
+        dropna: Boolean = false, namesTransform: Map[String, String] = Map.empty): DataFrame =
+      ReshapeOps.pivotLongerNamedGroups(df, index, namesPattern, valuesTo,
+        columnNames, dropna, namesTransform)
     def pivotLongerSpec(index: Seq[String], spec: Seq[(String, String, Map[String, String])]): DataFrame =
       ReshapeOps.pivotLongerSpec(df, index, spec)
     def pivotWider(index: Seq[String], namesFrom: String, valuesFrom: String,
-        agg: String = "first", namesPrefix: String = "", knownValues: Seq[String] = Nil): DataFrame =
-      ReshapeOps.pivotWider(df, index, namesFrom, valuesFrom, agg, namesPrefix, knownValues)
+        agg: String = "first", namesPrefix: String = "", knownValues: Seq[String] = Nil,
+        namesGlue: String = "", namesExpand: Boolean = false): DataFrame =
+      ReshapeOps.pivotWider(df, index, namesFrom, valuesFrom, agg, namesPrefix,
+        knownValues, namesGlue, namesExpand)
     def expand(columns: String*): DataFrame = ReshapeOps.expand(df, columns)
     def expandBy(by: Seq[String], columns: Seq[String]): DataFrame =
       ReshapeOps.expandBy(df, by, columns)

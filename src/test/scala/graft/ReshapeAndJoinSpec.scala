@@ -35,12 +35,97 @@ class ReshapeAndJoinSpec extends SparkSpec {
     assert(r.getString(1) == "metric" && r.getString(2) == "2024" && r.getDouble(3) == 5.0)
   }
 
+  test("pivotLongerValuesTo: the reference Fruit/Drink doctest, ragged groups null-fill") {
+    // pivot.py doctest "Multiple values_to" — golden output ported
+    val d = Seq(("Houston", "Texas", 4, 10, 40, 16, 20),
+      ("Austin", "Texas", 10, 8, 99, 200, 33),
+      ("Hoover", "Alabama", 90, 14, 43, 34, 18))
+      .toDF("City", "State", "Mango", "Orange", "Watermelon", "Gin", "Vodka")
+    val out = d.pivotLongerValuesTo(index = Seq("City", "State"),
+      namesTo = Seq("Fruit", "Drink"), valuesTo = Seq("Pounds", "Ounces"),
+      namesPatterns = Seq("M|O|W", "G|V"))
+    assert(out.columns.toSeq == Seq("City", "State", "Fruit", "Drink", "Pounds", "Ounces"))
+    val got = out.collect().map(r => (r.getString(0), r.getString(2),
+      Option(r.get(3)), r.getInt(4), Option(r.get(5)))).toSet
+    assert(got == Set(
+      ("Houston", "Mango", Some("Gin"), 4, Some(16)),
+      ("Austin", "Mango", Some("Gin"), 10, Some(200)),
+      ("Hoover", "Mango", Some("Gin"), 90, Some(34)),
+      ("Houston", "Orange", Some("Vodka"), 10, Some(20)),
+      ("Austin", "Orange", Some("Vodka"), 8, Some(33)),
+      ("Hoover", "Orange", Some("Vodka"), 14, Some(18)),
+      ("Houston", "Watermelon", None, 40, None),
+      ("Austin", "Watermelon", None, 99, None),
+      ("Hoover", "Watermelon", None, 43, None)))
+  }
+
+  test("pivotLongerDict and pivotLongerNestedDict: the reference year/hr doctests") {
+    val d = Seq((514, 545, "Red Sox", 2007, 2008), (573, 526, "Yankees", 2007, 2008))
+      .toDF("hr1", "hr2", "team", "year1", "year2")
+    val flat = d.pivotLongerDict(index = Seq("team"),
+      pattern = Seq("year" -> "year", "hr" -> "hr"))
+    assert(flat.columns.toSeq == Seq("team", "year", "hr"))
+    val got = flat.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set(("Red Sox", 2007, 514), ("Yankees", 2007, 573),
+      ("Red Sox", 2008, 545), ("Yankees", 2008, 526)))
+    // nested dict == values_to form
+    val nested = d.pivotLongerNestedDict(index = Seq("team"),
+      pattern = Seq(("year_name", "year", "year"), ("hr_name", "hr", "hr")))
+    assert(nested.columns.toSeq == Seq("team", "year_name", "hr_name", "year", "hr"))
+    val n0 = nested.filter(col("team") === "Red Sox" && col("year_name") === "year1").collect()(0)
+    assert(n0.getInt(3) == 2007 && n0.getString(2) == "hr1" && n0.getInt(4) == 514)
+  }
+
+  test("pivotLongerNamedGroups: underscore groups are .value placeholders") {
+    val d = Seq((10, 20, 30, 40, 50)).toDF("x_1_mean", "x_2_mean", "y_1_mean", "y_2_mean", "unit")
+    val out = d.pivotLongerNamedGroups(index = Seq("unit"),
+      namesPattern = "(?P<_>x|y)_(?P<time>[0-9])(?P<__>_mean)")
+    // doctest: unit time x_mean y_mean — targets sorted alphabetically
+    val got = out.collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(out.columns.toSeq == Seq("unit", "time", "x_mean", "y_mean"))
+    assert(got == Set(("1", 10, 30), ("2", 20, 40)))
+  }
+
+  test("pivotLongerMulti raises when a regex claims no column") {
+    val d = Seq((1, 2)).toDF("a1", "b1")
+    intercept[IllegalArgumentException] {
+      d.pivotLongerMulti(Seq("a1"), Seq("x", "y"), Seq("^b", "^zzz"))
+    }
+  }
+
   test("pivotWider namesPrefix and unseen known values") {
     val d = Seq((1, "x", 2.0)).toDF("id", "k", "v")
     val out = d.pivotWider(Seq("id"), "k", "v", agg = "sum",
       namesPrefix = "k_", knownValues = Seq("x", "y"))
     assert(out.columns.toSeq == Seq("id", "k_x", "k_y"))
     assert(out.collect()(0).isNullAt(2))
+  }
+
+  test("pivotWider namesGlue templates labels like the reference doctest") {
+    // pivot.py doctest: names_glue = "{_value}_step{step}" -> a_step1 ...
+    val d = Seq((5.5, 1, 20), (5.5, 2, 25), (6.1, 1, 22), (6.1, 2, 18))
+      .toDF("dep", "step", "a")
+    val out = d.pivotWider(Seq("dep"), namesFrom = "step", valuesFrom = "a",
+      namesGlue = "{_value}_step{step}")
+    assert(out.columns.toSeq == Seq("dep", "a_step1", "a_step2"))
+    val r = out.filter(col("dep") === 5.5).collect()(0)
+    assert(r.getInt(1) == 20 && r.getInt(2) == 25)
+  }
+
+  test("pivotWider namesExpand reads the category registry; unseen categories become null columns") {
+    val weekdays = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+    val d = Seq(("Tue", 2), ("Thu", 3), ("Fri", 1), ("Mon", 5)).toDF("day", "value")
+      .withColumn("id", lit(0))
+    val cat = graft.operators.TypeOps.encodeCategorical(d, "day", weekdays)
+    val out = cat.pivotWider(Seq("id"), namesFrom = "day", valuesFrom = "value",
+      namesExpand = true)
+    assert(out.columns.toSeq == "id" +: weekdays)
+    val r = out.collect()(0)
+    assert(r.getInt(1) == 5 && r.isNullAt(3) && r.isNullAt(6) && r.isNullAt(7))
+    // without a registry, names_expand raises
+    intercept[IllegalArgumentException] {
+      d.pivotWider(Seq("id"), "day", "value", namesExpand = true)
+    }
   }
 
   test("complete explicitOnlyNew leaves existing nulls alone") {
