@@ -93,4 +93,57 @@ object ScaleWindows {
           .drop("__bkt", "__loc")
     }
   }
+
+  /** Scale-safe lag(1) in global `orderCol` order for several columns at
+    * once: per-bucket window lag, then each bucket's first row takes the
+    * previous non-empty bucket's last value — computed with one bounded
+    * max_by aggregate (≤ nBuckets rows), carried forward on the driver and
+    * baked back in as literal CASEs. Adds `<col><suffix>` per input column.
+    * Falls back to the single-partition window for non-bucketable orders.
+    */
+  def lag1(df: DataFrame, orderCol: String, cols: Seq[String],
+      suffix: String = "__prev", nBuckets: Int = 0): DataFrame = {
+    val n = if (nBuckets > 0) nBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    orderAsDouble(df, orderCol) match {
+      case None =>
+        val w = Window.orderBy(col(s"`$orderCol`"))
+        cols.foldLeft(df)((acc, c) =>
+          acc.withColumn(c + suffix, lag(col(s"`$c`"), 1).over(w)))
+      case Some(ord) =>
+        val probes = (1 until n).map(_.toDouble / n).toArray
+        val bounds = df.select(ord.as("__ord")).na.drop()
+          .stat.approxQuantile("__ord", probes, 0.001)
+          .distinct.sorted
+        val b = df.withColumn("__bkt", bucketOf(ord, bounds))
+        val w = Window.partitionBy(col("__bkt")).orderBy(col(s"`$orderCol`"))
+        // last row per bucket (by order), one bounded collect
+        val lastRows = b.groupBy(col("__bkt"))
+          .agg(cols.map(c => max_by(col(s"`$c`"), col(s"`$orderCol`")).as(c)): _*)
+          .collect()
+          .sortBy(_.getInt(0))
+        // carry[bucket] = last values of the nearest non-empty bucket below
+        val carries: Seq[(Int, Seq[Any])] = {
+          var prev: Option[Seq[Any]] = None
+          lastRows.toSeq.map { r =>
+            val bkt = r.getInt(0)
+            val entry = bkt -> prev.orNull
+            prev = Some(cols.indices.map(i => r.get(i + 1)))
+            entry
+          }.collect { case (bkt, vals: Seq[Any] @unchecked) if vals != null => bkt -> vals }
+        }
+        val withRn = b.withColumn("__rn1", row_number().over(w))
+        val out = cols.zipWithIndex.foldLeft(withRn) { case (acc, (c, i)) =>
+          val dt = df.schema(c).dataType
+          val carryExpr = carries.foldLeft(lit(null).cast(dt)) {
+            case (e, (bkt, vals)) =>
+              when(col("__bkt") === bkt, lit(vals(i)).cast(dt)).otherwise(e)
+          }
+          acc.withColumn(c + suffix,
+            when(col("__rn1") === 1, carryExpr)
+              .otherwise(lag(col(s"`$c`"), 1).over(w)))
+        }
+        out.drop("__bkt", "__rn1")
+    }
+  }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Timeseries verbs (SURVEY §2.12; reference: janitor/timeseries.py).
+  * pandas keys these off the DatetimeIndex; the Spark forms take the
+  * timestamp/order column explicitly.
+  */
+object TimeseriesOps {
+
+  /** Reindex over a complete timestamp grid (reference:
+    * janitor/timeseries.py:14-77): rows whose timestamp is missing from
+    * grid(first..last step frequency) appear with null value columns.
+    * `frequency` is a Spark interval string ("1 hour", "15 minutes").
+    * Bounds default to min/max of the data (one tiny aggregate). The grid
+    * explodes from a one-row frame and joins back keyed on the timestamp —
+    * shuffle on ts only; note the grid array materializes on one task, so
+    * pick a frequency whose span/step stays in the millions.
+    */
+  def fillMissingTimestamps(df: DataFrame, tsCol: String, frequency: String,
+      firstTimeStamp: Option[java.sql.Timestamp] = None,
+      lastTimeStamp: Option[java.sql.Timestamp] = None): DataFrame = {
+    val bounds = df.agg(
+      firstTimeStamp.map(lit).getOrElse(min(col(s"`$tsCol`"))).as("__lo"),
+      lastTimeStamp.map(lit).getOrElse(max(col(s"`$tsCol`"))).as("__hi"))
+    val grid = bounds.select(explode(
+      expr(s"sequence(__lo, __hi, interval $frequency)")).as(tsCol))
+    grid.join(df, Seq(tsCol), "left")
+  }
+
+  /** Sort so the timestamp column is monotonic (reference:
+    * janitor/timeseries.py:225-256). strict=true drops duplicate
+    * timestamps keeping the first occurrence — "first" needs a total order
+    * in a distributed setting, so pass `tiebreak` columns (pandas uses
+    * positional order, which doesn't exist here; SURVEY §7.7).
+    */
+  def sortTimestampsMonotonically(df: DataFrame, tsCol: String,
+      direction: String = "increasing", strict: Boolean = false,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(direction == "increasing" || direction == "decreasing",
+      s"sort_timestamps_monotonically: bad direction $direction")
+    val deduped =
+      if (!strict) df
+      else if (tiebreak.nonEmpty)
+        GroupedOps.takeFirst(df, Seq(tsCol), tiebreak.head,
+          tiebreak = tiebreak.tail)
+      else df.dropDuplicates(tsCol)
+    if (direction == "increasing") deduped.orderBy(col(s"`$tsCol`").asc)
+    else deduped.orderBy(col(s"`$tsCol`").desc)
+  }
+
+  /** Per-column jump criteria (reference: janitor/timeseries.py:257-399).
+    * scale ∈ absolute|percentage, direction ∈ increasing|decreasing|any,
+    * threshold ≥ 0 (always a strict greater-than check).
+    */
+  case class JumpCriteria(scale: String = "percentage",
+      direction: String = "any", threshold: Double = 0.0) {
+    require(Seq("absolute", "percentage").contains(scale),
+      s"flag_jumps: unrecognized scale '$scale'")
+    require(Seq("increasing", "decreasing", "any").contains(direction),
+      s"flag_jumps: unrecognized direction '$direction'")
+    require(threshold >= 0.0,
+      s"flag_jumps: threshold $threshold must be >= 0.0; use direction for sign intent")
+  }
+
+  /** Flag rows whose change vs the previous row (in `orderCol` order — the
+    * stand-in for the pandas index) exceeds the criteria; appends
+    * `<col>_jump_flag` (0/1) per flagged column. Default criteria apply to
+    * every column except `orderCol`; `perColumn` overrides individually;
+    * strict=true flags ONLY the perColumn keys (reference raises when
+    * strict and no dict was given). The consecutive-row lag is the
+    * scale-safe bucketed [[ScaleWindows.lag1]] — no single-partition window.
+    */
+  def flagJumps(df: DataFrame, orderCol: String,
+      default: JumpCriteria = JumpCriteria(),
+      perColumn: Map[String, JumpCriteria] = Map.empty,
+      strict: Boolean = false): DataFrame = {
+    if (strict) require(perColumn.nonEmpty,
+      "flag_jumps: when enacting strict=true, per-column criteria must be provided")
+    val cols =
+      if (strict) perColumn.keys.toSeq.sorted
+      else df.columns.filterNot(_ == orderCol).toSeq.sorted
+    val lagged = ScaleWindows.lag1(df, orderCol, cols)
+    val flagged = cols.foldLeft(lagged) { (acc, c) =>
+      val crit = perColumn.getOrElse(c, default)
+      val cur = col(s"`$c`").cast("double")
+      val prev = col(s"`${c}__prev`").cast("double")
+      val diff = cur - prev
+      val pct = cur / prev - 1.0
+      val cond = (crit.scale, crit.direction) match {
+        case ("percentage", "increasing") => (diff > 0) && (abs(pct) > crit.threshold)
+        case ("percentage", "decreasing") => (diff < 0) && (abs(pct) > crit.threshold)
+        case ("percentage", _) => abs(pct) > crit.threshold
+        case ("absolute", "increasing") => diff > crit.threshold
+        case ("absolute", "decreasing") => (diff < 0) && (abs(diff) > crit.threshold)
+        case ("absolute", _) => abs(diff) > crit.threshold
+      }
+      acc.withColumn(s"${c}_jump_flag", when(cond, 1).otherwise(0))
+    }
+    flagged.drop(cols.map(_ + "__prev"): _*)
+  }
+}

@@ -202,6 +202,20 @@ object syntax {
         hiInclusive: Boolean = true): DataFrame =
       JoinOps.rangeJoin(df, right, xCol, loCol, hiCol, bandWidth, how, loInclusive, hiInclusive)
 
+    // §2.12 timeseries
+    def fillMissingTimestamps(tsCol: String, frequency: String,
+        firstTimeStamp: Option[java.sql.Timestamp] = None,
+        lastTimeStamp: Option[java.sql.Timestamp] = None): DataFrame =
+      TimeseriesOps.fillMissingTimestamps(df, tsCol, frequency, firstTimeStamp, lastTimeStamp)
+    def sortTimestampsMonotonically(tsCol: String, direction: String = "increasing",
+        strict: Boolean = false, tiebreak: Seq[String] = Nil): DataFrame =
+      TimeseriesOps.sortTimestampsMonotonically(df, tsCol, direction, strict, tiebreak)
+    def flagJumps(orderCol: String,
+        default: TimeseriesOps.JumpCriteria = TimeseriesOps.JumpCriteria(),
+        perColumn: Map[String, TimeseriesOps.JumpCriteria] = Map.empty,
+        strict: Boolean = false): DataFrame =
+      TimeseriesOps.flagJumps(df, orderCol, default, perColumn, strict)
+
     // §2.10 math (aggregate-normalized forms)
     def softmaxOf(column: String, dest: String): DataFrame =
       graft.functions.MathFunctions.softmax(df, column, dest)
