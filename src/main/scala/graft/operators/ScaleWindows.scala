@@ -118,8 +118,9 @@ object ScaleWindows {
         val b = df.withColumn("__bkt", bucketOf(ord, bounds))
         val w = Window.partitionBy(col("__bkt")).orderBy(col(s"`$orderCol`"))
         // last row per bucket (by order), one bounded collect
+        val lastAggs = cols.map(c => max_by(col(s"`$c`"), col(s"`$orderCol`")).as(c))
         val lastRows = b.groupBy(col("__bkt"))
-          .agg(cols.map(c => max_by(col(s"`$c`"), col(s"`$orderCol`")).as(c)): _*)
+          .agg(lastAggs.head, lastAggs.tail: _*)
           .collect()
           .sortBy(_.getInt(0))
         // carry[bucket] = last values of the nearest non-empty bucket below
