@@ -92,27 +92,50 @@ object Similarity {
       struct(lit(t).as("tbl"), lshBuckets(vec, numPlanes, t).as("bucket"))
     }: _*)
 
+  /** Per-cell similarity scores for argmax/ordering: element i is
+    * dot(vec, centroid_i) / |centroid_i| — cosine scaled by the row's own
+    * |vec|, a positive per-row constant, so argmax and top-nProbe order are
+    * identical to cosine while skipping the per-row norm entirely. Unrolled
+    * over the (driver-side) centroid table into a plain `array(...)` of
+    * codegen'd [[graft.functions.vector.DotProduct]] calls — no interpreted
+    * higher-order functions in the hot path; centroid norms are literals.
+    */
+  private def cellSims(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.toIndexedSeq.map { cvec =>
+      val cn = math.sqrt(cvec.map(x => x * x).sum)
+      // float literals so the codegen dot kernel sees matching
+      // array<float> element types on both sides
+      val clit = array(cvec.map(x => lit(x.toFloat)).toIndexedSeq: _*)
+      dot(vec, clit) / lit(cn)
+    }: _*)
+
+  /** Nearest-cell id (1-based, first index among ties — same contract as
+    * `array_position(sims, array_max(sims))`). `sims` must be a bound
+    * attribute, not the producing expression: referencing an expensive alias
+    * twice keeps CollapseProject from inlining it, so the sims array is
+    * computed once per row.
+    */
+  private def argmaxCell(sims: Column): Column =
+    array_position(sims, array_max(sims)).cast("int")
+
   /** K-means (Lloyd) refinement of an initial centroid table, run as
-    * DataFrame jobs: assign every training vector to its nearest centroid
-    * by cosine, recompute per-cell component means via posexplode +
-    * groupBy(cell, pos) (a map-side-combinable agg — the collect is
-    * bounded at nCells × dim rows), repeat. Components are rounded to 6 dp
-    * so float summation order can't leak into the result. Empty cells keep
-    * their previous centroid. At 100 TB, train on a deterministic sample
-    * (pass a filtered `train` frame), not the full corpus.
+    * DataFrame jobs: assign every training vector to its nearest centroid,
+    * recompute per-cell component means via posexplode + groupBy(cell, pos)
+    * (a map-side-combinable agg — the collect is bounded at nCells × dim
+    * rows), repeat. Components are rounded to 6 dp so float summation order
+    * can't leak into the result. Empty cells keep their previous centroid.
+    * Callers pass a bounded, checkpointed sample as `train` so each Lloyd
+    * step is one scan of a small cached frame, not the full corpus.
     */
   private def kmeansRefine(train: DataFrame, vecCol: String,
       init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     var centroids = init
     val dim = init.head.length
     for (_ <- 0 until iters) {
-      // float literals so the codegen dot/norm kernels see matching
-      // array<float> element types on both sides
-      val centroidArr = array(centroids.map(v =>
-        array(v.map(x => lit(x.toFloat)).toIndexedSeq: _*)).toIndexedSeq: _*)
-      val sims = transform(centroidArr, c => dot(col(vecCol), c) / (norm(col(vecCol)) * norm(c)))
-      val cell = array_position(sims, array_max(sims)).cast("int")
-      val means = train.select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      val assigned = train
+        .withColumn("__sims", cellSims(col(vecCol), centroids))
+        .withColumn("cell", argmaxCell(col("__sims")))
+      val means = assigned.select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
         .collect()
       val next = centroids.map(_.clone())
@@ -136,7 +159,7 @@ object Similarity {
     */
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8,
-      kmeansIters: Int = 5, roundTo: Int = 6): DataFrame = {
+      kmeansIters: Int = 5, roundTo: Int = 6, trainTarget: Int = 4096): DataFrame = {
     val n = corpus.count()
     val stride = math.max(1L, n / nCells)
     val seed = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
@@ -145,25 +168,32 @@ object Similarity {
       .collect()
       .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
     require(seed.nonEmpty, "ivfCosineTopK: empty centroid sample")
-    val centroids = kmeansRefine(corpus.select(vecCol), vecCol, seed, kmeansIters)
-    val centroidArr = array(centroids.map(v =>
-      array(v.map(x => lit(x.toFloat)).toIndexedSeq: _*)).toIndexedSeq: _*)
-    def cellSims(vec: Column): Column =
-      transform(centroidArr, c => dot(vec, c) / (norm(vec) * norm(c)))
-    // corpus vector -> its single nearest cell (argmax cosine; narrow)
-    def cellOf(vec: Column): Column =
-      array_position(cellSims(vec), array_max(cellSims(vec))).cast("int")
+    // Lloyd steps run on a deterministic hash-sampled projection of ≈
+    // trainTarget rows, checkpointed once — each iteration scans a small
+    // cached frame instead of re-reading the full corpus. Sampling only
+    // moves centroids, never candidates; recall is gated downstream.
+    val trainMod = math.max(1L, n / math.max(trainTarget, nCells).toLong)
+    val train = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+      .select(col(vecCol))
+      .localCheckpoint()
+    val centroids = kmeansRefine(train, vecCol, seed, kmeansIters)
     // query -> its nProbe nearest cells: sort struct(-sim, idx) ascending,
-    // slice the head. Stays a narrow expression; no window needed.
-    def probeCells(vec: Column): Column = {
-      val zipped = zip_with(cellSims(vec), sequence(lit(1), lit(nCells)),
+    // slice the head. The 16-wide sort is interpreted but runs on a sims
+    // array already materialized once per row.
+    def probeCells(sims: Column): Column = {
+      val zipped = zip_with(sims, sequence(lit(1), lit(nCells)),
         (s, i) => struct((-s).as("neg"), i.as("idx")))
       transform(slice(array_sort(zipped), 1, nProbe), s => s.getField("idx").cast("int"))
     }
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      norm(col(vecCol)).as("qnorm"), explode(probeCells(col(vecCol))).as("cell"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      norm(col(vecCol)).as("nnorm"), cellOf(col(vecCol)).as("cell"))
+    val q = queries
+      .withColumn("__sims", cellSims(col(vecCol), centroids))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"), explode(probeCells(col("__sims"))).as("cell"))
+    val c = corpus
+      .withColumn("__sims", cellSims(col(vecCol), centroids))
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        norm(col(vecCol)).as("nnorm"), argmaxCell(col("__sims")).as("cell"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(
