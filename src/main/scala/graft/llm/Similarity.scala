@@ -180,11 +180,16 @@ object Similarity {
     val centroids = kmeansRefine(train, vecCol, seed, kmeansIters)
     // query -> its nProbe nearest cells: sort struct(-sim, idx) ascending,
     // slice the head. The 16-wide sort is interpreted but runs on a sims
-    // array already materialized once per row.
+    // array already materialized once per row. The sequence length is the
+    // driver-known centroid count, NOT nCells: the stride seed can yield
+    // fewer centroids, and a longer sequence would null-pad the zip — ghost
+    // struct(null, idx) entries sort first and silently eat probe slots.
+    val nActual = centroids.length
+    val probes = math.min(nProbe, nActual)
     def probeCells(sims: Column): Column = {
-      val zipped = zip_with(sims, sequence(lit(1), lit(nCells)),
+      val zipped = zip_with(sims, sequence(lit(1), lit(nActual)),
         (s, i) => struct((-s).as("neg"), i.as("idx")))
-      transform(slice(array_sort(zipped), 1, nProbe), s => s.getField("idx").cast("int"))
+      transform(slice(array_sort(zipped), 1, probes), s => s.getField("idx").cast("int"))
     }
     val q = queries
       .withColumn("__sims", cellSims(col(vecCol), centroids))

@@ -12,28 +12,45 @@ object FillOps {
     * direction ∈ down(ffill) | up(bfill) | updown | downup
     * (reference: janitor/functions/fill.py:25-107)
     *
-    * Scale note: a global `orderBy` window is single-partition; when
-    * `partitionBy` keys are supplied the fill runs per-group and scales.
+    * Scale note: with `partitionBy` keys the fill runs per-group and scales
+    * directly. The global form routes through [[graft.operators.ScaleWindows]]
+    * — range-bucketed carry with bounded per-bucket boundary collects — so it
+    * never funnels the table through a single-partition window either (only
+    * a non-bucketable order type falls back to one, inside ScaleWindows).
     */
   def fillDirection(df: DataFrame, columns: Map[String, String], orderCol: String,
       partitionBy: Seq[String] = Nil): DataFrame = {
-    val base = if (partitionBy.nonEmpty)
-      Window.partitionBy(partitionBy.map(n => col(s"`$n`")): _*).orderBy(col(s"`$orderCol`"))
-    else Window.orderBy(col(s"`$orderCol`"))
-    val down = base.rowsBetween(Window.unboundedPreceding, 0)
-    val up = base.rowsBetween(0, Window.unboundedFollowing)
-    columns.foldLeft(df) { case (acc, (c, dir)) =>
-      val cc = col(s"`$c`")
-      val filled = dir match {
-        case "down" => last(cc, ignoreNulls = true).over(down)
-        case "up"   => first(cc, ignoreNulls = true).over(up)
-        case "updown" => coalesce(first(cc, ignoreNulls = true).over(up),
-          last(cc, ignoreNulls = true).over(down))
-        case "downup" => coalesce(last(cc, ignoreNulls = true).over(down),
-          first(cc, ignoreNulls = true).over(up))
-        case other => throw new IllegalArgumentException(s"fill_direction: bad direction $other")
+    val badDir = columns.values.find(d => !Set("down", "up", "updown", "downup")(d))
+    badDir.foreach(d => throw new IllegalArgumentException(s"fill_direction: bad direction $d"))
+    if (partitionBy.isEmpty) {
+      // updown = bfill then ffill the trailing remainder; downup = mirror —
+      // same values as coalesce(first-up, last-down) over a global window
+      val downCols = columns.collect { case (c, "down") => c }.toSeq
+      val upCols = columns.collect { case (c, "up") => c }.toSeq
+      val updownCols = columns.collect { case (c, "updown") => c }.toSeq
+      val downupCols = columns.collect { case (c, "downup") => c }.toSeq
+      var out = df
+      out = ScaleWindows.fillDown(out, orderCol, downCols ++ downupCols)
+      out = ScaleWindows.fillUp(out, orderCol, upCols ++ updownCols ++ downupCols)
+      out = ScaleWindows.fillDown(out, orderCol, updownCols)
+      out
+    } else {
+      val base = Window.partitionBy(partitionBy.map(n => col(s"`$n`")): _*)
+        .orderBy(col(s"`$orderCol`"))
+      val down = base.rowsBetween(Window.unboundedPreceding, 0)
+      val up = base.rowsBetween(0, Window.unboundedFollowing)
+      columns.foldLeft(df) { case (acc, (c, dir)) =>
+        val cc = col(s"`$c`")
+        val filled = dir match {
+          case "down" => last(cc, ignoreNulls = true).over(down)
+          case "up"   => first(cc, ignoreNulls = true).over(up)
+          case "updown" => coalesce(first(cc, ignoreNulls = true).over(up),
+            last(cc, ignoreNulls = true).over(down))
+          case "downup" => coalesce(last(cc, ignoreNulls = true).over(down),
+            first(cc, ignoreNulls = true).over(up))
+        }
+        acc.withColumn(c, filled)
       }
-      acc.withColumn(c, filled)
     }
   }
 

@@ -80,12 +80,20 @@ object JoinOps {
       val rightOrderCols = (condCols ++ restCols).map(n => col(s"`$n`"))
       val ordered = if (keep == "first") rightOrderCols.map(_.asc_nulls_last)
         else rightOrderCols.map(_.desc_nulls_last)
-      val w = Window.partitionBy(col("__lid")).orderBy(ordered: _*)
       // unmatched right rows under how=right/outer all carry a null __lid;
       // they are not "matches per left row", so the keep filter must pass
-      // every one of them through untouched (reference keeps unmatched rows)
-      joined = joined.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 || col("__lid").isNull).drop("__rn")
+      // every one of them through untouched (reference keeps unmatched rows).
+      // Salting the null-__lid class matters at scale: partitionBy(__lid)
+      // alone puts EVERY unmatched right row on one task. The salt spreads
+      // them across 1024 window partitions; their row numbers are ignored by
+      // the filter, and matched rows (salt pinned to 0) keep exact semantics.
+      val salted = joined.withColumn("__keep_salt",
+        when(col("__lid").isNull, pmod(monotonically_increasing_id(), lit(1024)))
+          .otherwise(lit(0L)))
+      val w = Window.partitionBy(col("__lid"), col("__keep_salt")).orderBy(ordered: _*)
+      joined = salted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 || col("__lid").isNull)
+        .drop("__rn", "__keep_salt")
     }
     if (indicator) {
       joined = joined.withColumn("_merge",

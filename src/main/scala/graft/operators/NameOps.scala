@@ -93,31 +93,51 @@ object NameOps {
   }
 
   /** Promote row(s) to header by position in `orderCol` order
-    * (reference: janitor/functions/row_to_names.py:16-183). Bounded action:
-    * collects only the header rows. Multiple rows join with `sep`
+    * (reference: janitor/functions/row_to_names.py:16-183). Scale-safe: the
+    * header prefix is fetched with orderBy(...).limit(maxRow+1) — Spark's
+    * TakeOrderedAndProject, a distributed top-k with per-partition
+    * pre-pruning — never a global row_number window (which funnels the whole
+    * table through one task). Row-removal filters are then expressed on
+    * `orderCol` *values* taken from the collected prefix, so the main scan
+    * needs no row numbering at all. Requires `orderCol` to order rows
+    * uniquely at the header positions (ties there would make "row i"
+    * ill-defined under any implementation). Multiple rows join with `sep`
     * (polars precedent: janitor/polars/row_to_names.py:23).
     */
   def rowToNames(df: DataFrame, orderCol: String, rowNumbers: Seq[Int],
       removeRows: Boolean = false, removeRowsAbove: Boolean = false,
       sep: String = "_"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(orderCol))
-    val withRn = df.withColumn("__rn", row_number().over(w) - 1)
-    val hdrRows = withRn.filter(col("__rn").isin(rowNumbers.map(Integer.valueOf): _*))
-      .orderBy("__rn").collect()
-    require(hdrRows.length == rowNumbers.length, "row_to_names: header rows missing")
+    require(rowNumbers.nonEmpty, "row_to_names: no row numbers given")
+    val maxRow = rowNumbers.max
+    val head = df.orderBy(col(s"`$orderCol`")).limit(maxRow + 1).collect()
+    require(head.length == maxRow + 1, "row_to_names: header rows missing")
+    val hdrRows = rowNumbers.map(head(_))
     val dataCols = df.columns
-    val newNames = dataCols.map { c =>
-      val idx = withRn.columns.indexOf(c)
+    val newNames = dataCols.zipWithIndex.map { case (_, idx) =>
       hdrRows.map(r => String.valueOf(r.get(idx))).mkString(sep)
     }
-    var out = withRn
-    if (removeRows) out = out.filter(!col("__rn").isin(rowNumbers.map(Integer.valueOf): _*))
+    val ordIdx = dataCols.indexOf(orderCol)
+    var out = df
+    if (removeRows) {
+      val hdrVals = hdrRows.map(r => lit(r.get(ordIdx)))
+      out = out.filter(!col(s"`$orderCol`").isin(hdrVals: _*))
+    }
     // only rows ABOVE the first header row are removed (row_to_names.py:144-183);
     // the header rows themselves are governed by removeRows
-    if (removeRowsAbove) out = out.filter(col("__rn") >= rowNumbers.min)
-    out.drop("__rn").toDF(newNames.toIndexedSeq: _*)
+    if (removeRowsAbove) {
+      val minVal = head(rowNumbers.min).get(ordIdx)
+      out = out.filter(col(s"`$orderCol`") >= lit(minVal))
+    }
+    out.toDF(newNames.toIndexedSeq: _*)
   }
+
+  /** Slice form of row_to_names (reference: row_to_names.py:144-183 accepts a
+    * python `slice`): rows [start, end) with `step`, same removal semantics.
+    */
+  def rowToNamesSlice(df: DataFrame, orderCol: String, start: Int, end: Int,
+      step: Int = 1, removeRows: Boolean = false,
+      removeRowsAbove: Boolean = false, sep: String = "_"): DataFrame =
+    rowToNames(df, orderCol, start until end by step, removeRows, removeRowsAbove, sep)
 
   /** Flatten multi-part names: our normal form is already flat, so this joins
     * struct-column subfields into top-level `parent<sep>child` columns

@@ -103,6 +103,7 @@ object ScaleWindows {
     */
   def lag1(df: DataFrame, orderCol: String, cols: Seq[String],
       suffix: String = "__prev", nBuckets: Int = 0): DataFrame = {
+    if (cols.isEmpty) return df
     val n = if (nBuckets > 0) nBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     orderAsDouble(df, orderCol) match {
@@ -145,6 +146,93 @@ object ScaleWindows {
               .otherwise(lag(col(s"`$c`"), 1).over(w)))
         }
         out.drop("__bkt", "__rn1")
+    }
+  }
+
+  /** Scale-safe global forward fill (ffill): per-bucket
+    * `last(ignoreNulls)` window, then rows the bucket can't fill (a leading
+    * all-null run) take the nearest earlier bucket's last non-null value —
+    * computed with one bounded agg (`max_by(c, order-if-non-null)`,
+    * ≤ nBuckets rows), chained on the driver, baked back in as literal
+    * CASEs. Falls back to the single-partition window for non-bucketable
+    * orders.
+    */
+  def fillDown(df: DataFrame, orderCol: String, cols: Seq[String],
+      nBuckets: Int = 0): DataFrame =
+    fillDirectional(df, orderCol, cols, nBuckets, up = false)
+
+  /** Scale-safe global backward fill (bfill) — mirror of [[fillDown]]:
+    * per-bucket `first(ignoreNulls)` looking forward, carry from the nearest
+    * *later* bucket's first non-null value.
+    */
+  def fillUp(df: DataFrame, orderCol: String, cols: Seq[String],
+      nBuckets: Int = 0): DataFrame =
+    fillDirectional(df, orderCol, cols, nBuckets, up = true)
+
+  private def fillDirectional(df: DataFrame, orderCol: String,
+      cols: Seq[String], nBuckets: Int, up: Boolean): DataFrame = {
+    if (cols.isEmpty) return df
+    val n = if (nBuckets > 0) nBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    orderAsDouble(df, orderCol) match {
+      case None =>
+        val base = Window.orderBy(col(s"`$orderCol`"))
+        cols.foldLeft(df) { (acc, c) =>
+          val filled =
+            if (up) first(col(s"`$c`"), ignoreNulls = true)
+              .over(base.rowsBetween(0, Window.unboundedFollowing))
+            else last(col(s"`$c`"), ignoreNulls = true)
+              .over(base.rowsBetween(Window.unboundedPreceding, 0))
+          acc.withColumn(c, filled)
+        }
+      case Some(ord) =>
+        val probes = (1 until n).map(_.toDouble / n).toArray
+        val bounds = df.select(ord.as("__ord")).na.drop()
+          .stat.approxQuantile("__ord", probes, 0.001)
+          .distinct.sorted
+        val b = df.withColumn("__bkt", bucketOf(ord, bounds))
+        val base = Window.partitionBy(col("__bkt")).orderBy(col(s"`$orderCol`"))
+        val w =
+          if (up) base.rowsBetween(0, Window.unboundedFollowing)
+          else base.rowsBetween(Window.unboundedPreceding, 0)
+        // per bucket, the boundary non-null value each neighbor would carry:
+        // last non-null (down) / first non-null (up), one bounded collect
+        val edgeAggs = cols.map { c =>
+          val ordIfSet = when(col(s"`$c`").isNotNull, ord)
+          (if (up) min_by(col(s"`$c`"), ordIfSet)
+           else max_by(col(s"`$c`"), ordIfSet)).as(c)
+        }
+        val edgeRows = b.groupBy(col("__bkt"))
+          .agg(edgeAggs.head, edgeAggs.tail: _*)
+          .collect()
+          .sortBy(r => if (up) -r.getInt(0) else r.getInt(0))
+        // carry[bucket][col] = boundary value of the nearest bucket in the
+        // fill direction that has one (chains across all-null buckets)
+        val carries: Seq[(Int, Array[Any])] = {
+          val prev = Array.fill[Any](cols.length)(null)
+          edgeRows.toSeq.map { r =>
+            val bkt = r.getInt(0)
+            val entry = bkt -> prev.clone()
+            cols.indices.foreach { i =>
+              val v = r.get(i + 1)
+              if (v != null) prev(i) = v
+            }
+            entry
+          }
+        }
+        val out = cols.zipWithIndex.foldLeft(b) { case (acc, (c, i)) =>
+          val dt = df.schema(c).dataType
+          val carryExpr = carries.foldLeft(lit(null).cast(dt)) {
+            case (e, (bkt, vals)) =>
+              if (vals(i) == null) e
+              else when(col("__bkt") === bkt, lit(vals(i)).cast(dt)).otherwise(e)
+          }
+          val local =
+            if (up) first(col(s"`$c`"), ignoreNulls = true).over(w)
+            else last(col(s"`$c`"), ignoreNulls = true).over(w)
+          acc.withColumn(c, coalesce(local, carryExpr))
+        }
+        out.drop("__bkt")
     }
   }
 }

@@ -13,19 +13,65 @@ object TimeseriesOps {
     * janitor/timeseries.py:14-77): rows whose timestamp is missing from
     * grid(first..last step frequency) appear with null value columns.
     * `frequency` is a Spark interval string ("1 hour", "15 minutes").
-    * Bounds default to min/max of the data (one tiny aggregate). The grid
-    * explodes from a one-row frame and joins back keyed on the timestamp —
-    * shuffle on ts only; note the grid array materializes on one task, so
-    * pick a frequency whose span/step stays in the millions.
+    * Bounds default to min/max of the data (one tiny aggregate, driver-
+    * collected — 1 row). The grid is a distributed `spark.range(0, n)` Range
+    * exec (split across all executors) mapped to timestamps, NOT one
+    * exploded `sequence()` row — a year of seconds is 31M grid rows, which
+    * must never materialize on a single task. Matches `sequence` semantics:
+    * grid(i) = lo + i*step (fixed duration for day-and-smaller units,
+    * calendar arithmetic for month/quarter/year). A mixed calendar+time
+    * frequency ("1 month 3 hours") falls back to the explode form.
     */
   def fillMissingTimestamps(df: DataFrame, tsCol: String, frequency: String,
       firstTimeStamp: Option[java.sql.Timestamp] = None,
       lastTimeStamp: Option[java.sql.Timestamp] = None): DataFrame = {
-    val bounds = df.agg(
+    val spark = df.sparkSession
+    val b = df.agg(
       firstTimeStamp.map(lit).getOrElse(min(col(s"`$tsCol`"))).as("__lo"),
       lastTimeStamp.map(lit).getOrElse(max(col(s"`$tsCol`"))).as("__hi"))
-    val grid = bounds.select(explode(
-      expr(s"sequence(__lo, __hi, interval $frequency)")).as(tsCol))
+      .collect()(0)
+    if (b.isNullAt(0) || b.isNullAt(1))
+      return spark.emptyDataFrame
+        .withColumn(tsCol, lit(null).cast("timestamp"))
+        .join(df, Seq(tsCol), "left")
+    val lo = b.getTimestamp(0)
+    val hi = b.getTimestamp(1)
+
+    val microsPer = Map("microsecond" -> 1L, "millisecond" -> 1000L,
+      "second" -> 1000000L, "minute" -> 60000000L, "hour" -> 3600000000L,
+      "day" -> 86400000000L, "week" -> 604800000000L)
+    val monthsPer = Map("month" -> 1L, "quarter" -> 3L, "year" -> 12L)
+    val parts = frequency.trim.toLowerCase.split("\\s+")
+    require(parts.length >= 2 && parts.length % 2 == 0,
+      s"fill_missing_timestamps: bad frequency '$frequency'")
+    val units = parts.grouped(2).map(a => (a(0).toLong, a(1).stripSuffix("s"))).toSeq
+    def epochMicros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+    val grid: DataFrame =
+      if (units.forall(u => microsPer.contains(u._2))) {
+        val step = units.map { case (a, u) => a * microsPer(u) }.sum
+        require(step > 0, s"fill_missing_timestamps: non-positive step '$frequency'")
+        val loU = epochMicros(lo)
+        val n = (epochMicros(hi) - loU) / step + 1
+        spark.range(0, n)
+          .select(timestamp_micros(lit(loU) + col("id") * lit(step)).as(tsCol))
+      } else if (units.forall(u => monthsPer.contains(u._2))) {
+        val stepM = units.map { case (a, u) => a * monthsPer(u) }.sum
+        require(stepM > 0, s"fill_missing_timestamps: non-positive step '$frequency'")
+        // generous upper bound on step count (28-day months), then filter —
+        // `sequence` month semantics are lo + i*interval with end-of-month
+        // clamping, which timestampadd(MONTH, ...) reproduces exactly
+        val upper = (hi.getTime - lo.getTime) / (28L * 86400000L * stepM) + 2
+        spark.range(0, upper)
+          .withColumn("__lo", lit(lo))
+          .select(expr(s"timestampadd(MONTH, CAST(id * $stepM AS INT), __lo)").as(tsCol))
+          .filter(col(s"`$tsCol`") <= lit(hi))
+      } else {
+        spark.range(0, 1)
+          .select(explode(expr(
+            s"sequence(timestamp'$lo', timestamp'$hi', interval $frequency)")).as(tsCol))
+      }
     grid.join(df, Seq(tsCol), "left")
   }
 
