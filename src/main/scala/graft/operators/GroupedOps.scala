@@ -10,9 +10,14 @@ object GroupedOps {
   /** Group-transform broadcast back to every row — exact 1:1 with a window
     * aggregate (reference: janitor/functions/groupby_agg.py:19,101-107).
     * Map-side partial aggregation + shuffle on `by` only; scales.
+    *
+    * `dropna` mirrors pandas `groupby(dropna=)` (groupby_agg.py:25,65-97):
+    * true (the pandas default) excludes null-keyed rows from grouping — their
+    * transform result is null; false treats nulls as an ordinary group,
+    * which is what a Spark window does natively.
     */
   def groupbyAgg(df: DataFrame, by: Seq[String], aggColumn: String, agg: String,
-      newColumnName: String): DataFrame = {
+      newColumnName: String, dropna: Boolean = true): DataFrame = {
     val w = Window.partitionBy(by.map(n => col(s"`$n`")): _*)
     val c = col(s"`$aggColumn`")
     val a = agg match {
@@ -30,7 +35,11 @@ object GroupedOps {
       case "median" => expr(s"percentile(`$aggColumn`, 0.5)")
       case other => throw new IllegalArgumentException(s"groupby_agg: bad agg $other")
     }
-    df.withColumn(newColumnName, a.over(w))
+    val result = a.over(w)
+    if (dropna && by.nonEmpty) {
+      val anyKeyNull = by.map(n => col(s"`$n`").isNull).reduce(_ || _)
+      df.withColumn(newColumnName, when(anyKeyNull, lit(null)).otherwise(result))
+    } else df.withColumn(newColumnName, result)
   }
 
   /** Top/bottom-k rows per group by a column (reference:

@@ -281,6 +281,67 @@ object ReshapeOps {
     out.toDF(renamed.toIndexedSeq: _*)
   }
 
+  /** Multi-`values_from` long→wide (reference: pivot.py:1865-2063 — a list
+    * `values_from` yields one output column per (value column × names_from
+    * level), labeled `{value}{names_sep}{level}` exactly as pandas flattens
+    * the MultiIndex with `names_sep`, default "_"). One groupBy+pivot with
+    * all the aggregates fused — a single shuffle regardless of how many
+    * value columns are pivoted. `namesGlue` (pivot.py:1937-1943) overrides
+    * the label template: `{_value}` → value-column name, `{<namesFrom>}` →
+    * the pivoted level.
+    */
+  def pivotWiderMulti(df: DataFrame, index: Seq[String], namesFrom: String,
+      valuesFrom: Seq[String], agg: String = "first", namesSep: String = "_",
+      knownValues: Seq[String] = Nil, namesGlue: String = ""): DataFrame = {
+    require(valuesFrom.nonEmpty, "pivot_wider: no values_from")
+    def aggOf(vf: String): Column = {
+      val c = col(s"`$vf`")
+      val a = agg match {
+        case "first" => first(c)
+        case "sum" => sum(c)
+        case "avg" | "mean" => avg(c)
+        case "count" => count(c)
+        case "max" => max(c)
+        case "min" => min(c)
+        case other => throw new IllegalArgumentException(s"pivot_wider: bad agg $other")
+      }
+      a.as(vf)
+    }
+    // the level universe must be driver-known to rename deterministically;
+    // one distinct job when not supplied (same job Spark's pivot() would run
+    // internally anyway — passing values to pivot() then skips it)
+    val universe =
+      if (knownValues.nonEmpty) knownValues
+      else df.select(col(s"`$namesFrom`").cast("string")).distinct()
+        .collect().map(_.getString(0)).sortBy(v => Option(v).getOrElse(""))
+    val aggs = valuesFrom.map(aggOf)
+    val out = df.groupBy(index.map(n => col(s"`$n`")): _*)
+      .pivot(namesFrom, universe)
+      .agg(aggs.head, aggs.tail: _*)
+    // Spark labels multi-agg pivot columns {level}_{aggAlias}; pandas wants
+    // {value}{sep}{level}
+    val rename: (String, String) => String =
+      if (namesGlue.nonEmpty) (vf, lv) =>
+        namesGlue.replace("{_value}", vf).replace(s"{$namesFrom}", lv)
+      else (vf, lv) => s"$vf$namesSep$lv"
+    val renamed = out.columns.map { c =>
+      if (index.contains(c)) c
+      else if (valuesFrom.length == 1) {
+        // single aggregate: Spark labels the column with the bare level
+        universe.find(_ == c).map(lv => rename(valuesFrom.head, lv)).getOrElse(c)
+      } else {
+        // multi-agg: {level}_{aggAlias}; search all (level, value) combos
+        val hit = (for {
+          lv <- universe.iterator
+          vf <- valuesFrom.iterator
+          if c == s"${lv}_$vf"
+        } yield rename(vf, lv)).nextOption()
+        hit.getOrElse(c)
+      }
+    }
+    out.toDF(renamed.toIndexedSeq: _*)
+  }
+
   /** Cartesian product of named value lists
     * (reference: janitor/functions/expand_grid.py:27-137; kernel
     * janitor/utils.py:49-140). Chained crossJoins of tiny literal frames —

@@ -139,6 +139,31 @@ object TypeOps {
     df.withColumn(destColumn.getOrElse(column), scaled)
   }
 
+  /** Multi-column min_max_scale with pandas-parity `jointly`
+    * (reference: min_max_scale.py:150-191): jointly=false scales each column
+    * by its own (min, max); jointly=true scales every column by the single
+    * whole-frame (min of mins, max of maxes) — the `_min_max_value` path.
+    * Still ONE bounded aggregate job (2×columns scalars) either way.
+    */
+  def minMaxScaleColumns(df: DataFrame, columns: Seq[String],
+      newMin: Double = 0d, newMax: Double = 1d,
+      jointly: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "min_max_scale: no columns")
+    val aggs = columns.flatMap(c => Seq(
+      min(col(s"`$c`")).cast("double").as(s"__mn_$c"),
+      max(col(s"`$c`")).cast("double").as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val perCol = columns.zipWithIndex.map { case (c, i) =>
+      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }.toMap
+    val (gMn, gMx) = (perCol.values.map(_._1).min, perCol.values.map(_._2).max)
+    columns.foldLeft(df) { (acc, c) =>
+      val (mn, mx) = if (jointly) (gMn, gMx) else perCol(c)
+      acc.withColumn(c,
+        (col(s"`$c`") - mn) * ((newMax - newMin) / (mx - mn)) + newMin)
+    }
+  }
+
   /** Add N(0, scale) noise with optional clip (reference:
     * janitor/functions/jitter.py:13). Seeded but not pandas-bit-equal —
     * distributional tests only (SURVEY §7.3.6).
