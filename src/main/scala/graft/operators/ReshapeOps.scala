@@ -310,10 +310,10 @@ object ReshapeOps {
     // the level universe must be driver-known to rename deterministically;
     // one distinct job when not supplied (same job Spark's pivot() would run
     // internally anyway — passing values to pivot() then skips it)
-    val universe =
+    val universe: Seq[String] =
       if (knownValues.nonEmpty) knownValues
       else df.select(col(s"`$namesFrom`").cast("string")).distinct()
-        .collect().map(_.getString(0)).sortBy(v => Option(v).getOrElse(""))
+        .collect().map(_.getString(0)).toSeq.sortBy(v => Option(v).getOrElse(""))
     val aggs = valuesFrom.map(aggOf)
     val out = df.groupBy(index.map(n => col(s"`$n`")): _*)
       .pivot(namesFrom, universe)
