@@ -82,6 +82,11 @@ object QueriesCore {
     "groupby_agg" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .groupbyAgg(Seq("l_orderkey"), "l_quantity", "sum", "sum_qty")),
+    "groupby_agg_dropna" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") =!= "N", col("l_returnflag")).as("flag"),
+        col("l_quantity"))
+      .groupbyAgg(Seq("flag"), "l_quantity", "sum", "sum_qty", dropna = true)),
     "groupby_topk" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       .groupbyTopk(Seq("l_returnflag"), "l_extendedprice", 3,
@@ -176,6 +181,9 @@ object QueriesCore {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .minMaxScale("l_extendedprice", destColumn = Some("scaled"))
       .removeColumns("l_extendedprice")),
+    "min_max_scale_jointly" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .minMaxScaleColumns(Seq("l_extendedprice", "l_quantity"), jointly = true)),
     "encode_categorical" -> ((s, d) => events(s, d)
       .encodeCategorical("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .toSetOf("event_type")),
@@ -293,6 +301,12 @@ object QueriesCore {
     "groupby_agg" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |sum(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_qty FROM lineitem""".stripMargin,
+    "groupby_agg_dropna" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CASE WHEN l_returnflag <> 'N' THEN l_returnflag END AS flag, l_quantity,
+        |CASE WHEN l_returnflag <> 'N' THEN
+        |  sum(l_quantity) OVER (PARTITION BY CASE WHEN l_returnflag <> 'N' THEN l_returnflag END)
+        |END AS sum_qty FROM lineitem""".stripMargin,
     "groupby_topk" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
@@ -388,6 +402,15 @@ object QueriesCore {
         |  CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
         |  (l_extendedprice - m.mn) * (1.0 / (m.mx - m.mn)) + 0.0 AS scaled
+        |FROM lineitem, m""".stripMargin,
+    "min_max_scale_jointly" ->
+      """WITH m AS (SELECT
+        |  least(CAST(min(l_extendedprice) AS DOUBLE), CAST(min(l_quantity) AS DOUBLE)) AS mn,
+        |  greatest(CAST(max(l_extendedprice) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)) AS mx
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (l_extendedprice - m.mn) * (1.0 / (m.mx - m.mn)) + 0.0 AS l_extendedprice,
+        |  (l_quantity - m.mn) * (1.0 / (m.mx - m.mn)) + 0.0 AS l_quantity
         |FROM lineitem, m""".stripMargin,
     "encode_categorical" ->
       """SELECT DISTINCT event_type FROM events""",

@@ -26,6 +26,9 @@ object QueriesDomain {
     "row_to_names" -> ((s, d) => nation(s, d)
       .select("n_name", "n_regionkey")
       .rowToNames("n_name", Seq(0), removeRows = true)),
+    "row_to_names_slice" -> ((s, d) => nation(s, d)
+      .select("n_name", "n_regionkey")
+      .rowToNamesSlice("n_name", 0, 2, removeRows = true)),
     "explode_index" -> ((s, d) => events(s, d)
       .select(col("event_id"), col("value").as("m_v"), col("user_id").as("m_u"))
       .explodeIndex("_")
@@ -93,6 +96,9 @@ object QueriesDomain {
   val oracles: Map[String, String] = Map(
     "row_to_names" ->
       """SELECT n_name AS "NATION_0", n_regionkey AS "0" FROM nation WHERE n_nationkey <> 0""",
+    "row_to_names_slice" ->
+      """SELECT n_name AS "NATION_0_NATION_1", n_regionkey AS "0_1" FROM nation
+        |WHERE n_name NOT IN ('NATION_0', 'NATION_1')""".stripMargin,
     "explode_index" ->
       """SELECT event_id, value AS m_v, user_id AS m_u FROM events""",
     "clean_names_values" ->

@@ -78,6 +78,10 @@ object QueriesReshape {
         namesGlue = "{_value}_{o_orderstatus}")
       .transformColumns(Seq("o_totalprice_F", "o_totalprice_O", "o_totalprice_P"),
         c => round(c, 4))),
+    "pivot_wider_multi" -> ((s, d) => orders(s, d)
+      .pivotWiderMulti(index = Seq("o_custkey"), namesFrom = "o_orderstatus",
+        valuesFrom = Seq("o_totalprice", "o_orderkey"), agg = "max",
+        knownValues = Seq("F", "O", "P"))),
     "expand_grid" -> ((s, d) =>
       operators.ReshapeOps.expandGrid(s, Seq(
         "k" -> Seq(1, 2, 3), "v" -> Seq("a", "b")))),
@@ -148,6 +152,15 @@ object QueriesReshape {
         |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS o_totalprice_F,
         |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_totalprice_O,
         |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS o_totalprice_P
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "pivot_wider_multi" ->
+      """SELECT o_custkey,
+        |max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS o_totalprice_F,
+        |max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_totalprice_O,
+        |max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS o_totalprice_P,
+        |max(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS o_orderkey_F,
+        |max(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS o_orderkey_O,
+        |max(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS o_orderkey_P
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "expand_grid" ->
       """SELECT * FROM (VALUES (1),(2),(3)) t(k) CROSS JOIN (VALUES ('a'),('b')) s(v)""",

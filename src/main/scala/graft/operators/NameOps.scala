@@ -109,7 +109,10 @@ object NameOps {
       sep: String = "_"): DataFrame = {
     require(rowNumbers.nonEmpty, "row_to_names: no row numbers given")
     val maxRow = rowNumbers.max
-    val head = df.orderBy(col(s"`$orderCol`")).limit(maxRow + 1).collect()
+    // null-ordered rows are excluded from header candidacy ("row i" is defined
+    // over non-null orderCol values); they are data rows and survive removal
+    val head = df.filter(col(s"`$orderCol`").isNotNull)
+      .orderBy(col(s"`$orderCol`")).limit(maxRow + 1).collect()
     require(head.length == maxRow + 1, "row_to_names: header rows missing")
     val hdrRows = rowNumbers.map(head(_))
     val dataCols = df.columns
@@ -120,13 +123,17 @@ object NameOps {
     var out = df
     if (removeRows) {
       val hdrVals = hdrRows.map(r => lit(r.get(ordIdx)))
-      out = out.filter(!col(s"`$orderCol`").isin(hdrVals: _*))
+      // isin is null for null orderCol — keep those rows explicitly (they can
+      // never be header rows, headers come from the non-null prefix)
+      out = out.filter(!col(s"`$orderCol`").isin(hdrVals: _*) ||
+        col(s"`$orderCol`").isNull)
     }
     // only rows ABOVE the first header row are removed (row_to_names.py:144-183);
     // the header rows themselves are governed by removeRows
     if (removeRowsAbove) {
       val minVal = head(rowNumbers.min).get(ordIdx)
-      out = out.filter(col(s"`$orderCol`") >= lit(minVal))
+      out = out.filter(col(s"`$orderCol`") >= lit(minVal) ||
+        col(s"`$orderCol`").isNull)
     }
     out.toDF(newNames.toIndexedSeq: _*)
   }

@@ -134,7 +134,10 @@ object TypeOps {
       newMax: Double = 1d, destColumn: Option[String] = None): DataFrame = {
     val row = df.agg(min(col(s"`$column`")).cast("double").as("mn"),
       max(col(s"`$column`")).cast("double").as("mx")).collect()(0)
-    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    // all-null column / empty frame: min/max are null — pandas yields NaN,
+    // not a crash (min_max_scale.py scales NaN to NaN)
+    val mn = if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+    val mx = if (row.isNullAt(1)) Double.NaN else row.getDouble(1)
     val scaled = (col(s"`$column`") - mn) * ((newMax - newMin) / (mx - mn)) + newMin
     df.withColumn(destColumn.getOrElse(column), scaled)
   }
@@ -153,10 +156,17 @@ object TypeOps {
       min(col(s"`$c`")).cast("double").as(s"__mn_$c"),
       max(col(s"`$c`")).cast("double").as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // all-null columns produce null min/max → NaN (pandas yields NaN columns)
     val perCol = columns.zipWithIndex.map { case (c, i) =>
-      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      val mn = if (row.isNullAt(2 * i)) Double.NaN else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) Double.NaN else row.getDouble(2 * i + 1)
+      c -> (mn, mx)
     }.toMap
-    val (gMn, gMx) = (perCol.values.map(_._1).min, perCol.values.map(_._2).max)
+    // joint extremes skip all-null columns, like pandas min/max skipna
+    val mns = perCol.values.map(_._1).filterNot(_.isNaN)
+    val mxs = perCol.values.map(_._2).filterNot(_.isNaN)
+    val gMn = if (mns.nonEmpty) mns.min else Double.NaN
+    val gMx = if (mxs.nonEmpty) mxs.max else Double.NaN
     columns.foldLeft(df) { (acc, c) =>
       val (mn, mx) = if (jointly) (gMn, gMx) else perCol(c)
       acc.withColumn(c,

@@ -30,6 +30,9 @@ object syntax {
     def rowToNames(orderCol: String, rowNumbers: Seq[Int], removeRows: Boolean = false,
         removeRowsAbove: Boolean = false, sep: String = "_"): DataFrame =
       NameOps.rowToNames(df, orderCol, rowNumbers, removeRows, removeRowsAbove, sep)
+    def rowToNamesSlice(orderCol: String, start: Int, end: Int, step: Int = 1,
+        removeRows: Boolean = false, removeRowsAbove: Boolean = false, sep: String = "_"): DataFrame =
+      NameOps.rowToNamesSlice(df, orderCol, start, end, step, removeRows, removeRowsAbove, sep)
     def collapseLevels(sep: String = "_"): DataFrame = NameOps.collapseLevels(df, sep)
     def explodeIndex(sep: String = "_"): DataFrame = NameOps.explodeIndex(df, sep)
 
@@ -63,8 +66,11 @@ object syntax {
       FilterOps.updateWhere(df, condition, targetColumn, targetVal)
 
     // §2.5 grouped / window
-    def groupbyAgg(by: Seq[String], aggColumn: String, agg: String, newColumnName: String): DataFrame =
-      GroupedOps.groupbyAgg(df, by, aggColumn, agg, newColumnName)
+    /** `dropna` follows the pandas groupby default (true): null-keyed rows get
+      * a null transform instead of forming a group (groupby_agg.py:65-97). */
+    def groupbyAgg(by: Seq[String], aggColumn: String, agg: String, newColumnName: String,
+        dropna: Boolean = true): DataFrame =
+      GroupedOps.groupbyAgg(df, by, aggColumn, agg, newColumnName, dropna)
     def groupbyTopk(by: Seq[String], column: String, k: Int, ascending: Boolean = false,
         tiebreak: Seq[String] = Nil): DataFrame =
       GroupedOps.groupbyTopk(df, by, column, k, ascending, tiebreak)
@@ -113,6 +119,9 @@ object syntax {
     def minMaxScale(column: String, newMin: Double = 0d, newMax: Double = 1d,
         destColumn: Option[String] = None): DataFrame =
       TypeOps.minMaxScale(df, column, newMin, newMax, destColumn)
+    def minMaxScaleColumns(columns: Seq[String], newMin: Double = 0d, newMax: Double = 1d,
+        jointly: Boolean = false): DataFrame =
+      TypeOps.minMaxScaleColumns(df, columns, newMin, newMax, jointly)
     def jitter(column: String, destColumn: String, scale: Double,
         clip: Option[(Double, Double)] = None, seed: Long = 42L): DataFrame =
       TypeOps.jitter(df, column, destColumn, scale, clip, seed)
@@ -183,6 +192,11 @@ object syntax {
         namesGlue: String = "", namesExpand: Boolean = false): DataFrame =
       ReshapeOps.pivotWider(df, index, namesFrom, valuesFrom, agg, namesPrefix,
         knownValues, namesGlue, namesExpand)
+    def pivotWiderMulti(index: Seq[String], namesFrom: String, valuesFrom: Seq[String],
+        agg: String = "first", namesSep: String = "_", knownValues: Seq[String] = Nil,
+        namesGlue: String = ""): DataFrame =
+      ReshapeOps.pivotWiderMulti(df, index, namesFrom, valuesFrom, agg, namesSep,
+        knownValues, namesGlue)
     def expand(columns: String*): DataFrame = ReshapeOps.expand(df, columns)
     def expandBy(by: Seq[String], columns: Seq[String]): DataFrame =
       ReshapeOps.expandBy(df, by, columns)
