@@ -39,6 +39,21 @@ object ScaleWindows {
       acc + when(ord > lit(b), 1).otherwise(0)
     }
 
+  /** Adaptive cutover: below this plan-estimated size the bucketed machinery
+    * (an approxQuantile scan + a bounded collect + a literal-CASE rebind —
+    * three fixed jobs) costs more than the single-partition window it avoids.
+    * A one-task window over ≲256 MB is cheap; the estimate comes free from
+    * Catalyst (`optimizedPlan.stats.sizeInBytes` — file sizes for scans,
+    * Long.MaxValue when unknown, which safely routes to the bucketed path).
+    * Override with `graft.scaleWindows.smallBytes`.
+    */
+  private def isSmall(df: DataFrame): Boolean = {
+    val threshold = BigInt(df.sparkSession.conf
+      .get("graft.scaleWindows.smallBytes", (256L << 20).toString).toLong)
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    catch { case _: Throwable => false }
+  }
+
   /** Global running sum of `valueCol` in ascending `orderCol` order, without
     * a single-partition window: per-bucket prefix sums + cumulative bucket
     * offsets (the offsets table is ≤ nBuckets rows; AQE broadcasts the join).
@@ -50,7 +65,7 @@ object ScaleWindows {
       dest: String, nBuckets: Int = 0): DataFrame = {
     val n = if (nBuckets > 0) nBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    orderAsDouble(df, orderCol) match {
+    orderAsDouble(df, orderCol).filterNot(_ => isSmall(df)) match {
       case None =>
         val w = Window.orderBy(col(s"`$orderCol`"))
           .rowsBetween(Window.unboundedPreceding, 0)
@@ -106,7 +121,7 @@ object ScaleWindows {
     if (cols.isEmpty) return df
     val n = if (nBuckets > 0) nBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    orderAsDouble(df, orderCol) match {
+    orderAsDouble(df, orderCol).filterNot(_ => isSmall(df)) match {
       case None =>
         val w = Window.orderBy(col(s"`$orderCol`"))
         cols.foldLeft(df)((acc, c) =>
@@ -174,7 +189,7 @@ object ScaleWindows {
     if (cols.isEmpty) return df
     val n = if (nBuckets > 0) nBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    orderAsDouble(df, orderCol) match {
+    orderAsDouble(df, orderCol).filterNot(_ => isSmall(df)) match {
       case None =>
         val base = Window.orderBy(col(s"`$orderCol`"))
         cols.foldLeft(df) { (acc, c) =>

@@ -9,13 +9,29 @@ import org.apache.spark.sql.execution.window.WindowExec
 class ScaleWindowsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def hasGlobalWindow(df: org.apache.spark.sql.DataFrame): Boolean =
-    df.queryExecution.executedPlan.exists {
-      case w: WindowExec => w.partitionSpec.isEmpty
-      case _ => false
+  /** True if a no-partition WindowExec is anywhere in the physical plan —
+    * including inside AdaptiveSparkPlanExec, which plain `exists` does not
+    * descend into (that blind spot made the negative asserts trivially true).
+    */
+  private def hasGlobalWindow(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scan(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty => true
+      case other => other.children.exists(scan)
     }
+    scan(df.queryExecution.executedPlan)
+  }
 
-  test("runningSum equals the single-partition global window") {
+  /** Force the bucketed path: the adaptive cutover would otherwise route
+    * these spec-sized inputs to the plain global window. */
+  private def withBucketedPath[T](f: => T): T = {
+    spark.conf.set("graft.scaleWindows.smallBytes", "0")
+    try f finally spark.conf.unset("graft.scaleWindows.smallBytes")
+  }
+
+  test("runningSum equals the single-partition global window") { withBucketedPath {
     val rng = new scala.util.Random(11)
     val d = (1 to 2000).map(i => (i, rng.nextInt(50).toLong)).toDF("ord", "v")
       .repartition(8)
@@ -23,6 +39,15 @@ class ScaleWindowsSpec extends SparkSpec {
       Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)))
     val twoPhase = ScaleWindows.runningSum(d, "ord", "v", "cum")
     assert(sorted(twoPhase) == sorted(global))
+  }}
+
+  test("small inputs cut over to the plain global window (no bucketing jobs)") {
+    val d = (1 to 100).map(i => (i, i.toLong)).toDF("ord", "v").repartition(4)
+    val out = ScaleWindows.runningSum(d, "ord", "v", "cum")
+    assert(hasGlobalWindow(out),
+      "below the size threshold the single-task window is the cheaper plan")
+    val got = out.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got(100) == (1 to 100).map(_.toLong).sum)
   }
 
   test("runningSum falls back gracefully for non-numeric order columns") {
@@ -32,30 +57,30 @@ class ScaleWindowsSpec extends SparkSpec {
     assert(out == Map("a" -> 1L, "b" -> 3L, "c" -> 6L))
   }
 
-  test("countCumulativeUnique: correct and no single-partition window in the plan") {
+  test("countCumulativeUnique: correct and no single-partition window in the plan") { withBucketedPath {
     val d = Seq((1, "x"), (2, "y"), (3, "x"), (4, "z"), (5, "y"), (6, "w"))
       .toDF("t", "v").repartition(4)
     val out = GroupedOps.countCumulativeUnique(d, "v", "t", "cum")
     val got = out.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(got == Map(1 -> 1L, 2 -> 2L, 3 -> 2L, 4 -> 3L, 5 -> 3L, 6 -> 4L))
     assert(!hasGlobalWindow(out), "batch countCumulativeUnique must not funnel rows through one task")
-  }
+  }}
 
-  test("ecdf matches cume_dist semantics incl. ties and nulls; no global window") {
+  test("ecdf matches cume_dist semantics incl. ties and nulls; no global window") { withBucketedPath {
     val d = Seq[java.lang.Double](3.0, 1.0, 4.0, 1.0, 5.0, null, 2.0).toDF("x")
       .repartition(3)
     val out = MathFunctions.ecdf(d, "x", "e")
     val expected = d.withColumn("e", cume_dist().over(Window.orderBy(col("x"))))
     assert(sorted(out) == sorted(expected))
     assert(!hasGlobalWindow(out))
-  }
+  }}
 
-  test("factorizeColumns assigns first-seen codes without a global window or forced broadcast") {
+  test("factorizeColumns assigns first-seen codes without a global window or forced broadcast") { withBucketedPath {
     val d = Seq((1, "b"), (2, "a"), (3, "b"), (4, "c"), (5, "a"))
       .toDF("ord", "k").repartition(3)
     val out = TypeOps.factorizeColumns(d, "k", "ord")
     val got = out.collect().map(r => (r.getString(1), r.getInt(2))).toSet
     assert(got == Set(("b", 0), ("a", 1), ("c", 2)))
     assert(!hasGlobalWindow(out))
-  }
+  }}
 }
