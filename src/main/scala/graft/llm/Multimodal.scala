@@ -46,7 +46,7 @@ object Multimodal {
   def frameSample(payload: Column, stride: Int): Column =
     transform(
       sequence(lit(1), greatest(octet_length(payload), lit(1)), lit(stride)),
-      i => substring(payload, 1, 8))
+      i => payload.substr(i, lit(8)))
 
   /** Featurize assets: metadata + stub features. Runs as a narrow projection
     * over whatever partitioning the payloads arrived with; repartition by

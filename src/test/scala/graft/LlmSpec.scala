@@ -148,4 +148,16 @@ class LlmSpec extends SparkSpec {
       .select("features").collect()(0).getSeq[Double](0)
     assert(row.getSeq[Double](2) == again)
   }
+
+  test("frameSample strides through the payload: frames differ and start at each offset") {
+    val d = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
+    val frames = Multimodal.asAsset(d, "text", "video/fake")
+      .select(Multimodal.frameSample(col("payload"), 4).as("frames"))
+      .collect()(0).getSeq[Array[Byte]](0)
+      .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    // offsets 1, 5, 9, ... (1-based), 8 bytes each
+    assert(frames.head == "abcdefgh" && frames(1) == "efghijkl")
+    assert(frames.distinct.length == frames.length,
+      "every frame must sample a different offset")
+  }
 }
