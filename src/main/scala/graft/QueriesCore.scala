@@ -187,6 +187,24 @@ object QueriesCore {
     "encode_categorical" -> ((s, d) => events(s, d)
       .encodeCategorical("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .toSetOf("event_type")),
+    // registry inferred with order='sort' from the FULL frame, then one
+    // category's rows are filtered away: names_expand must still materialize
+    // the unseen-but-registered 'error' column (all null)
+    "encode_categorical_expand" -> ((s, d) => events(s, d)
+      .select("user_id", "event_type", "value")
+      .encodeCategoricalOrder("event_type", "sort")
+      .filterOn("event_type <> 'error'")
+      .pivotWider(index = Seq("user_id"), namesFrom = "event_type",
+        valuesFrom = "value", agg = "sum", namesExpand = true)
+      .transformColumns(Seq("click", "purchase", "signup", "view"), c => round(c, 4))),
+    // order='appearance': registry order is first-seen by event_id; surfaced
+    // as a code column so the ordering itself is hash-checked
+    "encode_categorical_appearance" -> ((s, d) => {
+      val df = events(s, d).select("event_id", "event_type")
+        .encodeCategoricalOrder("event_type", "appearance", orderCol = Some("event_id"))
+      val order = operators.TypeOps.categoriesOf(df, "event_type").get
+      df.addColumn("code", operators.GroupedOps.valueRank("event_type", order))
+    }),
 
     // ----- §2.9 transforms -----
     "case_when" -> ((s, d) => lineitem(s, d)
@@ -414,6 +432,19 @@ object QueriesCore {
         |FROM lineitem, m""".stripMargin,
     "encode_categorical" ->
       """SELECT DISTINCT event_type FROM events""",
+    "encode_categorical_expand" ->
+      """SELECT user_id,
+        |round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |CAST(NULL AS DOUBLE) AS error,
+        |round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS "view"
+        |FROM events WHERE event_type <> 'error' GROUP BY user_id""".stripMargin,
+    "encode_categorical_appearance" ->
+      """WITH f AS (SELECT event_type, min(event_id) AS fe FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |CAST((SELECT count(*) FROM f f2 WHERE f2.fe < f.fe) AS INTEGER) AS code
+        |FROM events e JOIN f ON e.event_type = f.event_type""".stripMargin,
     "case_when" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_class

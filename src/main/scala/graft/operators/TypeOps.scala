@@ -201,6 +201,39 @@ object TypeOps {
     df.withColumn(column, col(s"`$column`").as(column, meta))
   }
 
+  /** Infer and register categories with pandas order semantics
+    * (reference: encode_categorical.py:150-166): `order="sort"` →
+    * factorize(sort=True), sorted distinct values; `order="appearance"` →
+    * factorize(sort=False), first-seen order — which in a distributed frame
+    * needs an explicit `orderCol` (same contract as [[factorizeColumns]]).
+    * Both register as ordered, like the pandas CategoricalDtype(ordered=True).
+    * The collect is bounded by the distinct-category universe — a registry is
+    * driver-side column metadata by design (SURVEY §1.2), so its size is a
+    * metadata budget, not a data budget.
+    */
+  def encodeCategoricalOrder(df: DataFrame, column: String, order: String,
+      orderCol: Option[String] = None): DataFrame = {
+    val c = col(s"`$column`")
+    val cats: Seq[String] = order match {
+      case "sort" =>
+        df.filter(c.isNotNull).select(c.cast("string").as("__c")).distinct()
+          .orderBy(col("__c")).collect().map(_.getString(0)).toSeq
+      case "appearance" =>
+        val oc = orderCol.getOrElse(throw new IllegalArgumentException(
+          "encode_categorical(order='appearance') needs an ordering column in a distributed frame"))
+        df.filter(c.isNotNull)
+          .groupBy(c.cast("string").as("__c"))
+          .agg(min(col(s"`$oc`")).as("__first"))
+          .orderBy(col("__first"))
+          .collect().map(_.getString(0)).toSeq
+      case other =>
+        throw new IllegalArgumentException(s"encode_categorical: bad order '$other'")
+    }
+    require(cats.nonEmpty,
+      s"encode_categorical: kindly ensure there is at least one non-null value in $column")
+    encodeCategorical(df, column, cats, ordered = true)
+  }
+
   /** Align category universes across frames before a union (reference:
     * janitor/functions/utils.py:40-137 unionize_dataframe_categories):
     * merge the registries, re-stamp each frame.

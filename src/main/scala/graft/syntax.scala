@@ -127,6 +127,9 @@ object syntax {
       TypeOps.jitter(df, column, destColumn, scale, clip, seed)
     def encodeCategorical(column: String, categories: Seq[String], ordered: Boolean = false): DataFrame =
       TypeOps.encodeCategorical(df, column, categories, ordered)
+    def encodeCategoricalOrder(column: String, order: String,
+        orderCol: Option[String] = None): DataFrame =
+      TypeOps.encodeCategoricalOrder(df, column, order, orderCol)
 
     // §2.5 accessor + §2.1/2.8 aliases
     def dataDescription(): DataFrame = DescribeOps.dataDescription(df)

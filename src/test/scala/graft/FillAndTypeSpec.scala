@@ -61,6 +61,21 @@ class FillAndTypeSpec extends SparkSpec {
     assert(operators.TypeOps.categoriesOf(d, "c").contains(Seq("x", "y", "z")))
   }
 
+  test("encodeCategoricalOrder: sort and appearance registries") {
+    val d = Seq((1, "b"), (2, "a"), (3, "b"), (4, "c"), (5, null))
+      .toDF("ord", "k")
+    val sorted = d.encodeCategoricalOrder("k", "sort")
+    assert(operators.TypeOps.categoriesOf(sorted, "k").contains(Seq("a", "b", "c")))
+    val appear = d.encodeCategoricalOrder("k", "appearance", orderCol = Some("ord"))
+    assert(operators.TypeOps.categoriesOf(appear, "k").contains(Seq("b", "a", "c")))
+    assertThrows[IllegalArgumentException] {
+      d.encodeCategoricalOrder("k", "appearance") // no orderCol
+    }
+    assertThrows[IllegalArgumentException] {
+      d.encodeCategoricalOrder("k", "bogus")
+    }
+  }
+
   test("convert date family round-trips known anchors") {
     // Excel serial 25569 == 1970-01-01 (origin 1899-12-30)
     val d = Seq(25569L).toDF("serial").convertExcelDate("serial")
