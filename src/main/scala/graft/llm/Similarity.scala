@@ -63,21 +63,36 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
-  /** Random-hyperplane LSH bucket id (sign bits of numPlanes pseudo-random
-    * projections) for one hash table. Plane components are deterministic
-    * hash-derived values in [-1, 1]: component(table, p, i) =
-    * xxhash64(table * 4096 + p, i) scaled. Vectors in the same bucket are
-    * likely-similar; search within buckets only.
+  /** splitmix64 — deterministic driver-side PRNG for plane components. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane for (table, plane): deterministic pseudo-random components
+    * in [-1, 1]. Computed ONCE on the driver — the planes are constants, so
+    * they are baked in as float literals feeding the codegen
+    * [[graft.functions.vector.DotProduct]] kernel. The earlier form derived
+    * each component per row with interpreted zip_with/aggregate lambdas
+    * (numTables × numPlanes × dim hash evaluations per row) — the dominant
+    * cost of the whole LSH pipeline.
     */
-  def lshBuckets(vec: Column, numPlanes: Int, table: Int = 0): Column = {
-    def planeComponent(p: Int, i: Column): Column =
-      (pmod(xxhash64(lit(table * 4096 + p), i), lit(2000001)).cast("double") - 1000000d) / 1000000d
+  private def planeOf(table: Int, p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      (math.floorMod(mix64(((table.toLong * 64L + p) << 24) | i.toLong),
+        2000001L) - 1000000L) / 1000000.0d
+    }
+
+  /** Random-hyperplane LSH bucket id (sign bits of numPlanes projections)
+    * for one hash table. Vectors in the same bucket are likely-similar;
+    * search within buckets only.
+    */
+  def lshBuckets(vec: Column, numPlanes: Int, table: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plit = array(planeOf(table, p, dim).map(x => lit(x.toFloat)).toIndexedSeq: _*)
+      when(dot(vec, plit) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -87,9 +102,10 @@ object Similarity {
     * table, so recall grows with numTables while each table's numPlanes
     * keeps bucket sizes (and thus the per-bucket scan cost) small.
     */
-  private def lshTableBuckets(vec: Column, numPlanes: Int, numTables: Int): Column =
+  private def lshTableBuckets(vec: Column, numPlanes: Int, numTables: Int,
+      dim: Int): Column =
     array((0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), lshBuckets(vec, numPlanes, t).as("bucket"))
+      struct(lit(t).as("tbl"), lshBuckets(vec, numPlanes, t, dim).as("bucket"))
     }: _*)
 
   /** Per-cell similarity scores for argmax/ordering: element i is
@@ -218,21 +234,28 @@ object Similarity {
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 16,
       roundTo: Int = 6): DataFrame = {
+    // one 1-row job: the plane literals need the (uniform) vector dimension
+    val dim = corpus.select(size(col(vecCol)).as("d")).first().getInt(0)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qnorm"),
-      explode(lshTableBuckets(col(vecCol), numPlanes, numTables)).as("tb"))
+      explode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim)).as("tb"))
       .select(col("qid"), col("qvec"), col("qnorm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       norm(col(vecCol)).as("nnorm"),
-      explode(lshTableBuckets(col(vecCol), numPlanes, numTables)).as("tb"))
+      explode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim)).as("tb"))
       .select(col("nid"), col("nvec"), col("nnorm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // score BEFORE deduping: sim is identical for every table a pair
+    // collides in, so the dedup shuffle carries (qid, nid, sim) scalars
+    // instead of two vectors per candidate — recomputing a codegen dot per
+    // extra collision is far cheaper than shuffling the vectors at scale
     val scored = c.join(q, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
       .withColumn("sim", round(
         dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), roundTo))
+      .select("qid", "nid", "sim")
+      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
