@@ -207,6 +207,10 @@ object QueriesCore {
     }),
 
     // ----- §2.9 transforms -----
+    "add_column_iterable" -> ((s, d) => events(s, d)
+      .select("event_id", "user_id")
+      .addColumnIterable("tag", Seq("a", "b", "c"), orderCol = "event_id",
+        fillRemaining = true)),
     "case_when" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .caseWhenSql("qty_class", Seq(
@@ -445,6 +449,11 @@ object QueriesCore {
         |SELECT e.event_id, e.event_type,
         |CAST((SELECT count(*) FROM f f2 WHERE f2.fe < f.fe) AS INTEGER) AS code
         |FROM events e JOIN f ON e.event_type = f.event_type""".stripMargin,
+    "add_column_iterable" ->
+      """SELECT event_id, user_id,
+        |CASE (row_number() OVER (ORDER BY event_id) - 1) % 3
+        |  WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS tag
+        |FROM events""".stripMargin,
     "case_when" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_class

@@ -48,8 +48,23 @@ object TimeseriesOps {
     def epochMicros(t: java.sql.Timestamp): Long =
       t.getTime / 1000 * 1000000 + t.getNanos / 1000
 
+    val daysPer = Map("day" -> 1L, "week" -> 7L)
     val grid: DataFrame =
-      if (units.forall(u => microsPer.contains(u._2))) {
+      if (units.forall(u => daysPer.contains(u._2))) {
+        // pure day/week frequencies use calendar-day arithmetic in the
+        // session timezone (DST-correct, like sequence / pandas date_range
+        // 'D'/'W'), not fixed 86400s micro-steps; mixed day+time frequencies
+        // ("1 day 3 hours") stay fixed-duration below, matching pandas
+        // Timedelta composites
+        val stepD = units.map { case (a, u) => a * daysPer(u) }.sum
+        require(stepD > 0, s"fill_missing_timestamps: non-positive step '$frequency'")
+        // generous bound: DST-short 23h days, then filter
+        val upper = (hi.getTime - lo.getTime) / (23L * 3600000L * stepD) + 2
+        spark.range(0, upper)
+          .withColumn("__lo", lit(lo))
+          .select(expr(s"timestampadd(DAY, CAST(id * $stepD AS INT), __lo)").as(tsCol))
+          .filter(col(s"`$tsCol`") <= lit(hi))
+      } else if (units.forall(u => microsPer.contains(u._2))) {
         val step = units.map { case (a, u) => a * microsPer(u) }.sum
         require(step > 0, s"fill_missing_timestamps: non-positive step '$frequency'")
         val loU = epochMicros(lo)
@@ -68,9 +83,12 @@ object TimeseriesOps {
           .select(expr(s"timestampadd(MONTH, CAST(id * $stepM AS INT), __lo)").as(tsCol))
           .filter(col(s"`$tsCol`") <= lit(hi))
       } else {
+        // bounds as lit() columns, not Timestamp.toString interpolation —
+        // the string form renders in the JVM-default timezone, which can
+        // disagree with spark.sql.session.timeZone
         spark.range(0, 1)
-          .select(explode(expr(
-            s"sequence(timestamp'$lo', timestamp'$hi', interval $frequency)")).as(tsCol))
+          .select(explode(sequence(lit(lo), lit(hi),
+            expr(s"interval $frequency"))).as(tsCol))
       }
     grid.join(df, Seq(tsCol), "left")
   }

@@ -65,6 +65,33 @@ object TransformOps {
   def addColumn(df: DataFrame, name: String, value: Column): DataFrame =
     df.withColumn(name, value)
 
+  /** Iterable form of add_column (reference: add_columns.py:99-129): values
+    * assigned positionally; with `fillRemaining` a short list cycles to frame
+    * length, without it the lengths must match (raises like pandas — one
+    * bounded count job for the check). Position in a distributed frame comes
+    * from an explicit `orderCol`, which must order rows uniquely (pandas uses
+    * row position, which does not exist here — SURVEY §7.7); the 0-based rank
+    * is a scale-safe prefix count ([[ScaleWindows.runningSum]]), no
+    * single-partition window.
+    */
+  def addColumnIterable(df: DataFrame, name: String, values: Seq[Any],
+      orderCol: String, fillRemaining: Boolean = false): DataFrame = {
+    require(values.nonEmpty, "add_column: empty values iterable")
+    if (!fillRemaining) {
+      val n = df.count()
+      require(n == values.length,
+        s"add_column: attempted to add iterable of values with length not equal " +
+          s"to number of DataFrame rows ($n rows, ${values.length} values); " +
+          "pass fillRemaining=true to cycle")
+    }
+    val arr = array(values.map(lit).toIndexedSeq: _*)
+    val idx = ScaleWindows.runningSum(
+      df.withColumn("__one", lit(1L)), orderCol, "__one", "__cum")
+    idx.withColumn(name,
+        element_at(arr, (pmod(col("__cum") - 1, lit(values.length)) + 1).cast("int")))
+      .drop("__one", "__cum")
+  }
+
   /** Row-wise function as a new column (reference:
     * janitor/functions/join_apply.py:10 — not a join; a projection).
     */

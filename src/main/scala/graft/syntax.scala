@@ -154,6 +154,9 @@ object syntax {
     def transformColumns(columns: Seq[String], f: Column => Column, suffix: Option[String] = None): DataFrame =
       TransformOps.transformColumns(df, columns, f, suffix)
     def addColumn(name: String, value: Column): DataFrame = TransformOps.addColumn(df, name, value)
+    def addColumnIterable(name: String, values: Seq[Any], orderCol: String,
+        fillRemaining: Boolean = false): DataFrame =
+      TransformOps.addColumnIterable(df, name, values, orderCol, fillRemaining)
     def joinApply(f: Column, newColumnName: String): DataFrame = TransformOps.joinApply(df, f, newColumnName)
     def also(f: DataFrame => Unit): DataFrame = TransformOps.also(df, f)
     def processText(column: String, method: String, args: Seq[Any] = Nil): DataFrame =

@@ -27,6 +27,20 @@ class MathAndTextSpec extends SparkSpec {
     assert(math.abs(out(0) - 0.5) < 1e-7 && math.abs(out(1) - 0.975002) < 1e-5)
   }
 
+  test("addColumnIterable cycles with fillRemaining, raises on length mismatch") {
+    val d = Seq((1, "p"), (2, "q"), (3, "r"), (4, "s"), (5, "t"))
+      .toDF("ord", "x")
+    val cycled = d.addColumnIterable("tag", Seq("a", "b"), "ord", fillRemaining = true)
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(cycled == Map(1 -> "a", 2 -> "b", 3 -> "a", 4 -> "b", 5 -> "a"))
+    val exact = d.addColumnIterable("tag", Seq("a", "b", "c", "d", "e"), "ord")
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(exact(5) == "e")
+    assertThrows[IllegalArgumentException] {
+      d.addColumnIterable("tag", Seq("a", "b"), "ord")
+    }
+  }
+
   test("sigmoid/logit inverse relationship") {
     val d = Seq(0.2, 0.5, 0.9).toDF("p")
     val out = d.select(MathFunctions.sigmoid(MathFunctions.logit(col("p"))).as("r"))
