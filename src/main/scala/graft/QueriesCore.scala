@@ -222,6 +222,21 @@ object QueriesCore {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .transformColumn("l_extendedprice", c => round(log(c), 6), Some("log_price"))
       .removeColumns("l_extendedprice")),
+    "transform_columns_multi" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .transformColumns(Seq("l_quantity", "l_discount"), c => round(c * 2, 4))),
+    "unionize_categories" -> ((s, d) => {
+      import s.implicits._
+      val a = events(s, d).filterOn("event_type IN ('click', 'view')")
+        .encodeCategoricalOrder("event_type", "sort")
+      val b = events(s, d).filterOn("event_type IN ('purchase', 'signup')")
+        .encodeCategoricalOrder("event_type", "sort")
+      val unionized = operators.TypeOps.unionizeCategories(Seq(a, b), "event_type")
+      // surface the merged registry (read back from the re-stamped frames)
+      // as rows so the oracle can pin it
+      operators.TypeOps.categoriesOf(unionized.head, "event_type").get
+        .toDF("category")
+    }),
     "process_text" -> ((s, d) => part(s, d)
       .select("p_partkey", "p_name")
       .processText("p_name", "upper")),
@@ -449,6 +464,13 @@ object QueriesCore {
         |SELECT e.event_id, e.event_type,
         |CAST((SELECT count(*) FROM f f2 WHERE f2.fe < f.fe) AS INTEGER) AS code
         |FROM events e JOIN f ON e.event_type = f.event_type""".stripMargin,
+    "transform_columns_multi" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(l_quantity * 2, 4) AS l_quantity,
+        |round(l_discount * 2, 4) AS l_discount FROM lineitem""".stripMargin,
+    "unionize_categories" ->
+      """SELECT DISTINCT event_type AS category FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase', 'signup')""".stripMargin,
     "add_column_iterable" ->
       """SELECT event_id, user_id,
         |CASE (row_number() OVER (ORDER BY event_id) - 1) % 3
