@@ -22,6 +22,20 @@ object QueriesDomain {
     d.getAbsolutePath
   }
 
+  /** Deterministic xlsx gate input: nation rows (ordered by key) as a named
+    * table. 25 driver-side rows — workbooks are driver-sized artifacts.
+    */
+  private def writeNationXlsx(s: SparkSession, d: String): String = {
+    val p = s"${tmpDir()}/nation_gate.xlsx"
+    val rows = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect()
+      .map(r => Seq[Any](r.getInt(0).toLong, r.getString(1), r.getInt(2).toLong)).toSeq
+    graft.sources.Xlsx.Writer.write(p,
+      Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey")) ++ rows,
+      tableName = Some("tNation"))
+    p
+  }
+
   val entries: Map[String, Q] = Map(
     "row_to_names" -> ((s, d) => nation(s, d)
       .select("n_name", "n_regionkey")
@@ -72,6 +86,13 @@ object QueriesDomain {
     }),
     "read_commandline" -> ((s, d) => IoOps.readCommandline(s,
       "printf 'a,b\\n1,x\\n2,y\\n'", schema = Some("a INT, b STRING"))),
+    "xlsx_table" -> ((s, d) => {
+      IoOps.xlsxTable(s, writeNationXlsx(s, d), "tNation")
+    }),
+    "xlsx_cells" -> ((s, d) => {
+      IoOps.xlsxCells(s, writeNationXlsx(s, d))
+        .select("coordinate", "row", "column", "data_type", "value")
+    }),
     "math_log" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .addColumn("v", round(MathFunctions.log_(col("l_extendedprice")), 6))
@@ -124,6 +145,18 @@ object QueriesDomain {
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_orderkey < 100""",
     "read_commandline" ->
       """SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(a, b)""",
+    "xlsx_table" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "xlsx_cells" ->
+      """SELECT 'A1' AS coordinate, 1 AS row, 1 AS column, 's' AS data_type, 'n_nationkey' AS value
+        |UNION ALL SELECT 'B1', 1, 2, 's', 'n_name'
+        |UNION ALL SELECT 'C1', 1, 3, 's', 'n_regionkey'
+        |UNION ALL SELECT 'A' || CAST(n_nationkey + 2 AS VARCHAR), n_nationkey + 2, 1, 'n',
+        |  CAST(n_nationkey AS VARCHAR) FROM nation
+        |UNION ALL SELECT 'B' || CAST(n_nationkey + 2 AS VARCHAR), n_nationkey + 2, 2, 's',
+        |  n_name FROM nation
+        |UNION ALL SELECT 'C' || CAST(n_nationkey + 2 AS VARCHAR), n_nationkey + 2, 3, 'n',
+        |  CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin,
     "data_description" ->
       """SELECT 'l_orderkey' AS column_name, 'bigint' AS dtype, count(l_orderkey) AS count,
         |  count(*) - count(l_orderkey) AS null_count, CAST(NULL AS VARCHAR) AS description FROM lineitem

@@ -37,17 +37,143 @@ object IoOps {
     reader.csv(ds)
   }
 
-  /** Excel readers (reference: janitor/io.py:159 xlsx_table, :345 xlsx_cells)
-    * need a driver-side POI traversal; no POI jars ship in this container →
-    * explicitly unsupported (SURVEY §7.4), with the intended implementation
-    * documented here: POI sheet walk → Seq[Row] → spark.createDataFrame with
-    * StructType attr columns.
+  /** Named-table Excel reader (reference: janitor/io.py:159 xlsx_table).
+    * Backed by the JDK-only OOXML parser in [[Xlsx]] — no POI required.
+    * Header row comes from the table's `headerRowCount`; otherwise columns
+    * are named C0..Cn like the reference. Column types are inferred from the
+    * cells (long / double / boolean, else string).
+    *
+    * Workbooks are driver-sized artifacts (the reference reads them with
+    * openpyxl on one machine); the DataFrame they become is what scales.
     */
-  def xlsxTable(path: String, table: String): Nothing =
-    throw new UnsupportedOperationException(
-      "xlsx_table: Apache POI not available in this environment (SURVEY §7.4)")
+  def xlsxTable(spark: SparkSession, path: String, table: String): DataFrame =
+    xlsxTables(spark, path, Seq(table))(table)
 
-  def xlsxCells(path: String): Nothing =
-    throw new UnsupportedOperationException(
-      "xlsx_cells: Apache POI not available in this environment (SURVEY §7.4)")
+  /** All (or the named subset of) tables in the workbook, keyed by table name
+    * (io.py:159 returns a dict in multi-table mode).
+    */
+  def xlsxTables(spark: SparkSession, path: String,
+      tables: Seq[String] = Nil): Map[String, DataFrame] = {
+    val wb = Xlsx.parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    if (wb.tables.isEmpty)
+      throw new IllegalArgumentException("xlsx_table: there are no tables in the Workbook.")
+    val missing = tables.toSet.diff(wb.tables.map(_.name).toSet)
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(
+        s"xlsx_table: tables ${missing.mkString(", ")} do not exist in the Workbook.")
+    val wanted = if (tables.isEmpty) wb.tables else wb.tables.filter(t => tables.contains(t.name))
+    wanted.map { t =>
+      val (c1, r1, c2, r2) = Xlsx.parseRef(t.ref)
+      val inRange = wb.cells.filter(c => c.sheet == t.sheet &&
+        c.column >= c1 && c.column <= c2 && c.row >= r1 && c.row <= r2)
+      val byPos = inRange.map(c => (c.row, c.column) -> c).toMap
+      val (headerRow, dataRows) =
+        if (t.headerRowCount > 0) (Some(r1), (r1 + t.headerRowCount) to r2)
+        else (None, r1 to r2)
+      val names = (c1 to c2).zipWithIndex.map { case (cc, i) =>
+        headerRow.flatMap(hr => byPos.get((hr, cc)).flatMap(c => Option(c.value)))
+          .getOrElse(s"C$i")
+      }
+      t.name -> cellsToDataFrame(spark, names, dataRows.map(rr =>
+        (c1 to c2).map(cc => byPos.get((rr, cc)))))
+    }.toMap
+  }
+
+  /** Infer a per-column Spark type from parsed cells and build a DataFrame.
+    * Mirrors what openpyxl hands pandas: numbers (long when every value is
+    * integral, else double), booleans, dates as ISO strings, else string.
+    */
+  private def cellsToDataFrame(spark: SparkSession, names: Seq[String],
+      rows: Seq[Seq[Option[Xlsx.Cell]]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val nCols = names.length
+    val colType: Seq[DataType] = (0 until nCols).map { i =>
+      val vals = rows.flatMap(_(i)).filter(c => c.internalValue != null)
+      if (vals.isEmpty) StringType
+      else if (vals.forall(_.dataType == "b")) BooleanType
+      else if (vals.forall(c => c.dataType == "n" && !c.value.contains('.') &&
+        !c.value.toLowerCase.contains('e'))) LongType
+      else if (vals.forall(_.dataType == "n")) DoubleType
+      else StringType
+    }
+    val schema = StructType(names.zip(colType).map { case (n, t) =>
+      StructField(n, t, nullable = true) })
+    val data: Seq[Row] = rows.map { r =>
+      Row.fromSeq((0 until nCols).map { i =>
+        r(i).filter(_.internalValue != null).map { c =>
+          colType(i) match {
+            case LongType => c.internalValue.toDouble.toLong
+            case DoubleType => c.internalValue.toDouble
+            case BooleanType => c.internalValue == "1"
+            case _ => c.value
+          }
+        }.orNull
+      })
+    }
+    spark.createDataFrame(data.asJava, schema)
+  }
+
+  private val cellSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("value", StringType), StructField("internal_value", StringType),
+      StructField("coordinate", StringType), StructField("row", IntegerType, nullable = false),
+      StructField("column", IntegerType, nullable = false),
+      StructField("data_type", StringType), StructField("is_date", BooleanType, nullable = false),
+      StructField("number_format", StringType), StructField("sheetname", StringType)))
+  }
+
+  private def cellToRow(c: Xlsx.Cell): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(c.value, c.internalValue, c.coordinate, c.row,
+      c.column, c.dataType, c.isDate, c.numberFormat, c.sheet)
+
+  /** Cell-level Excel reader (reference: janitor/io.py:345 xlsx_cells): one
+    * output row per cell with value / coordinate / typing columns. The
+    * reference returns a dict keyed by sheet for multi-sheet reads; here
+    * sheets are concatenated with a `sheetname` column (filter to split).
+    * `startPoint`/`endPoint` bound the scan like the reference's kwargs.
+    */
+  def xlsxCells(spark: SparkSession, path: String,
+      sheetnames: Seq[String] = Nil,
+      startPoint: Option[String] = None, endPoint: Option[String] = None,
+      includeBlankCells: Boolean = true): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(startPoint.isEmpty == endPoint.isEmpty,
+      "xlsx_cells: start_point and end_point must be provided together")
+    val wb = Xlsx.parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val bySheet = if (sheetnames.isEmpty) wb.cells
+      else wb.cells.filter(c => sheetnames.contains(c.sheet))
+    val bounded = (startPoint, endPoint) match {
+      case (Some(lo), Some(hi)) =>
+        val (c1, r1) = Xlsx.parseCoord(lo, 1)
+        val (c2, r2) = Xlsx.parseCoord(hi, Int.MaxValue)
+        bySheet.filter(c => c.column >= c1 && c.column <= c2 && c.row >= r1 && c.row <= r2)
+      case _ => bySheet
+    }
+    val kept = if (includeBlankCells) bounded else bounded.filter(_.internalValue != null)
+    spark.createDataFrame(kept.map(cellToRow).asJava, cellSchema)
+  }
+
+  /** Distributed xlsx_cells over a directory/glob of workbooks: Spark's
+    * `binaryFile` source ships each file's bytes to an executor, where the
+    * pure [[Xlsx.parse]] runs — one task per workbook, no driver bottleneck.
+    * This is the 100 TB path for "a lake of small Excel drops": the parse is
+    * embarrassingly parallel and the output is an ordinary DataFrame.
+    */
+  def xlsxCellsGlob(spark: SparkSession, pathGlob: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(cellSchema.add("source_file", org.apache.spark.sql.types.StringType))
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content")
+    files.flatMap { row =>
+      val path = row.getString(0)
+      val bytes = row.getAs[Array[Byte]](1)
+      Xlsx.parse(bytes).cells.map { c =>
+        org.apache.spark.sql.Row(c.value, c.internalValue, c.coordinate, c.row,
+          c.column, c.dataType, c.isDate, c.numberFormat, c.sheet, path)
+      }
+    }(enc)
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.{IoOps, Xlsx}
+import org.apache.spark.sql.types._
+
+/** xlsx_table / xlsx_cells via the JDK-only OOXML parser
+  * (reference: janitor/io.py:159, io.py:345).
+  */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpXlsx(name: String, rows: Seq[Seq[Any]],
+      table: Option[String] = None, sheet: String = "Sheet1"): String = {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
+    dir.deleteOnExit()
+    val p = s"${dir.getAbsolutePath}/$name"
+    Xlsx.Writer.write(p, rows, sheet, table)
+    p
+  }
+
+  test("xlsx_table reads a named table with header and inferred types") {
+    val p = tmpXlsx("t.xlsx", Seq(
+      Seq("CategoryID", "Category", "Score", "Active"),
+      Seq(1L, "Beginner", 1.5d, true),
+      Seq(2L, "Advanced", 2.25d, false),
+      Seq(3L, "Freestyle", -1.0d, true)), table = Some("dCategory"))
+    val df = IoOps.xlsxTable(spark, p, "dCategory")
+    assert(df.schema == StructType(Seq(
+      StructField("CategoryID", LongType), StructField("Category", StringType),
+      StructField("Score", DoubleType), StructField("Active", BooleanType))))
+    val rows = df.orderBy("CategoryID").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("Beginner", "Advanced", "Freestyle"))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5d, 2.25d, -1.0d))
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(true, false, true))
+  }
+
+  test("xlsx_tables returns every table; missing names raise") {
+    val p = tmpXlsx("t2.xlsx", Seq(Seq("a", "b"), Seq(1L, "x")), table = Some("tOne"))
+    val all = IoOps.xlsxTables(spark, p)
+    assert(all.keySet == Set("tOne"))
+    intercept[NoSuchElementException] { IoOps.xlsxTables(spark, p, Seq("nope")) }
+    val noTables = tmpXlsx("t3.xlsx", Seq(Seq("a"), Seq(1L)))
+    intercept[IllegalArgumentException] { IoOps.xlsxTables(spark, noTables) }
+  }
+
+  test("xlsx_cells yields one row per cell with coordinates and types") {
+    val p = tmpXlsx("c.xlsx", Seq(
+      Seq("Age", "Height"),
+      Seq(1L, 2L),
+      Seq(3.5d, null)), sheet = "highlights")
+    val df = IoOps.xlsxCells(spark, p)
+    val cells = df.orderBy("row", "column").collect()
+    // null cells are simply absent from the xml (writer skips them)
+    assert(cells.length == 5)
+    val first = cells.head
+    assert(first.getString(df.columns.indexOf("coordinate")) == "A1")
+    assert(first.getString(df.columns.indexOf("value")) == "Age")
+    assert(first.getString(df.columns.indexOf("data_type")) == "s")
+    assert(first.getInt(df.columns.indexOf("row")) == 1)
+    assert(first.getInt(df.columns.indexOf("column")) == 1)
+    assert(!first.getBoolean(df.columns.indexOf("is_date")))
+    assert(first.getString(df.columns.indexOf("sheetname")) == "highlights")
+    val a3 = cells.find(_.getString(df.columns.indexOf("coordinate")) == "A3").get
+    assert(a3.getString(df.columns.indexOf("data_type")) == "n")
+    assert(a3.getString(df.columns.indexOf("value")) == "3.5")
+    // integral numerics display without a trailing .0 (openpyxl parity)
+    val a2 = cells.find(_.getString(df.columns.indexOf("coordinate")) == "A2").get
+    assert(a2.getString(df.columns.indexOf("value")) == "1")
+  }
+
+  test("xlsx_cells start/end point bounds and sheet filter") {
+    val p = tmpXlsx("c2.xlsx", Seq(Seq("a", "b"), Seq(1L, 2L), Seq(3L, 4L)))
+    val sub = IoOps.xlsxCells(spark, p, startPoint = Some("A2"), endPoint = Some("A3"))
+    assert(sub.select("coordinate").as[String].collect().sorted.toSeq == Seq("A2", "A3"))
+    assert(IoOps.xlsxCells(spark, p, sheetnames = Seq("NoSuch")).count() == 0)
+    intercept[IllegalArgumentException] {
+      IoOps.xlsxCells(spark, p, startPoint = Some("A1"))
+    }
+  }
+
+  test("xlsx_cells_glob parses a directory of workbooks in executors") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxglob").toFile
+    dir.deleteOnExit()
+    Xlsx.Writer.write(s"$dir/one.xlsx", Seq(Seq("k", "v"), Seq(1L, "a")))
+    Xlsx.Writer.write(s"$dir/two.xlsx", Seq(Seq("k", "v"), Seq(2L, "b")))
+    val df = IoOps.xlsxCellsGlob(spark, s"$dir/*.xlsx")
+    assert(df.count() == 8)
+    assert(df.select("source_file").distinct().count() == 2)
+    val vals = df.filter($"data_type" === "n").select("value")
+      .as[String].collect().sorted.toSeq
+    assert(vals == Seq("1", "2"))
+  }
+
+  test("date-formatted serials convert with the 1900 leap bug accounted for") {
+    // serial 45292 = 2024-01-01 in the 1900 date system
+    assert(Xlsx.serialToIso(45292d) == "2024-01-01")
+    assert(Xlsx.serialToIso(45292.5d) == "2024-01-01 12:00")
+    // serials below 60 predate the phantom 1900-02-29
+    assert(Xlsx.serialToIso(1d) == "1900-01-01")
+    assert(Xlsx.isDateFormat("yyyy-mm-dd"))
+    assert(Xlsx.isDateFormat("m/d/yy h:mm"))
+    assert(!Xlsx.isDateFormat("General"))
+    assert(!Xlsx.isDateFormat("0.00"))
+    assert(!Xlsx.isDateFormat("\"yes\"0.0"))
+  }
+
+  test("coordinate helpers round-trip") {
+    assert(Xlsx.parseCoord("BC23", 0) == (55, 23))
+    assert(Xlsx.colLetters(55) == "BC")
+    assert(Xlsx.colLetters(1) == "A")
+    assert(Xlsx.colLetters(27) == "AA")
+    assert(Xlsx.parseRef("A1:C6") == (1, 1, 3, 6))
+  }
+}
