@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Queries whose per-query seconds go on the one-line stdout record. The
+    * driver captures only a ~2KB tail of the run, so the full 120+-query map
+    * does not fit (every BENCH_rN.json through round 6 has `parsed: null`);
+    * the headline subset keeps the line parseable while `bench_out.json`
+    * carries the complete record.
+    */
+  private val headline = Seq(
+    "dedup_clusters", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_exact", "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
+    "range_join", "conditional_join", "conditional_join_keep_first",
+    "groupby_agg", "groupby_topk", "pivot_longer", "pivot_wider", "complete",
+    "count_cumulative_unique", "math_ecdf", "fill_direction", "clean_names",
+    "filter_on", "xlsx_table", "row_to_names", "min_max_scale_jointly")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,21 +44,40 @@ object Bench {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None    => SparkEntry.queries
     }
+    var i = 0
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query progress on stderr: if a run ever degrades (round 6's
+      // official bench took 25x the in-round time on the same commit), the
+      // log shows where the time went instead of one opaque total
+      System.err.println(f"[bench] ${java.time.Instant.now()} $name%-32s $dt%8.2f s")
+      // iterative operators localCheckpoint intermediates (dedup_clusters,
+      // conditional_join); blocks pin executor memory until the RDD is GC'd.
+      // Drop them between queries so 120+ runs in one JVM can't accumulate
+      // into GC pressure.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+      i += 1
+      if (i % 25 == 0) System.gc() // let ContextCleaner drop dead broadcasts
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's captured tail can truncate mid-JSON; persist the full
-    // record so rounds stay comparable (judge round-5 item 10)
+    // full-precision complete record (the committed regression reference)
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"), line + "\n")
+      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}\n""")
     catch { case _: Throwable => () }
+    // compact stdout line (headline queries only) that survives tail capture
+    val head = headline.flatMap(q => results.get(q).map(q -> _))
+    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},""" +
+      s""""queries":${fmt(head)},"full":"bench_out.json","sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

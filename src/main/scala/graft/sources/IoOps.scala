@@ -67,8 +67,11 @@ object IoOps {
       val inRange = wb.cells.filter(c => c.sheet == t.sheet &&
         c.column >= c1 && c.column <= c2 && c.row >= r1 && c.row <= r2)
       val byPos = inRange.map(c => (c.row, c.column) -> c).toMap
+      // exactly one header row, like the reference (openpyxl hands pandas the
+      // first row as names and everything after as data); workbooks with
+      // headerRowCount > 1 keep rows 2..k as data rather than dropping them
       val (headerRow, dataRows) =
-        if (t.headerRowCount > 0) (Some(r1), (r1 + t.headerRowCount) to r2)
+        if (t.headerRowCount > 0) (Some(r1), (r1 + 1) to r2)
         else (None, r1 to r2)
       val names = (c1 to c2).zipWithIndex.map { case (cc, i) =>
         headerRow.flatMap(hr => byPos.get((hr, cc)).flatMap(c => Option(c.value)))
@@ -143,6 +146,13 @@ object IoOps {
     require(startPoint.isEmpty == endPoint.isEmpty,
       "xlsx_cells: start_point and end_point must be provided together")
     val wb = Xlsx.parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    // the reference raises KeyError on wb[missing_sheet]; a silent empty
+    // result would let sheet-name typos pass
+    val unknown = sheetnames.toSet.diff(wb.sheetNames.toSet)
+    if (unknown.nonEmpty)
+      throw new NoSuchElementException(
+        s"xlsx_cells: sheets ${unknown.mkString(", ")} do not exist in the Workbook " +
+          s"(have: ${wb.sheetNames.mkString(", ")}).")
     val bySheet = if (sheetnames.isEmpty) wb.cells
       else wb.cells.filter(c => sheetnames.contains(c.sheet))
     val bounded = (startPoint, endPoint) match {

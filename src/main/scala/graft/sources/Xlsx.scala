@@ -227,9 +227,13 @@ object Xlsx {
   private[graft] def serialToIso(serial: Double): String = {
     val adjusted = if (serial >= 60) serial - 1 else serial
     val epoch = java.time.LocalDate.of(1899, 12, 31)
-    val days = math.floor(adjusted).toLong
+    var days = math.floor(adjusted).toLong
     val frac = adjusted - days
-    val secs = math.round(frac * 86400d)
+    var secs = math.round(frac * 86400d)
+    // a fraction like .9999999 rounds to a full day: roll the date, not the
+    // clock (otherwise we'd print "<day+1> 00:00:00" as a timestamp instead
+    // of a bare date)
+    if (secs == 86400) { days += 1; secs = 0 }
     val dt = epoch.plusDays(days).atStartOfDay().plusSeconds(secs)
     if (secs == 0) dt.toLocalDate.toString else dt.toString.replace('T', ' ')
   }
@@ -349,9 +353,14 @@ object Xlsx {
     sb.toString
   }
 
-  /** "A1:C6" -> (colLo, rowLo, colHi, rowHi). */
+  /** "A1:C6" -> (colLo, rowLo, colHi, rowHi). Single-cell tables may carry a
+    * colon-less ref ("A1"), which some writers emit: lo == hi.
+    */
   private[graft] def parseRef(ref: String): (Int, Int, Int, Int) = {
-    val Array(lo, hi) = ref.split(":", 2)
+    val (lo, hi) = ref.split(":", 2) match {
+      case Array(only)  => (only, only)
+      case Array(a, b)  => (a, b)
+    }
     val (c1, r1) = parseCoord(lo, 1)
     val (c2, r2) = parseCoord(hi, 1)
     (c1, r1, c2, r2)
@@ -441,7 +450,13 @@ object Xlsx {
           ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
             s"""<table xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" id="1" name="${escape(tn)}" displayName="${escape(tn)}" ref="$ref" headerRowCount="1">""" +
             s"""<tableColumns count="$nCols">""" +
-            (1 to nCols).map(i => s"""<tableColumn id="$i" name="c$i"/>""").mkString +
+            // OOXML requires tableColumn names to match the header cell text;
+            // fall back to c<i> only when the header row is short/absent
+            (1 to nCols).map { i =>
+              val hdr = rows.headOption.flatMap(_.lift(i - 1)).flatMap(Option(_))
+                .map(_.toString).filter(_.nonEmpty).getOrElse(s"c$i")
+              s"""<tableColumn id="$i" name="${escape(hdr)}"/>"""
+            }.mkString +
             "</tableColumns></table>")
       }
 

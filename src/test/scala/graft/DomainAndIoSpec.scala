@@ -58,9 +58,9 @@ class DomainAndIoSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v", "source_file"))
   }
 
-  test("xlsx readers are explicitly unsupported") {
-    intercept[UnsupportedOperationException](IoOps.xlsxTable("x.xlsx", "t"))
-    intercept[UnsupportedOperationException](IoOps.xlsxCells("x.xlsx"))
+  test("xlsx readers raise on a missing file") {
+    intercept[Exception](IoOps.xlsxTable(spark, "target/tmp/nope.xlsx", "t"))
+    intercept[Exception](IoOps.xlsxCells(spark, "target/tmp/nope.xlsx"))
   }
 
   test("getSymbol broadcast-joins the static ticker table") {

@@ -73,7 +73,10 @@ class XlsxSpec extends SparkSpec {
     val p = tmpXlsx("c2.xlsx", Seq(Seq("a", "b"), Seq(1L, 2L), Seq(3L, 4L)))
     val sub = IoOps.xlsxCells(spark, p, startPoint = Some("A2"), endPoint = Some("A3"))
     assert(sub.select("coordinate").as[String].collect().sorted.toSeq == Seq("A2", "A3"))
-    assert(IoOps.xlsxCells(spark, p, sheetnames = Seq("NoSuch")).count() == 0)
+    // unknown sheet names raise like the reference's wb[missing] KeyError
+    intercept[NoSuchElementException] {
+      IoOps.xlsxCells(spark, p, sheetnames = Seq("NoSuch"))
+    }
     intercept[IllegalArgumentException] {
       IoOps.xlsxCells(spark, p, startPoint = Some("A1"))
     }
@@ -98,6 +101,8 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.serialToIso(45292.5d) == "2024-01-01 12:00")
     // serials below 60 predate the phantom 1900-02-29
     assert(Xlsx.serialToIso(1d) == "1900-01-01")
+    // a fraction that rounds to a full day rolls the date, not the clock
+    assert(Xlsx.serialToIso(45292.9999999d) == "2024-01-02")
     assert(Xlsx.isDateFormat("yyyy-mm-dd"))
     assert(Xlsx.isDateFormat("m/d/yy h:mm"))
     assert(!Xlsx.isDateFormat("General"))
@@ -111,5 +116,7 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.colLetters(1) == "A")
     assert(Xlsx.colLetters(27) == "AA")
     assert(Xlsx.parseRef("A1:C6") == (1, 1, 3, 6))
+    // single-cell tables may carry a colon-less ref
+    assert(Xlsx.parseRef("B7") == (2, 7, 2, 7))
   }
 }
