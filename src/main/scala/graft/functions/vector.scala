@@ -95,10 +95,57 @@ object vector {
       copy(left = l, right = r)
   }
 
+  /** Per-centroid scaled dot products: element c = dot(v, centroids(c)) /
+    * norms(c), ascending-index summation with each float widened to double —
+    * bit-identical to the unrolled `array(dot(v, lit(...)) / lit(cn), ...)`
+    * form it replaces, but the centroid table rides along as ONE reference
+    * object instead of nCells × dim literals, so the expression (and its
+    * generated code) stays O(1) in nCells. This is what lets IVF cell counts
+    * reach the thousands a 100 TB corpus needs.
+    */
+  def centroidSimsKernel(v: ArrayData, cents: Array[Array[Float]],
+      norms: Array[Double]): ArrayData = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0.0d; var i = 0
+      val n = math.min(v.numElements(), cv.length)
+      while (i < n) { s += v.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      out(c) = s / norms(c)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class CentroidSims(child: Expression, centroids: Array[Array[Float]],
+      norms: Array[Double]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      centroidSimsKernel(a.asInstanceOf[ArrayData], centroids, norms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.vector.centroidSimsKernel($a, $cRef, $nRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): CentroidSims =
+      copy(child = c)
+  }
+
   import org.apache.spark.sql.graftx.Bridge
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def l2_norm(a: Column): Column = Bridge.column(L2Norm(Bridge.expression(a)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  /** `centroids` in double (as refined by Lloyd); each row's norm is taken
+    * in double BEFORE the float cast, matching the literal form's
+    * `dot(vec, float literals) / lit(sqrt(sum of double squares))`.
+    */
+  def centroid_sims(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val floats = centroids.map(_.map(_.toFloat))
+    val norms = centroids.map(cv => math.sqrt(cv.map(x => x * x).sum))
+    Bridge.column(CentroidSims(Bridge.expression(vec), floats, norms))
+  }
 }

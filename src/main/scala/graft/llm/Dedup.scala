@@ -83,7 +83,7 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // small parquet inputs arrive as one partition; shingle hashing is the
     // dominant narrow cost — spread it across the executor threads
@@ -98,7 +98,18 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
           .cast("string"), b))).as(Seq("band", "bandhash")))
-    val cands = banded.as("a").join(banded.as("b"), Seq("band", "bandhash"))
+    // hot-bucket guard: boilerplate text (license headers, templated pages)
+    // lands thousands of docs in one (band, bandhash) bucket, turning the
+    // self-join quadratic. Buckets over `maxBucketSize` are dropped from
+    // candidate generation — a pair sharing a hot bucket is still found
+    // through any of its other numBands-1 bands (the OR-amplification that
+    // makes LSH robust), so the recall cost is bounded while the worst-case
+    // join cost becomes numBuckets × maxBucketSize². The count aggregation
+    // shuffles on the same keys as the self-join, so AQE reuses the exchange.
+    val bucketOk = banded.groupBy("band", "bandhash").count()
+      .filter(col("count") <= maxBucketSize).drop("count")
+    val inBucket = banded.join(bucketOk, Seq("band", "bandhash"))
+    val cands = inBucket.as("a").join(inBucket.as("b"), Seq("band", "bandhash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")

@@ -111,19 +111,16 @@ object Similarity {
   /** Per-cell similarity scores for argmax/ordering: element i is
     * dot(vec, centroid_i) / |centroid_i| — cosine scaled by the row's own
     * |vec|, a positive per-row constant, so argmax and top-nProbe order are
-    * identical to cosine while skipping the per-row norm entirely. Unrolled
-    * over the (driver-side) centroid table into a plain `array(...)` of
-    * codegen'd [[graft.functions.vector.DotProduct]] calls — no interpreted
-    * higher-order functions in the hot path; centroid norms are literals.
+    * identical to cosine while skipping the per-row norm entirely. The
+    * centroid table is embedded as one codegen reference object
+    * ([[graft.functions.vector.CentroidSims]]) — the earlier unrolled
+    * `array(dot(vec, literals) / lit(cn), ...)` form generated O(nCells ×
+    * dim) code and capped cell counts at O(100s); the kernel keeps the plan
+    * O(1) in nCells with bit-identical arithmetic, so 100 TB-scale cell
+    * counts (thousands) are plan-safe.
     */
   private def cellSims(vec: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.toIndexedSeq.map { cvec =>
-      val cn = math.sqrt(cvec.map(x => x * x).sum)
-      // float literals so the codegen dot kernel sees matching
-      // array<float> element types on both sides
-      val clit = array(cvec.map(x => lit(x.toFloat)).toIndexedSeq: _*)
-      dot(vec, clit) / lit(cn)
-    }: _*)
+    graft.functions.vector.centroid_sims(vec, centroids)
 
   /** Nearest-cell id (1-based, first index among ties — same contract as
     * `array_position(sims, array_max(sims))`). `sims` must be a bound

@@ -38,6 +38,24 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("minhashDupPairs hot-bucket cap drops oversized buckets, keeps the rest") {
+    val boiler = (1 to 50).map(i => s"boiler$i").mkString(" ")
+    val other = (1 to 50).map(i => s"fresh$i").mkString(" ")
+    val docs = ((1L to 4L).map(i => (i, boiler)) ++
+      Seq((10L, other), (11L, other + " tail"))).toDF("id", "t")
+    // the 4 identical docs put 4 rows in every one of their buckets: over a
+    // cap of 3 they generate no candidates, while the (10,11) pair's buckets
+    // hold <= 2 rows and survive
+    val capped = Dedup.minhashDupPairs(docs, "id", "t", threshold = 0.5,
+      maxBucketSize = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq.sorted == Seq((10L, 11L)))
+    // the default cap is far above anything here: all pairs found
+    val full = Dedup.minhashDupPairs(docs, "id", "t", threshold = 0.5)
+      .select("id1", "id2").collect()
+    assert(full.length == 6 + 1) // C(4,2) boiler pairs + the (10,11) pair
+  }
+
   test("simhash: identical texts equal; near-dups within small hamming distance") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq((1L, base), (2L, base), (3L, base + " x y z")).toDF("id", "t")
@@ -118,6 +136,22 @@ class LlmSpec extends SparkSpec {
       .collect()(0)
     assert(gate.getLong(0) == 2 && gate.getBoolean(2)) // mean 0.75 >= 0.7
     assert(!Similarity.recallGate(approx, exact, floor = 0.8).collect()(0).getBoolean(2))
+  }
+
+  test("centroid_sims kernel matches manual dot/norm math and scales to 1000 cells") {
+    val v = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
+    val cents = Array(Array(1.0d, 0.0d, 0.0d), Array(0.5d, 0.5d, 0.5d))
+    val sims = v.select(graft.functions.vector.centroid_sims(col("vec"), cents).as("s"))
+      .head.getSeq[Double](0)
+    assert(math.abs(sims(0) - 1.0) < 1e-6)
+    assert(math.abs(sims(1) - (0.5 + 1.0 + 1.5) / math.sqrt(0.75)) < 1e-5)
+    // the centroid table rides as ONE reference object: a 1000-cell plan
+    // neither blows up codegen nor the driver (the unrolled-literal form
+    // this replaced capped out around a few hundred cells)
+    val big = Array.tabulate(1000, 3)((c, i) => (c + i + 1).toDouble)
+    val wide = v.select(size(graft.functions.vector.centroid_sims(col("vec"), big)).as("n"))
+      .head.getInt(0)
+    assert(wide == 1000)
   }
 
   test("LSH and IVF top-k clear their recall floors on clustered vectors") {
