@@ -181,12 +181,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nc")).as("nmin"))
+      // carry the changed flag through the update itself: the eager
+      // checkpoint materializes it for free, so the convergence probe is a
+      // filter over the checkpointed frame instead of a second labels join
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (col("nmin").isNotNull && col("nmin") < col("cluster")).as("__changed"))
         .localCheckpoint(eager = true)
-      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("__changed")).limit(1).count()
+      labels = updated.drop("__changed")
       converged = changed == 0
       iter += 1
     }
