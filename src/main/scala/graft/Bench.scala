@@ -10,7 +10,8 @@ object Bench {
     */
   private val headline = Seq(
     "dedup_clusters", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_exact", "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
+    "dedup_exact", "contamination_pairs", "winnow_fingerprints",
+    "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
     "range_join", "conditional_join", "conditional_join_keep_first",
     "groupby_agg", "groupby_topk", "pivot_longer", "pivot_wider", "complete",
     "count_cumulative_unique", "math_ecdf", "fill_direction", "clean_names",

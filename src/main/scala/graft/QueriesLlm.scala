@@ -53,6 +53,10 @@ object QueriesLlm {
       Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")),
+    "winnow_fingerprints" -> ((s, d) =>
+      Dedup.winnowFingerprints(documents(s, d), "doc_id", "text")),
+    "contamination_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text", threshold = 0.5)),
     "similarity_topk" -> ((s, d) => Similarity.cosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),
@@ -129,6 +133,17 @@ object QueriesLlm {
   private val jaccardPairsBoundedSql =
     jaccardSql(s"SELECT doc_id, text FROM ($corpusSql) WHERE doc_id % 100000 < 1000")
 
+  /** Winnowing CTE prefix (word 3-grams, window 4, md5-derived 48-bit
+    * hashes) — replicates [[Dedup.winnowFingerprints]] defaults exactly.
+    */
+  private val winnowSql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |grams AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |    i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 12)) AS BIGINT)) AS hs FROM w),
+      |wins AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+      |    j -> list_min(hs[j:j+3]))) AS fps FROM grams)
+      |""".stripMargin
+
   private val simhashOracle: String = {
     val bits = 48
     val bitSums = (0 until bits).map(j =>
@@ -172,6 +187,18 @@ object QueriesLlm {
          |GROUP BY c.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsBoundedSql,
     "dedup_simhash" -> simhashOracle,
+    "winnow_fingerprints" -> (winnowSql + "SELECT doc_id AS id, unnest(fps) AS fp FROM wins"),
+    "contamination_pairs" -> (winnowSql +
+      """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),
+        |ff AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ff GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS m
+        |          FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, containment FROM (
+        |  SELECT id1, id2, round(CAST(m AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |  FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2)
+        |WHERE containment >= 0.5""".stripMargin),
     "similarity_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |s AS (

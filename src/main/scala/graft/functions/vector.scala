@@ -133,12 +133,100 @@ object vector {
       copy(child = c)
   }
 
+  /** Sliding-window minimum over a long array: out(j) = min(a(j..j+w-1)),
+    * j in 0..n-w. Monotonic-deque algorithm — O(n) total, no per-window
+    * allocation (the `transform(sequence, j -> array_min(slice(a, j, w)))`
+    * formulation it replaces is O(n·w) and allocates a slice per window).
+    * Elements must be non-null. n < w yields an empty array.
+    */
+  def windowMinKernel(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - w + 1)
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0; var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      while (tail > head && a.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = a.getLong(dq(head))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** 48-bit md5-prefix hashes of every word n-gram: out(i) = the first 6
+    * digest bytes (big-endian unsigned) of md5(tok(i) + " " + ... +
+    * tok(i+n-1)) — numerically identical to the SQL-replicable
+    * `CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT)`, but hashed straight
+    * from the token bytes: no per-gram string build, hex encode, substring,
+    * or base-16 parse, and no interpreted lambda dispatch per element.
+    * Tokens must be non-null. Fewer than n tokens yields an empty array.
+    */
+  def gramHashKernel(toks: ArrayData, n: Int): ArrayData = {
+    val k = toks.numElements()
+    if (k < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](k - n + 1)
+    val md = md5TL.get()
+    var i = 0
+    while (i <= k - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class GramHash48(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "GramHash48: shingle size must be >= 1")
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      gramHashKernel(a.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.vector.gramHashKernel($a, $n)")
+    override protected def withNewChildInternal(c: Expression): GramHash48 =
+      copy(child = c)
+  }
+
+  case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1, "WindowMin: window must be >= 1")
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      windowMinKernel(a.asInstanceOf[ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.vector.windowMinKernel($a, $w)")
+    override protected def withNewChildInternal(c: Expression): WindowMin =
+      copy(child = c)
+  }
+
   import org.apache.spark.sql.graftx.Bridge
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def l2_norm(a: Column): Column = Bridge.column(L2Norm(Bridge.expression(a)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def window_min(a: Column, w: Int): Column =
+    Bridge.column(WindowMin(Bridge.expression(a), w))
+  def gram_hash48(toks: Column, n: Int): Column =
+    Bridge.column(GramHash48(Bridge.expression(toks), n))
   /** `centroids` in double (as refined by Lloyd); each row's norm is taken
     * in double BEFORE the float cast, matching the literal form's
     * `dot(vec, float literals) / lit(sqrt(sum of double squares))`.

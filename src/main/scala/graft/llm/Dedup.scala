@@ -197,6 +197,63 @@ object Dedup {
     labels
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
+    * every word `shingleN`-gram (md5-derived 48-bit, so the oracle can
+    * reproduce it), then keep the minimum hash of each `window` consecutive
+    * grams. Any shared run of at least `shingleN + window - 1` tokens is
+    * guaranteed to share a fingerprint — the basis for detecting PARTIAL
+    * overlap (contamination / quotation), which whole-document MinHash
+    * misses. Output: one (id, fp) row per distinct selected fingerprint —
+    * a distributed inverted index. Short docs (< shingleN + window - 1
+    * tokens) yield no fingerprints, mirroring the empty-shingle contract.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, window: Int = 4): DataFrame = {
+    // the whole per-document pipeline is two codegen kernels: gram hashing
+    // (md5 straight from token bytes — no hex/conv round-trip, no
+    // interpreted per-gram lambda) and O(n) monotonic-deque window minima.
+    // Small parquet inputs arrive as one partition; the hashing is the
+    // dominant narrow cost — spread it.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val hashes = graft.functions.vector.gram_hash48(
+      coalesce(tokens(col(textCol)), array().cast("array<string>")), shingleN)
+    val fps = array_distinct(graft.functions.vector.window_min(hashes, window))
+    df.repartition(par).select(col(idCol).as("id"), explode(fps).as("fp"))
+  }
+
+  /** Containment pairs over winnowing fingerprints — contamination
+    * detection: pairs whose shared rare fingerprints cover ≥ `threshold` of
+    * the smaller side's fingerprint set. Fingerprints present in more than
+    * `maxDocFreq` documents are dropped first (boilerplate n-grams carry no
+    * identity — the same document-frequency cut real contamination pipelines
+    * apply), which both sharpens the signal and bounds the inverted-index
+    * self-join at maxDocFreq² rows per fingerprint. All shuffles are keyed
+    * on fp or (id1, id2); nothing is quadratic in the corpus.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, window: Int = 4,
+      maxDocFreq: Int = 10): DataFrame = {
+    // the fingerprint index feeds three consumers (df cut, sizes, self-join)
+    // — pin it so the md5 pipeline runs once, not per consumer
+    val fps = winnowFingerprints(df, idCol, textCol, shingleN, window)
+      .localCheckpoint(eager = false)
+    val rare = fps.groupBy("fp").count()
+      .filter(col("count") <= maxDocFreq).drop("count")
+    val ff = fps.join(rare, Seq("fp"))
+    val sizes = ff.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = ff.as("a").join(ff.as("b"), Seq("fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("containment",
+        round(col("m").cast("double") / least(col("n1"), col("n2")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
+  }
+
   /** 48-bit SimHash over distinct tokens, with md5-derived token hashes
     * (md5 so the oracle can reproduce it; 48 bits keeps the value in a
     * signed BIGINT). One explode + one map-side-combinable aggregation.

@@ -56,6 +56,29 @@ class LlmSpec extends SparkSpec {
     assert(full.length == 6 + 1) // C(4,2) boiler pairs + the (10,11) pair
   }
 
+  test("winnowing guarantees shared fingerprints for shared runs; containment finds partial overlap") {
+    val shared = (1 to 30).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),                                              // fully contained in 2
+      (2L, shared + " " + (1 to 30).map(i => s"tail$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("id", "t")
+    val fps = Dedup.winnowFingerprints(docs, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 1's token run appears verbatim in doc 2: every one of its
+    // fingerprints must also be selected for doc 2 (windows fully inside
+    // the shared run pick identical minima)
+    assert(byDoc(1L).subsetOf(byDoc(2L)))
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    val pairs = Dedup.containmentPairs(docs, "id", "t", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 1.0) // full containment of the smaller side
+    // a doc shorter than shingleN + window - 1 tokens yields no fingerprints
+    val short = Seq((9L, "a b c d e")).toDF("id", "t")
+    assert(Dedup.winnowFingerprints(short, "id", "t").count() == 0)
+  }
+
   test("simhash: identical texts equal; near-dups within small hamming distance") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq((1L, base), (2L, base), (3L, base + " x y z")).toDF("id", "t")
