@@ -218,7 +218,10 @@ object Dedup {
     val hashes = graft.functions.vector.gram_hash48(
       coalesce(tokens(col(textCol)), array().cast("array<string>")), shingleN)
     val fps = array_distinct(graft.functions.vector.window_min(hashes, window))
-    df.repartition(par).select(col(idCol).as("id"), explode(fps).as("fp"))
+    // streaming frames keep their micro-batch partitioning (the narrow
+    // kernel pipeline runs as-is on a stream — see StreamingOps)
+    val spread = if (df.isStreaming) df else df.repartition(par)
+    spread.select(col(idCol).as("id"), explode(fps).as("fp"))
   }
 
   /** Containment pairs over winnowing fingerprints — contamination

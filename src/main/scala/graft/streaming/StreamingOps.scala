@@ -71,6 +71,25 @@ object StreamingOps {
       .toDF(keyCol, valueCol, "cum_unique")
   }
 
+  /** Streaming contamination flagging: winnow-fingerprint each incoming
+    * document and stream-static join against a reference index — e.g.
+    * `Dedup.winnowFingerprints` of a benchmark/eval corpus, the canonical
+    * "is training data contaminated with my test set" check run as data
+    * arrives. The reference side is broadcast (it's the small, curated
+    * corpus); a document is emitted once it shares >= `minShared`
+    * fingerprints with the index. Update/complete output mode (running
+    * aggregation keyed on the doc id).
+    */
+  def contaminationFlags(stream: DataFrame, idCol: String, textCol: String,
+      referenceIndex: DataFrame, minShared: Int = 3,
+      shingleN: Int = 3, window: Int = 4): DataFrame = {
+    val fps = graft.llm.Dedup.winnowFingerprints(stream, idCol, textCol, shingleN, window)
+    fps.join(broadcast(referenceIndex.select(col("fp")).distinct()), Seq("fp"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-key jump flag against the previous value — streaming flag_jumps
     * (batch form: lag window, SURVEY §2.12). Processing-order within a key;
     * pair with event-time sorting upstream for strict event order.

@@ -68,6 +68,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WindowMin kernel == slice+array_min; GramHash48 == md5 hex conv (random arrays)") {
+    val rng = new Random(21)
+    val rows = (1 to 60).map { i =>
+      val n = rng.nextInt(20)
+      (i.toLong, (1 to n).map(_ => rng.nextLong()), (1 to n).map(_ => s"t${rng.nextInt(9)}").mkString(" "))
+    }.toDF("id", "hs", "text")
+    Seq(1, 3, 5).foreach { w =>
+      val got = rows.select(col("id"),
+        graft.functions.vector.window_min(col("hs"), w).as("m"))
+      val naive = rows.select(col("id"), when(size(col("hs")) >= w,
+        transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+          j => array_min(slice(col("hs"), j, lit(w)))))
+        .otherwise(array().cast("array<bigint>")).as("m"))
+      assert(sorted(got) == sorted(naive), s"window $w differs")
+    }
+    val toks = split(lower(col("text")), "\\s+")
+    val gotH = rows.select(col("id"),
+      graft.functions.vector.gram_hash48(toks, 3).as("h"))
+    val naiveH = rows.select(col("id"), when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => conv(substring(md5(concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+          .cast("binary")), 1, 12), 16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>")).as("h"))
+    assert(sorted(gotH) == sorted(naiveH))
+  }
+
   test("pivotLonger/pivotWider round-trip on unique keys") {
     val rng = new Random(5)
     val d = (1 to 20).map(i => (i, rng.nextDouble(), rng.nextDouble())).toDF("id", "m_a", "m_b")

@@ -78,4 +78,22 @@ class StreamingSpec extends SparkSpec {
       "dedup_out")
     assert(out.count() == 2)
   }
+
+  test("contaminationFlags joins streamed fingerprints against a static benchmark index") {
+    implicit val sq = spark.sqlContext
+    val bench = (1 to 30).map(i => s"secret$i").mkString(" ")
+    val refIndex = graft.llm.Dedup.winnowFingerprints(
+      Seq((0L, bench)).toDF("id", "t"), "id", "t")
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "totally unrelated words that never overlap anything here at all"),
+      (2L, "preamble text then " + bench + " then a closing remark"))
+    val out = runToCompletion(
+      StreamingOps.contaminationFlags(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", refIndex, minShared = 3),
+      "contam_out", mode = "update")
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(2L))
+    assert(flagged(2L) >= 3L)
+  }
 }
