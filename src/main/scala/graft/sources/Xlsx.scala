@@ -377,13 +377,13 @@ object Xlsx {
       * String / Long / Int / Double / Boolean / null.
       */
     def write(path: String, rows: Seq[Seq[Any]], sheetName: String = "Sheet1",
-        tableName: Option[String] = None): Unit = {
-      val bytes = toBytes(rows, sheetName, tableName)
+        tableName: Option[String] = None, headerRowCount: Int = 1): Unit = {
+      val bytes = toBytes(rows, sheetName, tableName, headerRowCount)
       java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
     }
 
     def toBytes(rows: Seq[Seq[Any]], sheetName: String,
-        tableName: Option[String]): Array[Byte] = {
+        tableName: Option[String], headerRowCount: Int = 1): Array[Byte] = {
       val nCols = rows.map(_.length).maxOption.getOrElse(0)
       val ref = s"A1:${colLetters(math.max(nCols, 1))}${math.max(rows.length, 1)}"
 
@@ -448,7 +448,7 @@ object Xlsx {
             "</Relationships>")
         parts += "xl/tables/table1.xml" ->
           ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
-            s"""<table xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" id="1" name="${escape(tn)}" displayName="${escape(tn)}" ref="$ref" headerRowCount="1">""" +
+            s"""<table xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" id="1" name="${escape(tn)}" displayName="${escape(tn)}" ref="$ref" headerRowCount="$headerRowCount">""" +
             s"""<tableColumns count="$nCols">""" +
             // OOXML requires tableColumn names to match the header cell text;
             // fall back to c<i> only when the header row is short/absent

@@ -44,6 +44,19 @@ class XlsxSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IoOps.xlsxTables(spark, noTables) }
   }
 
+  test("xlsx_table with headerRowCount > 1 keeps rows after the first as data") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
+    dir.deleteOnExit()
+    val p = s"${dir.getAbsolutePath}/h2.xlsx"
+    Xlsx.Writer.write(p, Seq(
+      Seq("k", "v"),
+      Seq("sub1", "sub2"), // second "header" row: the reference keeps it as data
+      Seq("a", "b")), tableName = Some("t2h"), headerRowCount = 2)
+    val rows = IoOps.xlsxTable(spark, p, "t2h").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "sub1"))
+  }
+
   test("xlsx_cells yields one row per cell with coordinates and types") {
     val p = tmpXlsx("c.xlsx", Seq(
       Seq("Age", "Height"),
