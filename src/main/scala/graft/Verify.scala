@@ -24,9 +24,16 @@ object Verify {
       case None    => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall time on stderr: a degraded run (env contention,
+        // GC pressure) shows where the time went — same diagnosability
+        // contract as Bench
+        System.err.println(
+          f"[verify] ${java.time.Instant.now()} $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
