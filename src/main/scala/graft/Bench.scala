@@ -45,10 +45,27 @@ object Bench {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None    => SparkEntry.queries
     }
+    // watchdog: the round-6 official bench degraded to 600+ s singles under
+    // machine contention. A healthy query tops out under ~10 s at sf0.1, so
+    // cancel any job group that exceeds the budget and move on — a bounded
+    // partial record beats one query eating the round's wall-clock.
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "150").toInt
+    val watchdog = new java.util.Timer("bench-watchdog", true)
     var i = 0
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+      val cancel = new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[bench] TIMEOUT ${queryTimeoutSec}s — cancelling $name")
+          spark.sparkContext.cancelJobGroup(s"bench-$name")
+        }
+      }
+      watchdog.schedule(cancel, queryTimeoutSec * 1000L)
       try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      cancel.cancel()
+      spark.sparkContext.clearJobGroup()
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query progress on stderr: if a run ever degrades (round 6's
       // official bench took 25x the in-round time on the same commit), the
