@@ -170,9 +170,14 @@ object Similarity {
     * on the cell id — the standard inverted-file layout. Raising nProbe
     * trades candidate-scan cost for recall.
     */
-  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8,
-      kmeansIters: Int = 5, roundTo: Int = 6, trainTarget: Int = 4096): DataFrame = {
+  /** Deterministic IVF centroid training: stride-sampled seeds refined by
+    * Lloyd steps over a bounded, checkpointed hash-sample of the corpus.
+    * Public so batch [[ivfCosineTopK]] and the streaming IVF path
+    * (StreamingOps.ivfTopKStream) share one centroid table.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, kmeansIters: Int = 5,
+      trainTarget: Int = 4096): Array[Array[Double]] = {
     val n = corpus.count()
     val stride = math.max(1L, n / nCells)
     val seed = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
@@ -180,7 +185,7 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .collect()
       .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
-    require(seed.nonEmpty, "ivfCosineTopK: empty centroid sample")
+    require(seed.nonEmpty, "trainCentroids: empty centroid sample")
     // Lloyd steps run on a deterministic hash-sampled projection of ≈
     // trainTarget rows, checkpointed once — each iteration scans a small
     // cached frame instead of re-reading the full corpus. Sampling only
@@ -190,28 +195,48 @@ object Similarity {
       .filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
       .select(col(vecCol))
       .localCheckpoint()
-    val centroids = kmeansRefine(train, vecCol, seed, kmeansIters)
-    // query -> its nProbe nearest cells: sort struct(-sim, idx) ascending,
-    // slice the head. The 16-wide sort is interpreted but runs on a sims
-    // array already materialized once per row. The sequence length is the
-    // driver-known centroid count, NOT nCells: the stride seed can yield
-    // fewer centroids, and a longer sequence would null-pad the zip — ghost
-    // struct(null, idx) entries sort first and silently eat probe slots.
+    kmeansRefine(train, vecCol, seed, kmeansIters)
+  }
+
+  /** Explode each row into its `nProbe` nearest cells (1-based cell ids) —
+    * the query-side half of the IVF probe, reusable on streaming frames
+    * (pure per-row expressions, no state). Sort struct(-sim, idx) ascending
+    * and slice the head; the sequence length is the driver-known centroid
+    * count, NOT the requested nCells: the stride seed can yield fewer
+    * centroids, and a longer sequence would null-pad the zip — ghost
+    * struct(null, idx) entries sort first and silently eat probe slots.
+    */
+  def withProbeCells(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     val nActual = centroids.length
     val probes = math.min(nProbe, nActual)
-    def probeCells(sims: Column): Column = {
-      val zipped = zip_with(sims, sequence(lit(1), lit(nActual)),
-        (s, i) => struct((-s).as("neg"), i.as("idx")))
-      transform(slice(array_sort(zipped), 1, probes), s => s.getField("idx").cast("int"))
-    }
-    val q = queries
-      .withColumn("__sims", cellSims(col(vecCol), centroids))
+    val sims = cellSims(col(vecCol), centroids)
+    val zipped = zip_with(col("__sims"), sequence(lit(1), lit(nActual)),
+      (s, i) => struct((-s).as("neg"), i.as("idx")))
+    df.withColumn("__sims", sims)
+      .withColumn("cell", explode(
+        transform(slice(array_sort(zipped), 1, probes),
+          s => s.getField("idx").cast("int"))))
+      .drop("__sims")
+  }
+
+  /** Assign each row its nearest cell id (1-based) — the corpus-side half. */
+  def withCell(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("__sims", cellSims(col(vecCol), centroids))
+      .withColumn("cell", argmaxCell(col("__sims")))
+      .drop("__sims")
+
+  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8,
+      kmeansIters: Int = 5, roundTo: Int = 6, trainTarget: Int = 4096): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, kmeansIters, trainTarget)
+    val q = withProbeCells(queries, vecCol, centroids, nProbe)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        norm(col(vecCol)).as("qnorm"), explode(probeCells(col("__sims"))).as("cell"))
-    val c = corpus
-      .withColumn("__sims", cellSims(col(vecCol), centroids))
+        norm(col(vecCol)).as("qnorm"), col("cell"))
+    val c = withCell(corpus, vecCol, centroids)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-        norm(col(vecCol)).as("nnorm"), argmaxCell(col("__sims")).as("cell"))
+        norm(col(vecCol)).as("nnorm"), col("cell"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(

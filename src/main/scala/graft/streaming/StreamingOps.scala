@@ -90,6 +90,38 @@ object StreamingOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Streaming approximate nearest neighbors: each arriving query vector is
+    * IVF-probed against a static corpus. Centroids come from
+    * `Similarity.trainCentroids` on the corpus (batch, once); the stream
+    * side assigns probe cells with the stateless `CentroidSims` kernel,
+    * joins the cell-bucketed corpus (stream-static equi-join on the cell
+    * id — candidates per query are corpus/nCells × nProbe, not the corpus),
+    * and ranks with a sort_array(collect_list) top-k aggregation (update
+    * output mode; streaming forbids rank windows). At 100 TB the static
+    * side is the big one, and it is scanned pre-bucketed — the stream never
+    * triggers a full-corpus pass.
+    */
+  def ivfTopKStream(stream: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 8, roundTo: Int = 6): DataFrame = {
+    import graft.llm.Similarity
+    val q = Similarity.withProbeCells(stream, vecCol, centroids, nProbe)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        Similarity.norm(col(vecCol)).as("qnorm"), col("cell"))
+    val c = Similarity.withCell(corpus, vecCol, centroids)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        Similarity.norm(col(vecCol)).as("nnorm"), col("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(
+        Similarity.dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), roundTo))
+    scored.groupBy("qid")
+      .agg(slice(array_sort(collect_list(struct((-col("sim")).as("neg"),
+        col("nid").as("nid"), col("sim").as("sim")))), 1, k).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.nid").as("nid"), col("__t.sim").as("sim"))
+  }
+
   /** Per-key jump flag against the previous value — streaming flag_jumps
     * (batch form: lag window, SURVEY §2.12). Processing-order within a key;
     * pair with event-time sorting upstream for strict event order.

