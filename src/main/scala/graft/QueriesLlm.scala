@@ -102,6 +102,13 @@ object QueriesLlm {
       Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain")
         .select(col("doc_id"), col("meta.mime").as("mime"),
           col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))),
+    "multimodal_resize" -> ((s, d) => {
+      val assets = Multimodal.asAsset(documents(s, d).select("doc_id", "text"),
+        "text", "text/plain")
+      assets.select(col("doc_id"),
+        octet_length(Multimodal.resizeStub(col("payload"), 64)).as("n_resized"),
+        md5(Multimodal.resizeStub(col("payload"), 64)).as("rz_checksum"))
+    }),
     "multimodal_decode" -> ((s, d) =>
       // scalar per-dim projection (not the raw array column) so the driver's
       // canonicalizer can sort/hash the result
@@ -264,6 +271,16 @@ object QueriesLlm {
       val feats = (0 until 4).map(i =>
         s"CAST(('0x' || substr(md5(text || '$i'), 1, 6)) AS BIGINT) % 1000 / 1000.0 AS f$i").mkString(",\n")
       s"SELECT doc_id,\n$feats\nFROM documents"
-    }
+    },
+    // byte-stride downsample; document text is ASCII so per-char substr in
+    // SQL equals the engine's per-byte slicing
+    "multimodal_resize" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS stride FROM documents)
+        |SELECT doc_id,
+        |  len(generate_series(1, greatest(length(text), 1), stride)) AS n_resized,
+        |  md5(list_reduce(list_transform(generate_series(1, greatest(length(text), 1), stride),
+        |    i -> substr(text, i, 1)), (a, b) -> a || b)) AS rz_checksum
+        |FROM s""".stripMargin
   )
 }

@@ -48,6 +48,23 @@ object Multimodal {
       sequence(lit(1), greatest(octet_length(payload), lit(1)), lit(stride)),
       i => payload.substr(i, lit(8)))
 
+  /** Resize stub: deterministic byte-stride downsample of the payload to
+    * ≈ `targetBytes` (stride = ceil(n / target); every stride-th byte kept).
+    * A real pipeline decodes, rescales, and re-encodes here — the Spark
+    * contract this stands in for is binary → smaller binary as a narrow
+    * projection, metadata recomputed downstream. The strided fold is
+    * interpreted (aggregate over a sequence): payloads are stub-sized; a
+    * production resize is a codec call per row, not byte surgery.
+    */
+  def resizeStub(payload: Column, targetBytes: Int): Column = {
+    val n = octet_length(payload)
+    val stride = greatest(ceil(n.cast("double") / targetBytes).cast("int"), lit(1))
+    aggregate(
+      sequence(lit(1), greatest(n, lit(1)), stride),
+      lit(Array.empty[Byte]),
+      (acc, i) => concat(acc, payload.substr(i, lit(1))))
+  }
+
   /** Featurize assets: metadata + stub features. Runs as a narrow projection
     * over whatever partitioning the payloads arrived with; repartition by
     * size upstream when payload skew matters.

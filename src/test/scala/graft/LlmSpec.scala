@@ -206,6 +206,23 @@ class LlmSpec extends SparkSpec {
     assert(row.getSeq[Double](2) == again)
   }
 
+  test("resizeStub downsamples to ~targetBytes with a deterministic byte stride") {
+    val d = Seq((1L, "abcdefghij" * 10)).toDF("doc_id", "text") // 100 bytes
+    val a = Multimodal.asAsset(d, "text", "text/plain")
+    val out = a.select(
+      octet_length(Multimodal.resizeStub(col("payload"), 25)).as("n"),
+      Multimodal.resizeStub(col("payload"), 25).cast("string").as("s"))
+      .collect()(0)
+    assert(out.getInt(0) == 25) // stride 4 over 100 bytes
+    val expected = (0 until 100 by 4).map(("abcdefghij" * 10).charAt).mkString
+    assert(out.getString(1) == expected)
+    // payloads shorter than the target pass through unchanged
+    val tiny = Multimodal.asAsset(Seq((2L, "xy")).toDF("doc_id", "text"), "text", "text/plain")
+      .select(Multimodal.resizeStub(col("payload"), 25).cast("string").as("s"))
+      .collect()(0).getString(0)
+    assert(tiny == "xy")
+  }
+
   test("frameSample strides through the payload: frames differ and start at each offset") {
     val d = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
     val frames = Multimodal.asAsset(d, "text", "video/fake")
