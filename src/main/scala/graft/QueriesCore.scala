@@ -240,6 +240,17 @@ object QueriesCore {
     "process_text" -> ((s, d) => part(s, d)
       .select("p_partkey", "p_name")
       .processText("p_name", "upper")),
+    // one projection through seven distinct .str dispatch-table entries —
+    // the breadth check for the method table (TextOps.strMethod)
+    "process_text_methods" -> ((s, d) => part(s, d).select(
+      col("p_partkey"),
+      graft.operators.TextOps.strMethod(col("p_name"), "len").as("n"),
+      graft.operators.TextOps.strMethod(col("p_name"), "contains", Seq("gre")).as("has_gre"),
+      graft.operators.TextOps.strMethod(col("p_name"), "extract", Seq("([a-z]+)")).as("first_word"),
+      graft.operators.TextOps.strMethod(col("p_name"), "zfill", Seq(30)).as("z"),
+      graft.operators.TextOps.strMethod(col("p_name"), "removeprefix", Seq("a")).as("noprefix"),
+      graft.operators.TextOps.strMethod(col("p_name"), "slice", Seq(2, 5)).as("sl"),
+      graft.operators.TextOps.strMethod(col("p_name"), "count", Seq(" ")).as("nsp"))),
     "add_column" -> ((s, d) => orders(s, d)
       .select("o_orderkey", "o_totalprice")
       .addColumn("fee", col("o_totalprice") * 0.1d)
@@ -488,6 +499,16 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, round(ln(l_extendedprice), 6) AS log_price FROM lineitem""",
     "process_text" ->
       """SELECT p_partkey, upper(p_name) AS p_name FROM part""",
+    "process_text_methods" ->
+      """SELECT p_partkey,
+        |length(p_name) AS n,
+        |contains(p_name, 'gre') AS has_gre,
+        |regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |lpad(p_name, 30, '0') AS z,
+        |CASE WHEN starts_with(p_name, 'a') THEN substr(p_name, 2) ELSE p_name END AS noprefix,
+        |substr(p_name, 3, 3) AS sl,
+        |len(string_split(p_name, ' ')) - 1 AS nsp
+        |FROM part""".stripMargin,
     "add_column" ->
       """SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS fee, 'x' AS tag FROM orders""",
     "join_apply" ->
