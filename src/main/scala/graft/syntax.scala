@@ -244,4 +244,28 @@ object syntax {
     def ecdfOf(column: String, dest: String): DataFrame =
       graft.functions.MathFunctions.ecdf(df, column, dest)
   }
+
+  /** LLM-pipeline extension verbs (COVERAGE.md "LLM-pipeline extensions") —
+    * same chaining ergonomics as the pyjanitor surface for the operators the
+    * reference never had.
+    */
+  implicit class LlmOps(val df: DataFrame) extends AnyVal {
+    import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      Dedup.exactDedup(df, idCol, textCol)
+    def minhashDupPairs(idCol: String, textCol: String, threshold: Double): DataFrame =
+      Dedup.minhashDupPairs(df, idCol, textCol, threshold)
+    def simhashOf(idCol: String, textCol: String): DataFrame =
+      Dedup.simhash(df, idCol, textCol)
+    def winnowFingerprints(idCol: String, textCol: String): DataFrame =
+      Dedup.winnowFingerprints(df, idCol, textCol)
+    def containmentPairs(idCol: String, textCol: String, threshold: Double): DataFrame =
+      Dedup.containmentPairs(df, idCol, textCol, threshold)
+    def dupClusters(idCol: String, pairs: DataFrame): DataFrame =
+      Dedup.dupClusters(df, idCol, pairs)
+    def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+      Similarity.cosineTopK(df, corpus, idCol, vecCol, k)
+    def textAnalysis(textCol: String): DataFrame = TextAnalysis.analyze(df, textCol)
+  }
 }

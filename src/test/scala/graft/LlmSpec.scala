@@ -56,6 +56,19 @@ class LlmSpec extends SparkSpec {
     assert(full.length == 6 + 1) // C(4,2) boiler pairs + the (10,11) pair
   }
 
+  test("LLM verbs chain through the syntax surface") {
+    import graft.syntax._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "other words entirely here now")).toDF("id", "t")
+    assert(docs.dedupExact("id", "t").count() == 2)
+    val pairs = docs.minhashDupPairs("id", "t", threshold = 0.9)
+    assert(pairs.count() == 1)
+    assert(docs.dupClusters("id", pairs).filter(col("cluster") === 1L).count() == 2)
+    assert(docs.simhashOf("id", "t").count() == 3)
+    assert(docs.winnowFingerprints("id", "t").select("id").distinct().count() == 3)
+    assert(docs.textAnalysis("t").columns.contains("quality"))
+  }
+
   test("winnowing guarantees shared fingerprints for shared runs; containment finds partial overlap") {
     val shared = (1 to 30).map(i => s"common$i").mkString(" ")
     val docs = Seq(
