@@ -29,8 +29,13 @@ object MathFunctions {
     */
   def softmax(df: DataFrame, column: String, dest: String): DataFrame = {
     val c = col(s"`$column`").cast("double")
-    val mx = df.agg(max(c)).collect()(0).getDouble(0)
-    val denom = df.agg(sum(exp(c - mx))).collect()(0).getDouble(0)
+    // null aggregates (empty frame / all-null column) must not crash the
+    // driver read — identity fallbacks keep the projection well-typed and
+    // the affected rows are null/absent anyway
+    val mxRow = df.agg(max(c)).collect()(0)
+    val mx = if (mxRow.isNullAt(0)) 0.0 else mxRow.getDouble(0)
+    val dRow = df.agg(sum(exp(c - mx))).collect()(0)
+    val denom = if (dRow.isNullAt(0)) 1.0 else dRow.getDouble(0)
     df.withColumn(dest, exp(c - mx) / denom)
   }
 
@@ -38,7 +43,11 @@ object MathFunctions {
   def zScore(df: DataFrame, column: String, dest: String): DataFrame = {
     val c = col(s"`$column`").cast("double")
     val row = df.agg(avg(c).as("m"), stddev(c).as("s")).collect()(0)
-    df.withColumn(dest, (c - row.getDouble(0)) / row.getDouble(1))
+    // single-row / empty input: sample stddev is null — pandas emits NaN
+    // for the z-score there, so propagate NaN rather than crash
+    val m = if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+    val s = if (row.isNullAt(1)) Double.NaN else row.getDouble(1)
+    df.withColumn(dest, (c - m) / s)
   }
 
   /** Empirical CDF (reference: janitor/math.py:330) — cume_dist semantics

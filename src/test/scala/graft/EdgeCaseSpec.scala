@@ -1,0 +1,84 @@
+package graft
+
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input gauntlet: every verb family over an EMPTY frame and a
+  * single-row frame. None of these may throw — at 100 TB a partition (or a
+  * whole filtered branch) being empty is the common case, not the corner.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val empty = Seq.empty[(Long, String, Double)].toDF("id", "s", "x")
+  private val one = Seq((1L, "a b", 2.5)).toDF("id", "s", "x")
+
+  test("name/select/filter verbs tolerate empty and single-row frames") {
+    for (d <- Seq(empty, one)) {
+      assert(d.cleanNames().columns.toSeq == Seq("id", "s", "x"))
+      assert(d.selectColumns(ColumnSelector.Glob("*")).columns.length == 3)
+      assert(d.reorderColumns("x").columns.head == "x")
+      d.filterString("s", "a", regex = false).collect()
+      d.filterOn("x > 1").collect()
+      d.getDupes("id").collect()
+      d.updateWhere("x > 1", "flag", 1).collect()
+      d.removeEmpty().collect()
+    }
+    // drop_constant_columns on empty: no distinct values anywhere — keeps schema workable
+    assert(empty.dropConstantColumns().collect().isEmpty)
+  }
+
+  test("grouped/window verbs tolerate empty and single-row frames") {
+    for (d <- Seq(empty, one)) {
+      d.groupbyAgg(Seq("s"), "x", "sum", "total").collect()
+      d.groupbyTopk(Seq("s"), "x", 2).collect()
+      d.takeFirst(Seq("s"), by = "x").collect()
+      d.countCumulativeUnique("s", "id", "cum").collect()
+      d.toSetOf("s").collect()
+    }
+  }
+
+  test("reshape verbs tolerate empty and single-row frames") {
+    val wideEmpty = Seq.empty[(Long, Double, Double)].toDF("id", "m_a", "m_b")
+    val wideOne = Seq((1L, 1.0, 2.0)).toDF("id", "m_a", "m_b")
+    for (d <- Seq(wideEmpty, wideOne)) {
+      val long = d.pivotLonger(index = Seq("id"), namesTo = Seq("pre", "k"),
+        namesSep = Some("_"))
+      assert(long.columns.contains("value"))
+      long.collect()
+    }
+    // pivot_wider with an explicit universe keeps a deterministic schema
+    // even over zero rows
+    val w = Seq.empty[(Long, String, Double)].toDF("id", "k", "v")
+      .pivotWider(index = Seq("id"), namesFrom = "k", valuesFrom = "v",
+        knownValues = Seq("p", "q"))
+    assert(w.columns.toSeq == Seq("id", "p", "q") && w.count() == 0)
+  }
+
+  test("fill/type/math verbs tolerate empty and single-row frames") {
+    for (d <- Seq(empty, one)) {
+      d.fillEmpty(Map("s" -> "?")).collect()
+      d.impute("x", statistic = Some("mean")).collect()
+      d.coalesceColumns(Seq("s"), targetColumn = Some("c")).collect()
+      d.flagNulls("nf", Seq("s", "x")).collect()
+      d.changeType("x", "int").collect()
+      d.minMaxScale("x").collect()
+      d.softmaxOf("x", "sm").collect()
+      d.zScoreOf("x", "z").collect()
+      d.ecdfOf("x", "e").collect()
+    }
+  }
+
+  test("llm extension ops tolerate empty and single-row corpora") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "t")
+    val oneDoc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "t")
+    for (d <- Seq(emptyDocs, oneDoc)) {
+      d.dedupExact("id", "t").collect()
+      d.minhashDupPairs("id", "t", 0.8).collect()
+      d.simhashOf("id", "t").collect()
+      d.winnowFingerprints("id", "t").collect()
+      d.containmentPairs("id", "t", 0.5).collect()
+      d.textAnalysis("t").collect()
+    }
+  }
+}
