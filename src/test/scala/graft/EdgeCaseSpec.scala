@@ -69,6 +69,36 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("join verbs tolerate empty sides") {
+    val l = Seq((1L, 5.0)).toDF("lid", "x")
+    val r = Seq((2L, 1.0, 9.0)).toDF("rid", "lo", "hi")
+    val emptyL = Seq.empty[(Long, Double)].toDF("lid", "x")
+    val emptyR = Seq.empty[(Long, Double, Double)].toDF("rid", "lo", "hi")
+    import graft.operators.JoinOps
+    assert(JoinOps.conditionalJoin(emptyL, r, Seq(("x", "lo", ">="))).count() == 0)
+    assert(JoinOps.conditionalJoin(l, emptyR, Seq(("x", "lo", ">=")), how = "left").count() == 1)
+    assert(JoinOps.rangeJoin(emptyL, r, "x", "lo", "hi").count() == 0)
+    assert(JoinOps.rangeJoin(l, emptyR, "x", "lo", "hi").count() == 0)
+  }
+
+  test("timeseries and text verbs tolerate empty and single-row frames") {
+    val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("ts", "v")
+    val emptyTs = Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "v")
+    import graft.operators.TimeseriesOps
+    // a single tick reindexes to itself; an empty frame has no [min, max]
+    // span — both must come back, not throw
+    assert(TimeseriesOps.fillMissingTimestamps(ts, "ts", "1 hour").count() == 1)
+    assert(TimeseriesOps.fillMissingTimestamps(emptyTs, "ts", "1 hour").count() == 0)
+    TimeseriesOps.sortTimestampsMonotonically(emptyTs, "ts").collect()
+    for (d <- Seq(empty, one)) {
+      d.concatenateColumns(Seq("id", "s"), "cat").collect()
+      d.deconcatenateColumn("s", " ", Seq("s1", "s2")).collect()
+      d.processText("s", "upper").collect()
+      d.findReplace("s", Map("a" -> "b")).collect()
+    }
+  }
+
   test("llm extension ops tolerate empty and single-row corpora") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("id", "t")
     val oneDoc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "t")
