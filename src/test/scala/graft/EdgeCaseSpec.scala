@@ -99,6 +99,25 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("all-null columns pass through fill/type/math verbs") {
+    val nulls = Seq((1L, null: String, null: java.lang.Double),
+      (2L, null: String, null: java.lang.Double)).toDF("id", "s", "x")
+    for (stat <- Seq("mean", "median", "mode", "min", "max", "sum"))
+      assert(nulls.impute("x", statistic = Some(stat)).filter(col("x").isNull).count() == 2)
+    nulls.fillEmpty(Map("s" -> "?", "x" -> 0.0)).collect()
+    // coalesce is typed in Spark: columns + default must share a type
+    // (pandas' object dtype has no analog — documented divergence)
+    assert(nulls.coalesceColumns(Seq("s"), targetColumn = Some("c"),
+      defaultValue = Some("d")).filter(col("c") === "d").count() == 2)
+    assert(nulls.flagNulls("nf", Seq("s", "x")).filter(col("nf") === 1).count() == 2)
+    nulls.minMaxScale("x").collect()
+    nulls.changeType("x", "int").collect()
+    nulls.softmaxOf("x", "sm").collect()
+    nulls.zScoreOf("x", "z").collect()
+    nulls.ecdfOf("x", "e").collect()
+    nulls.textAnalysis("s").collect()
+  }
+
   test("llm extension ops tolerate empty and single-row corpora") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("id", "t")
     val oneDoc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "t")
