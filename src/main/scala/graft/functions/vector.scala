@@ -205,6 +205,72 @@ object vector {
       copy(child = c)
   }
 
+  /** Whole MinHash signature for one document in a single compiled pass:
+    * distinct word shingles from the token array, then per lane i the min
+    * over shingles of Spark's own `xxhash64(shingle, i)` chain
+    * (XxHash64Function.hash(i, IntegerType, hash(shingle, StringType, 42)))
+    * — lane values bit-identical to the exploded `min(xxhash64(...))`
+    * aggregation this replaces, at 1 string hash + numHashes int-hash
+    * chains per shingle instead of numHashes string hashes, with no
+    * explode, no 128-column aggregation buffer, and no shuffle. Returns
+    * null when the document has fewer than `shingleN` tokens (the exploded
+    * form dropped such docs — callers filter nulls).
+    */
+  def minhashSigKernel(toks: ArrayData, numHashes: Int, shingleN: Int): ArrayData = {
+    val k = toks.numElements()
+    if (k < shingleN) return null
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val strType = org.apache.spark.sql.types.StringType
+    val intType = org.apache.spark.sql.types.IntegerType
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= k - shingleN) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(u, strType, 42L)
+        var lane = 0
+        while (lane < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(java.lang.Integer.valueOf(lane), intType, h0)
+          if (h < mins(lane)) mins(lane) = h
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  case class MinhashSig(child: Expression, numHashes: Int, shingleN: Int)
+      extends UnaryExpression {
+    require(numHashes >= 1 && shingleN >= 1)
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullable: Boolean = true // short docs yield null
+    override def nullSafeEval(a: Any): Any =
+      minhashSigKernel(a.asInstanceOf[ArrayData], numHashes, shingleN)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // kernel can return null for short docs — guard the generated access
+      val code = nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.vector.minhashSigKernel($a, $numHashes, $shingleN);
+        ${ev.isNull} = (${ev.value} == null);
+      """)
+      code
+    }
+    override protected def withNewChildInternal(c: Expression): MinhashSig =
+      copy(child = c)
+  }
+
   case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
     require(w >= 1, "WindowMin: window must be >= 1")
     override def dataType: DataType =
@@ -227,6 +293,8 @@ object vector {
     Bridge.column(WindowMin(Bridge.expression(a), w))
   def gram_hash48(toks: Column, n: Int): Column =
     Bridge.column(GramHash48(Bridge.expression(toks), n))
+  def minhash_sig(toks: Column, numHashes: Int, shingleN: Int): Column =
+    Bridge.column(MinhashSig(Bridge.expression(toks), numHashes, shingleN))
   /** `centroids` in double (as refined by Lloyd); each row's norm is taken
     * in double BEFORE the float cast, matching the literal form's
     * `dot(vec, float literals) / lit(sqrt(sum of double squares))`.

@@ -57,29 +57,27 @@ object Dedup {
       array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
   }
 
-  /** Per-document MinHash signatures via explode + 128-way min aggregate —
-    * the scalable form: partial mins combine map-side and the shuffle
-    * carries only (id, numHashes longs). Each shingle is hashed exactly
-    * once per lane (k independent seeded xxhash64 calls). Cheaper lane
-    * families were tried and MEASURED WORSE on recall: sequential-
-    * coefficient double hashing (h1 + i·h2) dropped 3 of 46 gate pairs,
-    * mod-prime universal hashing cost a 64-bit division per lane per row
-    * (as expensive as the string hash it replaced), and multiply-shift
-    * ((aᵢ·h + bᵢ) >> 31) still dropped 1 of 46 — with r=4 bands the banding
-    * probability needs genuinely min-wise-independent lanes. Independent
-    * string hashes are linear, map-side-combinable, embarrassingly parallel;
-    * at 100 TB this stage is compute-bound, not shuffle-bound, which is the
-    * right bottleneck to have.
+  /** Per-document MinHash signatures via the [[graft.functions.vector.MinhashSig]]
+    * codegen kernel — one narrow pass per document, NO explode, NO
+    * 128-column aggregation buffer, NO shuffle. Lane values are
+    * bit-identical to the exploded `min(xxhash64(shingle, i))` aggregation
+    * this replaces (the kernel replays Spark's own XxHash64 chain), and
+    * each shingle costs 1 string hash + numHashes int-hash chains instead
+    * of numHashes string hashes.
+    *
+    * The lanes stay genuinely independent xxhash64 chains: cheaper lane
+    * families were tried and MEASURED WORSE on recall — sequential-
+    * coefficient double hashing (h1 + i·h2) dropped 3 of 46 gate pairs and
+    * multiply-shift ((aᵢ·h + bᵢ) >> 31) still dropped 1 of 46; with r=4
+    * bands the banding probability needs min-wise-independent lanes.
+    * Documents with fewer than `shingleN` tokens are dropped, matching the
+    * exploded form (no shingles → no group row).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleN: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("shingle"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
-    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
-  }
+      numHashes: Int, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.vector.minhash_sig(tokens(col(textCol)), numHashes, shingleN).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle Jaccard.
     *

@@ -95,6 +95,25 @@ class PropertySpec extends SparkSpec {
     assert(sorted(gotH) == sorted(naiveH))
   }
 
+  test("MinhashSig kernel == exploded min(xxhash64(shingle, i)) aggregation (random texts)") {
+    val rng = new Random(31)
+    val rows = (1 to 40).map { i =>
+      val n = rng.nextInt(15)
+      (i.toLong, (1 to n).map(_ => s"w${rng.nextInt(7)}").mkString(" "))
+    }.toDF("id", "text")
+    val nH = 16
+    val got = rows.select(col("id"),
+      graft.functions.vector.minhash_sig(split(lower(col("text")), "\\s+"), nH, 3).as("sig"))
+      .filter(col("sig").isNotNull)
+    val exploded = rows.select(col("id"),
+      explode(graft.llm.Dedup.shingles(col("text"), 3)).as("shingle"))
+    val mins = (0 until nH).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val naive = exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until nH).map(i => col(s"h$i")): _*).as("sig"))
+    assert(sorted(got) == sorted(naive))
+    assert(got.count() > 0)
+  }
+
   test("pivotLonger/pivotWider round-trip on unique keys") {
     val rng = new Random(5)
     val d = (1 to 20).map(i => (i, rng.nextDouble(), rng.nextDouble())).toDF("id", "m_a", "m_b")
