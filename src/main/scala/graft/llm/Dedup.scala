@@ -177,10 +177,44 @@ object Dedup {
     * tiny count).
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 10): DataFrame = {
+      maxIters: Int = 10, smallEdgeThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(eager = false)
+    // Adaptive cutover (same pattern as ScaleWindows): near-dup edge lists
+    // are tiny relative to the corpus — duplicate pairs above threshold are
+    // rare even at 100 TB. Below `smallEdgeThreshold` edges, collect ONLY
+    // the edges (never the ids) and run exact union-find on the driver in
+    // one pass; non-edge docs are their own cluster via a broadcast
+    // left-join. Above it, the distributed min-label loop below takes over.
+    // driver path only for bigint ids — keeps the cluster column's type
+    // identical to the distributed path's (cluster = least over id values)
+    val integralId =
+      edges.schema.fields.head.dataType == org.apache.spark.sql.types.LongType
+    if (integralId && edges.count() <= smallEdgeThreshold) {
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      val mapping = parent.keys.map(x => (x, find(x))).toSeq
+      if (mapping.isEmpty)
+        return ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val mapDf = mapping.toDF("id", "__c")
+      return ids.select(col(idCol).as("id"))
+        .join(broadcast(mapDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
+    }
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var converged = false
     var iter = 0

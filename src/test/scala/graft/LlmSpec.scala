@@ -139,9 +139,16 @@ class LlmSpec extends SparkSpec {
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     // chain 1-2-3 (diameter 2), pair 4-5
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    // driver union-find path (edges under the threshold)
     val out = Dedup.dupClusters(ids, "id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    assert(out == expected)
+    // distributed min-label loop path, forced via threshold 0 — both paths
+    // must agree exactly
+    val dist = Dedup.dupClusters(ids, "id", pairs, smallEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("groupbyTopkSalted equals single-phase groupbyTopk") {
