@@ -96,8 +96,12 @@ object Dedup {
     // dominant narrow cost — spread it across the executor threads
     val par = df.sparkSession.sparkContext.defaultParallelism
     val docs = df.repartition(par).select(col(idCol).as("id"), col(textCol).as("text"))
-    val base = minhashSignatures(docs, "id", "text", numHashes, shingleN)
-      .join(docs, Seq("id"))
+    // sig rides in the same projection as the text (the signature kernel is
+    // a per-row expression) — no signatures⋈docs join, no extra shuffle
+    val base = docs
+      .withColumn("sig",
+        graft.functions.vector.minhash_sig(tokens(col("text")), numHashes, shingleN))
+      .filter(col("sig").isNotNull)
       .localCheckpoint(eager = false)
     // band rows carry only (id, band, bandhash) — the shuffle stays tiny no
     // matter how long the documents are
