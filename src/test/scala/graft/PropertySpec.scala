@@ -95,6 +95,31 @@ class PropertySpec extends SparkSpec {
     assert(sorted(gotH) == sorted(naiveH))
   }
 
+  test("hash kernels agree with declarative forms on non-ASCII text") {
+    // multibyte UTF-8 (accents, CJK, emoji): the kernels hash raw UTF-8
+    // bytes, which must match md5/xxhash64 over the same strings
+    val rows = Seq((1L, "héllo wörld 中文 текст emoji 🚀 mixé"),
+      (2L, "naïve café über schön déjà vu encore"),
+      (3L, "日本語 の テスト 文字列 です ね")).toDF("id", "text")
+    val toks = split(lower(col("text")), "\\s+")
+    val gotH = rows.select(col("id"), graft.functions.vector.gram_hash48(toks, 3).as("h"))
+    val naiveH = rows.select(col("id"), when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => conv(substring(md5(concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+          .cast("binary")), 1, 12), 16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>")).as("h"))
+    assert(sorted(gotH) == sorted(naiveH))
+    val gotSig = rows.select(col("id"),
+      graft.functions.vector.minhash_sig(toks, 8, 3).as("sig"))
+    val exploded = rows.select(col("id"),
+      explode(graft.llm.Dedup.shingles(col("text"), 3)).as("shingle"))
+    val mins = (0 until 8).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val naiveSig = exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
+    assert(sorted(gotSig) == sorted(naiveSig))
+  }
+
   test("MinhashSig kernel == exploded min(xxhash64(shingle, i)) aggregation (random texts)") {
     val rng = new Random(31)
     val rows = (1 to 40).map { i =>
