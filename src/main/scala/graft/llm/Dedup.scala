@@ -79,6 +79,16 @@ object Dedup {
       graft.functions.vector.minhash_sig(tokens(col(textCol)), numHashes, shingleN).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** Per-band hashes of a MinHash signature — the LSH blocking key. One
+    * array element per band: xxhash64 of that band's signature slice.
+    * Shared by the batch pair pipeline and the streaming near-dup flagger
+    * so the blocking scheme cannot drift between them.
+    */
+  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))
+        .cast("string"), b))
+
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle Jaccard.
     *
     * Pipeline (all distributed): signature (narrow) → explode bands →
@@ -106,9 +116,8 @@ object Dedup {
     // band rows carry only (id, band, bandhash) — the shuffle stays tiny no
     // matter how long the documents are
     val banded = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-          .cast("string"), b))).as(Seq("band", "bandhash")))
+      posexplode(bandHashes(col("sig"), numBands, rowsPerBand))
+        .as(Seq("band", "bandhash")))
     // hot-bucket guard: boilerplate text (license headers, templated pages)
     // lands thousands of docs in one (band, bandhash) bucket, turning the
     // self-join quadratic. Buckets over `maxBucketSize` are dropped from

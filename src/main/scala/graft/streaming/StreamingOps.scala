@@ -90,6 +90,46 @@ object StreamingOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Streaming near-duplicate flagging against a static reference corpus:
+    * the MinhashSig kernel is a per-row expression, so an arriving
+    * document's full signature, band hashes, and shingle set are all
+    * computed statelessly; candidates come from a stream-static join on
+    * (band, bandhash) and are verified with the exact-Jaccard
+    * sorted-intersect kernel against the reference shingle sets. Emits one
+    * row per flagged doc: (id, ref_id of the best match, jaccard), update
+    * output mode (max aggregation collapses multi-band collisions). The
+    * stream-side band explode carries the shingle array (x numBands) — fine
+    * at micro-batch size; the static side is precomputed once.
+    */
+  def nearDupFlags(stream: DataFrame, idCol: String, textCol: String,
+      refDocs: DataFrame, threshold: Double, numBands: Int = 32,
+      rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    import graft.llm.Dedup
+    val numHashes = numBands * rowsPerBand
+    def withSig(d: DataFrame): DataFrame = d
+      .withColumn("__sig", graft.functions.vector.minhash_sig(
+        Dedup.tokens(col(textCol)), numHashes, shingleN))
+      .filter(col("__sig").isNotNull)
+    val ref = withSig(refDocs).select(col(idCol).as("ref_id"),
+      array_sort(Dedup.shingles(col(textCol), shingleN)).as("__rsh"),
+      posexplode(Dedup.bandHashes(col("__sig"), numBands, rowsPerBand))
+        .as(Seq("band", "bandhash")))
+    val s = withSig(stream).select(col(idCol).as("id"),
+      array_sort(Dedup.shingles(col(textCol), shingleN)).as("__sh"),
+      posexplode(Dedup.bandHashes(col("__sig"), numBands, rowsPerBand))
+        .as(Seq("band", "bandhash")))
+    val verified = s.join(ref, Seq("band", "bandhash"))
+      .withColumn("__inter",
+        graft.functions.vector.sorted_intersect_count(col("__sh"), col("__rsh")))
+      .withColumn("__j", col("__inter").cast("double") /
+        (size(col("__sh")) + size(col("__rsh")) - col("__inter")))
+      .filter(col("__j") >= threshold)
+    verified.groupBy(col("id"))
+      .agg(max(struct(col("__j").as("j"), col("ref_id").as("r"))).as("__best"))
+      .select(col("id"), col("__best.r").as("ref_id"),
+        round(col("__best.j"), 6).as("jaccard"))
+  }
+
   /** Streaming approximate nearest neighbors: each arriving query vector is
     * IVF-probed against a static corpus. Centroids come from
     * `Similarity.trainCentroids` on the corpus (batch, once); the stream

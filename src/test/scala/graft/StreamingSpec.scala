@@ -113,6 +113,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("nearDupFlags verifies streamed docs against a static corpus by exact Jaccard") {
+    implicit val sq = spark.sqlContext
+    val base = (1 to 60).map(i => s"corp$i").mkString(" ")
+    val ref = Seq((100L, base), (101L, (1 to 60).map(i => s"ref$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, base + " tailword"),                           // near-dup of 100
+      (2L, (1 to 60).map(i => s"fresh$i").mkString(" "))) // unrelated
+    val out = runToCompletion(
+      StreamingOps.nearDupFlags(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", ref, threshold = 0.8),
+      "neardup_out", mode = "update")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((1L, 100L)))
+    assert(rows.head._3 >= 0.8)
+  }
+
   test("contaminationFlags joins streamed fingerprints against a static benchmark index") {
     implicit val sq = spark.sqlContext
     val bench = (1 to 30).map(i => s"secret$i").mkString(" ")
