@@ -271,6 +271,48 @@ object vector {
       copy(child = c)
   }
 
+  /** Per-table hyperplane-LSH buckets: out(t) = Σ_p (dot(v, planes(t)(p)) >= 0) << p,
+    * the sign-bit bucket id for each hash table. `planes` rides as one
+    * codegen reference object — the unrolled form put numTables × numPlanes
+    * × dim float literals in the plan (the same plan-size wall the IVF
+    * centroids hit). Dot arithmetic matches the DotProduct kernel (float
+    * widened to double, ascending index), so bucket ids are bit-identical.
+    */
+  def lshBucketsKernel(v: ArrayData, planes: Array[Array[Array[Float]]]): ArrayData = {
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes(t).length) {
+        val plane = planes(t)(p)
+        var s = 0.0d; var i = 0
+        val n = math.min(v.numElements(), plane.length)
+        while (i < n) { s += v.getFloat(i).toDouble * plane(i).toDouble; i += 1 }
+        if (s >= 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class LshBuckets(child: Expression, planes: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      lshBucketsKernel(a.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("planes", planes, "float[][][]")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.vector.lshBucketsKernel($a, $pRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): LshBuckets =
+      copy(child = c)
+  }
+
   case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
     require(w >= 1, "WindowMin: window must be >= 1")
     override def dataType: DataType =
@@ -295,6 +337,8 @@ object vector {
     Bridge.column(GramHash48(Bridge.expression(toks), n))
   def minhash_sig(toks: Column, numHashes: Int, shingleN: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(toks), numHashes, shingleN))
+  def lsh_buckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
+    Bridge.column(LshBuckets(Bridge.expression(vec), planes))
   /** `centroids` in double (as refined by Lloyd); each row's norm is taken
     * in double BEFORE the float cast, matching the literal form's
     * `dot(vec, float literals) / lit(sqrt(sum of double squares))`.

@@ -97,16 +97,22 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** (table, bucket) pairs for all hash tables, as an array column to
-    * explode. OR-amplification: a candidate only needs to collide in ONE
-    * table, so recall grows with numTables while each table's numPlanes
-    * keeps bucket sizes (and thus the per-bucket scan cost) small.
+  /** Bucket-per-table array for all hash tables (element t = table t's
+    * bucket id) — posexplode to (tbl, bucket). OR-amplification: a candidate
+    * only needs to collide in ONE table, so recall grows with numTables
+    * while each table's numPlanes keeps bucket sizes (and thus the
+    * per-bucket scan cost) small. The plane tensor rides as one codegen
+    * reference object ([[graft.functions.vector.LshBuckets]]) — the earlier
+    * unrolled form put numTables × numPlanes × dim float literals in the
+    * plan, the same plan-size wall the IVF centroids hit; bucket ids are
+    * bit-identical.
     */
   private def lshTableBuckets(vec: Column, numPlanes: Int, numTables: Int,
-      dim: Int): Column =
-    array((0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), lshBuckets(vec, numPlanes, t, dim).as("bucket"))
-    }: _*)
+      dim: Int): Column = {
+    val planes = Array.tabulate(numTables, numPlanes)((t, p) =>
+      planeOf(t, p, dim).map(_.toFloat))
+    graft.functions.vector.lsh_buckets(vec, planes)
+  }
 
   /** Per-cell similarity scores for argmax/ordering: element i is
     * dot(vec, centroid_i) / |centroid_i| — cosine scaled by the row's own
@@ -260,14 +266,12 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol)).as("d")).first().getInt(0)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qnorm"),
-      explode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim)).as("tb"))
-      .select(col("qid"), col("qvec"), col("qnorm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim))
+        .as(Seq("tbl", "bucket")))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       norm(col(vecCol)).as("nnorm"),
-      explode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim)).as("tb"))
-      .select(col("nid"), col("nvec"), col("nnorm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim))
+        .as(Seq("tbl", "bucket")))
     // score BEFORE deduping: sim is identical for every table a pair
     // collides in, so the dedup shuffle carries (qid, nid, sim) scalars
     // instead of two vectors per candidate — recomputing a codegen dot per
