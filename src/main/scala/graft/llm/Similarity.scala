@@ -90,11 +90,8 @@ object Similarity {
     * search within buckets only.
     */
   def lshBuckets(vec: Column, numPlanes: Int, table: Int, dim: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val plit = array(planeOf(table, p, dim).map(x => lit(x.toFloat)).toIndexedSeq: _*)
-      when(dot(vec, plit) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planes = Array(Array.tabulate(numPlanes)(p => planeOf(table, p, dim).map(_.toFloat)))
+    element_at(graft.functions.vector.lsh_buckets(vec, planes), 1)
   }
 
   /** Bucket-per-table array for all hash tables (element t = table t's
