@@ -111,7 +111,18 @@ object QueriesDomain {
       .dataDescription()),
     "jitter" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .jitter("l_quantity", "qty_jit", scale = 1.0d, clip = Some((0d, 60d))))
+      .jitter("l_quantity", "qty_jit", scale = 1.0d, clip = Some((0d, 60d)))),
+    // seeded randn can't be replayed in DuckDB; pin the properties instead,
+    // like the ANN recall gates: row count, clip bounds, unbiased noise
+    // (|mean shift| over 60k N(0,1) draws is ~0.004 — the 0.05 bound only
+    // trips on a real bug, not on seed variance)
+    "jitter_gate" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .jitter("l_quantity", "qty_jit", scale = 1.0d, clip = Some((0d, 60d)))
+      .agg(count(lit(1)).as("n"),
+        (min(col("qty_jit")) >= 0d).as("clip_lo"),
+        (max(col("qty_jit")) <= 60d).as("clip_hi"),
+        (abs(avg(col("qty_jit") - col("l_quantity"))) < 0.05d).as("unbiased")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +207,9 @@ object QueriesDomain {
         |        (p-0.5)*(p-0.5) AS r,
         |        CASE WHEN p < 0.02425 THEN sqrt(-2*ln(p)) ELSE 0 END AS q2
         |      FROM (SELECT l_orderkey, l_linenumber, l_discount,
-        |              l_discount + 0.01 AS p FROM lineitem))""".stripMargin
+        |              l_discount + 0.01 AS p FROM lineitem))""".stripMargin,
+    "jitter_gate" ->
+      """SELECT count(*) AS n, TRUE AS clip_lo, TRUE AS clip_hi, TRUE AS unbiased
+        |FROM lineitem""".stripMargin
   )
 }
