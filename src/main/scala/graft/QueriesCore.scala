@@ -121,6 +121,25 @@ object QueriesCore {
       .select(col("event_id"), col("event_type"),
         when(col("event_type") === "click", col("value")).as("v"))
       .fillDirection(Map("v" -> "down"), "event_id")),
+    "fill_direction_downup" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_type") === "click", col("value")).as("v"))
+      .fillDirection(Map("v" -> "downup"), "event_id")),
+    "fill_direction_grouped" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("event_type"),
+        when(col("value") >= 1, col("value")).as("v"))
+      .fillDirection(Map("v" -> "down"), "event_id", partitionBy = Seq("event_type"))),
+    "find_replace_regex" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("event_type"))
+      .findReplace("event_type", Map("^cl" -> "KL", "ew$" -> "EW"), matchMode = "regex")),
+    "filter_string_complement" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("event_type"))
+      .filterString("event_type", "^(click|view)$", regex = true, complement = true)),
+    "change_type_keep_values" -> ((s, d) => events(s, d)
+      .select(col("event_id"),
+        when(col("event_id") % 3 === 0, concat(lit("u"), col("user_id").cast("string")))
+          .otherwise(col("user_id").cast("string")).as("uid"))
+      .changeType("uid", "bigint", ignoreException = "keep_values")),
     "fill_empty" -> ((s, d) => events(s, d)
       .select(col("event_id"), when(col("value") < 2, col("value")).as("v"))
       .fillEmpty(Map("v" -> 0.0d))),
@@ -389,6 +408,34 @@ object QueriesCore {
         |last_value(v IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
         |FROM (SELECT event_id, event_type,
         |  CASE WHEN event_type = 'click' THEN value END AS v FROM events)""".stripMargin,
+    "fill_direction_downup" ->
+      """SELECT event_id, event_type,
+        |coalesce(
+        |  last_value(v IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  first_value(v IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v
+        |FROM (SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN value END AS v FROM events)""".stripMargin,
+    "fill_direction_grouped" ->
+      """SELECT event_id, event_type,
+        |last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM (SELECT event_id, event_type,
+        |  CASE WHEN value >= 1 THEN value END AS v FROM events)""".stripMargin,
+    // anchored patterns: Spark's regexp_replace replaces every match, DuckDB
+    // only the first without the 'g' flag — anchors make both a single match
+    "find_replace_regex" ->
+      """SELECT event_id,
+        |regexp_replace(regexp_replace(event_type, '^cl', 'KL'), 'ew$', 'EW') AS event_type
+        |FROM events""".stripMargin,
+    "filter_string_complement" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE NOT regexp_matches(event_type, '^(click|view)$')""".stripMargin,
+    "change_type_keep_values" ->
+      """SELECT event_id,
+        |CASE WHEN try_cast(uid AS BIGINT) IS NOT NULL
+        |  THEN CAST(try_cast(uid AS BIGINT) AS VARCHAR) ELSE uid END AS uid
+        |FROM (SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 'u' || CAST(user_id AS VARCHAR)
+        |       ELSE CAST(user_id AS VARCHAR) END AS uid FROM events)""".stripMargin,
     "fill_empty" ->
       """SELECT event_id, coalesce(CASE WHEN value < 2 THEN value END, 0.0) AS v FROM events""",
     "impute" ->
