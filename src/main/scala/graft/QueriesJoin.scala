@@ -28,6 +28,20 @@ object QueriesJoin {
       .conditionalJoin(bins(s, d),
         Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
         keep = "first")),
+    "conditional_join_left" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_size")
+      .conditionalJoin(bins(s, d),
+        Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
+        how = "left")),
+    "conditional_join_indicator" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_size")
+      .conditionalJoin(bins(s, d),
+        Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
+        how = "left", indicator = true)),
+    "conditional_join_ne" -> ((s, d) => nation(s, d)
+      .select("n_nationkey", "n_regionkey")
+      .conditionalJoin(region(s, d).select("r_regionkey", "r_name"),
+        Seq(("n_regionkey", "r_regionkey", "!=")))),
     "get_join_indices" -> ((s, d) => operators.JoinOps.getJoinIndices(
       part(s, d), bins(s, d), Seq("p_partkey"), Seq("s_suppkey"),
       Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")))),
@@ -48,6 +62,20 @@ object QueriesJoin {
         |SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi
         |FROM part p JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi
         |QUALIFY row_number() OVER (PARTITION BY p.p_partkey ORDER BY b.lo, b.hi, b.s_suppkey) = 1""".stripMargin,
+    "conditional_join_left" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi
+        |FROM part p LEFT JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi""".stripMargin,
+    "conditional_join_indicator" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi,
+        |  CASE WHEN b.s_suppkey IS NULL THEN 'left_only' ELSE 'both' END AS _merge
+        |FROM part p LEFT JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi""".stripMargin,
+    "conditional_join_ne" ->
+      """SELECT n.n_nationkey, n.n_regionkey, r.r_regionkey, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey""".stripMargin,
     "get_join_indices" ->
       """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
         |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
