@@ -147,6 +147,16 @@ object QueriesCore {
       .select(col("l_orderkey"), col("l_linenumber"),
         when(col("l_discount") > 0.03, col("l_quantity")).as("v"))
       .impute("v", statistic = Some("mean"))),
+    "impute_median" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.03, col("l_quantity")).as("v"))
+      .impute("v", statistic = Some("median"))),
+    "encode_categorical_sort" -> ((s, d) => {
+      val df = events(s, d).select("event_id", "event_type")
+        .encodeCategoricalOrder("event_type", "sort")
+      val order = operators.TypeOps.categoriesOf(df, "event_type").get
+      df.addColumn("code", operators.GroupedOps.valueRank("event_type", order))
+    }),
     "coalesce" -> ((s, d) => events(s, d)
       .select(col("event_id"),
         when(col("event_type") === "click", col("value")).as("c1"),
@@ -522,6 +532,15 @@ object QueriesCore {
         |SELECT e.event_id, e.event_type,
         |CAST((SELECT count(*) FROM f f2 WHERE f2.fe < f.fe) AS INTEGER) AS code
         |FROM events e JOIN f ON e.event_type = f.event_type""".stripMargin,
+    "encode_categorical_sort" ->
+      """WITH c AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL)
+        |SELECT e.event_id, e.event_type,
+        |CAST((SELECT count(*) FROM c c2 WHERE c2.event_type < e.event_type) AS INTEGER) AS code
+        |FROM events e""".stripMargin,
+    "impute_median" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount > 0.03 THEN l_quantity END AS v FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, coalesce(v, (SELECT median(v) FROM t)) AS v FROM t""".stripMargin,
     "transform_columns_multi" ->
       """SELECT l_orderkey, l_linenumber,
         |round(l_quantity * 2, 4) AS l_quantity,
