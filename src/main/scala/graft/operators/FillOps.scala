@@ -35,19 +35,23 @@ object FillOps {
       out = ScaleWindows.fillDown(out, orderCol, updownCols)
       out
     } else {
-      val base = Window.partitionBy(partitionBy.map(n => col(s"`$n`")): _*)
-        .orderBy(col(s"`$orderCol`"))
-      val down = base.rowsBetween(Window.unboundedPreceding, 0)
-      val up = base.rowsBetween(0, Window.unboundedFollowing)
+      // bfill as a RUNNING frame over the reversed order — an
+      // unbounded-FOLLOWING frame rescans to the partition end per row,
+      // O(n²) per group (see ScaleWindows.fillDirectional)
+      val keys = partitionBy.map(n => col(s"`$n`"))
+      val down = Window.partitionBy(keys: _*).orderBy(col(s"`$orderCol`").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val up = Window.partitionBy(keys: _*).orderBy(col(s"`$orderCol`").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       columns.foldLeft(df) { case (acc, (c, dir)) =>
         val cc = col(s"`$c`")
         val filled = dir match {
           case "down" => last(cc, ignoreNulls = true).over(down)
-          case "up"   => first(cc, ignoreNulls = true).over(up)
-          case "updown" => coalesce(first(cc, ignoreNulls = true).over(up),
+          case "up"   => last(cc, ignoreNulls = true).over(up)
+          case "updown" => coalesce(last(cc, ignoreNulls = true).over(up),
             last(cc, ignoreNulls = true).over(down))
           case "downup" => coalesce(last(cc, ignoreNulls = true).over(down),
-            first(cc, ignoreNulls = true).over(up))
+            last(cc, ignoreNulls = true).over(up))
         }
         acc.withColumn(c, filled)
       }
