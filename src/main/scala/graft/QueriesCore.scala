@@ -62,6 +62,10 @@ object QueriesCore {
     "filter_date" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_shipdate")
       .filterDate("l_shipdate", years = Seq(1994), months = Seq(1, 2, 3))),
+    "filter_date_range" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .filterDate("l_shipdate",
+        startDate = Some("1997-06-01"), endDate = Some("1997-08-31"))),
     "filter_column_isin" -> ((s, d) => orders(s, d)
       .filterColumnIsin("o_orderpriority", Seq("1-URGENT", "2-HIGH"))),
     "dropnotnull" -> ((s, d) => events(s, d)
@@ -418,6 +422,10 @@ object QueriesCore {
         |last_value(v IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
         |FROM (SELECT event_id, event_type,
         |  CASE WHEN event_type = 'click' THEN value END AS v FROM events)""".stripMargin,
+    "filter_date_range" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-06-01'
+        |  AND CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1997-08-31'""".stripMargin,
     "fill_direction_downup" ->
       """SELECT event_id, event_type,
         |coalesce(

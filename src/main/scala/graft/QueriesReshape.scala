@@ -17,6 +17,12 @@ object QueriesReshape {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
       .pivotLonger(index = Seq("l_orderkey", "l_linenumber"),
         namesTo = Seq("name"), valuesTo = "value")),
+    "pivot_longer_dropna" -> ((s, d) => events(s, d)
+      .select(col("event_id"),
+        when(col("event_type") === "click", col("value")).as("m_click"),
+        when(col("event_type") === "view", col("value")).as("m_view"))
+      .pivotLonger(index = Seq("event_id"),
+        namesTo = Seq("name"), valuesTo = "value", dropna = true)),
     "pivot_longer_names_sep" -> ((s, d) => lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").as("m_qty"), col("l_discount").as("m_disc"))
@@ -107,6 +113,12 @@ object QueriesReshape {
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, l_quantity AS value FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount' AS name, l_discount AS value FROM lineitem""".stripMargin,
+    "pivot_longer_dropna" ->
+      """SELECT event_id, 'm_click' AS name, value FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |UNION ALL
+        |SELECT event_id, 'm_view' AS name, value FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL""".stripMargin,
     "pivot_longer_names_sep" ->
       """SELECT l_orderkey, l_linenumber, 'm' AS prefix, 'qty' AS metric, l_quantity AS value FROM lineitem
         |UNION ALL
