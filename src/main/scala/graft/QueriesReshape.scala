@@ -102,6 +102,14 @@ object QueriesReshape {
     "deconcatenate_column" -> ((s, d) => part(s, d)
       .select("p_partkey", "p_name")
       .deconcatenateColumn("p_name", " ", Seq("adjective", "noun"))),
+    "deconcatenate_preserve" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_name", "p_size")
+      .deconcatenateColumn("p_name", " ", Seq("adjective", "noun"),
+        preservePosition = true)),
+    "take_first_desc" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate")
+      .takeFirst(Seq("l_partkey"), "l_shipdate", ascending = false,
+        tiebreak = Seq("l_orderkey", "l_linenumber"))),
     "expand_column" -> ((s, d) => lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         concat_ws(",", col("l_returnflag"), col("l_linestatus")).as("labels"))
@@ -196,6 +204,13 @@ object QueriesReshape {
     "deconcatenate_column" ->
       """SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS adjective,
         |split_part(p_name, ' ', 2) AS noun FROM part""".stripMargin,
+    "deconcatenate_preserve" ->
+      """SELECT p_partkey, split_part(p_name, ' ', 1) AS adjective,
+        |split_part(p_name, ' ', 2) AS noun, p_size FROM part""".stripMargin,
+    "take_first_desc" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_partkey
+        |  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1""".stripMargin,
     "expand_column" ->
       """SELECT l_orderkey, l_linenumber,
         |l_returnflag || ',' || l_linestatus AS labels,

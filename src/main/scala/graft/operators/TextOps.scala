@@ -83,7 +83,15 @@ object TextOps {
     val withParts = newColumnNames.zipWithIndex.foldLeft(df) { case (acc, (n, idx)) =>
       acc.withColumn(n, parts.getItem(idx))
     }
-    if (preservePosition) withParts.drop(column) else withParts
+    if (preservePosition) {
+      // the reference splices the new columns in at the original column's
+      // index (deconcatenate_column.py preserve_position=True)
+      val out = df.columns.flatMap {
+        case `column` => newColumnNames
+        case c => Seq(c)
+      }
+      withParts.select(out.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    } else withParts
   }
 
   /** One-hot expand a delimited categorical cell (reference:
