@@ -95,6 +95,10 @@ object QueriesCore {
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       .groupbyTopk(Seq("l_returnflag"), "l_extendedprice", 3,
         ascending = false, tiebreak = Seq("l_orderkey", "l_linenumber"))),
+    "groupby_topk_asc" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .groupbyTopk(Seq("l_returnflag"), "l_extendedprice", 3,
+        ascending = true, tiebreak = Seq("l_orderkey", "l_linenumber"))),
     "groupby_topk_salted" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       .transform(df => operators.GroupedOps.groupbyTopkSalted(df,
@@ -392,6 +396,10 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3""".stripMargin,
+    "groupby_topk_asc" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) <= 3""".stripMargin,
     "groupby_topk_salted" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
