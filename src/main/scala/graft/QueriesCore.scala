@@ -143,10 +143,16 @@ object QueriesCore {
     "filter_string_complement" -> ((s, d) => events(s, d)
       .select(col("event_id"), col("event_type"))
       .filterString("event_type", "^(click|view)$", regex = true, complement = true)),
+    // failures present ('u'-prefixed rows) → astype(errors="ignore") keeps the
+    // ENTIRE column unchanged (change_type.py:19 all-or-nothing semantics)
     "change_type_keep_values" -> ((s, d) => events(s, d)
       .select(col("event_id"),
         when(col("event_id") % 3 === 0, concat(lit("u"), col("user_id").cast("string")))
           .otherwise(col("user_id").cast("string")).as("uid"))
+      .changeType("uid", "bigint", ignoreException = "keep_values")),
+    // every value castable → the column converts to the target dtype
+    "change_type_keep_values_all_cast" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("user_id").cast("string").as("uid"))
       .changeType("uid", "bigint", ignoreException = "keep_values")),
     "fill_empty" -> ((s, d) => events(s, d)
       .select(col("event_id"), when(col("value") < 2, col("value")).as("v"))
@@ -455,13 +461,14 @@ object QueriesCore {
     "filter_string_complement" ->
       """SELECT event_id, event_type FROM events
         |WHERE NOT regexp_matches(event_type, '^(click|view)$')""".stripMargin,
+    // all-or-nothing astype: failures exist, so the column passes through unchanged
     "change_type_keep_values" ->
       """SELECT event_id,
-        |CASE WHEN try_cast(uid AS BIGINT) IS NOT NULL
-        |  THEN CAST(try_cast(uid AS BIGINT) AS VARCHAR) ELSE uid END AS uid
-        |FROM (SELECT event_id,
         |  CASE WHEN event_id % 3 = 0 THEN 'u' || CAST(user_id AS VARCHAR)
-        |       ELSE CAST(user_id AS VARCHAR) END AS uid FROM events)""".stripMargin,
+        |       ELSE CAST(user_id AS VARCHAR) END AS uid FROM events""".stripMargin,
+    "change_type_keep_values_all_cast" ->
+      """SELECT event_id, CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS uid
+        |FROM events""".stripMargin,
     "fill_empty" ->
       """SELECT event_id, coalesce(CASE WHEN value < 2 THEN value END, 0.0) AS v FROM events""",
     "impute" ->

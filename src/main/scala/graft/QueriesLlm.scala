@@ -274,13 +274,18 @@ object QueriesLlm {
     },
     // byte-stride downsample; document text is ASCII so per-char substr in
     // SQL equals the engine's per-byte slicing
+    // empty-doc guard: the engine's strided fold over an empty payload yields 0
+    // bytes (substr of empty is empty), while a bare len(generate_series(1,1,s))
+    // would claim 1 — CASE both n_resized and the checksum accordingly
     "multimodal_resize" ->
       """WITH s AS (SELECT doc_id, text,
         |  greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS stride FROM documents)
         |SELECT doc_id,
-        |  len(generate_series(1, greatest(length(text), 1), stride)) AS n_resized,
-        |  md5(list_reduce(list_transform(generate_series(1, greatest(length(text), 1), stride),
-        |    i -> substr(text, i, 1)), (a, b) -> a || b)) AS rz_checksum
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE len(generate_series(1, length(text), stride)) END AS n_resized,
+        |  CASE WHEN length(text) = 0 THEN md5('')
+        |       ELSE md5(list_reduce(list_transform(generate_series(1, length(text), stride),
+        |         i -> substr(text, i, 1)), (a, b) -> a || b)) END AS rz_checksum
         |FROM s""".stripMargin
   )
 }

@@ -121,18 +121,36 @@ object Dedup {
     // hot-bucket guard: boilerplate text (license headers, templated pages)
     // lands thousands of docs in one (band, bandhash) bucket, turning the
     // self-join quadratic. Buckets over `maxBucketSize` are dropped from
-    // candidate generation — a pair sharing a hot bucket is still found
-    // through any of its other numBands-1 bands (the OR-amplification that
-    // makes LSH robust), so the recall cost is bounded while the worst-case
-    // join cost becomes numBuckets × maxBucketSize². The count aggregation
-    // shuffles on the same keys as the self-join, so AQE reuses the exchange.
-    val bucketOk = banded.groupBy("band", "bandhash").count()
-      .filter(col("count") <= maxBucketSize).drop("count")
+    // candidate generation; a pair sharing a hot bucket is usually still
+    // found through its other numBands-1 bands. The one case OR-amplification
+    // canNOT cover is a family of >maxBucketSize (near-)identical documents:
+    // identical signatures make ALL its buckets hot simultaneously. Those
+    // families are rescued below — members of dropped buckets are grouped by
+    // their FULL signature and each multi-member family emits a
+    // representative-vs-rest star (min-id vs each other id) instead of all
+    // pairs: O(family) candidates, clustering-equivalent under the
+    // connected-components step, and still exact-Jaccard verified (signature
+    // hash collisions just add candidates the verify filters out). The count
+    // aggregation shuffles on the same keys as the self-join, so AQE reuses
+    // the exchange.
+    val bucketCounts = banded.groupBy("band", "bandhash").count()
+      .localCheckpoint(eager = false)
+    val bucketOk = bucketCounts.filter(col("count") <= maxBucketSize).drop("count")
     val inBucket = banded.join(bucketOk, Seq("band", "bandhash"))
-    val cands = inBucket.as("a").join(inBucket.as("b"), Seq("band", "bandhash"))
+    val coldCands = inBucket.as("a").join(inBucket.as("b"), Seq("band", "bandhash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
+    val hotBuckets = bucketCounts.filter(col("count") > maxBucketSize).drop("count")
+    val hotFam = banded.join(hotBuckets, Seq("band", "bandhash"))
+      .select("id").distinct()
+      .join(base.select(col("id"), xxhash64(col("sig").cast("string")).as("sigkey")), Seq("id"))
+    val famRep = hotFam.groupBy("sigkey")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("fam"))
+      .filter(col("fam") > 1).drop("fam")
+    val starCands = hotFam.join(famRep, Seq("sigkey"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("id").as("id2"))
+    val cands = coldCands.unionAll(starCands).dropDuplicates("id1", "id2")
     // cheap estimated-Jaccard prefilter from the signatures, then exact
     // verification on the shingle sets — both joined back by id
     val sigs = base.select(col("id"), col("sig"))
@@ -190,7 +208,7 @@ object Dedup {
     * tiny count).
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 10, smallEdgeThreshold: Long = 1000000L): DataFrame = {
+      maxIters: Int = 10, smallEdgeThreshold: Long = 100000L): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(eager = false)
@@ -200,6 +218,10 @@ object Dedup {
     // the edges (never the ids) and run exact union-find on the driver in
     // one pass; non-edge docs are their own cluster via a broadcast
     // left-join. Above it, the distributed min-label loop below takes over.
+    // The default threshold (100k symmetrized edges → a ≤200k-entry map,
+    // single-digit MB) is sized for a MODEST driver heap: the collect must
+    // never be what OOMs a driver that the always-distributed path would
+    // have kept alive. Raise it explicitly when the driver has headroom.
     // driver path only for bigint ids — keeps the cluster column's type
     // identical to the distributed path's (cluster = least over id values)
     val integralId =

@@ -10,19 +10,26 @@ object TypeOps {
 
   /** Cast with failure policy (reference: janitor/functions/change_type.py:19).
     * ignoreException: "none" (strict cast), "fillna" (null on failure via
-    * try_cast), "keep_values" (original value on failure).
+    * try_cast), "keep_values" (pandas `astype(dtype, errors="ignore")`,
+    * which is all-or-nothing AT COLUMN LEVEL: if any value fails to convert
+    * the ENTIRE column is returned unchanged — original dtype, original
+    * values; only a fully-castable column changes dtype). The decision
+    * needs one bounded extra pass: an existence probe (`filter(...)
+    * .isEmpty` ≡ limit-1, early-exits per partition) whose predicate is a
+    * codegen'd try_cast — linear scan worst case, O(1) result. Nulls count
+    * as castable (null → null), matching SQL cast semantics.
     */
   def changeType(df: DataFrame, column: String, dtype: String,
       ignoreException: String = "none"): DataFrame = {
     val c = col(s"`$column`")
-    val out = ignoreException match {
-      case "none" => c.cast(dtype)
-      case "fillna" => c.try_cast(dtype)
+    ignoreException match {
+      case "none" => df.withColumn(column, c.cast(dtype))
+      case "fillna" => df.withColumn(column, c.try_cast(dtype))
       case "keep_values" =>
-        when(c.try_cast(dtype).isNotNull, c.cast(dtype).cast("string")).otherwise(c.cast("string"))
+        val anyFailure = !df.filter(c.isNotNull && c.try_cast(dtype).isNull).isEmpty
+        if (anyFailure) df else df.withColumn(column, c.cast(dtype))
       case other => throw new IllegalArgumentException(s"change_type: bad ignore_exception $other")
     }
-    df.withColumn(column, out)
   }
 
   /** (reference: janitor/functions/to_datetime.py:19) */

@@ -450,13 +450,23 @@ object Xlsx {
           ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
             s"""<table xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" id="1" name="${escape(tn)}" displayName="${escape(tn)}" ref="$ref" headerRowCount="$headerRowCount">""" +
             s"""<tableColumns count="$nCols">""" +
-            // OOXML requires tableColumn names to match the header cell text;
-            // fall back to c<i> only when the header row is short/absent
-            (1 to nCols).map { i =>
-              val hdr = rows.headOption.flatMap(_.lift(i - 1)).flatMap(Option(_))
-                .map(_.toString).filter(_.nonEmpty).getOrElse(s"c$i")
-              s"""<tableColumn id="$i" name="${escape(hdr)}"/>"""
-            }.mkString +
+            // OOXML requires tableColumn names to match the header cell text
+            // AND be unique within the table (duplicate names make Excel
+            // repair/reject the file) — de-duplicate with a numeric suffix
+            // like openpyxl; fall back to c<i> when the header row is
+            // short/absent
+            {
+              val seen = mutable.HashSet[String]()
+              (1 to nCols).map { i =>
+                val hdr = rows.headOption.flatMap(_.lift(i - 1)).flatMap(Option(_))
+                  .map(_.toString).filter(_.nonEmpty).getOrElse(s"c$i")
+                val name = Iterator.from(1)
+                  .map(k => if (k == 1) hdr else s"$hdr$k")
+                  .find(seen.add)
+                  .get
+                s"""<tableColumn id="$i" name="${escape(name)}"/>"""
+              }.mkString
+            } +
             "</tableColumns></table>")
       }
 

@@ -33,11 +33,18 @@ class FillAndTypeSpec extends SparkSpec {
     assert(out.collect().map(_.getInt(0)).toSeq == Seq(2, 1, 0))
   }
 
-  test("changeType keep_values keeps originals on failed casts") {
+  test("changeType keep_values is all-or-nothing at column level (astype errors=ignore)") {
+    // any failure → whole column unchanged, dtype included
     val d = Seq("1", "x", "3").toDF("v")
-    val out = d.changeType("v", "int", ignoreException = "keep_values")
-      .collect().map(_.getString(0)).toSeq
-    assert(out == Seq("1", "x", "3"))
+    val kept = d.changeType("v", "int", ignoreException = "keep_values")
+    assert(kept.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    assert(kept.collect().map(_.getString(0)).toSeq == Seq("1", "x", "3"))
+    // full success → column converts to the target dtype; nulls count as castable
+    val ok = Seq(Some("1"), None, Some("3")).toDF("v")
+      .changeType("v", "int", ignoreException = "keep_values")
+    assert(ok.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(ok.collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq ==
+      Seq(1, null, 3))
     val filled = d.changeType("v", "int", ignoreException = "fillna")
       .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
     assert(filled == Seq(1, null, 3))

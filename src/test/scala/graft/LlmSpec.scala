@@ -38,19 +38,21 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
-  test("minhashDupPairs hot-bucket cap drops oversized buckets, keeps the rest") {
+  test("minhashDupPairs hot-bucket cap: identical families rescued as a star") {
     val boiler = (1 to 50).map(i => s"boiler$i").mkString(" ")
     val other = (1 to 50).map(i => s"fresh$i").mkString(" ")
     val docs = ((1L to 4L).map(i => (i, boiler)) ++
       Seq((10L, other), (11L, other + " tail"))).toDF("id", "t")
-    // the 4 identical docs put 4 rows in every one of their buckets: over a
-    // cap of 3 they generate no candidates, while the (10,11) pair's buckets
-    // hold <= 2 rows and survive
+    // the 4 identical docs put 4 rows in EVERY one of their buckets — over a
+    // cap of 3 all their buckets are hot at once, the case OR-amplification
+    // can't cover. The signature-family rescue emits min-id-vs-rest star
+    // pairs instead of dropping them; the (10,11) pair's buckets hold <= 2
+    // rows and take the normal path
     val capped = Dedup.minhashDupPairs(docs, "id", "t", threshold = 0.5,
       maxBucketSize = 3)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(capped.toSeq.sorted == Seq((10L, 11L)))
-    // the default cap is far above anything here: all pairs found
+    assert(capped.toSeq.sorted == Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)))
+    // the default cap is far above anything here: ALL pairs found
     val full = Dedup.minhashDupPairs(docs, "id", "t", threshold = 0.5)
       .select("id1", "id2").collect()
     assert(full.length == 6 + 1) // C(4,2) boiler pairs + the (10,11) pair

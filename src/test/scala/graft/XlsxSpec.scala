@@ -57,6 +57,27 @@ class XlsxSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "sub1"))
   }
 
+  test("writer de-duplicates tableColumn names on header collisions") {
+    // duplicate headers and a header colliding with the c<i> fallback must
+    // still produce unique tableColumn names (OOXML uniqueness rule)
+    val p = tmpXlsx("dup.xlsx", Seq(
+      Seq("x", "x", null, "c3"),
+      Seq(1L, 2L, 3L, 4L)), table = Some("tDup"))
+    val zf = new java.util.zip.ZipFile(p)
+    val entry = zf.getEntry("xl/tables/table1.xml")
+    val xml = scala.io.Source.fromInputStream(zf.getInputStream(entry)).mkString
+    zf.close()
+    val names = """name="([^"]*)"""".r.findAllMatchIn(xml).map(_.group(1)).toSeq
+      .filterNot(_ == "tDup") // table name/displayName attrs
+    assert(names.size == 4)
+    assert(names.distinct.size == 4, s"duplicate tableColumn names in $names")
+    assert(names.head == "x")
+    // the reader still maps data through positionally
+    val df = IoOps.xlsxTable(spark, p, "tDup")
+    assert(df.columns.length == 4)
+    assert(df.count() == 1)
+  }
+
   test("xlsx_cells yields one row per cell with coordinates and types") {
     val p = tmpXlsx("c.xlsx", Seq(
       Seq("Age", "Height"),
