@@ -48,7 +48,28 @@ object QueriesJoin {
     "range_join" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_quantity")
       .rangeJoin(bins(s, d), "l_quantity", "lo", "hi", bandWidth = 5.0d)
-      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n")))
+      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))),
+    // last click at-or-before each view, per user (DuckDB ASOF JOIN oracle);
+    // the right side is pre-aggregated to unique (user_id, ts) so the
+    // duplicate-timestamp tie-break cannot differ between engines
+    "asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+        .asofJoin(
+          ev.filter(col("event_type") === "click")
+            .groupBy("user_id", "ts").agg(max(col("value")).as("click_value")),
+          on = "ts", by = Seq("user_id"))
+    }),
+    // first click at-or-after each view, matches farther than 1h nulled
+    "asof_join_forward_tol" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+        .asofJoin(
+          ev.filter(col("event_type") === "click")
+            .groupBy("user_id", "ts").agg(max(col("value")).as("click_value")),
+          on = "ts", by = Seq("user_id"),
+          direction = "forward", tolerance = Some(3600.0d))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +107,20 @@ object QueriesJoin {
         |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
         |SELECT b.s_suppkey, count(*) AS n
         |FROM lineitem l JOIN bins b ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
-        |GROUP BY b.s_suppkey""".stripMargin
+        |GROUP BY b.s_suppkey""".stripMargin,
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_join_forward_tol" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  CASE WHEN r.ts IS NOT NULL AND epoch(r.ts) - epoch(l.ts) <= 3600.0
+        |       THEN r.click_value END AS click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.syntax._
 
 /** LLM-pipeline extension operators (builder brief): dedup (exact, MinHash
   * LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search,
@@ -115,7 +116,17 @@ object QueriesLlm {
       Multimodal.featurize(
         Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain"))
         .select(col("doc_id") +:
-          (0 until 4).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*))
+          (0 until 4).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)),
+    "hash_sample" -> ((s, d) => documents(s, d)
+      .select("doc_id", "lang").hashSample("doc_id", 0.25)),
+    "hash_split" -> ((s, d) => documents(s, d)
+      .select("doc_id").hashSplit("doc_id")),
+    "stratified_hash_sample" -> ((s, d) => documents(s, d)
+      .select("doc_id", "lang")
+      .stratifiedHashSample("doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 0.2), defaultFraction = 0.05)),
+    "chunk_documents" -> ((s, d) => documents(s, d)
+      .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48))
   )
 
   private def jaccardSql(corpusExpr: String) =
@@ -286,6 +297,33 @@ object QueriesLlm {
         |  CASE WHEN length(text) = 0 THEN md5('')
         |       ELSE md5(list_reduce(list_transform(generate_series(1, length(text), stride),
         |         i -> substr(text, i, 1)), (a, b) -> a || b)) END AS rz_checksum
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // the md5-uniform is replicated bit-for-bit: first 8 hex digits / 2^32
+    "hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < 0.25""".stripMargin,
+    // cuts written as running sums (0.8, then 0.8 + 0.1) so both engines do
+    // the same double arithmetic at the bucket boundaries
+    "hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS u FROM documents)""".stripMargin,
+    "stratified_hash_sample" ->
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS u FROM documents)
+        |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2 ELSE 0.05 END""".stripMargin,
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |x AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, len(toks) - 1, 48)) AS start FROM t)
+        |SELECT doc_id AS id, CAST(start // 48 AS INT) AS chunk_id,
+        |  len(toks[start + 1 : start + 64]) AS n_tokens,
+        |  array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+        |FROM x""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here keys off a CONTENT hash, not a random number generator:
+  * `rand(seed)` is partition-dependent (the same row samples differently
+  * after a repartition, a retry, or a scale-up), which silently breaks
+  * train/test hygiene in a distributed pipeline. An md5-derived uniform is
+  * reproducible across engines, runs, partitionings, and cluster sizes —
+  * and a row's split assignment never changes as the corpus grows, so
+  * incremental ingestion can't leak yesterday's test docs into today's
+  * training set. All operators are narrow projections/filters: no shuffle,
+  * streaming-safe, trivially 100 TB-safe.
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0, 1): first 8 hex digits of
+    * md5(key || "#" || seed) scaled by 2^32. md5 (not xxhash64) so an
+    * external oracle can reproduce values bit-for-bit.
+    */
+  def hashUniform(key: Column, seed: Long = 42L): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(s"#$seed"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0d
+
+  /** Deterministic Bernoulli sample: keep rows whose [[hashUniform]] over
+    * `keyCol` falls below `fraction`.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "hash_sample: fraction in [0,1]")
+    df.filter(hashUniform(col(s"`$keyCol`"), seed) < fraction)
+  }
+
+  /** Deterministic train/validation/test split: each row is assigned the
+    * first named bucket whose cumulative weight exceeds its [[hashUniform]].
+    * Weights must sum to ~1 (validated); assignment is stable under corpus
+    * growth because it depends only on the row's own key.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      destCol: String = "split", seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "hash_split: no buckets")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"hash_split: weights must sum to 1, got ${weights.map(_._2).sum}")
+    val u = hashUniform(col(s"`$keyCol`"), seed)
+    val cuts = weights.scanLeft(0.0d)(_ + _._2).tail
+    // last bucket is the otherwise-branch so u in [lastCut-w, 1) can't fall
+    // through on float round-off
+    val expr = weights.init.zip(cuts.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), acc) => when(u < cut, name).otherwise(acc)
+    }
+    df.withColumn(destCol, expr)
+  }
+
+  /** Deterministic stratified sample: per-stratum fractions over the same
+    * content-hash uniform — still a pure narrow filter (the fractions map is
+    * a literal CASE, no join, no per-group pass). Strata absent from the map
+    * keep `defaultFraction` (0 drops them).
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val f = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, v)) =>
+      when(col(s"`$strataCol`").cast("string") === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(s"`$keyCol`"), seed) < f)
+  }
+}

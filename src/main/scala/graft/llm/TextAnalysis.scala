@@ -70,6 +70,33 @@ object TextAnalysis {
   def docFingerprint48(text: Column): Column =
     conv(substring(Dedup.fingerprint(text), 1, 12), 16, 10).cast("long")
 
+  /** Token-window document chunking — the sequence-packing prep step of an
+    * LLM training pipeline: split each document into chunks of at most
+    * `chunkTokens` whitespace tokens, starting every `stride` tokens
+    * (stride < chunkTokens ⇒ overlapping chunks). Chunk starts are
+    * 0, stride, 2·stride, … while start < n_tokens, so the tail chunk may
+    * be short. (Whitespace-split of an empty string is [''] — one empty
+    * token, one empty chunk — matching string_split_regex on the oracle
+    * side, same contract as [[tokenCount]].) Pure codegen
+    * (sequence → transform → explode): a narrow per-row fan-out whose
+    * output partitioning follows the input — no shuffle at any corpus size.
+    * Output: (id, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunk_documents: sizes must be positive")
+    val toks = split(col(s"`$textCol`"), "\\s+")
+    val n = size(toks)
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val chunks = transform(starts, (start, i) => struct(
+      i.as("chunk_id"),
+      size(slice(toks, start + 1, lit(chunkTokens))).as("n_tokens"),
+      concat_ws(" ", slice(toks, start + 1, lit(chunkTokens))).as("chunk_text")))
+    df.select(col(s"`$idCol`").as("id"), explode(chunks).as("c"))
+      .select(col("id"), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))

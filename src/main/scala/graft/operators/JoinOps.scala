@@ -122,6 +122,79 @@ object JoinOps {
     joined.select((leftId ++ rightOut).map(n => col(s"`$n`")): _*)
   }
 
+  /** As-of join (pandas `merge_asof`; DuckDB `ASOF JOIN`): for every left
+    * row, attach the single right row with the greatest `on` ≤ left's `on`
+    * (direction=backward, inclusive) or the smallest `on` ≥ left's
+    * (direction=forward), within equal `by` keys; unmatched left rows keep
+    * nulls (left-outer, like merge_asof). `tolerance` (in `on` units;
+    * seconds for timestamps) nulls matches farther than the bound.
+    *
+    * NOT a join under the hood: the sort-merge shape Spark would pick for a
+    * theta-join here is quadratic per key group. Instead both sides union
+    * into one frame tagged left/right and a running `last(right_payload,
+    * ignoreNulls)` over (on, side) order finds every match in ONE shuffle —
+    * the standard distributed as-of technique. Right rows sort before left
+    * rows on equal `on` (side 0 < 1), making the match inclusive. With `by`
+    * keys the window partitions on them (parallelism = key cardinality); a
+    * global as-of (no `by`) routes through [[ScaleWindows.runningLast]],
+    * which buckets the order column instead of funnelling one task.
+    *
+    * Output: every left column, then each right non-key column (suffixed on
+    * collision with a left name). Right `on`/`by` columns are not emitted
+    * (merge_asof contract). Ties among right rows with identical
+    * (`by`, `on`) break on the full right payload (deterministic in a
+    * distributed setting — SURVEY §7.7).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: String,
+      by: Seq[String] = Nil, direction: String = "backward",
+      tolerance: Option[Double] = None, suffix: String = "_right"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof_join: bad direction '$direction' (backward|forward)")
+    val rPayloadCols = right.columns.filterNot(c => by.contains(c) || c == on)
+    def outName(c: String): String =
+      if (left.columns.contains(c)) c + suffix else c
+    // deterministic tie-break among right rows sharing (by, on): pick the
+    // max payload struct, so the running last is order-insensitive
+    val rStruct = struct(
+      col(s"`$on`").cast("double").as("__rt") +:
+        rPayloadCols.map(c => col(s"`$c`").as(outName(c))).toSeq: _*)
+    val byCols = by.map(n => col(s"`$n`"))
+    val rSel = right
+      .groupBy((byCols :+ col(s"`$on`").as("__t")): _*)
+      .agg(max(rStruct).as("__rpay"))
+      .withColumn("__side", lit(0))
+    val lSel = left.select((byCols :+ col(s"`$on`").as("__t") :+
+      lit(1).as("__side") :+
+      struct(left.columns.map(c => col(s"`$c`")).toSeq: _*).as("__lpay")): _*)
+    val u = lSel
+      .withColumn("__rpay", lit(null).cast(rSel.schema("__rpay").dataType))
+      .unionByName(rSel.withColumn("__lpay",
+        lit(null).cast(lSel.schema("__lpay").dataType)))
+    val descending = direction == "forward"
+    val matched = if (by.nonEmpty) {
+      val ord = Seq(
+        if (descending) col("__t").desc else col("__t").asc,
+        col("__side").asc)
+      val w = Window.partitionBy(byCols: _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      u.withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
+    } else {
+      ScaleWindows.runningLast(u, "__t", "__side", "__rpay", "__m",
+        descending = descending)
+    }
+    val withinTol = tolerance match {
+      case None => col("__m").isNotNull
+      case Some(tol) =>
+        val dist = if (descending) col("__m.__rt") - col("__t").cast("double")
+          else col("__t").cast("double") - col("__m.__rt")
+        col("__m").isNotNull && dist <= tol
+    }
+    val kept = when(withinTol, col("__m"))
+    matched.filter(col("__side") === 1)
+      .select(col("__lpay.*") +:
+        rPayloadCols.map(c => kept.getField(outName(c)).as(outName(c))).toSeq: _*)
+  }
+
   /** Median interval width of the right side — the data-derived band width
     * for [[rangeJoin]] (SURVEY §7.5). One bounded approxQuantile action;
     * a skewed interval table no longer hot-spots a single band the way a

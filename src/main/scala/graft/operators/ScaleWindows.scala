@@ -184,6 +184,66 @@ object ScaleWindows {
       nBuckets: Int = 0): DataFrame =
     fillDirectional(df, orderCol, cols, nBuckets, up = true)
 
+  /** Scale-safe global running `last(valueCol, ignoreNulls)` in
+    * (`orderCol` asc|desc, `tieCol` asc) order — the kernel under a global
+    * as-of join. Same bucket machinery as [[runningSum]], but the carried
+    * boundary values may be STRUCTS, which cannot ride a literal CASE: the
+    * ≤ nBuckets carry rows go back through a broadcast join on the bucket
+    * id instead (equally bounded, and type-agnostic). Falls back to the
+    * single-partition window for small or non-bucketable orders.
+    */
+  def runningLast(df: DataFrame, orderCol: String, tieCol: String,
+      valueCol: String, dest: String, descending: Boolean = false,
+      nBuckets: Int = 0): DataFrame = {
+    val n = if (nBuckets > 0) nBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def ordCols = Seq(
+      if (descending) col(s"`$orderCol`").desc else col(s"`$orderCol`").asc,
+      col(s"`$tieCol`").asc)
+    orderAsDouble(df, orderCol).filterNot(_ => isSmall(df)) match {
+      case None =>
+        val w = Window.orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        df.withColumn(dest, last(col(s"`$valueCol`"), ignoreNulls = true).over(w))
+      case Some(ord) =>
+        val probes = (1 until n).map(_.toDouble / n).toArray
+        val bounds = df.select(ord.as("__ord")).na.drop()
+          .stat.approxQuantile("__ord", probes, 0.001)
+          .distinct.sorted
+        val b = df.withColumn("__bkt", bucketOf(ord, bounds))
+        val w = Window.partitionBy(col("__bkt")).orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val local = last(col(s"`$valueCol`"), ignoreNulls = true).over(w)
+        // boundary value each bucket exports = its last non-null value in
+        // traversal order (max_by asc / min_by desc over (ord, tie); rows
+        // with a null value are skipped via the null ordering key)
+        val ordIfSet = when(col(s"`$valueCol`").isNotNull,
+          struct(ord.as("o"), col(s"`$tieCol`").cast("double").as("t")))
+        val edgeAgg = if (descending) min_by(col(s"`$valueCol`"), ordIfSet)
+          else max_by(col(s"`$valueCol`"), ordIfSet)
+        val edges = b.groupBy(col("__bkt")).agg(edgeAgg.as("__edge"))
+        val edgeRows = edges.collect()
+          .sortBy(r => if (descending) -r.getInt(0) else r.getInt(0))
+        // carry[bucket] = nearest earlier (in traversal order) bucket's edge
+        var prev: Any = null
+        val carryRows = edgeRows.map { r =>
+          val out = org.apache.spark.sql.Row(r.getInt(0), prev)
+          if (!r.isNullAt(1)) prev = r.get(1)
+          out
+        }.filter(!_.isNullAt(1)).toSeq
+        val valueType = df.schema(valueCol).dataType
+        val spark = df.sparkSession
+        val carrySchema = StructType(Seq(
+          StructField("__bkt", IntegerType, nullable = false),
+          StructField("__carry", valueType)))
+        import scala.jdk.CollectionConverters._
+        val carryDf = spark.createDataFrame(carryRows.asJava, carrySchema)
+        b.join(broadcast(carryDf), Seq("__bkt"), "left")
+          .withColumn(dest, coalesce(local, col("__carry")))
+          .drop("__bkt", "__carry")
+    }
+  }
+
   private def fillDirectional(df: DataFrame, orderCol: String,
       cols: Seq[String], nBuckets: Int, up: Boolean): DataFrame = {
     if (cols.isEmpty) return df

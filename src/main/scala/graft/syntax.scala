@@ -221,6 +221,10 @@ object syntax {
         bandWidth: Double, how: String = "inner", loInclusive: Boolean = true,
         hiInclusive: Boolean = true): DataFrame =
       JoinOps.rangeJoin(df, right, xCol, loCol, hiCol, bandWidth, how, loInclusive, hiInclusive)
+    def asofJoin(right: DataFrame, on: String, by: Seq[String] = Nil,
+        direction: String = "backward", tolerance: Option[Double] = None,
+        suffix: String = "_right"): DataFrame =
+      JoinOps.asofJoin(df, right, on, by, direction, tolerance, suffix)
 
     // §2.12 timeseries
     def fillMissingTimestamps(tsCol: String, frequency: String,
@@ -250,7 +254,7 @@ object syntax {
     * reference never had.
     */
   implicit class LlmOps(val df: DataFrame) extends AnyVal {
-    import graft.llm.{Dedup, Similarity, TextAnalysis}
+    import graft.llm.{Dedup, Sampling, Similarity, TextAnalysis}
 
     def dedupExact(idCol: String, textCol: String): DataFrame =
       Dedup.exactDedup(df, idCol, textCol)
@@ -267,5 +271,18 @@ object syntax {
     def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
       Similarity.cosineTopK(df, corpus, idCol, vecCol, k)
     def textAnalysis(textCol: String): DataFrame = TextAnalysis.analyze(df, textCol)
+    def chunkDocuments(idCol: String, textCol: String, chunkTokens: Int,
+        stride: Int): DataFrame =
+      TextAnalysis.chunkDocuments(df, idCol, textCol, chunkTokens, stride)
+    def hashSample(keyCol: String, fraction: Double, seed: Long = 42L): DataFrame =
+      Sampling.hashSample(df, keyCol, fraction, seed)
+    def hashSplit(keyCol: String,
+        weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        destCol: String = "split", seed: Long = 42L): DataFrame =
+      Sampling.hashSplit(df, keyCol, weights, destCol, seed)
+    def stratifiedHashSample(keyCol: String, strataCol: String,
+        fractions: Map[String, Double], defaultFraction: Double = 0.0,
+        seed: Long = 42L): DataFrame =
+      Sampling.stratifiedHashSample(df, keyCol, strataCol, fractions, defaultFraction, seed)
   }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import graft.syntax._
+import graft.llm.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class AsofAndSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    ("a", 1L, 10.0), ("a", 5L, 11.0), ("a", 9L, 12.0),
+    ("b", 3L, 20.0)).toDF("sym", "t", "px")
+  private def quotes = Seq(
+    ("a", 0L, 9.5), ("a", 5L, 10.5), ("a", 7L, 10.7),
+    ("b", 4L, 19.5), ("c", 1L, 1.0)).toDF("sym", "t", "bid")
+
+  test("asofJoin backward: greatest right t <= left t, inclusive, per key") {
+    val out = trades.asofJoin(quotes, on = "t", by = Seq("sym"))
+      .orderBy("sym", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 9.5), ("a", 5L, 10.5), ("a", 9L, 10.7), // t=5 matches inclusively
+      ("b", 3L, null))) // no quote at or before t=3 for b
+  }
+
+  test("asofJoin forward + tolerance") {
+    val out = trades.asofJoin(quotes, on = "t", by = Seq("sym"), direction = "forward")
+      .orderBy("sym", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 10.5), ("a", 5L, 10.5), ("a", 9L, null),
+      ("b", 3L, 19.5)))
+    val tol = trades.asofJoin(quotes, on = "t", by = Seq("sym"),
+      direction = "forward", tolerance = Some(1.0))
+      .orderBy("sym", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    // a@1 -> nearest forward quote is t=5, 4 units away: nulled by tolerance 1
+    assert(tol.toSeq == Seq(
+      ("a", 1L, null), ("a", 5L, 10.5), ("a", 9L, null), ("b", 3L, 19.5)))
+  }
+
+  test("asofJoin without by keys routes through the scale-safe global path") {
+    val l = Seq((1L, 100), (6L, 200), (11L, 300)).toDF("t", "lv")
+    val r = Seq((0L, "x"), (5L, "y"), (10L, "z")).toDF("t", "rv")
+    def run() = l.asofJoin(r, on = "t")
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(run() == Seq((1L, "x"), (6L, "y"), (11L, "z")))
+    // force the bucketed runningLast machinery and re-check values
+    spark.conf.set("graft.scaleWindows.smallBytes", "1")
+    try assert(run() == Seq((1L, "x"), (6L, "y"), (11L, "z")))
+    finally spark.conf.unset("graft.scaleWindows.smallBytes")
+  }
+
+  test("asofJoin suffixes right columns colliding with left names") {
+    val l = Seq((1L, 5.0)).toDF("t", "v")
+    val r = Seq((0L, 7.0)).toDF("t", "v")
+    val out = l.asofJoin(r, on = "t")
+    assert(out.columns.toSeq == Seq("t", "v", "v_right"))
+    assert(out.collect()(0).getDouble(2) == 7.0)
+  }
+
+  test("hashSample is deterministic and partition-invariant") {
+    val d = spark.range(10000).toDF("id")
+    val a = d.hashSample("id", 0.3).select("id").as[Long].collect().toSet
+    val b = d.repartition(17).hashSample("id", 0.3).select("id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02)
+    // monotone in fraction: a smaller sample nests inside a bigger one
+    val small = d.hashSample("id", 0.1).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("hashSplit covers every row with stable proportions") {
+    val d = spark.range(10000).toDF("id")
+    val counts = d.hashSplit("id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 10000.0 - 0.1) < 0.01)
+    assert(math.abs(counts("test") / 10000.0 - 0.1) < 0.01)
+    intercept[IllegalArgumentException] {
+      d.hashSplit("id", weights = Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions") {
+    val d = spark.range(4000).toDF("id")
+      .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = d.stratifiedHashSample("id", "g", Map("a" -> 0.5, "b" -> 0.1))
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byG("a") / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(byG.getOrElse("b", 0L) / 2000.0 - 0.1) < 0.03)
+    // default fraction 0 drops unmapped strata
+    val dropped = d.stratifiedHashSample("id", "g", Map("a" -> 0.5))
+    assert(dropped.filter(col("g") === "b").count() == 0)
+  }
+
+  test("chunkDocuments: overlapping windows, short tail, stable ids") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 4, "w1 w2 w3 w4"),
+      (1L, 1, 4, "w4 w5 w6 w7"),
+      (1L, 2, 4, "w7 w8 w9 w10"),
+      (1L, 3, 1, "w10"),
+      (2L, 0, 1, "solo")))
+  }
+}
