@@ -29,6 +29,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("sampling, splitting, and chunking run unchanged on streaming frames") {
+    // all three are narrow projections/filters — the streaming proof is that
+    // the SAME call works on an unbounded frame and agrees with batch
+    import graft.syntax._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val rows = (1L to 50L).map(i => (i, s"tok$i tok${i + 1} tok${i + 2}"))
+    in.addData(rows: _*)
+    val out = runToCompletion(
+      in.toDF().toDF("doc_id", "text")
+        .hashSplit("doc_id")
+        .hashSample("doc_id", 0.6),
+      "sampled_out")
+    val batch = rows.toDF("doc_id", "text").hashSplit("doc_id").hashSample("doc_id", 0.6)
+    assert(out.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+    val chunks = runToCompletion(
+      graft.llm.TextAnalysis.chunkDocuments(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", 2, 2),
+      "chunks_out")
+    assert(chunks.count() == 100) // 3 tokens → chunks [0,1] and [2]
+  }
+
   test("windowedAgg aggregates by event-time window with watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
