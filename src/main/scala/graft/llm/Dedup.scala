@@ -134,23 +134,30 @@ object Dedup {
     // aggregation shuffles on the same keys as the self-join, so AQE reuses
     // the exchange.
     val bucketCounts = banded.groupBy("band", "bandhash").count()
-      .localCheckpoint(eager = false)
     val bucketOk = bucketCounts.filter(col("count") <= maxBucketSize).drop("count")
     val inBucket = banded.join(bucketOk, Seq("band", "bandhash"))
     val coldCands = inBucket.as("a").join(inBucket.as("b"), Seq("band", "bandhash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     val hotBuckets = bucketCounts.filter(col("count") > maxBucketSize).drop("count")
-    val hotFam = banded.join(hotBuckets, Seq("band", "bandhash"))
-      .select("id").distinct()
-      .join(base.select(col("id"), xxhash64(col("sig").cast("string")).as("sigkey")), Seq("id"))
-    val famRep = hotFam.groupBy("sigkey")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("fam"))
-      .filter(col("fam") > 1).drop("fam")
-    val starCands = hotFam.join(famRep, Seq("sigkey"))
-      .filter(col("id") =!= col("rep"))
-      .select(col("rep").as("id1"), col("id").as("id2"))
-    val cands = coldCands.unionAll(starCands).dropDuplicates("id1", "id2")
+    // one bounded probe job decides whether the rescue stages exist at all:
+    // in the common no-hot-bucket case the plan stays exactly the cold path
+    // (the probe also materializes `base`'s lazy checkpoint, which the main
+    // job then reuses — measured cheaper than letting the rescue's joins and
+    // an extra checkpoint ride in the plan unconditionally)
+    val anyHot = !hotBuckets.isEmpty
+    val cands = (if (!anyHot) coldCands else {
+      val hotFam = banded.join(hotBuckets, Seq("band", "bandhash"))
+        .select("id").distinct()
+        .join(base.select(col("id"), xxhash64(col("sig").cast("string")).as("sigkey")), Seq("id"))
+      val famRep = hotFam.groupBy("sigkey")
+        .agg(min(col("id")).as("rep"), count(lit(1)).as("fam"))
+        .filter(col("fam") > 1).drop("fam")
+      val starCands = hotFam.join(famRep, Seq("sigkey"))
+        .filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id1"), col("id").as("id2"))
+      coldCands.unionAll(starCands)
+    }).dropDuplicates("id1", "id2")
     // cheap estimated-Jaccard prefilter from the signatures, then exact
     // verification on the shingle sets — both joined back by id
     val sigs = base.select(col("id"), col("sig"))
