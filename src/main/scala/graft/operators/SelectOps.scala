@@ -13,6 +13,29 @@ object SelectOps {
     df.select(names.map(n => col(s"`$n`")): _*)
   }
 
+  /** Matched labels themselves, not a projection (reference:
+    * janitor/functions/select.py:450-474 get_index_labels with
+    * axis="columns"; the row-index axis has no Spark analogue — the index
+    * is an explicit ordering column, SURVEY §1.1). Driver-side metadata
+    * (schema only), no job.
+    */
+  def getIndexLabels(df: DataFrame, sels: Seq[ColumnSelector]): Seq[String] =
+    ColumnSelector.resolve(df.schema, sels)
+
+  /** Column selection on grouped data (reference:
+    * janitor/functions/select.py:477-497 get_columns on a GroupBy object).
+    * Spark's RelationalGroupedDataset can't be projected after the fact, so
+    * the faithful mapping selects (keys ∪ matched columns) BEFORE grouping —
+    * same downstream aggregations, and the narrower projection prunes the
+    * scan, which is strictly better at scale.
+    */
+  def getColumns(df: DataFrame, by: Seq[String],
+      sels: Seq[ColumnSelector]): org.apache.spark.sql.RelationalGroupedDataset = {
+    val names = ColumnSelector.resolve(df.schema, sels)
+    val keep = (by ++ names.filterNot(by.contains(_))).map(n => col(s"`$n`"))
+    df.select(keep: _*).groupBy(by.map(n => col(s"`$n`")): _*)
+  }
+
   /** (reference: janitor/functions/remove_columns.py:19) */
   def removeColumns(df: DataFrame, names: Seq[String]): DataFrame = {
     names.foreach(n => require(df.columns.contains(n), s"Column '$n' not found"))

@@ -44,6 +44,9 @@ object syntax {
     def moveColumn(source: String, target: String, position: String = "before"): DataFrame =
       SelectOps.moveColumn(df, source, target, position)
     def dropConstantColumns(): DataFrame = SelectOps.dropConstantColumns(df)
+    def getIndexLabels(sels: ColumnSelector*): Seq[String] = SelectOps.getIndexLabels(df, sels)
+    def getColumns(by: Seq[String], sels: ColumnSelector*): org.apache.spark.sql.RelationalGroupedDataset =
+      SelectOps.getColumns(df, by, sels)
     def dropDuplicateColumns(name: String, nth: Int = 0): DataFrame =
       SelectOps.dropDuplicateColumns(df, name, nth)
 

@@ -23,6 +23,14 @@ class SelectorAndFilterSpec extends SparkSpec {
     intercept[IllegalArgumentException](resolve(schema, Seq(Exact("nope"))))
   }
 
+  test("getIndexLabels returns matched names; getColumns groups a DSL projection") {
+    assert(df.getIndexLabels(glob("val_*")) == Seq("val_a", "val_b"))
+    val d = Seq(("a", 1.0, 2.0, "z"), ("a", 3.0, 4.0, "z")).toDF("g", "m_x", "m_y", "other")
+    val out = d.getColumns(Seq("g"), glob("m_*")).sum()
+    assert(out.columns.toSeq == Seq("g", "sum(m_x)", "sum(m_y)"))
+    assert(out.collect()(0).getDouble(1) == 4.0)
+  }
+
   test("filterString: contains, case-insensitive, complement, na default") {
     val d = Seq(Some("Apple"), Some("banana"), None).toDF("s")
     assert(d.filterString("s", "apple", regex = false, caseSensitive = false).count() == 1)
