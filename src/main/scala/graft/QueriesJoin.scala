@@ -60,6 +60,15 @@ object QueriesJoin {
             .groupBy("user_id", "ts").agg(max(col("value")).as("click_value")),
           on = "ts", by = Seq("user_id"))
     }),
+    // closest click either side of each view; equal distances resolve backward
+    "asof_join_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+        .asofJoin(
+          ev.filter(col("event_type") === "click")
+            .groupBy("user_id", "ts").agg(max(col("value")).as("click_value")),
+          on = "ts", by = Seq("user_id"), direction = "nearest")
+    }),
     // first click at-or-after each view, matches farther than 1h nulled
     "asof_join_forward_tol" -> ((s, d) => {
       val ev = events(s, d)
@@ -114,6 +123,19 @@ object QueriesJoin {
         |      WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, l.ts, r.click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // exhaustive per-left min-|distance| oracle (no ASOF nearest in DuckDB);
+    // ORDER BY dist, fwd makes equal distances resolve backward (fwd = 0)
+    "asof_join_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts),
+        |cand AS (SELECT l.event_id, l.user_id, l.ts, r.click_value,
+        |    abs(epoch(l.ts) - epoch(r.ts)) AS dist,
+        |    CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS fwd
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id)
+        |SELECT event_id, user_id, ts, click_value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY dist NULLS LAST, fwd) AS rn FROM cand) WHERE rn = 1""".stripMargin,
     "asof_join_forward_tol" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
         |r AS (SELECT user_id, ts, max(value) AS click_value FROM events

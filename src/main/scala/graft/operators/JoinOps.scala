@@ -124,8 +124,10 @@ object JoinOps {
 
   /** As-of join (pandas `merge_asof`; DuckDB `ASOF JOIN`): for every left
     * row, attach the single right row with the greatest `on` ≤ left's `on`
-    * (direction=backward, inclusive) or the smallest `on` ≥ left's
-    * (direction=forward), within equal `by` keys; unmatched left rows keep
+    * (direction=backward, inclusive), the smallest `on` ≥ left's
+    * (direction=forward), or whichever of the two is closer
+    * (direction=nearest; equal distances resolve backward, the pandas
+    * contract), within equal `by` keys; unmatched left rows keep
     * nulls (left-outer, like merge_asof). `tolerance` (in `on` units;
     * seconds for timestamps) nulls matches farther than the bound.
     *
@@ -148,8 +150,8 @@ object JoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, on: String,
       by: Seq[String] = Nil, direction: String = "backward",
       tolerance: Option[Double] = None, suffix: String = "_right"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asof_join: bad direction '$direction' (backward|forward)")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asof_join: bad direction '$direction' (backward|forward|nearest)")
     val rPayloadCols = right.columns.filterNot(c => by.contains(c) || c == on)
     def outName(c: String): String =
       if (left.columns.contains(c)) c + suffix else c
@@ -170,27 +172,46 @@ object JoinOps {
       .withColumn("__rpay", lit(null).cast(rSel.schema("__rpay").dataType))
       .unionByName(rSel.withColumn("__lpay",
         lit(null).cast(lSel.schema("__lpay").dataType)))
-    val descending = direction == "forward"
-    val matched = if (by.nonEmpty) {
-      val ord = Seq(
-        if (descending) col("__t").desc else col("__t").asc,
-        col("__side").asc)
-      val w = Window.partitionBy(byCols: _*).orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      u.withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
-    } else {
-      ScaleWindows.runningLast(u, "__t", "__side", "__rpay", "__m",
-        descending = descending)
+    // one pass per needed traversal direction: over the SAME union frame the
+    // passes share the by-key exchange (two Sort+Window stages, one shuffle);
+    // nearest combines both matches, ties resolving backward
+    def addPass(d: DataFrame, descending: Boolean, dest: String): DataFrame =
+      if (by.nonEmpty) {
+        val ord = Seq(
+          if (descending) col("__t").desc else col("__t").asc,
+          col("__side").asc)
+        val w = Window.partitionBy(byCols: _*).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        d.withColumn(dest, last(col("__rpay"), ignoreNulls = true).over(w))
+      } else {
+        ScaleWindows.runningLast(d, "__t", "__side", "__rpay", dest,
+          descending = descending)
+      }
+    val passes = direction match {
+      case "backward" => addPass(u, descending = false, "__mb")
+      case "forward" => addPass(u, descending = true, "__mf")
+      case "nearest" => addPass(addPass(u, descending = false, "__mb"),
+        descending = true, "__mf")
     }
+    val m = direction match {
+      case "backward" => col("__mb")
+      case "forward" => col("__mf")
+      case "nearest" =>
+        val distB = col("__t").cast("double") - col("__mb.__rt")
+        val distF = col("__mf.__rt") - col("__t").cast("double")
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          .when(distB <= distF, col("__mb")).otherwise(col("__mf"))
+    }
+    // distance check is direction-agnostic as |Δ| (the chosen match has the
+    // minimal distance, so exceeding tol means no in-tolerance match exists)
     val withinTol = tolerance match {
-      case None => col("__m").isNotNull
-      case Some(tol) =>
-        val dist = if (descending) col("__m.__rt") - col("__t").cast("double")
-          else col("__t").cast("double") - col("__m.__rt")
-        col("__m").isNotNull && dist <= tol
+      case None => m.isNotNull
+      case Some(tol) => m.isNotNull &&
+        abs(m.getField("__rt") - col("__t").cast("double")) <= tol
     }
-    val kept = when(withinTol, col("__m"))
-    matched.filter(col("__side") === 1)
+    val kept = when(withinTol, m)
+    passes.filter(col("__side") === 1)
       .select(col("__lpay.*") +:
         rPayloadCols.map(c => kept.getField(outName(c)).as(outName(c))).toSeq: _*)
   }

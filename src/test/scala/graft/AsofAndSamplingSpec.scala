@@ -39,6 +39,21 @@ class AsofAndSamplingSpec extends SparkSpec {
       ("a", 1L, null), ("a", 5L, 10.5), ("a", 9L, null), ("b", 3L, 19.5)))
   }
 
+  test("asofJoin nearest: closer side wins, ties resolve backward") {
+    val l = Seq(("a", 4L), ("a", 6L), ("a", 20L)).toDF("sym", "t")
+    val r = Seq(("a", 0L, 1.0), ("a", 8L, 2.0)).toDF("sym", "t", "v")
+    val out = l.asofJoin(r, on = "t", by = Seq("sym"), direction = "nearest")
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // t=4: dist 4 back vs 4 fwd -> tie -> backward (1.0); t=6: fwd closer;
+    // t=20: only backward side remains
+    assert(out.toSeq == Seq((4L, 1.0), (6L, 2.0), (20L, 2.0)))
+    val tol = l.asofJoin(r, on = "t", by = Seq("sym"),
+      direction = "nearest", tolerance = Some(5.0))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(tol.toSeq == Seq((4L, 1.0), (6L, 2.0), (20L, null)))
+  }
+
   test("asofJoin without by keys routes through the scale-safe global path") {
     val l = Seq((1L, 100), (6L, 200), (11L, 300)).toDF("t", "lv")
     val r = Seq((0L, "x"), (5L, "y"), (10L, "z")).toDF("t", "rv")
