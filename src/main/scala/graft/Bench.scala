@@ -15,7 +15,8 @@ object Bench {
     "range_join", "conditional_join", "conditional_join_keep_first",
     "groupby_agg", "groupby_topk", "pivot_longer", "pivot_wider", "complete",
     "count_cumulative_unique", "math_ecdf", "fill_direction", "clean_names",
-    "filter_on", "xlsx_table", "row_to_names", "min_max_scale_jointly")
+    "filter_on", "xlsx_table", "row_to_names", "min_max_scale_jointly",
+    "asof_join", "hash_split", "chunk_documents")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

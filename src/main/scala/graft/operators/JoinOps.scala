@@ -146,6 +146,11 @@ object JoinOps {
     * (merge_asof contract). Ties among right rows with identical
     * (`by`, `on`) break on the full right payload (deterministic in a
     * distributed setting — SURVEY §7.7).
+    *
+    * Skew caveat: parallelism of the keyed form is bounded by `by`
+    * cardinality, and one dominant key serializes on one task (the price of
+    * a running scan). If a single key carries most rows, filter to it and
+    * run WITHOUT `by` — the bucketed global path restores parallelism.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: String,
       by: Seq[String] = Nil, direction: String = "backward",
@@ -295,11 +300,11 @@ object JoinOps {
       val lFields = l1.schema.fields
       val rFields = r1.schema.fields
       val unmatchedL = l1.join(inner.select(col(lid)).distinct(), Seq(lid), "left_anti")
-        .select(lFields.map(f => col(s"`${f.name}`")) ++
-          rFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        .select((lFields.map(f => col(s"`${f.name}`")) ++
+          rFields.map(f => lit(null).cast(f.dataType).as(f.name))).toIndexedSeq: _*)
       val unmatchedR = r1.join(inner.select(col(rid)).distinct(), Seq(rid), "left_anti")
-        .select(lFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-          rFields.map(f => col(s"`${f.name}`")): _*)
+        .select((lFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          rFields.map(f => col(s"`${f.name}`"))).toIndexedSeq: _*)
       val out = how match {
         case "left" => inner.unionByName(unmatchedL)
         case "right" => inner.unionByName(unmatchedR)

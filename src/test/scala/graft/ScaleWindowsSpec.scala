@@ -41,6 +41,25 @@ class ScaleWindowsSpec extends SparkSpec {
     assert(sorted(twoPhase) == sorted(global))
   }}
 
+  test("runningLast matches the global window both directions, structs carried across buckets") { withBucketedPath {
+    val rng = new scala.util.Random(7)
+    // sparse non-null values so several buckets are all-null and must carry
+    // a struct boundary from buckets further back
+    val d = (1 to 2000).map { i =>
+      val v = if (rng.nextInt(40) == 0) Some((i.toLong, s"p$i")) else None
+      (i, 0, v)
+    }.toDF("t", "side", "pay").repartition(8)
+    for (desc <- Seq(false, true)) {
+      val base = if (desc) Window.orderBy(col("t").desc, col("side").asc)
+        else Window.orderBy(col("t").asc, col("side").asc)
+      val w = base.rowsBetween(Window.unboundedPreceding, 0)
+      val global = d.withColumn("m", last(col("pay"), ignoreNulls = true).over(w))
+      val bucketed = ScaleWindows.runningLast(d, "t", "side", "pay", "m", descending = desc)
+      assert(sorted(bucketed) == sorted(global), s"desc=$desc")
+      assert(!hasGlobalWindow(bucketed), s"desc=$desc should not plan a global window")
+    }
+  }}
+
   test("small inputs cut over to the plain global window (no bucketing jobs)") {
     val d = (1 to 100).map(i => (i, i.toLong)).toDF("ord", "v").repartition(4)
     val out = ScaleWindows.runningSum(d, "ord", "v", "cum")
