@@ -54,6 +54,10 @@ object QueriesLlm {
       Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")),
+    // end-to-end: pairs -> components -> one canonical row per cluster
+    "dedup_near" -> ((s, d) =>
+      Dedup.dedupNear(corpus(s, d), "doc_id", "text", threshold = 0.8)
+        .select("doc_id", "cluster_size")),
     "winnow_fingerprints" -> ((s, d) =>
       Dedup.winnowFingerprints(documents(s, d), "doc_id", "text")),
     "contamination_pairs" -> ((s, d) =>
@@ -204,6 +208,26 @@ object QueriesLlm {
          |FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
          |GROUP BY c.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsBoundedSql,
+    "dedup_near" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  $corpusSql
+         |),
+         |pairs AS ($jaccardPairsSql),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |clusters AS (
+         |  SELECT c.doc_id AS id,
+         |    least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS cluster
+         |  FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+         |  GROUP BY c.doc_id
+         |),
+         |sizes AS (SELECT cluster, count(*) AS cluster_size FROM clusters GROUP BY cluster)
+         |SELECT id AS doc_id, cluster_size
+         |FROM clusters JOIN sizes USING (cluster) WHERE id = cluster""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "winnow_fingerprints" -> (winnowSql + "SELECT doc_id AS id, unnest(fps) AS fp FROM wins"),
     "contamination_pairs" -> (winnowSql +

@@ -280,6 +280,28 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dedup — the operation a training pipeline actually
+    * runs: MinHash-LSH pairs → connected components → keep ONE canonical
+    * row (minimum id) per duplicate cluster, plus every row that never
+    * paired. Output = the deduplicated corpus (original columns) with a
+    * `cluster_size` count. Composes [[minhashDupPairs]] and [[dupClusters]],
+    * so it inherits their scale design (bucketed candidate generation,
+    * adaptive driver/distributed clustering).
+    */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val pairs = minhashDupPairs(df, idCol, textCol, threshold,
+      numBands, rowsPerBand, shingleN)
+    val clusters = dupClusters(df.select(col(idCol)), idCol, pairs)
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val keep = clusters.join(sizes, Seq("cluster"))
+      .filter(col("id") === col("cluster")) // canonical = min reachable id
+      .select(col("id").as(idCol), col("cluster_size"))
+    df.join(keep, Seq(idCol))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
     * every word `shingleN`-gram (md5-derived 48-bit, so the oracle can
     * reproduce it), then keep the minimum hash of each `window` consecutive

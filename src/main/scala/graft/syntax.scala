@@ -271,6 +271,8 @@ object syntax {
       Dedup.containmentPairs(df, idCol, textCol, threshold)
     def dupClusters(idCol: String, pairs: DataFrame): DataFrame =
       Dedup.dupClusters(df, idCol, pairs)
+    def dedupNear(idCol: String, textCol: String, threshold: Double): DataFrame =
+      Dedup.dedupNear(df, idCol, textCol, threshold)
     def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
       Similarity.cosineTopK(df, corpus, idCol, vecCol, k)
     def textAnalysis(textCol: String): DataFrame = TextAnalysis.analyze(df, textCol)

@@ -58,6 +58,17 @@ class LlmSpec extends SparkSpec {
     assert(full.length == 6 + 1) // C(4,2) boiler pairs + the (10,11) pair
   }
 
+  test("dedupNear keeps one canonical row per cluster plus singletons") {
+    import graft.syntax._
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (5L, base + " tail"),   // one cluster, min id 1
+      (9L, "solo words that match nothing else here")).toDF("id", "t")
+    val out = docs.dedupNear("id", "t", threshold = 0.5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L), (9L, 1L)))
+  }
+
   test("LLM verbs chain through the syntax surface") {
     import graft.syntax._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")

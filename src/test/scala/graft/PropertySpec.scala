@@ -53,6 +53,44 @@ class PropertySpec extends SparkSpec {
     assert(sorted(got) == sorted(naive))
   }
 
+  test("asofJoin == brute-force nearest-preceding/following scan (random frames)") {
+    val rng = new Random(31)
+    (1 to 3).foreach { round =>
+      // duplicate left timestamps allowed; right unique per (key, t) as the
+      // operator pre-aggregates duplicates deterministically anyway
+      val l = (1 to 60).map(i => (i, rng.nextInt(4), rng.nextInt(40).toLong)).toDF("lid", "k", "t")
+      val rRows = rng.shuffle((0 until 4).flatMap(k =>
+        rng.shuffle((0L until 40L).toList).take(12).map(t => (k, t, rng.nextInt(1000)))))
+      val r = rRows.toDF("k", "t", "v")
+      val rMap = rRows.groupBy(x => (x._1, x._2)).map { case (kt, g) => kt -> g.map(_._3).max }
+      def brute(lt: Long, k: Int, dir: String): Option[Int] = {
+        val ts = rMap.keys.filter(_._1 == k).map(_._2)
+        val cand = dir match {
+          case "backward" => ts.filter(_ <= lt).reduceOption(_ max _)
+          case "forward" => ts.filter(_ >= lt).reduceOption(_ min _)
+          case "nearest" =>
+            val b = ts.filter(_ <= lt).reduceOption(_ max _)
+            val f = ts.filter(_ >= lt).reduceOption(_ min _)
+            (b, f) match {
+              case (Some(bb), Some(ff)) => Some(if (lt - bb <= ff - lt) bb else ff)
+              case (x, y) => x.orElse(y)
+            }
+        }
+        cand.map(t => rMap((k, t)))
+      }
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = JoinOps.asofJoin(l, r, on = "t", by = Seq("k"), direction = dir)
+          .select("lid", "v").collect()
+          .map(row => row.getInt(0) -> (if (row.isNullAt(1)) None else Some(row.getInt(1))))
+          .toMap
+        val lRows = l.collect().map(row => (row.getInt(0), row.getInt(1), row.getLong(2)))
+        lRows.foreach { case (lid, k, t) =>
+          assert(got(lid) == brute(t, k, dir), s"round=$round dir=$dir lid=$lid (k=$k t=$t)")
+        }
+      }
+    }
+  }
+
   test("rangeJoin == naive theta join across random band widths") {
     val rng = new Random(99)
     val l = (1 to 60).map(i => (i, rng.nextDouble() * 100)).toDF("id", "x")
