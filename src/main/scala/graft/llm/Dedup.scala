@@ -122,42 +122,36 @@ object Dedup {
     // lands thousands of docs in one (band, bandhash) bucket, turning the
     // self-join quadratic. Buckets over `maxBucketSize` are dropped from
     // candidate generation; a pair sharing a hot bucket is usually still
-    // found through its other numBands-1 bands. The one case OR-amplification
-    // canNOT cover is a family of >maxBucketSize (near-)identical documents:
-    // identical signatures make ALL its buckets hot simultaneously. Those
-    // families are rescued below — members of dropped buckets are grouped by
-    // their FULL signature and each multi-member family emits a
-    // representative-vs-rest star (min-id vs each other id) instead of all
-    // pairs: O(family) candidates, clustering-equivalent under the
-    // connected-components step, and still exact-Jaccard verified (signature
-    // hash collisions just add candidates the verify filters out). The count
+    // found through its other numBands-1 bands (OR-amplification). The count
     // aggregation shuffles on the same keys as the self-join, so AQE reuses
     // the exchange.
-    val bucketCounts = banded.groupBy("band", "bandhash").count()
-    val bucketOk = bucketCounts.filter(col("count") <= maxBucketSize).drop("count")
+    val bucketOk = banded.groupBy("band", "bandhash").count()
+      .filter(col("count") <= maxBucketSize).drop("count")
     val inBucket = banded.join(bucketOk, Seq("band", "bandhash"))
     val coldCands = inBucket.as("a").join(inBucket.as("b"), Seq("band", "bandhash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    val hotBuckets = bucketCounts.filter(col("count") > maxBucketSize).drop("count")
-    // one bounded probe job decides whether the rescue stages exist at all:
-    // in the common no-hot-bucket case the plan stays exactly the cold path
-    // (the probe also materializes `base`'s lazy checkpoint, which the main
-    // job then reuses — measured cheaper than letting the rescue's joins and
-    // an extra checkpoint ride in the plan unconditionally)
-    val anyHot = !hotBuckets.isEmpty
-    val cands = (if (!anyHot) coldCands else {
-      val hotFam = banded.join(hotBuckets, Seq("band", "bandhash"))
-        .select("id").distinct()
-        .join(base.select(col("id"), xxhash64(col("sig").cast("string")).as("sigkey")), Seq("id"))
-      val famRep = hotFam.groupBy("sigkey")
-        .agg(min(col("id")).as("rep"), count(lit(1)).as("fam"))
-        .filter(col("fam") > 1).drop("fam")
-      val starCands = hotFam.join(famRep, Seq("sigkey"))
-        .filter(col("id") =!= col("rep"))
-        .select(col("rep").as("id1"), col("id").as("id2"))
-      coldCands.unionAll(starCands)
-    }).dropDuplicates("id1", "id2")
+    // The one case OR-amplification canNOT cover: a family of >maxBucketSize
+    // documents with IDENTICAL signatures makes ALL its buckets hot at once,
+    // so every family pair vanishes from the cold path. Such families are
+    // visible directly in the signatures — no bucket join needed: group by a
+    // hash of the full signature (8-byte key, map-side combinable) and emit
+    // a representative-vs-rest star (min-id vs each other id) per family
+    // larger than the cap. O(family) candidates, clustering-equivalent under
+    // the connected-components step, and still exact-Jaccard verified
+    // (sig-hash collisions just add candidates the verify filters out).
+    // Smaller families inside buckets made hot by OTHERS keep the standard
+    // guarantee: a pair is lost only if all numBands of its buckets are hot,
+    // which for non-identical signatures means numBands independent
+    // collisions with foreign boilerplate — the documented residual trade.
+    val sigged = base.select(col("id"), xxhash64(col("sig").cast("string")).as("sigkey"))
+    val famRep = sigged.groupBy("sigkey")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("fam"))
+      .filter(col("fam") > maxBucketSize).drop("fam")
+    val starCands = sigged.join(famRep, Seq("sigkey"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("id").as("id2"))
+    val cands = coldCands.unionAll(starCands).dropDuplicates("id1", "id2")
     // cheap estimated-Jaccard prefilter from the signatures, then exact
     // verification on the shingle sets — both joined back by id
     val sigs = base.select(col("id"), col("sig"))
