@@ -162,6 +162,37 @@ object StreamingOps {
       .select(col("qid"), col("__t.nid").as("nid"), col("__t.sim").as("sim"))
   }
 
+  /** Stream-static as-of enrichment — the streaming counterpart of
+    * [[graft.operators.JoinOps.asofJoin]] (backward direction): each
+    * arriving row picks up the STATIC frame's latest row at-or-before its
+    * `on` value within the same `by` keys. STATELESS: the static side is
+    * compiled once (batch) into validity intervals `[on, next on)` via a
+    * per-key lead window, so the stream runs a plain stream-static left
+    * equi-join on the keys plus a range predicate — no state store, no
+    * watermark needed, append output mode. Static payload columns are
+    * emitted under their own names (suffixed on collision, merge_asof
+    * style); the match's `on` value arrives as `<on><suffix>`.
+    */
+  def asofEnrich(stream: DataFrame, static: DataFrame, on: String,
+      by: Seq[String], suffix: String = "_right"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(by.nonEmpty, "asofEnrich: stream-static as-of needs by keys")
+    def outName(c: String): String =
+      if (stream.columns.contains(c)) c + suffix else c
+    val w = Window.partitionBy(by.map(c => col(s"`$c`")): _*)
+      .orderBy(col(s"`$on`"))
+    val payload = static.columns.filterNot(by.contains(_)).toSeq
+    val iv = static
+      .withColumn("__t_end", lead(col(s"`$on`"), 1).over(w))
+      .select(by.map(c => col(s"`$c`").as(s"__by_$c")) ++
+        payload.map(c => col(s"`$c`").as(outName(c))) :+ col("__t_end"): _*)
+    val cond = by.map(k => stream(k) === iv(s"__by_$k")).reduce(_ && _) &&
+      stream(on) >= iv(outName(on)) &&
+      (iv("__t_end").isNull || stream(on) < iv("__t_end"))
+    stream.join(iv, cond, "left")
+      .drop((by.map(c => s"__by_$c") :+ "__t_end"): _*)
+  }
+
   /** Per-key jump flag against the previous value — streaming flag_jumps
     * (batch form: lag window, SURVEY §2.12). Processing-order within a key;
     * pair with event-time sorting upstream for strict event order.

@@ -51,6 +51,31 @@ class StreamingSpec extends SparkSpec {
     assert(chunks.count() == 100) // 3 tokens → chunks [0,1] and [2]
   }
 
+  test("asofEnrich (stream-static) agrees with the batch asofJoin") {
+    import graft.syntax._
+    implicit val sq = spark.sqlContext
+    val static = Seq(("a", 0L, 9.5), ("a", 5L, 10.5), ("b", 4L, 19.5))
+      .toDF("sym", "t", "bid")
+    val events = Seq(("a", 1L), ("a", 5L), ("a", 9L), ("b", 3L), ("c", 2L))
+    val in = MemoryStream[(String, Long)]
+    in.addData(events: _*)
+    val out = runToCompletion(
+      StreamingOps.asofEnrich(in.toDF().toDF("sym", "t"), static, on = "t",
+        by = Seq("sym")),
+      "asof_out")
+    val got = out.select("sym", "t", "bid").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val batch = events.toDF("sym", "t")
+      .asofJoin(static, on = "t", by = Seq("sym"))
+      .select("sym", "t", "bid").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got == Set(("a", 1L, 9.5), ("a", 5L, 10.5), ("a", 9L, 10.5),
+      ("b", 3L, null), ("c", 2L, null)))
+  }
+
   test("windowedAgg aggregates by event-time window with watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
