@@ -52,8 +52,13 @@ object TextOps {
       case "islower" => (c === lower(c)) && (c =!= upper(c))
       case "isupper" => (c === upper(c)) && (c =!= lower(c))
       case "swapcase" =>
-        // no builtin; upper/lower xor via translate is impractical — document
-        throw new UnsupportedOperationException("process_text: swapcase unsupported")
+        // no builtin: flip case per character (letters only — a char equal
+        // to its lower form but not its upper form is lowercase, and vice
+        // versa; caseless chars fall through unchanged)
+        concat_ws("", transform(split(c, ""),
+          ch => when(ch =!= lower(ch), lower(ch))
+            .when(ch =!= upper(ch), upper(ch))
+            .otherwise(ch)))
       case other => throw new IllegalArgumentException(s"process_text: unknown str method $other")
     }
   }

@@ -83,6 +83,9 @@ class MathAndTextSpec extends SparkSpec {
     assert(run("islower").getBoolean(0))
     assert(!run("isupper").getBoolean(0))
     intercept[IllegalArgumentException](run("nope"))
+    val mixed = Seq("AbC1 é").toDF("s")
+    assert(mixed.select(TextOps.strMethod(col("s"), "swapcase"))
+      .collect()(0).getString(0) == "aBc1 É")
   }
 
   test("concatenateColumns ignoreEmpty drops empty segments") {
