@@ -60,6 +60,19 @@ object QueriesJoin {
             .groupBy("user_id", "ts").agg(max(col("value")).as("click_value")),
           on = "ts", by = Seq("user_id"))
     }),
+    // global (no-by) as-of: forces the bucketed ScaleWindows.runningLast
+    // machinery (smallBytes=0 defeats the adaptive cutover, which would
+    // otherwise route sf0.01 to the plain window) so the carry-across-
+    // buckets path itself is DuckDB-verified, not just spec'd
+    "asof_join_global" -> ((s, d) => {
+      val ev = events(s, d)
+      val l = ev.filter(col("event_type") === "view").select("event_id", "ts")
+      val r = ev.filter(col("event_type") === "click")
+        .groupBy("ts").agg(max(col("value")).as("click_value"))
+      s.conf.set("graft.scaleWindows.smallBytes", "0")
+      try l.asofJoin(r, on = "ts")
+      finally s.conf.unset("graft.scaleWindows.smallBytes")
+    }),
     // closest click either side of each view; equal distances resolve backward
     "asof_join_nearest" -> ((s, d) => {
       val ev = events(s, d)
@@ -123,6 +136,12 @@ object QueriesJoin {
         |      WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, l.ts, r.click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_join_global" ->
+      """WITH l AS (SELECT event_id, ts FROM events WHERE event_type = 'view'),
+        |r AS (SELECT ts, max(value) AS click_value FROM events
+        |      WHERE event_type = 'click' GROUP BY ts)
+        |SELECT l.event_id, l.ts, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.ts >= r.ts""".stripMargin,
     // exhaustive per-left min-|distance| oracle (no ASOF nearest in DuckDB);
     // ORDER BY dist, fwd makes equal distances resolve backward (fwd = 0)
     "asof_join_nearest" ->
