@@ -38,6 +38,11 @@ object QueriesJoin {
       .conditionalJoin(bins(s, d),
         Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
         how = "left", indicator = true)),
+    "conditional_join_outer" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_size")
+      .conditionalJoin(bins(s, d),
+        Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
+        how = "outer")),
     "conditional_join_ne" -> ((s, d) => nation(s, d)
       .select("n_nationkey", "n_regionkey")
       .conditionalJoin(region(s, d).select("r_regionkey", "r_name"),
@@ -119,6 +124,11 @@ object QueriesJoin {
     "conditional_join_ne" ->
       """SELECT n.n_nationkey, n.n_regionkey, r.r_regionkey, r.r_name
         |FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey""".stripMargin,
+    "conditional_join_outer" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi
+        |FROM part p FULL JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi""".stripMargin,
     "get_join_indices" ->
       """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
         |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)

@@ -147,14 +147,17 @@ object JoinOps {
     * (`by`, `on`) break on the full right payload (deterministic in a
     * distributed setting — SURVEY §7.7).
     *
-    * Skew caveat: parallelism of the keyed form is bounded by `by`
-    * cardinality, and one dominant key serializes on one task (the price of
-    * a running scan). If a single key carries most rows, filter to it and
-    * run WITHOUT `by` — the bucketed global path restores parallelism.
+    * Skew: parallelism of the keyed form is bounded by `by` cardinality,
+    * and one dominant key serializes on one task (the price of a running
+    * scan). Pass `skewSafe = true` to sub-bucket every key on the order
+    * column ([[ScaleWindows.runningLastKeyed]] — distributed carry, no
+    * collect at any key cardinality) at the cost of one extra aggregation
+    * and a carry join; leave it off for well-distributed keys.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: String,
       by: Seq[String] = Nil, direction: String = "backward",
-      tolerance: Option[Double] = None, suffix: String = "_right"): DataFrame = {
+      tolerance: Option[Double] = None, suffix: String = "_right",
+      skewSafe: Boolean = false): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"asof_join: bad direction '$direction' (backward|forward|nearest)")
     val rPayloadCols = right.columns.filterNot(c => by.contains(c) || c == on)
@@ -181,7 +184,10 @@ object JoinOps {
     // passes share the by-key exchange (two Sort+Window stages, one shuffle);
     // nearest combines both matches, ties resolving backward
     def addPass(d: DataFrame, descending: Boolean, dest: String): DataFrame =
-      if (by.nonEmpty) {
+      if (by.nonEmpty && skewSafe) {
+        ScaleWindows.runningLastKeyed(d, by, "__t", "__side", "__rpay", dest,
+          descending = descending)
+      } else if (by.nonEmpty) {
         val ord = Seq(
           if (descending) col("__t").desc else col("__t").asc,
           col("__side").asc)

@@ -244,6 +244,60 @@ object ScaleWindows {
     }
   }
 
+  /** Keyed, skew-safe running `last(valueCol, ignoreNulls)` — for when ONE
+    * `by` key carries a disproportionate share of rows and the plain
+    * `Window.partitionBy(by)` serializes it on a single task. Each key is
+    * sub-bucketed on the order column (global quantile bounds: bucketing
+    * only balances work, correctness comes from the carry chain), the
+    * running last runs per (key, bucket), and each bucket's missing prefix
+    * takes the nearest earlier bucket's boundary value WITHIN the key.
+    * Unlike [[runningLast]]'s driver-side carry, the carry here is fully
+    * distributed: one aggregation to a (keys × buckets)-row edges table,
+    * then a per-key window over ≤ nBuckets rows each — no collect at any
+    * key cardinality. Falls back to the plain keyed window for
+    * non-bucketable order columns.
+    */
+  def runningLastKeyed(df: DataFrame, by: Seq[String], orderCol: String,
+      tieCol: String, valueCol: String, dest: String,
+      descending: Boolean = false, nBuckets: Int = 0): DataFrame = {
+    require(by.nonEmpty, "runningLastKeyed: no by keys (use runningLast)")
+    val n = if (nBuckets > 0) nBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val byCols = by.map(c => col(s"`$c`"))
+    def ordCols = Seq(
+      if (descending) col(s"`$orderCol`").desc else col(s"`$orderCol`").asc,
+      col(s"`$tieCol`").asc)
+    orderAsDouble(df, orderCol) match {
+      case None =>
+        val w = Window.partitionBy(byCols: _*).orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        df.withColumn(dest, last(col(s"`$valueCol`"), ignoreNulls = true).over(w))
+      case Some(ord) =>
+        val probes = (1 until n).map(_.toDouble / n).toArray
+        val bounds = df.select(ord.as("__ord")).na.drop()
+          .stat.approxQuantile("__ord", probes, 0.001)
+          .distinct.sorted
+        val b = df.withColumn("__bkt", bucketOf(ord, bounds))
+        val w = Window.partitionBy((byCols :+ col("__bkt")): _*)
+          .orderBy(ordCols: _*).rowsBetween(Window.unboundedPreceding, 0)
+        val local = last(col(s"`$valueCol`"), ignoreNulls = true).over(w)
+        val ordIfSet = when(col(s"`$valueCol`").isNotNull,
+          struct(ord.as("o"), col(s"`$tieCol`").cast("double").as("t")))
+        val edgeAgg = if (descending) min_by(col(s"`$valueCol`"), ordIfSet)
+          else max_by(col(s"`$valueCol`"), ordIfSet)
+        val edges = b.groupBy((byCols :+ col("__bkt")): _*).agg(edgeAgg.as("__edge"))
+        val carryW = Window.partitionBy(byCols: _*)
+          .orderBy(if (descending) col("__bkt").desc else col("__bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = edges
+          .withColumn("__carry", last(col("__edge"), ignoreNulls = true).over(carryW))
+          .drop("__edge")
+        b.join(carries, by :+ "__bkt", "left")
+          .withColumn(dest, coalesce(local, col("__carry")))
+          .drop("__bkt", "__carry")
+    }
+  }
+
   private def fillDirectional(df: DataFrame, orderCol: String,
       cols: Seq[String], nBuckets: Int, up: Boolean): DataFrame = {
     if (cols.isEmpty) return df

@@ -226,8 +226,8 @@ object syntax {
       JoinOps.rangeJoin(df, right, xCol, loCol, hiCol, bandWidth, how, loInclusive, hiInclusive)
     def asofJoin(right: DataFrame, on: String, by: Seq[String] = Nil,
         direction: String = "backward", tolerance: Option[Double] = None,
-        suffix: String = "_right"): DataFrame =
-      JoinOps.asofJoin(df, right, on, by, direction, tolerance, suffix)
+        suffix: String = "_right", skewSafe: Boolean = false): DataFrame =
+      JoinOps.asofJoin(df, right, on, by, direction, tolerance, suffix, skewSafe)
 
     // §2.12 timeseries
     def fillMissingTimestamps(tsCol: String, frequency: String,

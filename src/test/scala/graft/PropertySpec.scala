@@ -78,14 +78,17 @@ class PropertySpec extends SparkSpec {
         }
         cand.map(t => rMap((k, t)))
       }
-      for (dir <- Seq("backward", "forward", "nearest")) {
-        val got = JoinOps.asofJoin(l, r, on = "t", by = Seq("k"), direction = dir)
+      for ((dir, skew) <- Seq("backward" -> false, "backward" -> true,
+          "forward" -> false, "nearest" -> true)) {
+        val got = JoinOps.asofJoin(l, r, on = "t", by = Seq("k"), direction = dir,
+            skewSafe = skew)
           .select("lid", "v").collect()
           .map(row => row.getInt(0) -> (if (row.isNullAt(1)) None else Some(row.getInt(1))))
           .toMap
         val lRows = l.collect().map(row => (row.getInt(0), row.getInt(1), row.getLong(2)))
         lRows.foreach { case (lid, k, t) =>
-          assert(got(lid) == brute(t, k, dir), s"round=$round dir=$dir lid=$lid (k=$k t=$t)")
+          assert(got(lid) == brute(t, k, dir),
+            s"round=$round dir=$dir skew=$skew lid=$lid (k=$k t=$t)")
         }
       }
     }

@@ -60,6 +60,23 @@ class ScaleWindowsSpec extends SparkSpec {
     }
   }}
 
+  test("runningLastKeyed matches the plain keyed window (distributed carry)") {
+    val rng = new scala.util.Random(23)
+    val d = (1 to 3000).map { i =>
+      val v = if (rng.nextInt(25) == 0) Some(s"v$i") else None
+      (rng.nextInt(3), i, 0, v)
+    }.toDF("k", "t", "side", "pay").repartition(8)
+    for (desc <- Seq(false, true)) {
+      val base = if (desc) Window.partitionBy("k").orderBy(col("t").desc, col("side").asc)
+        else Window.partitionBy("k").orderBy(col("t").asc, col("side").asc)
+      val w = base.rowsBetween(Window.unboundedPreceding, 0)
+      val plain = d.withColumn("m", last(col("pay"), ignoreNulls = true).over(w))
+      val keyed = ScaleWindows.runningLastKeyed(d, Seq("k"), "t", "side", "pay", "m",
+        descending = desc, nBuckets = 16)
+      assert(sorted(keyed) == sorted(plain), s"desc=$desc")
+    }
+  }
+
   test("small inputs cut over to the plain global window (no bucketing jobs)") {
     val d = (1 to 100).map(i => (i, i.toLong)).toDF("ord", "v").repartition(4)
     val out = ScaleWindows.runningSum(d, "ord", "v", "cum")
