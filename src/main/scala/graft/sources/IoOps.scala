@@ -21,6 +21,27 @@ object IoOps {
     if (withSourceFile) df.withColumn("source_file", input_file_name()) else df
   }
 
+  /** Write a bucketed + sorted table — the co-location primitive for
+    * repeated large-scale joins/aggregations on the same key: two tables
+    * bucketed the same way join with NO exchange and NO sort (plan shows
+    * SortMergeJoin directly over the scans; see BucketedJoinSpec's plan
+    * assertion). At 100 TB, pre-bucketing the fact tables once turns every
+    * subsequent keyed join/groupBy from a full shuffle into a local merge.
+    * Bucketing requires the session catalog (`saveAsTable`), not a bare
+    * parquet path — Spark's bucketing metadata lives in the metastore.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "write_bucketed: no bucket columns")
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Run a shell command, parse stdout as CSV
     * (reference: janitor/io.py:96 read_commandline). The command runs
     * driver-side; its output is parallelized then parsed by the csv reader.
