@@ -121,6 +121,20 @@ object QueriesLlm {
         Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain"))
         .select(col("doc_id") +:
           (0 until 4).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)),
+    // PII synthesized per-doc (the corpus has none); output hashed so the
+    // dump stays small while pinning every redacted byte
+    "scrub_pii" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        md5(TextAnalysis.scrubPii(
+          concat(col("text"), lit(" contact: u"), col("doc_id"),
+            lit("@ex.com or 555-123-4567 at 10.0.0.1"))).cast("binary")).as("scrub_md5"))),
+    // token-as-line repetition stats: every whitespace token becomes a line,
+    // so repeated tokens exercise the duplicate-line machinery
+    "repetition_stats" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.dupLineStats(translate(col("text"), " ", "\n")).as("st"))
+      .select(col("doc_id"), col("st.n_lines"), col("st.n_dup_lines"),
+        col("st.dup_line_frac"), col("st.dup_char_frac"))),
     "hash_sample" -> ((s, d) => documents(s, d)
       .select("doc_id", "lang").hashSample("doc_id", 0.25)),
     "hash_split" -> ((s, d) => documents(s, d)
@@ -322,6 +336,29 @@ object QueriesLlm {
         |       ELSE md5(list_reduce(list_transform(generate_series(1, length(text), stride),
         |         i -> substr(text, i, 1)), (a, b) -> a || b)) END AS rz_checksum
         |FROM s""".stripMargin,
+    "scrub_pii" ->
+      """SELECT doc_id, md5(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact: u' || CAST(doc_id AS VARCHAR) || '@ex.com or 555-123-4567 at 10.0.0.1',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |    '\b(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g')) AS scrub_md5
+        |FROM documents""".stripMargin,
+    "repetition_stats" ->
+      """WITH l AS (SELECT doc_id,
+        |  list_sort(list_filter(string_split(replace(text, ' ', chr(10)), chr(10)),
+        |    x -> length(trim(x)) > 0)) AS ls FROM documents),
+        |m AS (SELECT doc_id, ls, len(ls) AS n,
+        |  coalesce(list_sum(list_transform(generate_series(2, len(ls)),
+        |    i -> CASE WHEN ls[i] = ls[i-1] THEN 1 ELSE 0 END)), 0) AS ndup,
+        |  coalesce(list_sum(list_transform(generate_series(2, len(ls)),
+        |    i -> CASE WHEN ls[i] = ls[i-1] THEN length(ls[i]) ELSE 0 END)), 0) AS dchars,
+        |  coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS tchars FROM l)
+        |SELECT doc_id, CAST(n AS INT) AS n_lines, CAST(ndup AS INT) AS n_dup_lines,
+        |  CASE WHEN n > 0 THEN round(CAST(ndup AS DOUBLE) / n, 6) ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN tchars > 0 THEN round(CAST(dchars AS DOUBLE) / tchars, 6) ELSE 0.0 END AS dup_char_frac
+        |FROM m""".stripMargin,
     // the md5-uniform is replicated bit-for-bit: first 8 hex digits / 2^32
     "hash_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -97,6 +97,62 @@ object TextAnalysis {
       .select(col("id"), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
   }
 
+  /** PII patterns for [[scrubPii]] — deliberately simple, fixed regexes so
+    * the oracle can replicate redaction exactly. Order matters: longer/more
+    * specific patterns first so e.g. an email is redacted before its bare
+    * domain could be touched by later rules.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone" -> "\\b(?:\\+?1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+    "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b")
+
+  /** Redact PII spans with `[<KIND>]` markers — the standard scrub step
+    * before training. A chain of codegen `regexp_replace`s: narrow,
+    * streaming-safe, no shuffle. Pass a subset of [[piiPatterns]] keys to
+    * scrub selectively.
+    */
+  def scrubPii(text: Column, kinds: Seq[String] = piiPatterns.map(_._1)): Column = {
+    val unknown = kinds.filterNot(k => piiPatterns.exists(_._1 == k))
+    require(unknown.isEmpty, s"scrub_pii: unknown kinds ${unknown.mkString(",")}")
+    piiPatterns.filter(p => kinds.contains(p._1)).foldLeft(text) {
+      case (c, (kind, rx)) => regexp_replace(c, rx, s"[${kind.toUpperCase}]")
+    }
+  }
+
+  /** Repetition signals (the Gopher/RefinedWeb quality-filter family):
+    * fraction of duplicate lines and fraction of characters sitting in
+    * duplicate lines, over newline-split non-empty lines. Documents that
+    * are mostly repeated boilerplate score high and get filtered before
+    * training. Pure higher-order-function expressions (no explode, no
+    * shuffle): duplicate detection via sorted-line adjacency.
+    */
+  def dupLineStats(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val sortedL = array_sort(lines)
+    val n = size(sortedL)
+    // a line is a duplicate occurrence if it equals its predecessor in the
+    // sorted order (counts every extra copy, not the first)
+    val dupFlags = transform(sequence(lit(1), n - 1),
+      i => when(element_at(sortedL, i + 1) === element_at(sortedL, i), 1).otherwise(0))
+    val dupLines = when(n > 1, aggregate(dupFlags, lit(0), (a, x) => a + x)).otherwise(lit(0))
+    val dupChars = when(n > 1, aggregate(
+      transform(sequence(lit(1), n - 1),
+        i => when(element_at(sortedL, i + 1) === element_at(sortedL, i),
+          length(element_at(sortedL, i + 1))).otherwise(0)),
+      lit(0), (a, x) => a + x)).otherwise(lit(0))
+    val totChars = when(n > 0,
+      aggregate(transform(sortedL, l => length(l)), lit(0), (a, x) => a + x))
+      .otherwise(lit(0))
+    struct(
+      n.as("n_lines"),
+      dupLines.as("n_dup_lines"),
+      when(n > 0, round(dupLines.cast("double") / n, 6)).otherwise(0.0d).as("dup_line_frac"),
+      when(totChars > 0, round(dupChars.cast("double") / totChars, 6))
+        .otherwise(0.0d).as("dup_char_frac"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))

@@ -279,6 +279,9 @@ object syntax {
     def chunkDocuments(idCol: String, textCol: String, chunkTokens: Int,
         stride: Int): DataFrame =
       TextAnalysis.chunkDocuments(df, idCol, textCol, chunkTokens, stride)
+    def scrubPii(column: String,
+        kinds: Seq[String] = TextAnalysis.piiPatterns.map(_._1)): DataFrame =
+      df.withColumn(column, TextAnalysis.scrubPii(org.apache.spark.sql.functions.col(column), kinds))
     def hashSample(keyCol: String, fraction: Double, seed: Long = 42L): DataFrame =
       Sampling.hashSample(df, keyCol, fraction, seed)
     def hashSplit(keyCol: String,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.syntax._
-import graft.llm.{Sampling, TextAnalysis}
+import graft.llm.TextAnalysis
 import org.apache.spark.sql.functions._
 
 class AsofAndSamplingSpec extends SparkSpec {
@@ -109,6 +109,27 @@ class AsofAndSamplingSpec extends SparkSpec {
     // default fraction 0 drops unmapped strata
     val dropped = d.stratifiedHashSample("id", "g", Map("a" -> 0.5))
     assert(dropped.filter(col("g") === "b").count() == 0)
+  }
+
+  test("scrubPii redacts all kinds; selective kinds leave the rest") {
+    val d = Seq("mail a.b+c@x.io, ssn 123-45-6789, call 555-123-4567, ip 10.0.0.1 end")
+      .toDF("t")
+    val all = d.select(TextAnalysis.scrubPii(col("t"))).collect()(0).getString(0)
+    assert(all == "mail [EMAIL], ssn [SSN], call [PHONE], ip [IPV4] end")
+    val some = d.scrubPii("t", kinds = Seq("email")).collect()(0).getString(0)
+    assert(some.contains("[EMAIL]") && some.contains("123-45-6789"))
+    intercept[IllegalArgumentException](d.scrubPii("t", kinds = Seq("nope")))
+  }
+
+  test("dupLineStats counts duplicate lines and their character share") {
+    val d = Seq("a\nbb\na\n\n  \na\nccc").toDF("t")
+    val st = d.select(TextAnalysis.dupLineStats(col("t")).as("s"))
+      .select("s.n_lines", "s.n_dup_lines", "s.dup_line_frac", "s.dup_char_frac")
+      .collect()(0)
+    // non-empty lines: a, bb, a, a, ccc -> 5 lines, 2 duplicate copies of 'a'
+    assert(st.getInt(0) == 5 && st.getInt(1) == 2)
+    assert(st.getDouble(2) == 0.4)
+    assert(st.getDouble(3) == 2.0 / 8.0) // 2 dup chars of 8 total
   }
 
   test("chunkDocuments: overlapping windows, short tail, stable ids") {
