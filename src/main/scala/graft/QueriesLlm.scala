@@ -135,6 +135,9 @@ object QueriesLlm {
         TextAnalysis.dupLineStats(translate(col("text"), " ", "\n")).as("st"))
       .select(col("doc_id"), col("st.n_lines"), col("st.n_dup_lines"),
         col("st.dup_line_frac"), col("st.dup_char_frac"))),
+    "top_ngram_frac" -> ((s, d) =>
+      TextAnalysis.topNgramCharFrac(documents(s, d), "doc_id", "text", 2)
+        .withColumnRenamed("id", "doc_id")),
     "hash_sample" -> ((s, d) => documents(s, d)
       .select("doc_id", "lang").hashSample("doc_id", 0.25)),
     "hash_split" -> ((s, d) => documents(s, d)
@@ -359,6 +362,17 @@ object QueriesLlm {
         |  CASE WHEN n > 0 THEN round(CAST(ndup AS DOUBLE) / n, 6) ELSE 0.0 END AS dup_line_frac,
         |  CASE WHEN tchars > 0 THEN round(CAST(dchars AS DOUBLE) / tchars, 6) ELSE 0.0 END AS dup_char_frac
         |FROM m""".stripMargin,
+    "top_ngram_frac" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, w, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+        |  i -> w[i] || ' ' || w[i+1]) AS grams FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(grams) > 0 AND length(array_to_string(w, ' ')) > 0
+        |    THEN round(CAST(list_max(list_transform(list_distinct(grams),
+        |      g2 -> len(list_filter(grams, x -> x = g2)) * length(g2))) AS DOUBLE)
+        |      / length(array_to_string(w, ' ')), 6)
+        |    ELSE 0.0 END AS top2gram_frac
+        |FROM g""".stripMargin,
     // the md5-uniform is replicated bit-for-bit: first 8 hex digits / 2^32
     "hash_sample" ->
       """SELECT doc_id, lang FROM documents

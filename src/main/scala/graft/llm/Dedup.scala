@@ -17,18 +17,26 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Word n-grams of a token array, in order, duplicates kept. Built as a
+    * zip_with chain over shifted slices so every array is referenced a
+    * CONSTANT number of times — higher-order lambdas re-evaluate captured
+    * expressions per element, so the "obvious" indexing form
+    * (`element_at(w, i+j)` under a transform) re-splits the text O(len)
+    * times, O(len²) per row. Token arrays shorter than `n` yield an empty
+    * array (the slices are empty).
+    */
+  def ngrams(w: Column, n: Int): Column = {
+    val m = greatest(size(w) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(w, lit(1), m))((acc, j) =>
+      zip_with(acc, slice(w, lit(j + 1), m), (a, b) => concat(a, lit(" "), b)))
+  }
+
   /** Distinct word n-gram shingles of a text column. Texts with fewer than
     * `n` tokens yield an EMPTY set (no partial shingles) — matches the
     * oracle's generate_series(1, len-n+1) which is empty for short docs.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(ngrams(tokens(text), n))
 
   /** Exact dedup: keep the lowest-id row per identical text (hash groupBy —
     * one shuffle on the 128-bit text hash, not the text itself).

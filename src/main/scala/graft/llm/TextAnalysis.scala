@@ -129,28 +129,64 @@ object TextAnalysis {
     * shuffle): duplicate detection via sorted-line adjacency.
     */
   def dupLineStats(text: Column): Column = {
+    // PERF CONTRACT: higher-order-function lambdas re-evaluate captured
+    // expressions PER ELEMENT (interpreted, no CSE) — an `element_at(sorted,
+    // i)` indexing loop re-sorts the array n times, turning this quadratic
+    // (measured: 75 s over sf0.1 documents). Every array here is therefore
+    // referenced a CONSTANT number of times: duplicate detection compares
+    // the sorted array against its own shift via slice + zip_with.
     val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
-    val sortedL = array_sort(lines)
-    val n = size(sortedL)
+    val s = array_sort(lines)
+    val n = size(s)
+    val m = greatest(n - 1, lit(0))
+    val prev = slice(s, lit(1), m) // s[0..n-2]
+    val next = slice(s, lit(2), m) // s[1..n-1]
     // a line is a duplicate occurrence if it equals its predecessor in the
     // sorted order (counts every extra copy, not the first)
-    val dupFlags = transform(sequence(lit(1), n - 1),
-      i => when(element_at(sortedL, i + 1) === element_at(sortedL, i), 1).otherwise(0))
-    val dupLines = when(n > 1, aggregate(dupFlags, lit(0), (a, x) => a + x)).otherwise(lit(0))
-    val dupChars = when(n > 1, aggregate(
-      transform(sequence(lit(1), n - 1),
-        i => when(element_at(sortedL, i + 1) === element_at(sortedL, i),
-          length(element_at(sortedL, i + 1))).otherwise(0)),
-      lit(0), (a, x) => a + x)).otherwise(lit(0))
-    val totChars = when(n > 0,
-      aggregate(transform(sortedL, l => length(l)), lit(0), (a, x) => a + x))
-      .otherwise(lit(0))
+    val dupLines = aggregate(
+      zip_with(prev, next, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (a, x) => a + x)
+    val dupChars = aggregate(
+      zip_with(prev, next, (a, b) => when(a === b, length(b)).otherwise(0)),
+      lit(0), (a, x) => a + x)
+    val totChars = aggregate(transform(s, l => length(l)), lit(0), (a, x) => a + x)
     struct(
       n.as("n_lines"),
       dupLines.as("n_dup_lines"),
       when(n > 0, round(dupLines.cast("double") / n, 6)).otherwise(0.0d).as("dup_line_frac"),
       when(totChars > 0, round(dupChars.cast("double") / totChars, 6))
         .otherwise(0.0d).as("dup_char_frac"))
+  }
+
+  /** Top word-n-gram character fraction (the other Gopher repetition
+    * signal): the share of the document's characters covered by its single
+    * most frequent word n-gram, where covered characters are
+    * `freq × len(gram)` over the token stream's `concat_ws(" ")` length.
+    * High values mean templated/repetitive text.
+    *
+    * Frequency counting is intrinsically an aggregation: the narrow
+    * higher-order form (`filter`-count per distinct gram) is
+    * O(distinct × grams) PER ROW and measured 150 s over sf0.1 documents.
+    * This is the scale shape instead: explode grams → one map-side-
+    * combinable count keyed (id, gram) → per-id max — two shuffles keyed on
+    * the doc id, linear everywhere. Documents with no n-grams or no
+    * characters score 0.0 (left join + coalesce).
+    */
+  def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val w = Dedup.tokens(col(s"`$textCol`"))
+    val grams = Dedup.ngrams(w, n)
+    val base = df.select(col(s"`$idCol`").as("id"),
+      length(concat_ws(" ", w)).as("__tot"), explode_outer(grams).as("__gram"))
+    val best = base.filter(col("__gram").isNotNull)
+      .groupBy("id", "__gram").agg(count(lit(1)).as("__freq"))
+      .groupBy("id").agg(max(col("__freq") * length(col("__gram"))).as("__best"))
+    df.select(col(s"`$idCol`").as("id"), length(concat_ws(" ", w)).as("__tot"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__best").isNotNull && col("__tot") > 0,
+          round(col("__best").cast("double") / col("__tot"), 6))
+          .otherwise(0.0d).as(s"top${n}gram_frac"))
   }
 
   /** Convenience: annotate a documents table with all analysis columns. */

@@ -132,6 +132,15 @@ class AsofAndSamplingSpec extends SparkSpec {
     assert(st.getDouble(3) == 2.0 / 8.0) // 2 dup chars of 8 total
   }
 
+  test("topNgramCharFrac: most frequent 2-gram's character share") {
+    val d = Seq((1L, "x y x y z"), (2L, "a b"), (3L, "one")).toDF("i", "t")
+    val out = TextAnalysis.topNgramCharFrac(d, "i", "t", 2)
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    // "x y x y z": grams (x y)x2, (y x), (y z); best = 2*3 = 6 of 9 chars
+    // (rounded to 6 places); "a b": one gram covers everything; "one": 0
+    assert(out == Seq(0.666667, 1.0, 0.0))
+  }
+
   test("chunkDocuments: overlapping windows, short tail, stable ids") {
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "solo"))
       .toDF("doc_id", "text")
