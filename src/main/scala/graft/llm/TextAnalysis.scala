@@ -85,7 +85,15 @@ object TextAnalysis {
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunk_documents: sizes must be positive")
-    val toks = split(col(s"`$textCol`"), "\\s+")
+    // tokens are materialized as a projection attribute BEFORE the fan-out:
+    // a `split(...)` captured inside the transform lambda would re-split the
+    // document once per chunk (per-element re-evaluation of captured
+    // expressions — the dupLineStats/ngrams trap), quadratic for long docs.
+    // The Generate operator evaluates over its child's output attributes,
+    // so the split runs once per document here.
+    val toksDf = df.select(col(s"`$idCol`").as("id"),
+      split(col(s"`$textCol`"), "\\s+").as("__toks"))
+    val toks = col("__toks")
     val n = size(toks)
     val starts = when(n > 0, sequence(lit(0), n - 1, lit(stride)))
       .otherwise(array().cast("array<int>"))
@@ -93,7 +101,7 @@ object TextAnalysis {
       i.as("chunk_id"),
       size(slice(toks, start + 1, lit(chunkTokens))).as("n_tokens"),
       concat_ws(" ", slice(toks, start + 1, lit(chunkTokens))).as("chunk_text")))
-    df.select(col(s"`$idCol`").as("id"), explode(chunks).as("c"))
+    toksDf.select(col("id"), explode(chunks).as("c"))
       .select(col("id"), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
   }
 
