@@ -135,6 +135,11 @@ object QueriesLlm {
         TextAnalysis.dupLineStats(translate(col("text"), " ", "\n")).as("st"))
       .select(col("doc_id"), col("st.n_lines"), col("st.n_dup_lines"),
         col("st.dup_line_frac"), col("st.dup_char_frac"))),
+    "gopher_quality" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextAnalysis.gopherQualityFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_tokens"), col("g.mean_word_len"),
+        col("g.symbol_ratio"), col("g.alpha_word_frac"), col("g.stop_hits"),
+        col("g.keep"))),
     "top_ngram_frac" -> ((s, d) =>
       TextAnalysis.topNgramCharFrac(documents(s, d), "doc_id", "text", 2)
         .withColumnRenamed("id", "doc_id")),
@@ -361,6 +366,25 @@ object QueriesLlm {
         |SELECT doc_id, CAST(n AS INT) AS n_lines, CAST(ndup AS INT) AS n_dup_lines,
         |  CASE WHEN n > 0 THEN round(CAST(ndup AS DOUBLE) / n, 6) ELSE 0.0 END AS dup_line_frac,
         |  CASE WHEN tchars > 0 THEN round(CAST(dchars AS DOUBLE) / tchars, 6) ELSE 0.0 END AS dup_char_frac
+        |FROM m""".stripMargin,
+    "gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |m AS (SELECT doc_id, len(w) AS ntok,
+        |  CASE WHEN len(w) > 0 THEN CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / len(w) ELSE 0.0 END AS meanlen,
+        |  len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1 AS symbols,
+        |  len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |  len(list_intersect(list_distinct(w),
+        |    ['the','a','and','of','to','in','is','it','that','for'])) AS stops
+        |FROM t)
+        |SELECT doc_id, CAST(ntok AS INT) AS n_tokens,
+        |  round(meanlen, 6) AS mean_word_len,
+        |  round(CASE WHEN ntok > 0 THEN CAST(symbols AS DOUBLE) / ntok ELSE 0.0 END, 6) AS symbol_ratio,
+        |  round(CASE WHEN ntok > 0 THEN CAST(alpha AS DOUBLE) / ntok ELSE 0.0 END, 6) AS alpha_word_frac,
+        |  CAST(stops AS INT) AS stop_hits,
+        |  (ntok >= 50 AND ntok <= 100000 AND meanlen >= 3.0 AND meanlen <= 10.0
+        |   AND CASE WHEN ntok > 0 THEN CAST(symbols AS DOUBLE) / ntok ELSE 0.0 END <= 0.1
+        |   AND CASE WHEN ntok > 0 THEN CAST(alpha AS DOUBLE) / ntok ELSE 0.0 END >= 0.8
+        |   AND stops >= 2) AS keep
         |FROM m""".stripMargin,
     "top_ngram_frac" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),

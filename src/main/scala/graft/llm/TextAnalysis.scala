@@ -197,6 +197,39 @@ object TextAnalysis {
           .otherwise(0.0d).as(s"top${n}gram_frac"))
   }
 
+  /** Gopher-style quality-filter flags (Rae et al. 2021 §A1.1, public
+    * criteria): the standard document-level cutoffs a pretraining pipeline
+    * applies before near-dedup. Emits the raw signals plus one `keep`
+    * boolean. All per-row expressions with constant-reference captures (the
+    * HOF contract in PLANS.md): token counts, mean word length, symbol and
+    * ellipsis-line ratios, alphabetic-word fraction, stopword hit count.
+    */
+  def gopherQualityFlags(text: Column): Column = {
+    val w = Dedup.tokens(text)
+    val nTok = size(w)
+    val meanLen = when(nTok > 0,
+      aggregate(transform(w, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("double") / nTok).otherwise(0.0d)
+    val hashCount = size(split(text, "#")) - 1
+    val ellipsisCount = size(split(text, "\\.\\.\\.")) - 1
+    val symbolRatio = when(nTok > 0,
+      (hashCount + ellipsisCount).cast("double") / nTok).otherwise(0.0d)
+    val alphaWords = size(filter(w, t => t.rlike("[a-z]")))
+    val alphaFrac = when(nTok > 0, alphaWords.cast("double") / nTok).otherwise(0.0d)
+    val enStops = array(stopwords.head._2.map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(w), enStops))
+    val keep = nTok >= 50 && nTok <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio <= 0.1 && alphaFrac >= 0.8 && stopHits >= 2
+    struct(
+      nTok.as("n_tokens"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      stopHits.as("stop_hits"),
+      keep.as("keep"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))
