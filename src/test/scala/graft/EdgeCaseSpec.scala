@@ -81,6 +81,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(JoinOps.rangeJoin(l, emptyR, "x", "lo", "hi").count() == 0)
   }
 
+  test("asofJoin tolerates empty sides, keyed and global") {
+    import graft.operators.JoinOps
+    val l = Seq((1, 10L), (2, 20L)).toDF("k", "t")
+    val emptyL = Seq.empty[(Int, Long)].toDF("k", "t")
+    val emptyR = Seq.empty[(Int, Long, Double)].toDF("k", "t", "v")
+    for (by <- Seq(Seq("k"), Nil); dir <- Seq("backward", "forward", "nearest")) {
+      // empty right: every left row survives with a null match
+      val lr = JoinOps.asofJoin(l, emptyR, on = "t", by = by, direction = dir)
+      assert(lr.count() == 2 && lr.filter(col("v").isNull).count() == 2, s"by=$by dir=$dir")
+      // empty left: empty output, schema intact (without by keys, right's k
+      // is payload and arrives suffixed — the merge_asof contract)
+      val expectCols = if (by.isEmpty) Seq("k", "t", "k_right", "v") else Seq("k", "t", "v")
+      val el = JoinOps.asofJoin(emptyL, emptyR, on = "t", by = by, direction = dir)
+      assert(el.count() == 0 && el.columns.toSeq == expectCols)
+    }
+  }
+
+  test("sampling/chunking/dedupNear tolerate empty and degenerate inputs") {
+    import graft.llm.{Dedup, TextAnalysis}
+    val empty = Seq.empty[(Long, String)].toDF("id", "t")
+    assert(empty.hashSample("id", 0.5).count() == 0)
+    assert(empty.hashSplit("id").count() == 0)
+    assert(TextAnalysis.chunkDocuments(empty, "id", "t", 4, 2).count() == 0)
+    assert(TextAnalysis.topNgramCharFrac(empty, "id", "t").count() == 0)
+    // single-bucket split labels everything
+    val one = Seq((1L, "x")).toDF("id", "t")
+    assert(one.hashSplit("id", weights = Seq("all" -> 1.0))
+      .select("split").collect()(0).getString(0) == "all")
+    // a corpus with no near-dup pairs dedups to itself
+    val solo = Seq((1L, "completely unique words right here today"),
+      (2L, "other text that shares nothing at all now")).toDF("id", "t")
+    assert(Dedup.dedupNear(solo, "id", "t", 0.8).count() == 2)
+  }
+
   test("timeseries and text verbs tolerate empty and single-row frames") {
     val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("ts", "v")
