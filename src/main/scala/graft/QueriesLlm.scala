@@ -135,6 +135,16 @@ object QueriesLlm {
         TextAnalysis.dupLineStats(translate(col("text"), " ", "\n")).as("st"))
       .select(col("doc_id"), col("st.n_lines"), col("st.n_dup_lines"),
         col("st.dup_line_frac"), col("st.dup_char_frac"))),
+    // HTML/URL cleanup over synthesized markup (the corpus is plain text);
+    // md5-pinned so every removed/unescaped byte is checked
+    "strip_html" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        md5(TextAnalysis.stripHtml(concat(lit("<p class=\"hd\">"), col("text"),
+          lit(" </p><script type=\"a\">var x=1 < 2;</script><style>.a{}</style> &amp; <b>tail</b> &lt;ok&gt;")))
+          .cast("binary")).as("clean_md5"),
+        md5(TextAnalysis.replaceUrls(concat(col("text"),
+          lit(" see https://ex.com/a?b=1#z or www.foo.org/x, end")))
+          .cast("binary")).as("nourl_md5"))),
     "gopher_quality" -> ((s, d) => documents(s, d)
       .select(col("doc_id"), TextAnalysis.gopherQualityFlags(col("text")).as("g"))
       .select(col("doc_id"), col("g.n_tokens"), col("g.mean_word_len"),
@@ -367,6 +377,26 @@ object QueriesLlm {
         |  CASE WHEN n > 0 THEN round(CAST(ndup AS DOUBLE) / n, 6) ELSE 0.0 END AS dup_line_frac,
         |  CASE WHEN tchars > 0 THEN round(CAST(dchars AS DOUBLE) / tchars, 6) ELSE 0.0 END AS dup_char_frac
         |FROM m""".stripMargin,
+    "strip_html" -> {
+      // generated nesting: one regexp_replace per scrub step, mirroring the
+      // engine's fold order exactly (hand-nesting 9 calls misplaced a paren)
+      val input = """'<p class="hd">' || text || """ +
+        """' </p><script type="a">var x=1 < 2;</script><style>.a{}</style> &amp; <b>tail</b> &lt;ok&gt;'"""
+      val steps = Seq(
+        """(?is)<script\b[^>]*>.*?</script\s*>""" -> " ",
+        """(?is)<style\b[^>]*>.*?</style\s*>""" -> " ",
+        """(?s)<[^>]+>""" -> " ",
+        "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&apos;" -> "''",
+        """\s+""" -> " ")
+      val chain = steps.foldLeft(input) { case (acc, (p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""SELECT doc_id, md5(trim($chain)) AS clean_md5,
+         |md5(regexp_replace(text || ' see https://ex.com/a?b=1#z or www.foo.org/x, end',
+         |  '\\bhttps?://[^\\s]+|\\bwww\\.[^\\s]+', '[URL]', 'g')) AS nourl_md5
+         |FROM documents""".stripMargin
+    },
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w FROM documents),
         |m AS (SELECT doc_id, len(w) AS ntok,

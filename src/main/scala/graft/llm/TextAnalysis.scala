@@ -230,6 +230,33 @@ object TextAnalysis {
       keep.as("keep"))
   }
 
+  /** Strip HTML: drop script/style blocks wholesale, remove remaining tags,
+    * unescape the five predefined XML entities, collapse runs of
+    * whitespace. Chained codegen regexp_replaces — narrow, streaming-safe.
+    * A real parser it is not (regex HTML handling is inherently
+    * approximate); it is the standard best-effort scrub used on web text
+    * before quality filtering.
+    */
+  def stripHtml(text: Column): Column = {
+    // two separate block patterns, not one with a backreference — RE2-based
+    // engines (the DuckDB oracle among them) have no backreferences
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    val unescaped = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'").foldLeft(noTags) {
+      case (c, (from, to)) => regexp_replace(c, from, to)
+    }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Replace http(s)/www URLs with a marker — the usual pretraining URL
+    * normalization (URLs are high-entropy tokens that bloat vocabularies).
+    */
+  def replaceUrls(text: Column, marker: String = "[URL]"): Column =
+    regexp_replace(text, "\\bhttps?://[^\\s]+|\\bwww\\.[^\\s]+",
+      java.util.regex.Matcher.quoteReplacement(marker))
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))
@@ -237,4 +264,6 @@ object TextAnalysis {
       .withColumn("n_bpeish", bpeishTokenCount(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fp", docFingerprint(col(textCol)))
+      .withColumn("rep", dupLineStats(col(textCol)))
+      .withColumn("gopher", gopherQualityFlags(col(textCol)))
 }
