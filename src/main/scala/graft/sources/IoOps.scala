@@ -42,6 +42,22 @@ object IoOps {
       .saveAsTable(table)
   }
 
+  /** Hive-style partitioned parquet write — the partition-PRUNING
+    * primitive, complementing [[writeBucketed]]'s co-location: filters on
+    * the partition columns (date, lang, source, …) never touch excluded
+    * directories at all (plan shows `PartitionFilters`, scan reads only
+    * matching files — PartitionedWriteSpec asserts both). At 100 TB,
+    * partition on the columns queries slice by and bucket on the columns
+    * they join by. Guard against over-partitioning: a column with millions
+    * of distinct values produces millions of directories — keep partition
+    * cardinality in the thousands and let bucketing/files handle the rest.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty, "write_partitioned: no partition columns")
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Run a shell command, parse stdout as CSV
     * (reference: janitor/io.py:96 read_commandline). The command runs
     * driver-side; its output is parallelized then parsed by the csv reader.
