@@ -86,6 +86,12 @@ object QueriesCore {
     "groupby_agg" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .groupbyAgg(Seq("l_orderkey"), "l_quantity", "sum", "sum_qty")),
+    // identical semantics, skew-immune physical shape (agg + AQE-broadcast
+    // join-back) — same window oracle proves the equivalence
+    "groupby_agg_skew" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .transform(df => operators.GroupedOps.groupbyAggSkewSafe(
+        df, Seq("l_orderkey"), "l_quantity", "sum", "sum_qty"))),
     "groupby_agg_dropna" -> ((s, d) => lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         when(col("l_returnflag") =!= "N", col("l_returnflag")).as("flag"),
@@ -390,6 +396,9 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, l_discount,
         |CASE WHEN l_discount > 0.05 THEN 1 END AS flag FROM lineitem""".stripMargin,
     "groupby_agg" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |sum(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_qty FROM lineitem""".stripMargin,
+    "groupby_agg_skew" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |sum(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_qty FROM lineitem""".stripMargin,
     "groupby_agg_dropna" ->

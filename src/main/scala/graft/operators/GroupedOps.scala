@@ -42,6 +42,49 @@ object GroupedOps {
     } else df.withColumn(newColumnName, result)
   }
 
+  /** Skew-immune groupby_agg — identical semantics to [[groupbyAgg]],
+    * different physical shape: the window form shuffles EVERY fact row on
+    * `by`, so one hot key (10 % of a 100 TB table) lands on one task. This
+    * form aggregates first (map-side partial combine absorbs the hot key
+    * before any shuffle — the agg table is |distinct keys| rows), then
+    * joins the result back; AQE broadcasts the agg side when it is small,
+    * in which case the fact rows NEVER shuffle at all. Null-safe join
+    * equality (`<=>`) keeps dropna=false's null-keys-form-a-group contract.
+    * Prefer this form whenever keys are skewed or the distinct-key count is
+    * broadcastable; the window form wins only when the agg table itself
+    * would be huge AND keys are well distributed.
+    */
+  def groupbyAggSkewSafe(df: DataFrame, by: Seq[String], aggColumn: String,
+      agg: String, newColumnName: String, dropna: Boolean = true): DataFrame = {
+    require(by.nonEmpty, "groupby_agg: no group keys")
+    // reuse the same agg-function table by delegating to groupbyAgg over a
+    // one-row-per-group frame would change semantics; build the agg directly
+    val c = col(s"`$aggColumn`")
+    val a = agg match {
+      case "sum" => sum(c)
+      case "mean" | "average" | "avg" => avg(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case "count" => count(c)
+      case "size" => count(lit(1))
+      case "nunique" => size(collect_set(c))
+      case "first" => first(c)
+      case "last" => last(c)
+      case "std" => stddev(c)
+      case "var" => variance(c)
+      case "median" => expr(s"percentile(`$aggColumn`, 0.5)")
+      case other => throw new IllegalArgumentException(s"groupby_agg: bad agg $other")
+    }
+    val aggDf = (if (dropna)
+      df.filter(by.map(n => col(s"`$n`").isNotNull).reduce(_ && _)) else df)
+      .groupBy(by.map(n => col(s"`$n`")): _*)
+      .agg(a.as(newColumnName))
+    val renamed = by.foldLeft(aggDf)((acc, n) => acc.withColumnRenamed(n, s"__k_$n"))
+    val cond = by.map(n => col(s"`$n`") <=> col(s"`__k_$n`")).reduce(_ && _)
+    df.join(renamed, cond, "left")
+      .drop(by.map(n => s"__k_$n"): _*)
+  }
+
   /** Top/bottom-k rows per group by a column (reference:
     * janitor/functions/groupby_topk.py:13,109-125). `tiebreak` columns make
     * the result deterministic in a distributed setting.

@@ -74,6 +74,9 @@ object syntax {
     def groupbyAgg(by: Seq[String], aggColumn: String, agg: String, newColumnName: String,
         dropna: Boolean = true): DataFrame =
       GroupedOps.groupbyAgg(df, by, aggColumn, agg, newColumnName, dropna)
+    def groupbyAggSkewSafe(by: Seq[String], aggColumn: String, agg: String,
+        newColumnName: String, dropna: Boolean = true): DataFrame =
+      GroupedOps.groupbyAggSkewSafe(df, by, aggColumn, agg, newColumnName, dropna)
     def groupbyTopk(by: Seq[String], column: String, k: Int, ascending: Boolean = false,
         tiebreak: Seq[String] = Nil): DataFrame =
       GroupedOps.groupbyTopk(df, by, column, k, ascending, tiebreak)

@@ -60,6 +60,22 @@ class ScaleWindowsSpec extends SparkSpec {
     }
   }}
 
+  test("groupbyAggSkewSafe == window groupbyAgg, both dropna modes, null keys") {
+    import graft.syntax._
+    val rng = new scala.util.Random(41)
+    val d = (1 to 500).map { i =>
+      val k: Integer = if (rng.nextInt(10) == 0) null else Integer.valueOf(rng.nextInt(5))
+      // integral-valued doubles: float sums must not depend on summation
+      // order, which legitimately differs between the two physical shapes
+      (i, k, rng.nextInt(100).toDouble)
+    }.toDF("id", "k", "x").repartition(8)
+    for (dropna <- Seq(true, false); agg <- Seq("sum", "nunique", "size")) {
+      val win = d.groupbyAgg(Seq("k"), "x", agg, "v", dropna = dropna)
+      val skew = d.groupbyAggSkewSafe(Seq("k"), "x", agg, "v", dropna = dropna)
+      assert(sorted(skew) == sorted(win), s"dropna=$dropna agg=$agg")
+    }
+  }
+
   test("runningLastKeyed matches the plain keyed window (distributed carry)") {
     val rng = new scala.util.Random(23)
     val d = (1 to 3000).map { i =>
