@@ -86,6 +86,11 @@ object QueriesCore {
     "groupby_agg" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .groupbyAgg(Seq("l_orderkey"), "l_quantity", "sum", "sum_qty")),
+    // nunique rides the window form (size AROUND the windowed collect_set —
+    // regression gate for the analysis bug the equivalence spec caught)
+    "groupby_agg_nunique" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .groupbyAgg(Seq("l_orderkey"), "l_returnflag", "nunique", "n_flags")),
     // identical semantics, skew-immune physical shape (agg + AQE-broadcast
     // join-back) — same window oracle proves the equivalence
     "groupby_agg_skew" -> ((s, d) => lineitem(s, d)
@@ -401,6 +406,10 @@ object QueriesCore {
     "groupby_agg_skew" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |sum(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_qty FROM lineitem""".stripMargin,
+    "groupby_agg_nunique" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |count(DISTINCT l_returnflag) OVER (PARTITION BY l_orderkey) AS n_flags
+        |FROM lineitem""".stripMargin,
     "groupby_agg_dropna" ->
       """SELECT l_orderkey, l_linenumber,
         |CASE WHEN l_returnflag <> 'N' THEN l_returnflag END AS flag, l_quantity,

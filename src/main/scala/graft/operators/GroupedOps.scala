@@ -20,22 +20,25 @@ object GroupedOps {
       newColumnName: String, dropna: Boolean = true): DataFrame = {
     val w = Window.partitionBy(by.map(n => col(s"`$n`")): _*)
     val c = col(s"`$aggColumn`")
-    val a = agg match {
-      case "sum" => sum(c)
-      case "mean" | "average" | "avg" => avg(c)
-      case "min" => min(c)
-      case "max" => max(c)
-      case "count" => count(c)
-      case "size" => count(lit(1))
-      case "nunique" => size(collect_set(c))
-      case "first" => first(c)
-      case "last" => last(c)
-      case "std" => stddev(c)
-      case "var" => variance(c)
-      case "median" => expr(s"percentile(`$aggColumn`, 0.5)")
+    // nunique: `size` is a scalar wrapper AROUND the windowed collect_set —
+    // `size(collect_set(c)).over(w)` is not a window function and fails
+    // analysis (caught by the skew-safe equivalence spec; no earlier gate
+    // query exercised nunique through the window form)
+    val result = agg match {
+      case "nunique" => size(collect_set(c).over(w))
+      case "sum" => sum(c).over(w)
+      case "mean" | "average" | "avg" => avg(c).over(w)
+      case "min" => min(c).over(w)
+      case "max" => max(c).over(w)
+      case "count" => count(c).over(w)
+      case "size" => count(lit(1)).over(w)
+      case "first" => first(c).over(w)
+      case "last" => last(c).over(w)
+      case "std" => stddev(c).over(w)
+      case "var" => variance(c).over(w)
+      case "median" => expr(s"percentile(`$aggColumn`, 0.5)").over(w)
       case other => throw new IllegalArgumentException(s"groupby_agg: bad agg $other")
     }
-    val result = a.over(w)
     if (dropna && by.nonEmpty) {
       val anyKeyNull = by.map(n => col(s"`$n`").isNull).reduce(_ || _)
       df.withColumn(newColumnName, when(anyKeyNull, lit(null)).otherwise(result))
