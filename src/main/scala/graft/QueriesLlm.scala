@@ -145,6 +145,9 @@ object QueriesLlm {
         md5(TextAnalysis.replaceUrls(concat(col("text"),
           lit(" see https://ex.com/a?b=1#z or www.foo.org/x, end")))
           .cast("binary")).as("nourl_md5"))),
+    "unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
     "gopher_quality" -> ((s, d) => documents(s, d)
       .select(col("doc_id"), TextAnalysis.gopherQualityFlags(col("text")).as("g"))
       .select(col("doc_id"), col("g.n_tokens"), col("g.mean_word_len"),
@@ -397,6 +400,14 @@ object QueriesLlm {
          |  '\\bhttps?://[^\\s]+|\\bwww\\.[^\\s]+', '[URL]', 'g')) AS nourl_md5
          |FROM documents""".stripMargin
     },
+    "unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(log10(c / n.n)), 6) AS avg_logprob
+        |FROM tok JOIN v USING (t), n GROUP BY doc_id""".stripMargin,
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w FROM documents),
         |m AS (SELECT doc_id, len(w) AS ntok,

@@ -257,6 +257,28 @@ object TextAnalysis {
     regexp_replace(text, "\\bhttps?://[^\\s]+|\\bwww\\.[^\\s]+",
       java.util.regex.Matcher.quoteReplacement(marker))
 
+  /** Cheap LM-proxy quality signal: each document's mean unigram
+    * log10-probability under the CORPUS'S OWN unigram distribution — the
+    * classic poor-man's perplexity filter (documents full of rare/garbled
+    * tokens score low; templated common-token text scores high). Two
+    * aggregations: corpus vocabulary counts (map-side combinable, keyed by
+    * token), then a per-document mean over the token stream joined to the
+    * vocabulary — the vocab side is |distinct tokens| rows and AQE
+    * broadcasts it, so the hot-token join ("the" everywhere) never
+    * shuffle-skews. Output: (id, n_tokens, avg_logprob).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(s"`$idCol`").as("id"),
+      explode(Dedup.tokens(col(s"`$textCol`"))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    // corpus token total: one bounded scalar action (sum over the vocab)
+    val n = vocab.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+    tok.join(vocab, Seq("t"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("c") / n)), 6).as("avg_logprob"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))

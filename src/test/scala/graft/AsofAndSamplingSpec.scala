@@ -141,6 +141,18 @@ class AsofAndSamplingSpec extends SparkSpec {
     assert(out == Seq(0.666667, 1.0, 0.0))
   }
 
+  test("unigramLogProb: common-token docs outscore rare-token docs") {
+    // corpus: 'common' appears 6x, rare tokens once each
+    val d = Seq((1L, "common common common"), (2L, "common common common"),
+      (3L, "rare1 rare2 rare3")).toDF("i", "t")
+    val out = TextAnalysis.unigramLogProb(d, "i", "t")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out(0)._2 == out(1)._2)
+    assert(out(0)._2 > out(2)._2, "common-token doc must outscore rare-token doc")
+    // exact value: log10(6/9) for every token of doc 1
+    assert(math.abs(out(0)._2 - math.log10(6.0 / 9.0)) < 1e-5)
+  }
+
   test("chunkDocuments: overlapping windows, short tail, stable ids") {
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "solo"))
       .toDF("doc_id", "text")
