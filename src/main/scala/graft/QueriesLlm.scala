@@ -145,6 +145,9 @@ object QueriesLlm {
         md5(TextAnalysis.replaceUrls(concat(col("text"),
           lit(" see https://ex.com/a?b=1#z or www.foo.org/x, end")))
           .cast("binary")).as("nourl_md5"))),
+    "tfidf_top_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")),
     "unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -400,6 +403,17 @@ object QueriesLlm {
          |  '\\bhttps?://[^\\s]+|\\bwww\\.[^\\s]+', '[URL]', 'g')) AS nourl_md5
          |FROM documents""".stripMargin
     },
+    "tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id, t AS term, rank, round(score, 6) AS score FROM (
+        |  SELECT doc_id, t, tf * log10(n.n / df) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * log10(n.n / df) DESC, t) AS rank
+        |  FROM tf JOIN dfreq USING (t), n) WHERE rank <= 3""".stripMargin,
     "unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
         |  FROM documents),

@@ -279,6 +279,31 @@ object TextAnalysis {
         round(avg(log10(col("c") / n)), 6).as("avg_logprob"))
   }
 
+  /** Top-k TF-IDF terms per document — the keyword/fingerprint summary an
+    * indexing or near-dup triage pipeline keeps per doc. tf = raw in-doc
+    * count, idf = log10(N/df); ranking ties break on the term itself so the
+    * result is deterministic across engines. Shapes: per-(doc, term) count
+    * (map-side combinable), per-term doc frequency, both joined (the term
+    * side AQE-broadcasts), then a per-doc row_number window over ≤
+    * |doc terms| rows. N is one bounded scalar action.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val n = df.count().toDouble
+    val tok = df.select(col(s"`$idCol`").as("id"),
+      explode(Dedup.tokens(col(s"`$textCol`"))).as("t"))
+    val tf = tok.groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("t").agg(size(collect_set(col("id"))).as("df"))
+    val scored = tf.join(dfreq, Seq("t"))
+      .withColumn("score", col("tf") * log10(lit(n) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("score").desc, col("t").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("t").as("term"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))
