@@ -145,6 +145,18 @@ object QueriesLlm {
         md5(TextAnalysis.replaceUrls(concat(col("text"),
           lit(" see https://ex.com/a?b=1#z or www.foo.org/x, end")))
           .cast("binary")).as("nourl_md5"))),
+    // scalar projections of the int8 code array (scale, checksum-style sum,
+    // first lanes) so the driver canonicalizer can hash the result
+    "quantize_embeddings" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(
+        embeddings(s, d).select("vec_id", "embedding"), "embedding")
+      q.select(col("vec_id"),
+        round(col("embedding_scale"), 6).as("scale"),
+        aggregate(col("embedding_q8"), lit(0), (a, x) => a + x.cast("int")).as("q_sum"),
+        element_at(col("embedding_q8"), 1).cast("int").as("q1"),
+        element_at(col("embedding_q8"), 2).cast("int").as("q2"),
+        element_at(col("embedding_q8"), 3).cast("int").as("q3"))
+    }),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")),
@@ -403,6 +415,16 @@ object QueriesLlm {
          |  '\\bhttps?://[^\\s]+|\\bwww\\.[^\\s]+', '[URL]', 'g')) AS nourl_md5
          |FROM documents""".stripMargin
     },
+    "quantize_embeddings" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM v),
+        |q AS (SELECT vec_id, s,
+        |    list_transform(v, x -> CAST(round(x * 127.0 / s) AS INT)) AS q
+        |  FROM m WHERE s > 0
+        |  UNION ALL SELECT vec_id, s, list_transform(v, x -> 0) FROM m WHERE s <= 0)
+        |SELECT vec_id, round(s, 6) AS scale, coalesce(list_sum(q), 0) AS q_sum,
+        |  q[1] AS q1, q[2] AS q2, q[3] AS q3 FROM q""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
         |  FROM documents),

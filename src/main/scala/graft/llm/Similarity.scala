@@ -26,6 +26,30 @@ object Similarity {
   /** cosine = dot / (|a| * |b|), computed as dot / (sqrt(na) * sqrt(nb)). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric per-vector int8 quantization — the standard 4× storage cut
+    * for embedding corpora at scale: q_i = round(127 · v_i / max|v|), with
+    * the per-vector scale kept alongside for dequantization
+    * (v ≈ q · scale / 127). Pure narrow projection, streaming-safe. All
+    * float math in DOUBLE so the oracle reproduces values bit-for-bit
+    * (float32 lanes would diverge between engines); all-zero vectors keep
+    * scale 0 and an all-zero code array. Adds `<vecCol>_q8`
+    * (array<tinyint>) and `<vecCol>_scale` (double, the max|v|).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(s"`$vecCol`"), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x)))
+    df.withColumn(s"${vecCol}_scale", scale)
+      .withColumn(s"${vecCol}_q8",
+        when(col(s"${vecCol}_scale") > 0,
+          transform(v, x => round(x * 127.0d / col(s"${vecCol}_scale"))
+            .cast("tinyint")))
+          .otherwise(transform(v, x => lit(0).cast("tinyint"))))
+  }
+
+  /** Dequantize [[quantizeInt8]] output back to doubles. */
+  def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, q => q.cast("double") * scaleCol / 127.0d)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded). Deterministic: rank on (rounded sim desc, id).
     * The query side is broadcast; the corpus is never collected.

@@ -69,6 +69,25 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (9L, 1L)))
   }
 
+  test("int8 quantization round-trips within scale/254 per lane") {
+    import graft.llm.Similarity
+    val d = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)), (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(d, "embedding")
+    val rows = q.select(col("vec_id"), col("embedding"),
+      Similarity.dequantizeInt8(col("embedding_q8"), col("embedding_scale")).as("back"),
+      col("embedding_scale")).orderBy("vec_id").collect()
+    val (orig, back, scale) = (rows(0).getSeq[Float](1), rows(0).getSeq[Double](2),
+      rows(0).getDouble(3))
+    assert(scale == 1.0)
+    orig.zip(back).foreach { case (o, b) =>
+      assert(math.abs(o - b) <= scale / 254.0 + 1e-9, s"$o -> $b")
+    }
+    // all-zero vector: scale 0, zero codes, zero round-trip
+    assert(rows(1).getDouble(3) == 0.0)
+    assert(rows(1).getSeq[Double](2).forall(_ == 0.0))
+  }
+
   test("LLM verbs chain through the syntax surface") {
     import graft.syntax._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
