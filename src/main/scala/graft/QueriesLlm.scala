@@ -87,6 +87,21 @@ object QueriesLlm {
         Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 5),
         floor = 0.80)
     }),
+    // search in the compressed domain: cosine over int8-quantized (then
+    // dequantized) vectors must rank nearly identically to full precision
+    "similarity_q8_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val deq = Similarity.quantizeInt8(emb.select("vec_id", "embedding"), "embedding")
+        .select(col("vec_id"),
+          Similarity.dequantizeInt8(col("embedding_q8"), col("embedding_scale"))
+            .as("embedding"))
+      val exact = emb.filter(col("vec_id") < 10)
+      Similarity.recallGate(
+        Similarity.cosineTopK(deq.filter(col("vec_id") < 10), deq,
+          "vec_id", "embedding", k = 5),
+        Similarity.cosineTopK(exact, emb, "vec_id", "embedding", k = 5),
+        floor = 0.90)
+    }),
     "similarity_ivf_recall" -> ((s, d) => {
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") < 10)
@@ -317,6 +332,8 @@ object QueriesLlm {
          |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
     "similarity_lsh_recall" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, 0.80 AS recall_floor, TRUE AS meets_floor",
+    "similarity_q8_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, 0.90 AS recall_floor, TRUE AS meets_floor",
     "similarity_ivf_recall" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, 0.65 AS recall_floor, TRUE AS meets_floor",
     "lang_id" -> {
