@@ -195,7 +195,15 @@ object QueriesLlm {
       .stratifiedHashSample("doc_id", "lang",
         Map("en" -> 0.5, "es" -> 0.2), defaultFraction = 0.05)),
     "chunk_documents" -> ((s, d) => documents(s, d)
-      .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48))
+      .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48)),
+    // chunks -> equal-token-work shards via the scale-safe prefix sum
+    "shard_by_token_budget" -> ((s, d) => {
+      val chunks = documents(s, d)
+        .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48)
+        .withColumn("ord", col("id") * 10000 + col("chunk_id"))
+      graft.llm.Sampling.shardByTokenBudget(chunks, "ord", "n_tokens", 4096L)
+        .select("id", "chunk_id", "n_tokens", "shard")
+    })
   )
 
   private def jaccardSql(corpusExpr: String) =
@@ -517,6 +525,16 @@ object QueriesLlm {
         |SELECT doc_id AS id, CAST(start // 48 AS INT) AS chunk_id,
         |  len(toks[start + 1 : start + 64]) AS n_tokens,
         |  array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+    "shard_by_token_budget" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |x AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, len(toks) - 1, 48)) AS start FROM t),
+        |c AS (SELECT doc_id AS id, CAST(start // 48 AS INT) AS chunk_id,
+        |  len(toks[start + 1 : start + 64]) AS n_tokens FROM x)
+        |SELECT id, chunk_id, n_tokens,
+        |  CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY id * 10000 + chunk_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 4096) AS INT) AS shard
+        |FROM c""".stripMargin
   )
 }

@@ -55,6 +55,24 @@ object Sampling {
     df.withColumn(destCol, expr)
   }
 
+  /** Token-budget sharding: assign each row (chunk, document) a shard id so
+    * every shard carries ≈ `budget` tokens — the deterministic way to cut a
+    * tokenized corpus into equal-work training shards. shard =
+    * floor(exclusive-prefix-sum(tokens) / budget) in `orderCol` order, via
+    * the scale-safe [[graft.operators.ScaleWindows.runningSum]] (bucketed
+    * two-phase prefix sum above the adaptive cutover — no single-partition
+    * window at corpus size). Deterministic for a unique orderCol.
+    */
+  def shardByTokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long, destCol: String = "shard"): DataFrame = {
+    require(budget > 0, "shard_by_token_budget: budget must be positive")
+    graft.operators.ScaleWindows.runningSum(df, orderCol, tokenCol, "__cum")
+      .withColumn(destCol,
+        floor((col("__cum") - col(s"`$tokenCol`")).cast("double") / budget)
+          .cast("int"))
+      .drop("__cum")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions over the same
     * content-hash uniform — still a pure narrow filter (the fractions map is
     * a literal CASE, no join, no per-group pass). Strata absent from the map
