@@ -196,6 +196,15 @@ object QueriesLlm {
         Map("en" -> 0.5, "es" -> 0.2), defaultFraction = 0.05)),
     "chunk_documents" -> ((s, d) => documents(s, d)
       .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48)),
+    // drop training docs sharing >= 3 winnow fingerprints with the
+    // "benchmark" (doc_id < 20 of the same corpus — which also removes
+    // those docs themselves, the self-overlap degenerate case)
+    "decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "doc_id", "text", minShared = 3)
+        .select("doc_id", "lang")
+    }),
     // chunks -> equal-token-work shards via the scale-safe prefix sum
     "shard_by_token_budget" -> ((s, d) => {
       val chunks = documents(s, d)
@@ -303,6 +312,13 @@ object QueriesLlm {
          |FROM clusters JOIN sizes USING (cluster) WHERE id = cluster""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "winnow_fingerprints" -> (winnowSql + "SELECT doc_id AS id, unnest(fps) AS fp FROM wins"),
+    "decontaminate" -> (winnowSql +
+      """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        |bfp AS (SELECT DISTINCT fp FROM f WHERE doc_id < 20),
+        |contaminated AS (SELECT f.doc_id FROM f JOIN bfp USING (fp)
+        |  GROUP BY f.doc_id HAVING count(*) >= 3)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin),
     "contamination_pairs" -> (winnowSql +
       """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
         |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),

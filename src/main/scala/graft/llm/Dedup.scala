@@ -364,6 +364,28 @@ object Dedup {
       .select("id1", "id2", "containment")
   }
 
+  /** Batch benchmark decontamination — remove every training document that
+    * shares at least `minShared` winnowing fingerprints with the benchmark
+    * corpus (the eval-leakage scrub run before training; streaming
+    * counterpart: [[graft.streaming.StreamingOps.contaminationFlags]]).
+    * The benchmark index is tiny relative to the corpus, so its fingerprint
+    * set broadcasts; the corpus side is one narrow fingerprint pass + an
+    * anti join keyed on the doc id. Returns the surviving rows of `df`.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      minShared: Int = 3, shingleN: Int = 3, window: Int = 4): DataFrame = {
+    val benchFps = winnowFingerprints(benchmark, benchIdCol, benchTextCol,
+      shingleN, window).select("fp").distinct()
+    val contaminated = winnowFingerprints(df, idCol, textCol, shingleN, window)
+      .join(broadcast(benchFps), Seq("fp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("id").as(idCol))
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 48-bit SimHash over distinct tokens, with md5-derived token hashes
     * (md5 so the oracle can reproduce it; 48 bits keeps the value in a
     * signed BIGINT). One explode + one map-side-combinable aggregation.
