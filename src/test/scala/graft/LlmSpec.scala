@@ -88,6 +88,34 @@ class LlmSpec extends SparkSpec {
     assert(rows(1).getSeq[Double](2).forall(_ == 0.0))
   }
 
+  test("prepareCorpus: clean -> filter -> dedup -> decontaminate -> split") {
+    import graft.llm.Pipeline
+    // 60+ common english tokens so the Gopher keep-filter passes (tokens
+    // long enough that mean word length clears the >= 3 cutoff)
+    val good = (1 to 60).map(i => s"wording$i the and of to in is it that for").mkString(" ")
+    // stopwords interleaved between unique tokens: no 6-token run is shared
+    // with `good`'s skeleton, so this only overlaps the benchmark (itself)
+    val other = (1 to 60).map(i => s"uniquetok${i}a the uniquetok${i}b and").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // survives
+      (2L, good),                                   // exact near-dup of 1 -> dropped
+      (3L, s"<p>$good</p><script>x()</script>"),    // html cleaned, then dup of 1 -> dropped
+      (4L, "too short"),                            // fails quality filter
+      (5L, other)                                   // survives (distinct tokens)
+    ).toDF("id", "text")
+    val bench = Seq((100L, other)).toDF("id", "text")
+    val out = Pipeline.prepareCorpus(docs, "id", "text", benchmark = Some(bench))
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    // doc 5 is contaminated against the benchmark; docs 2-3 dedup into 1
+    assert(ids == Set(1L))
+    assert(out.columns.contains("cluster_size") && out.columns.contains("split"))
+    assert(out.filter(col("id") === 1L).collect()(0)
+      .getAs[Long]("cluster_size") == 3L)
+    // no benchmark: doc 5 survives too
+    val noBench = Pipeline.prepareCorpus(docs, "id", "text")
+    assert(noBench.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+  }
+
   test("LLM verbs chain through the syntax surface") {
     import graft.syntax._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
