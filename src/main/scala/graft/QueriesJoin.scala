@@ -38,6 +38,11 @@ object QueriesJoin {
       .conditionalJoin(bins(s, d),
         Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
         how = "left", indicator = true)),
+    "conditional_join_keep_last" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_size")
+      .conditionalJoin(bins(s, d),
+        Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
+        keep = "last")),
     "conditional_join_outer" -> ((s, d) => part(s, d)
       .select("p_partkey", "p_size")
       .conditionalJoin(bins(s, d),
@@ -124,6 +129,13 @@ object QueriesJoin {
     "conditional_join_ne" ->
       """SELECT n.n_nationkey, n.n_regionkey, r.r_regionkey, r.r_name
         |FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey""".stripMargin,
+    "conditional_join_keep_last" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi
+        |FROM part p JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi
+        |QUALIFY row_number() OVER (PARTITION BY p.p_partkey
+        |  ORDER BY b.lo DESC, b.hi DESC, b.s_suppkey DESC) = 1""".stripMargin,
     "conditional_join_outer" ->
       """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
         |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
