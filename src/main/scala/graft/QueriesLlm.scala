@@ -67,6 +67,10 @@ object QueriesLlm {
       "vec_id", "embedding", k = 5)),
     "similarity_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(
       vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99)),
+    // the LSH-bucketed scale path held to the SAME exhaustive oracle:
+    // at sim >= 0.99 the per-pair miss probability is ~7e-9
+    "similarity_lsh_dup_pairs" -> ((s, d) => Similarity.lshCosineDupPairs(
+      vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99)),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),
@@ -342,6 +346,19 @@ object QueriesLlm {
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |WHERE rn <= 5""".stripMargin,
     "similarity_dup_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+         |),
+         |s AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round($dotSql / (${normSql("qv")} * ${normSql("nv")}), 6) AS sim
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
+         |)
+         |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
+    "similarity_lsh_dup_pairs" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL

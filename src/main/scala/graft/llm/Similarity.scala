@@ -87,6 +87,36 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
+  /** LSH-bucketed near-duplicate PAIRS over embeddings — the scale path
+    * [[cosineDupPairs]] baselines (that form is quadratic in the corpus;
+    * this one only compares pairs sharing a (table, bucket) key). Exact
+    * cosine verifies every candidate, so precision is exact; recall at
+    * high thresholds is effectively exact too: P(miss) = (1-(1-θ/π)^p)^t —
+    * for sim ≥ 0.99 (θ ≈ 8°), p = 8 planes, t = 16 tables that is ~7e-9,
+    * which is why the gate can hold this against the same exhaustive
+    * oracle as the quadratic form. Lower thresholds widen the miss
+    * probability — pair with a recall gate there.
+    */
+  def lshCosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, numTables: Int = 16,
+      roundTo: Int = 6): DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("d")).first().getInt(0)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val e = df.repartition(par).select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"),
+      posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim))
+        .as(Seq("tbl", "bucket")))
+    // score before deduping (same trade as lshCosineTopK: shuffle scalars,
+    // recompute the codegen dot per extra collision)
+    e.as("a").join(e.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("sim", round(
+        dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("sim"))
+      .dropDuplicates("id1", "id2")
+  }
+
   /** splitmix64 — deterministic driver-side PRNG for plane components. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
