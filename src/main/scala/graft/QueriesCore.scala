@@ -349,13 +349,12 @@ object QueriesCore {
       .select("event_id", "ts", "user_id")
       .takeFirst(Seq("ts"), "event_id")
       .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"), col("user_id"))),
-    "flag_jumps" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      events(s, d).select("event_id", "value")
-        .addColumn("jump",
-          when(abs(col("value") - lag(col("value"), 1)
-            .over(Window.orderBy(col("event_id")))) > 10d, 1).otherwise(0))
-    })
+    // gate runs the real operator (bucketed ScaleWindows.lag1 path), not an
+    // inline global window — the green hash certifies the scale-safe plan
+    "flag_jumps" -> ((s, d) => events(s, d).select("event_id", "value")
+      .flagJumps("event_id",
+        default = operators.TimeseriesOps.JumpCriteria("absolute", "any", 10.0))
+      .withColumnRenamed("value_jump_flag", "jump"))
   )
 
   val oracles: Map[String, String] = Map(

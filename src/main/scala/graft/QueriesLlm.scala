@@ -478,7 +478,7 @@ object QueriesLlm {
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM v),
         |q AS (SELECT vec_id, s,
-        |    list_transform(v, x -> CAST(round(x * 127.0 / s) AS INT)) AS q
+        |    list_transform(v, x -> CAST(floor(abs(x) * 127.0 / s + 0.5) * sign(x) AS INT)) AS q
         |  FROM m WHERE s > 0
         |  UNION ALL SELECT vec_id, s, list_transform(v, x -> 0) FROM m WHERE s <= 0)
         |SELECT vec_id, round(s, 6) AS scale, coalesce(list_sum(q), 0) AS q_sum,

@@ -145,9 +145,17 @@ object Dedup {
     // visible directly in the signatures — no bucket join needed: group by a
     // hash of the full signature (8-byte key, map-side combinable) and emit
     // a representative-vs-rest star (min-id vs each other id) per family
-    // larger than the cap. O(family) candidates, clustering-equivalent under
-    // the connected-components step, and still exact-Jaccard verified
-    // (sig-hash collisions just add candidates the verify filters out).
+    // larger than the cap. O(family) candidates, still exact-Jaccard
+    // verified (sig-hash collisions just add candidates the verify filters
+    // out). RESIDUAL TRADE: identical signatures only ESTIMATE J=1 — if a
+    // rep-vs-x star pair fails exact verification, any x-vs-y pair that
+    // would have passed is never generated (only rep pairs exist), so an
+    // over-cap family whose members straddle the threshold can split into
+    // more clusters than exhaustive pairing would give. Accepted: for the
+    // caps and thresholds used here an identical-signature family is
+    // near-duplicate boilerplate where rep pairs pass uniformly, and the
+    // alternative (within-family all-pairs) is exactly the quadratic
+    // blow-up the cap exists to avoid.
     // Smaller families inside buckets made hot by OTHERS keep the standard
     // guarantee: a pair is lost only if all numBands of its buckets are hot,
     // which for non-identical signatures means numBands independent

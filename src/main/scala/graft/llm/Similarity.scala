@@ -31,8 +31,12 @@ object Similarity {
     * the per-vector scale kept alongside for dequantization
     * (v ≈ q · scale / 127). Pure narrow projection, streaming-safe. All
     * float math in DOUBLE so the oracle reproduces values bit-for-bit
-    * (float32 lanes would diverge between engines); all-zero vectors keep
-    * scale 0 and an all-zero code array. Adds `<vecCol>_q8`
+    * (float32 lanes would diverge between engines); the rounding rule is
+    * spelled out as floor(|x|·127/s + 0.5)·sign(x) — half away from zero —
+    * rather than engine-native round(), because Spark's and DuckDB's
+    * round() may disagree on half-way doubles while floor/abs/sign are
+    * plain IEEE ops both engines evaluate identically. All-zero vectors
+    * keep scale 0 and an all-zero code array. Adds `<vecCol>_q8`
     * (array<tinyint>) and `<vecCol>_scale` (double, the max|v|).
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
@@ -41,8 +45,9 @@ object Similarity {
     df.withColumn(s"${vecCol}_scale", scale)
       .withColumn(s"${vecCol}_q8",
         when(col(s"${vecCol}_scale") > 0,
-          transform(v, x => round(x * 127.0d / col(s"${vecCol}_scale"))
-            .cast("tinyint")))
+          transform(v, x =>
+            (floor(abs(x) * 127.0d / col(s"${vecCol}_scale") + 0.5d) *
+              signum(x)).cast("tinyint")))
           .otherwise(transform(v, x => lit(0).cast("tinyint"))))
   }
 
@@ -97,10 +102,18 @@ object Similarity {
     * oracle as the quadratic form. Lower thresholds widen the miss
     * probability — pair with a recall gate there.
     */
+  /** Vector dimension probe: one 1-row job; None when the frame is empty
+    * (so callers can return an empty result instead of throwing).
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("d")).head(1).headOption.map(_.getInt(0))
+
   def lshCosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 8, numTables: Int = 16,
       roundTo: Int = 6): DataFrame = {
-    val dim = df.select(size(col(vecCol)).as("d")).first().getInt(0)
+    val dim = probeDim(df, vecCol).getOrElse(
+      return df.limit(0).select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0d).as("sim")))
     val par = df.sparkSession.sparkContext.defaultParallelism
     val e = df.repartition(par).select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"),
@@ -314,7 +327,9 @@ object Similarity {
       vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 16,
       roundTo: Int = 6): DataFrame = {
     // one 1-row job: the plane literals need the (uniform) vector dimension
-    val dim = corpus.select(size(col(vecCol)).as("d")).first().getInt(0)
+    val dim = probeDim(corpus, vecCol).getOrElse(
+      return queries.limit(0).select(col(idCol).as("qid"), col(idCol).as("nid"),
+        lit(0.0d).as("sim")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qnorm"),
       posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim))

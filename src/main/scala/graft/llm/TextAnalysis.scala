@@ -271,8 +271,11 @@ object TextAnalysis {
     val tok = df.select(col(s"`$idCol`").as("id"),
       explode(Dedup.tokens(col(s"`$textCol`"))).as("t"))
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    // corpus token total: one bounded scalar action (sum over the vocab)
-    val n = vocab.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+    // corpus token total: one bounded scalar action (sum over the vocab);
+    // coalesce to 1 so an empty corpus yields an empty result instead of
+    // an NPE on the null sum (the join is empty anyway, n is unused)
+    val n = vocab.agg(coalesce(sum(col("c")), lit(1L)))
+      .collect()(0).getLong(0).toDouble
     tok.join(vocab, Seq("t"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -221,7 +221,10 @@ object JoinOps {
       case Some(tol) => m.isNotNull &&
         abs(m.getField("__rt") - col("__t").cast("double")) <= tol
     }
-    val kept = when(withinTol, m)
+    // a null left `on` never matches (pandas merge_asof rejects null keys,
+    // DuckDB ASOF yields no match) — without this gate nulls sort last in
+    // the descending pass and would pick up the globally smallest right row
+    val kept = when(col("__t").isNotNull && withinTol, m)
     passes.filter(col("__side") === 1)
       .select(col("__lpay.*") +:
         rPayloadCols.map(c => kept.getField(outName(c)).as(outName(c))).toSeq: _*)

@@ -216,9 +216,14 @@ object ScaleWindows {
         val local = last(col(s"`$valueCol`"), ignoreNulls = true).over(w)
         // boundary value each bucket exports = its last non-null value in
         // traversal order (max_by asc / min_by desc over (ord, tie); rows
-        // with a null value are skipped via the null ordering key)
+        // with a null value are skipped via the null ordering key). The tie
+        // is ASC in BOTH traversals, so under descending the last-visited
+        // row at the minimal ord is the tie-MAX — negate the tie key so
+        // min_by lands on it rather than the tie-MIN.
+        val tieKey = if (descending) -col(s"`$tieCol`").cast("double")
+          else col(s"`$tieCol`").cast("double")
         val ordIfSet = when(col(s"`$valueCol`").isNotNull,
-          struct(ord.as("o"), col(s"`$tieCol`").cast("double").as("t")))
+          struct(ord.as("o"), tieKey.as("t")))
         val edgeAgg = if (descending) min_by(col(s"`$valueCol`"), ordIfSet)
           else max_by(col(s"`$valueCol`"), ordIfSet)
         val edges = b.groupBy(col("__bkt")).agg(edgeAgg.as("__edge"))
@@ -281,8 +286,12 @@ object ScaleWindows {
         val w = Window.partitionBy((byCols :+ col("__bkt")): _*)
           .orderBy(ordCols: _*).rowsBetween(Window.unboundedPreceding, 0)
         val local = last(col(s"`$valueCol`"), ignoreNulls = true).over(w)
+        // same descending tie inversion as runningLast: traversal tie is
+        // ASC, so the boundary row at the minimal ord is the tie-MAX
+        val tieKey = if (descending) -col(s"`$tieCol`").cast("double")
+          else col(s"`$tieCol`").cast("double")
         val ordIfSet = when(col(s"`$valueCol`").isNotNull,
-          struct(ord.as("o"), col(s"`$tieCol`").cast("double").as("t")))
+          struct(ord.as("o"), tieKey.as("t")))
         val edgeAgg = if (descending) min_by(col(s"`$valueCol`"), ordIfSet)
           else max_by(col(s"`$valueCol`"), ordIfSet)
         val edges = b.groupBy((byCols :+ col("__bkt")): _*).agg(edgeAgg.as("__edge"))
@@ -292,9 +301,11 @@ object ScaleWindows {
         val carries = edges
           .withColumn("__carry", last(col("__edge"), ignoreNulls = true).over(carryW))
           .drop("__edge")
+        // the carry join surfaces (by, __bkt) as leading columns — restore
+        // the caller's column order (callers compare frames positionally)
         b.join(carries, by :+ "__bkt", "left")
           .withColumn(dest, coalesce(local, col("__carry")))
-          .drop("__bkt", "__carry")
+          .select(df.columns.map(c => col(s"`$c`")).toSeq :+ col(s"`$dest`"): _*)
     }
   }
 

@@ -18,6 +18,11 @@ object TypeOps {
     * .isEmpty` ≡ limit-1, early-exits per partition) whose predicate is a
     * codegen'd try_cast — linear scan worst case, O(1) result. Nulls count
     * as castable (null → null), matching SQL cast semantics.
+    *
+    * NOTE: "keep_values" runs that probe EAGERLY (one Spark action inside
+    * an otherwise-lazy transformation) — the all-or-nothing decision cannot
+    * be expressed per-row. It is therefore rejected on streaming frames,
+    * where no such global decision exists; use "fillna" there.
     */
   def changeType(df: DataFrame, column: String, dtype: String,
       ignoreException: String = "none"): DataFrame = {
@@ -26,6 +31,9 @@ object TypeOps {
       case "none" => df.withColumn(column, c.cast(dtype))
       case "fillna" => df.withColumn(column, c.try_cast(dtype))
       case "keep_values" =>
+        require(!df.isStreaming, "change_type: ignore_exception=keep_values " +
+          "needs an eager all-or-nothing probe and cannot run on a " +
+          "streaming DataFrame; use \"fillna\"")
         val anyFailure = !df.filter(c.isNotNull && c.try_cast(dtype).isNull).isEmpty
         if (anyFailure) df else df.withColumn(column, c.cast(dtype))
       case other => throw new IllegalArgumentException(s"change_type: bad ignore_exception $other")

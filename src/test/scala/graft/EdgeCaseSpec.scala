@@ -164,4 +164,36 @@ class EdgeCaseSpec extends SparkSpec {
       d.textAnalysis("t").collect()
     }
   }
+
+  test("similarity LSH + unigramLogProb tolerate an empty corpus") {
+    import graft.llm.{Similarity, TextAnalysis}
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val dup = Similarity.lshCosineDupPairs(emptyVecs, "vec_id", "embedding", 0.9)
+    assert(dup.count() == 0 && dup.columns.toSeq == Seq("id1", "id2", "sim"))
+    val topk = Similarity.lshCosineTopK(emptyVecs, emptyVecs, "vec_id", "embedding", k = 3)
+    assert(topk.count() == 0 && topk.columns.toSeq == Seq("qid", "nid", "sim"))
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "t")
+    assert(TextAnalysis.unigramLogProb(emptyDocs, "id", "t").count() == 0)
+  }
+
+  test("asofJoin: null left `on` keys never match (all directions)") {
+    import graft.operators.JoinOps
+    val l = Seq((1, Option(10L)), (2, Option.empty[Long]), (3, Option(30L)))
+      .toDF("lid", "t")
+    val r = Seq((5L, "a"), (25L, "b")).toDF("t", "v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = JoinOps.asofJoin(l, r, on = "t", direction = dir)
+      assert(out.filter(col("lid") === 2 && col("v").isNotNull).count() == 0,
+        s"dir=$dir: null-on left row must not match")
+      assert(out.count() == 3, s"dir=$dir keeps every left row")
+    }
+  }
+
+  test("changeType keep_values rejects streaming frames") {
+    import graft.operators.TypeOps
+    val stream = spark.readStream.format("rate").load()
+    intercept[IllegalArgumentException] {
+      TypeOps.changeType(stream, "value", "int", ignoreException = "keep_values")
+    }
+  }
 }

@@ -60,6 +60,32 @@ class ScaleWindowsSpec extends SparkSpec {
     }
   }}
 
+  test("runningLast/Keyed with DUPLICATE order values: descending bucket carry picks the tie-max") { withBucketedPath {
+    // many rows share each ord value, so every bucket boundary has ties and
+    // the exported carry must be the LAST-VISITED row (tie-max at the
+    // minimal ord under descending) — the round-9 tie-inversion fix
+    val rng = new scala.util.Random(97)
+    val d = (1 to 3000).map { i =>
+      val v = if (rng.nextInt(3) == 0) None else Some(s"p$i")
+      (rng.nextInt(40), i, rng.nextInt(3), v)
+    }.toDF("t", "tie", "k", "pay").repartition(8)
+    for (desc <- Seq(false, true)) {
+      val base = if (desc) Window.orderBy(col("t").desc, col("tie").asc)
+        else Window.orderBy(col("t").asc, col("tie").asc)
+      val w = base.rowsBetween(Window.unboundedPreceding, 0)
+      val global = d.withColumn("m", last(col("pay"), ignoreNulls = true).over(w))
+      val bucketed = ScaleWindows.runningLast(d, "t", "tie", "pay", "m", descending = desc)
+      assert(sorted(bucketed) == sorted(global), s"runningLast desc=$desc dup-ord")
+      val kBase = if (desc) Window.partitionBy("k").orderBy(col("t").desc, col("tie").asc)
+        else Window.partitionBy("k").orderBy(col("t").asc, col("tie").asc)
+      val kw = kBase.rowsBetween(Window.unboundedPreceding, 0)
+      val kGlobal = d.withColumn("m", last(col("pay"), ignoreNulls = true).over(kw))
+      val kBucketed = ScaleWindows.runningLastKeyed(d, Seq("k"), "t", "tie", "pay", "m",
+        descending = desc, nBuckets = 16)
+      assert(sorted(kBucketed) == sorted(kGlobal), s"runningLastKeyed desc=$desc dup-ord")
+    }
+  }}
+
   test("groupbyAggSkewSafe == window groupbyAgg, both dropna modes, null keys") {
     import graft.syntax._
     val rng = new scala.util.Random(41)
