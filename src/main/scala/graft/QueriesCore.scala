@@ -294,17 +294,27 @@ object QueriesCore {
     "process_text" -> ((s, d) => part(s, d)
       .select("p_partkey", "p_name")
       .processText("p_name", "upper")),
-    // one projection through seven distinct .str dispatch-table entries —
+    // one projection through twelve distinct .str dispatch-table entries —
     // the breadth check for the method table (TextOps.strMethod)
-    "process_text_methods" -> ((s, d) => part(s, d).select(
-      col("p_partkey"),
-      graft.operators.TextOps.strMethod(col("p_name"), "len").as("n"),
-      graft.operators.TextOps.strMethod(col("p_name"), "contains", Seq("gre")).as("has_gre"),
-      graft.operators.TextOps.strMethod(col("p_name"), "extract", Seq("([a-z]+)")).as("first_word"),
-      graft.operators.TextOps.strMethod(col("p_name"), "zfill", Seq(30)).as("z"),
-      graft.operators.TextOps.strMethod(col("p_name"), "removeprefix", Seq("a")).as("noprefix"),
-      graft.operators.TextOps.strMethod(col("p_name"), "slice", Seq(2, 5)).as("sl"),
-      graft.operators.TextOps.strMethod(col("p_name"), "count", Seq(" ")).as("nsp"))),
+    "process_text_methods" -> ((s, d) => {
+      val partn = graft.operators.TextOps.strMethod(col("p_name"), "partition", Seq(" "))
+      part(s, d).select(
+        col("p_partkey"),
+        graft.operators.TextOps.strMethod(col("p_name"), "len").as("n"),
+        graft.operators.TextOps.strMethod(col("p_name"), "contains", Seq("gre")).as("has_gre"),
+        graft.operators.TextOps.strMethod(col("p_name"), "extract", Seq("([a-z]+)")).as("first_word"),
+        graft.operators.TextOps.strMethod(col("p_name"), "zfill", Seq(30)).as("z"),
+        graft.operators.TextOps.strMethod(col("p_name"), "removeprefix", Seq("a")).as("noprefix"),
+        graft.operators.TextOps.strMethod(col("p_name"), "slice", Seq(2, 5)).as("sl"),
+        graft.operators.TextOps.strMethod(col("p_name"), "count", Seq(" ")).as("nsp"),
+        graft.operators.TextOps.strMethod(col("p_name"), "cat", Seq("|", "X")).as("catx"),
+        graft.operators.TextOps.strMethod(col("p_name"), "wrap", Seq(15)).as("wr"),
+        graft.operators.TextOps.strMethod(
+          concat(col("p_name"), lit("é")), "normalize", Seq("NFC")).as("nrm"),
+        partn.getField("head").as("part_head"),
+        partn.getField("tail").as("part_tail"),
+        graft.operators.TextOps.strMethod(col("p_name"), "translate", Seq("aeiou", "AEIO")).as("tr"))
+    }),
     "add_column" -> ((s, d) => orders(s, d)
       .select("o_orderkey", "o_totalprice")
       .addColumn("fee", col("o_totalprice") * 0.1d)
@@ -613,7 +623,15 @@ object QueriesCore {
         |lpad(p_name, 30, '0') AS z,
         |CASE WHEN starts_with(p_name, 'a') THEN substr(p_name, 2) ELSE p_name END AS noprefix,
         |substr(p_name, 3, 3) AS sl,
-        |len(string_split(p_name, ' ')) - 1 AS nsp
+        |len(string_split(p_name, ' ')) - 1 AS nsp,
+        |p_name || '|' || 'X' AS catx,
+        |rtrim(regexp_replace(p_name, '(.{1,15})( +|$)', '\1' || chr(10), 'g'), chr(10)) AS wr,
+        |nfc_normalize(p_name || 'e' || chr(769)) AS nrm,
+        |CASE WHEN instr(p_name, ' ') > 0 THEN substr(p_name, 1, instr(p_name, ' ') - 1)
+        |  ELSE p_name END AS part_head,
+        |CASE WHEN instr(p_name, ' ') > 0 THEN substr(p_name, instr(p_name, ' ') + 1)
+        |  ELSE '' END AS part_tail,
+        |translate(p_name, 'aeiou', 'AEIO') AS tr
         |FROM part""".stripMargin,
     "add_column" ->
       """SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS fee, 'x' AS tag FROM orders""",

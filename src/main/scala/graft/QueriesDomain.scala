@@ -67,6 +67,13 @@ object QueriesDomain {
         element_at(array(lit("AAPL"), lit("MSFT"), lit("GOOG"), lit("AMZN")),
           (col("c_custkey") % 4 + 1).cast("int")).as("tick")),
       "tick")),
+    // lower-case ticks: convert_stock's distinguishing behavior vs
+    // get_symbol is the case-insensitive resolution (finance.py:697 upper())
+    "convert_stock" -> ((s, d) => DomainOps.convertStock(s,
+      customer(s, d).select(col("c_custkey"),
+        element_at(array(lit("aapl"), lit("msft"), lit("goog"), lit("amzn")),
+          (col("c_custkey") % 4 + 1).cast("int")).as("tick")),
+      "tick")),
     "join_fasta" -> ((s, d) => {
       val path = s"${tmpDir()}/demo.fasta"
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
@@ -145,6 +152,12 @@ object QueriesDomain {
     "get_symbol" ->
       """SELECT c_custkey,
         |CASE c_custkey % 4 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' WHEN 2 THEN 'GOOG' ELSE 'AMZN' END AS tick,
+        |CASE c_custkey % 4 WHEN 0 THEN 'Apple Inc.' WHEN 1 THEN 'Microsoft Corporation'
+        |  WHEN 2 THEN 'Alphabet Inc.' ELSE 'Amazon.com, Inc.' END AS company
+        |FROM customer""".stripMargin,
+    "convert_stock" ->
+      """SELECT c_custkey,
+        |CASE c_custkey % 4 WHEN 0 THEN 'aapl' WHEN 1 THEN 'msft' WHEN 2 THEN 'goog' ELSE 'amzn' END AS tick,
         |CASE c_custkey % 4 WHEN 0 THEN 'Apple Inc.' WHEN 1 THEN 'Microsoft Corporation'
         |  WHEN 2 THEN 'Alphabet Inc.' ELSE 'Amazon.com, Inc.' END AS company
         |FROM customer""".stripMargin,

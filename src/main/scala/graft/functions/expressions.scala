@@ -137,6 +137,29 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Unicode normalization form application — the pandas `.str.normalize`
+    * surface (reference: janitor/functions/process_text.py:98-107). The form
+    * is a plan-time constant, not a child expression, so codegen can inline
+    * it as a literal.
+    */
+  def unicodeNormalizeJava(s: String, form: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form))
+
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+    require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+      s"normalize: bad unicode form $form")
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(unicodeNormalizeJava(input.toString, form))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"""graft.functions.expressions.unicodeNormalizeJava($c.toString(), "$form"))""")
+    override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+      copy(child = newChild)
+  }
+
   // Column wrappers ----------------------------------------------------------
   private def col(e: Expression): Column = org.apache.spark.sql.graftx.Bridge.column(e)
   private def expr(c: Column): Expression = org.apache.spark.sql.graftx.Bridge.expression(c)
@@ -145,4 +168,6 @@ object expressions {
   def natural_sort_key(c: Column): Column = col(NaturalSortKey(expr(c)))
   def normal_cdf(c: Column): Column = col(NormalCdf(expr(c)))
   def probit(c: Column): Column = col(Probit(expr(c)))
+  def unicode_normalize(c: Column, form: String): Column =
+    col(UnicodeNormalize(expr(c), form))
 }

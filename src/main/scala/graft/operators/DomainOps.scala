@@ -89,6 +89,18 @@ object DomainOps {
       .drop("ticker")
   }
 
+  /** Case-insensitive ticker → company lookup (reference:
+    * janitor/finance.py:697 convert_stock — upper-cases the symbol, then
+    * the same static-table resolution as get_symbol; the reference's live
+    * web call becomes a broadcast join).
+    */
+  def convertStock(spark: SparkSession, df: DataFrame, tickerCol: String): DataFrame = {
+    import spark.implicits._
+    val lookup = tickerTable.toDF("ticker", "company")
+    df.join(broadcast(lookup), upper(df(tickerCol)) === lookup("ticker"), "left")
+      .drop("ticker")
+  }
+
   /** Map an id column to sequences from a FASTA file
     * (reference: janitor/biology.py:22 join_fasta). FASTA parse is
     * driver-side (file-sized metadata), the join is a broadcast.

@@ -51,6 +51,33 @@ object TextOps {
       case "isspace" => c.rlike("^\\s+$")
       case "islower" => (c === lower(c)) && (c =!= upper(c))
       case "isupper" => (c === upper(c)) && (c =!= lower(c))
+      // element-wise concat with literal others: args = sep +: others
+      // (pandas .str.cat's no-others form is a whole-column aggregation —
+      // out of scope for a per-row dispatch; pass others explicitly)
+      case "cat" => concat_ws(s(0), c +: args.drop(1).map(a => lit(a.toString)): _*)
+      // greedy wrap at word boundaries: break lines at <= width chars on a
+      // space (or end of string); words longer than width are not broken —
+      // the common case of pandas .str.wrap(break_long_words) semantics on
+      // space-separated text
+      case "wrap" =>
+        rtrim(regexp_replace(c, s"(.{1,${i(0)}})( +|$$)", "$1\n"), "\n")
+      case "normalize" =>
+        graft.functions.expressions.unicode_normalize(c, s(0).toUpperCase)
+      // first-occurrence split into a (head, sep, tail) struct; sep absent
+      // -> (whole, "", "") like pandas .str.partition
+      case "partition" =>
+        val sep = s(0)
+        val idx = instr(c, sep)
+        struct(
+          when(idx > 0, c.substr(lit(1), idx - 1)).otherwise(c).as("head"),
+          when(idx > 0, lit(sep)).otherwise(lit("")).as("sep"),
+          when(idx > 0, c.substr(idx + sep.length, length(c)))
+            .otherwise(lit("")).as("tail"))
+      // char-for-char mapping: args = (matching chars, replacement chars);
+      // a matching char with no replacement counterpart is deleted —
+      // Spark's translate builtin is exactly python str.translate for
+      // 1:1/1:0 char tables
+      case "translate" => translate(c, s(0), s(1))
       case "swapcase" =>
         // no builtin: flip case per character (letters only — a char equal
         // to its lower form but not its upper form is lowercase, and vice

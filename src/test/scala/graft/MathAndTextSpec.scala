@@ -88,6 +88,34 @@ class MathAndTextSpec extends SparkSpec {
       .collect()(0).getString(0) == "aBc1 É")
   }
 
+  test("processText dispatch: cat, wrap, normalize, partition, translate") {
+    val c = col("s")
+    val d = Seq("one two three").toDF("s")
+    def run(m: String, args: Seq[Any] = Nil) =
+      d.select(TextOps.strMethod(c, m, args)).collect()(0)
+    assert(run("cat", Seq("|", "X", "Y")).getString(0) == "one two three|X|Y")
+    assert(run("wrap", Seq(7)).getString(0) == "one two\nthree")
+    assert(run("translate", Seq("oe", "0")).getString(0) == "0n tw0 thr")
+    val p = run("partition", Seq(" ")).getStruct(0)
+    assert((p.getString(0), p.getString(1), p.getString(2)) == ("one", " ", "two three"))
+    val noSep = d.select(TextOps.strMethod(c, "partition", Seq("|"))).collect()(0).getStruct(0)
+    assert((noSep.getString(0), noSep.getString(1), noSep.getString(2)) == ("one two three", "", ""))
+    // NFC fuses decomposed e + combining acute into one codepoint
+    val dec = Seq("caf" + "é").toDF("s")
+    assert(dec.select(TextOps.strMethod(col("s"), "normalize", Seq("NFC")))
+      .collect()(0).getString(0) == "café")
+    intercept[IllegalArgumentException](run("normalize", Seq("BAD")))
+  }
+
+  test("convertStock resolves tickers case-insensitively") {
+    import graft.operators.DomainOps
+    val d = Seq((1, "aapl"), (2, "MSFT"), (3, "zzzz")).toDF("id", "tick")
+    val out = DomainOps.convertStock(spark, d, "tick").orderBy("id").collect()
+    assert(out(0).getString(2) == "Apple Inc.")
+    assert(out(1).getString(2) == "Microsoft Corporation")
+    assert(out(2).isNullAt(2))
+  }
+
   test("concatenateColumns ignoreEmpty drops empty segments") {
     val d = Seq(("a", "", "c")).toDF("x", "y", "z")
     assert(d.concatenateColumns(Seq("x", "y", "z"), "out", "-", ignoreEmpty = true)
