@@ -21,6 +21,23 @@ object IoOps {
     if (withSourceFile) df.withColumn("source_file", input_file_name()) else df
   }
 
+  /** Dict-of-frames mode of read_csvs (reference: janitor/io.py:28 with
+    * separate_df=True returns `{filename: df}`): the glob is expanded
+    * driver-side (file metadata only — no data read) and each file becomes
+    * its own lazily-planned DataFrame keyed by its basename.
+    */
+  def readCsvsSeparate(spark: SparkSession, pathGlob: String,
+      header: Boolean = true,
+      schema: Option[String] = None): Map[String, DataFrame] = {
+    val hPath = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+    require(statuses.nonEmpty, s"read_csvs: no files match $pathGlob")
+    statuses.filter(_.isFile).map { st =>
+      st.getPath.getName -> readCsvs(spark, st.getPath.toString, header, schema)
+    }.toMap
+  }
+
   /** Write a bucketed + sorted table — the co-location primitive for
     * repeated large-scale joins/aggregations on the same key: two tables
     * bucketed the same way join with NO exchange and NO sort (plan shows
@@ -162,12 +179,26 @@ object IoOps {
       StructField("coordinate", StringType), StructField("row", IntegerType, nullable = false),
       StructField("column", IntegerType, nullable = false),
       StructField("data_type", StringType), StructField("is_date", BooleanType, nullable = false),
-      StructField("number_format", StringType), StructField("sheetname", StringType)))
+      StructField("number_format", StringType), StructField("sheetname", StringType),
+      // style attributes (openpyxl's fill/font/border structs, flattened to
+      // the commonly-queried fields; null when the workbook has no styles)
+      StructField("font_name", StringType), StructField("font_size", StringType),
+      StructField("font_bold", BooleanType), StructField("font_italic", BooleanType),
+      StructField("fill_pattern", StringType), StructField("fill_fg_color", StringType),
+      StructField("border", StringType)))
   }
 
-  private def cellToRow(c: Xlsx.Cell): org.apache.spark.sql.Row =
+  private def cellToRow(c: Xlsx.Cell, styles: Xlsx.Styles): org.apache.spark.sql.Row = {
+    val font = styles.fontOf(c.styleIdx)
+    val fill = styles.fillOf(c.styleIdx)
     org.apache.spark.sql.Row(c.value, c.internalValue, c.coordinate, c.row,
-      c.column, c.dataType, c.isDate, c.numberFormat, c.sheet)
+      c.column, c.dataType, c.isDate, c.numberFormat, c.sheet,
+      font.map(_.name).orNull, font.map(_.size).orNull,
+      font.map(f => Boolean.box(f.bold)).orNull,
+      font.map(f => Boolean.box(f.italic)).orNull,
+      fill.map(_.pattern).orNull, fill.map(_.fgColor).orNull,
+      styles.borderOf(c.styleIdx).orNull)
+  }
 
   /** Cell-level Excel reader (reference: janitor/io.py:345 xlsx_cells): one
     * output row per cell with value / coordinate / typing columns. The
@@ -200,7 +231,7 @@ object IoOps {
       case _ => bySheet
     }
     val kept = if (includeBlankCells) bounded else bounded.filter(_.internalValue != null)
-    spark.createDataFrame(kept.map(cellToRow).asJava, cellSchema)
+    spark.createDataFrame(kept.map(cellToRow(_, wb.styles)).asJava, cellSchema)
   }
 
   /** Distributed xlsx_cells over a directory/glob of workbooks: Spark's
@@ -217,10 +248,9 @@ object IoOps {
     files.flatMap { row =>
       val path = row.getString(0)
       val bytes = row.getAs[Array[Byte]](1)
-      Xlsx.parse(bytes).cells.map { c =>
-        org.apache.spark.sql.Row(c.value, c.internalValue, c.coordinate, c.row,
-          c.column, c.dataType, c.isDate, c.numberFormat, c.sheet, path)
-      }
+      val wb = Xlsx.parse(bytes)
+      wb.cells.map(c =>
+        org.apache.spark.sql.Row.fromSeq(cellToRow(c, wb.styles).toSeq :+ path))
     }(enc)
   }
 }

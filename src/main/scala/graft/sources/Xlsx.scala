@@ -34,14 +34,36 @@ object Xlsx {
     */
   final case class Cell(sheet: String, coordinate: String, row: Int, column: Int,
       dataType: String, isDate: Boolean, numberFormat: String,
-      value: String, internalValue: String)
+      value: String, internalValue: String, styleIdx: Int = -1)
+
+  /** Style attributes resolved per cellXf (reference: janitor/io.py:345 —
+    * openpyxl's fill/font/border structs; scoped to the commonly-queried
+    * attributes rather than the full openpyxl object graph).
+    */
+  final case class FontDef(name: String, size: String, bold: Boolean,
+      italic: Boolean, color: String)
+  final case class FillDef(pattern: String, fgColor: String)
+  /** cellXf → (numFmtId, fontId, fillId, borderId). */
+  final case class XfDef(numFmtId: Int, fontId: Int, fillId: Int, borderId: Int)
+  final case class Styles(numFmtById: Map[Int, String], xfs: IndexedSeq[XfDef],
+      fonts: IndexedSeq[FontDef], fills: IndexedSeq[FillDef],
+      borders: IndexedSeq[String]) {
+    def fontOf(styleIdx: Int): Option[FontDef] =
+      xfs.lift(styleIdx).flatMap(xf => fonts.lift(xf.fontId))
+    def fillOf(styleIdx: Int): Option[FillDef] =
+      xfs.lift(styleIdx).flatMap(xf => fills.lift(xf.fillId))
+    def borderOf(styleIdx: Int): Option[String] =
+      xfs.lift(styleIdx).flatMap(xf => borders.lift(xf.borderId))
+  }
+  object Styles { val empty = Styles(Map.empty, IndexedSeq.empty,
+    IndexedSeq.empty, IndexedSeq.empty, IndexedSeq.empty) }
 
   /** A named Excel table (`xl/tables/tableN.xml`). `ref` like "A1:C6". */
   final case class TableDef(name: String, sheet: String, ref: String,
       headerRowCount: Int)
 
   final case class Workbook(sheetNames: Seq[String], cells: Seq[Cell],
-      tables: Seq[TableDef])
+      tables: Seq[TableDef], styles: Styles = Styles.empty)
 
   // ---------------------------------------------------------------- parsing
 
@@ -49,8 +71,8 @@ object Xlsx {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
       .getOrElse(IndexedSeq.empty)
-    val (numFmtById, xfToNumFmt) = parts.get("xl/styles.xml").map(parseStyles)
-      .getOrElse((Map.empty[Int, String], IndexedSeq.empty[Int]))
+    val styles = parts.get("xl/styles.xml").map(parseStyles)
+      .getOrElse(Styles.empty)
     val rels = parts.get("xl/_rels/workbook.xml.rels").map(parseRels)
       .getOrElse(Map.empty)
     val sheets = parts.get("xl/workbook.xml").map(parseWorkbook)
@@ -62,7 +84,7 @@ object Xlsx {
       val target = rels.getOrElse(rId, "")
       val partName = resolvePart("xl/", target)
       for (sheetXml <- parts.get(partName)) {
-        cells ++= parseSheet(sheetXml, sheetName, shared, numFmtById, xfToNumFmt)
+        cells ++= parseSheet(sheetXml, sheetName, shared, styles)
         // table parts hang off the worksheet's own rels
         val relPart = {
           val i = partName.lastIndexOf('/')
@@ -76,7 +98,7 @@ object Xlsx {
         }
       }
     }
-    Workbook(sheets.map(_._1), cells.toSeq, tables.toSeq)
+    Workbook(sheets.map(_._1), cells.toSeq, tables.toSeq, styles)
   }
 
   private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
@@ -185,12 +207,25 @@ object Xlsx {
     45 -> "mm:ss", 46 -> "[h]:mm:ss", 47 -> "mmss.0", 48 -> "##0.0E+0",
     49 -> "@")
 
-  /** styles.xml -> (custom numFmtId -> code, cellXf index -> numFmtId). */
-  private def parseStyles(xml: Array[Byte]): (Map[Int, String], IndexedSeq[Int]) = {
+  /** styles.xml -> [[Styles]]: custom number formats, cellXfs (numFmt /
+    * font / fill / border ids), and the font/fill/border tables themselves.
+    * Container flags matter: dxfs and cellStyleXfs also contain
+    * font/fill/border/xf elements that must NOT land in the main tables.
+    */
+  private def parseStyles(xml: Array[Byte]): Styles = {
     val r = newReader(xml)
     val custom = Map.newBuilder[Int, String]
-    val xfs = mutable.ArrayBuffer.empty[Int]
-    var inCellXfs = false
+    val xfs = mutable.ArrayBuffer.empty[XfDef]
+    val fonts = mutable.ArrayBuffer.empty[FontDef]
+    val fills = mutable.ArrayBuffer.empty[FillDef]
+    val borders = mutable.ArrayBuffer.empty[String]
+    var inCellXfs = false; var inFonts = false; var inFills = false
+    var inBorders = false
+    // accumulators for the element currently being parsed
+    var fName = ""; var fSize = ""; var fBold = false; var fItalic = false
+    var fColor = ""
+    var fillPattern = ""; var fillFg = ""; var inPatternFill = false
+    val borderSides = mutable.ArrayBuffer.empty[String]
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
@@ -199,16 +234,56 @@ object Xlsx {
               for (id <- attr(r, "numFmtId"); code <- attr(r, "formatCode"))
                 custom += id.toInt -> code
             case "cellXfs" => inCellXfs = true
+            case "fonts" => inFonts = true
+            case "fills" => inFills = true
+            case "borders" => inBorders = true
             case "xf" if inCellXfs =>
-              xfs += attr(r, "numFmtId").map(_.toInt).getOrElse(0)
+              xfs += XfDef(
+                attr(r, "numFmtId").map(_.toInt).getOrElse(0),
+                attr(r, "fontId").map(_.toInt).getOrElse(0),
+                attr(r, "fillId").map(_.toInt).getOrElse(0),
+                attr(r, "borderId").map(_.toInt).getOrElse(0))
+            case "font" if inFonts =>
+              fName = ""; fSize = ""; fBold = false; fItalic = false; fColor = ""
+            case "name" if inFonts => fName = attr(r, "val").getOrElse("")
+            case "sz" if inFonts => fSize = attr(r, "val").getOrElse("")
+            case "b" if inFonts => fBold = !attr(r, "val").contains("0")
+            case "i" if inFonts => fItalic = !attr(r, "val").contains("0")
+            case "color" if inFonts && !inFills =>
+              fColor = attr(r, "rgb").orElse(attr(r, "theme").map("theme:" + _))
+                .getOrElse("")
+            case "fill" if inFills => fillPattern = ""; fillFg = ""
+            case "patternFill" if inFills =>
+              inPatternFill = true
+              fillPattern = attr(r, "patternType").getOrElse("")
+            case "fgColor" if inPatternFill =>
+              fillFg = attr(r, "rgb").orElse(attr(r, "theme").map("theme:" + _))
+                .orElse(attr(r, "indexed").map("indexed:" + _)).getOrElse("")
+            case "border" if inBorders => borderSides.clear()
+            case side @ ("left" | "right" | "top" | "bottom" | "diagonal")
+                if inBorders =>
+              attr(r, "style").foreach(s => borderSides += s"$side:$s")
             case _ =>
           }
-        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
-          inCellXfs = false
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "cellXfs" => inCellXfs = false
+            case "fonts" => inFonts = false
+            case "fills" => inFills = false
+            case "borders" => inBorders = false
+            case "font" if inFonts =>
+              fonts += FontDef(fName, fSize, fBold, fItalic, fColor)
+            case "patternFill" => inPatternFill = false
+            case "fill" if inFills => fills += FillDef(fillPattern, fillFg)
+            case "border" if inBorders => borders += borderSides.mkString(";")
+            case _ =>
+          }
         case _ =>
       }
     }
-    r.close(); (custom.result(), xfs.toIndexedSeq)
+    r.close()
+    Styles(custom.result(), xfs.toIndexedSeq, fonts.toIndexedSeq,
+      fills.toIndexedSeq, borders.toIndexedSeq)
   }
 
   /** Date detection mirrors openpyxl `is_date_format`: a format containing
@@ -247,8 +322,7 @@ object Xlsx {
   }
 
   private def parseSheet(xml: Array[Byte], sheetName: String,
-      shared: IndexedSeq[String], numFmtById: Map[Int, String],
-      xfToNumFmt: IndexedSeq[Int]): Seq[Cell] = {
+      shared: IndexedSeq[String], styles: Styles): Seq[Cell] = {
     val r = newReader(xml)
     val out = mutable.ArrayBuffer.empty[Cell]
     var coord = ""
@@ -262,8 +336,9 @@ object Xlsx {
 
     def flush(): Unit = {
       val (cIdx, rIdx) = parseCoord(coord, rowNum)
-      val numFmtId = if (styleIdx >= 0 && styleIdx < xfToNumFmt.length) xfToNumFmt(styleIdx) else 0
-      val numFmt = numFmtById.getOrElse(numFmtId, builtinFormats.getOrElse(numFmtId, "General"))
+      val numFmtId = styles.xfs.lift(styleIdx).map(_.numFmtId).getOrElse(0)
+      val numFmt = styles.numFmtById.getOrElse(numFmtId,
+        builtinFormats.getOrElse(numFmtId, "General"))
       val raw = v.toString
       val (dataType, isDate, display, internal) =
         if (!sawValue) ("n", false, null, null) // blank cell
@@ -283,7 +358,7 @@ object Xlsx {
             else ("n", false, formatNumeric(raw.trim), raw.trim)
         }
       out += Cell(sheetName, coord, rIdx, cIdx, dataType, isDate, numFmt,
-        display, internal)
+        display, internal, styleIdx)
     }
 
     while (r.hasNext) {
@@ -294,7 +369,8 @@ object Xlsx {
             case "c" =>
               coord = attr(r, "r").getOrElse("")
               cellType = attr(r, "t").getOrElse("n")
-              styleIdx = attr(r, "s").map(_.toInt).getOrElse(-1)
+              // no s attribute = cellXf 0, the workbook default style
+              styleIdx = attr(r, "s").map(_.toInt).getOrElse(0)
               v.setLength(0); sawValue = false
             case "v" => inV = true; sawValue = true
             case "t" if cellType == "inlineStr" => inIsT = true; sawValue = true

@@ -116,6 +116,92 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("xlsx_cells exposes font/fill/border style attributes") {
+    // hand-built workbook: the test Writer emits no styles.xml, so zip the
+    // parts directly — two cellXfs (default; bold red on solid yellow with
+    // a thin box border), cells B1/B2 using xf 1 via s="1"
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<fonts count="2">""" +
+        """<font><sz val="11"/><name val="Calibri"/></font>""" +
+        """<font><b/><i val="0"/><sz val="14"/><color rgb="FFFF0000"/><name val="Arial"/></font>""" +
+        """</fonts>""" +
+        """<fills count="3"><fill><patternFill patternType="none"/></fill>""" +
+        """<fill><patternFill patternType="gray125"/></fill>""" +
+        """<fill><patternFill patternType="solid"><fgColor rgb="FFFFFF00"/></patternFill></fill></fills>""" +
+        """<borders count="2"><border><left/><right/><top/><bottom/><diagonal/></border>""" +
+        """<border><left style="thin"/><right style="thin"/><top style="medium"/><bottom/><diagonal/></border></borders>""" +
+        """<cellXfs count="2">""" +
+        """<xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>""" +
+        """<xf numFmtId="0" fontId="1" fillId="2" borderId="1"/>""" +
+        """</cellXfs></styleSheet>"""
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>plain</t></is></c>""" +
+        """<c r="B1" s="1" t="inlineStr"><is><t>styled</t></is></c></row>""" +
+        """<row r="2"><c r="B2" s="1"><v>7</v></c></row>""" +
+        """</sheetData></worksheet>"""
+    val parts = Seq(
+      "_rels/.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""),
+      "xl/workbook.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          """<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""),
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" -> sheet)
+    val dir = java.nio.file.Files.createTempDirectory("xlsxstyle").toFile
+    dir.deleteOnExit()
+    val path = s"$dir/styled.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    parts.foreach { case (n, c) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val df = IoOps.xlsxCells(spark, path)
+    def cell(coord: String) =
+      df.filter($"coordinate" === coord).collect()(0)
+    val plain = cell("A1")
+    assert(plain.getString(df.columns.indexOf("font_name")) == "Calibri")
+    assert(!plain.getBoolean(df.columns.indexOf("font_bold")))
+    assert(plain.getString(df.columns.indexOf("fill_pattern")) == "none")
+    assert(plain.getString(df.columns.indexOf("border")) == "")
+    val styled = cell("B1")
+    assert(styled.getString(df.columns.indexOf("font_name")) == "Arial")
+    assert(styled.getString(df.columns.indexOf("font_size")) == "14")
+    assert(styled.getBoolean(df.columns.indexOf("font_bold")))
+    assert(!styled.getBoolean(df.columns.indexOf("font_italic"))) // i val="0"
+    assert(styled.getString(df.columns.indexOf("fill_pattern")) == "solid")
+    assert(styled.getString(df.columns.indexOf("fill_fg_color")) == "FFFFFF00")
+    assert(styled.getString(df.columns.indexOf("border")) == "left:thin;right:thin;top:medium")
+    assert(cell("B2").getString(df.columns.indexOf("font_name")) == "Arial")
+  }
+
+  test("readCsvsSeparate returns one frame per file keyed by basename") {
+    val dir = java.nio.file.Files.createTempDirectory("csvsep").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.csv"), "k,v\n1,x\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.csv"), "k,v\n2,y\n3,z\n")
+    val m = IoOps.readCsvsSeparate(spark, s"$dir/*.csv",
+      schema = Some("k INT, v STRING"))
+    assert(m.keySet == Set("a.csv", "b.csv"))
+    assert(m("a.csv").count() == 1 && m("b.csv").count() == 2)
+    intercept[IllegalArgumentException] {
+      IoOps.readCsvsSeparate(spark, s"$dir/*.tsv")
+    }
+  }
+
   test("xlsx_cells_glob parses a directory of workbooks in executors") {
     val dir = java.nio.file.Files.createTempDirectory("xlsxglob").toFile
     dir.deleteOnExit()
