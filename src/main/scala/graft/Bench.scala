@@ -88,14 +88,17 @@ object Bench {
     // full-precision complete record (the committed regression reference)
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // SPARK_GRAFT_BENCH_OUT redirects the full record (the sf1 smoke lane
+    // must not clobber the committed sf0.1 regression reference)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      java.nio.file.Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}\n""")
     catch { case _: Throwable => () }
     // compact stdout line (headline queries only) that survives tail capture
     val head = headline.flatMap(q => results.get(q).map(q -> _))
     val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},""" +
-      s""""queries":${fmt(head)},"full":"bench_out.json","sf":"$sfDir"}"""
+      s""""queries":${fmt(head)},"full":"$outPath","sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }
