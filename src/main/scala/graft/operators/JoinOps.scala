@@ -256,11 +256,27 @@ object JoinOps {
     * (or hit Spark's Sequence length limit), so they are routed through a
     * separate nested-loop branch instead — by construction few rows relative
     * to W, and unioned back losslessly.
+    *
+    * `dedupIntervals` — distinct-interval compression, the scale guard the
+    * sf1 smoke lane demanded (scripts/SF1_SMOKE.md): when many right rows
+    * share the same (lo, hi) — dimension-style interval tables — the banded
+    * join degenerates twice over: the band key's cardinality collapses to
+    * range(x)/W values (a handful of shuffle partitions do all the work) and
+    * the range match is re-evaluated once per duplicate interval. Compression
+    * runs the band match against DISTINCT (lo, hi) only — a frame small
+    * enough to broadcast, so the match is a map-side hash join at full scan
+    * parallelism — then restores right payloads with one codegen'd equi join
+    * on the bounds. Output is identical (equi re-expansion is lossless;
+    * null-bounded rows match nothing on either path). `"auto"` (default)
+    * probes `count` vs `count_distinct(lo, hi)` with one bounded aggregate
+    * action (eager, like the bandWidth<=0 probe; skipped — "off" — for
+    * streaming frames) and compresses when intervals repeat ≥2× on average;
+    * `"on"`/`"off"` force the choice.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, xCol: String, loCol: String,
       hiCol: String, bandWidth: Double = 0.0, how: String = "inner",
       loInclusive: Boolean = true, hiInclusive: Boolean = true,
-      maxBands: Int = 256): DataFrame = {
+      maxBands: Int = 256, dedupIntervals: String = "auto"): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     val r0 = overlap.foldLeft(right)((acc, c) => acc.withColumnRenamed(c, s"right_$c"))
     def rn(c: String): String = if (overlap.contains(c)) s"right_$c" else c
@@ -295,11 +311,52 @@ object JoinOps {
 
     val lb = l1.withColumn("__band", floor(col(s"`$xCol`") / w))
     // empty intervals (hi < lo) must contribute zero bands, not a Sequence error
-    val rb = rNarrow.withColumn("__band",
+    def withBands(f: DataFrame): DataFrame = f.withColumn("__band",
       explode(when(loB <= hiB, sequence(loB, hiB))
         .otherwise(array().cast("array<bigint>"))))
-    val banded = lb.join(rb, lb("__band") === rb("__band") && rangeCond(lb, rb), "inner")
-      .drop("__band")
+
+    val loN = rn(loCol)
+    val hiN = rn(hiCol)
+    // (compress?, distinct-interval count when the probe ran)
+    val (compress, dKnown): (Boolean, Option[Long]) = dedupIntervals match {
+      case "on" => (true, None)
+      case "off" => (false, None)
+      case "auto" =>
+        if (right.isStreaming) (false, None)
+        else {
+          // one bounded probe (count + distinct-interval count, map-side
+          // combinable); compress when intervals repeat >= 2x on average
+          val row = r1.agg(count(lit(1)).as("n"),
+            count_distinct(col(s"`$loN`"), col(s"`$hiN`")).as("d")).head()
+          val n = row.getLong(0)
+          val d = row.getLong(1)
+          (n > 0 && d.toDouble / n <= 0.5, Some(d))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"range_join: bad dedupIntervals $other")
+    }
+
+    val banded =
+      if (!compress) {
+        val rb = withBands(rNarrow)
+        lb.join(rb, lb("__band") === rb("__band") && rangeCond(lb, rb), "inner")
+          .drop("__band")
+      } else {
+        // distinct intervals only through the band match, then one equi join
+        // on the bounds to restore the full right payload. Broadcast the
+        // distinct side explicitly when the probe certified it small (the
+        // map-side join keeps the scan at full parallelism — no shuffle on
+        // the low-cardinality band key); otherwise let AQE decide from the
+        // runtime shuffle size.
+        val dRaw = withBands(rNarrow.select(col(s"`$loN`"), col(s"`$hiN`")).distinct())
+        val dInt = if (dKnown.exists(_ <= (1L << 16))) broadcast(dRaw) else dRaw
+        val matched = lb
+          .join(dInt, lb("__band") === dInt("__band") && rangeCond(lb, dInt), "inner")
+          .drop("__band")
+        matched.join(rNarrow, Seq(loN, hiN), "inner")
+          .select((l1.columns.map(c => col(s"`$c`")) ++
+            r1.columns.map(c => col(s"`$c`"))).toIndexedSeq: _*)
+      }
     val wide = l1.join(rWide, rangeCond(l1, rWide), "inner")
     val inner = banded.unionByName(wide)
 

@@ -225,8 +225,9 @@ object syntax {
       JoinOps.getJoinIndices(df, right, leftId, rightId, conditions)
     def rangeJoin(right: DataFrame, xCol: String, loCol: String, hiCol: String,
         bandWidth: Double, how: String = "inner", loInclusive: Boolean = true,
-        hiInclusive: Boolean = true): DataFrame =
-      JoinOps.rangeJoin(df, right, xCol, loCol, hiCol, bandWidth, how, loInclusive, hiInclusive)
+        hiInclusive: Boolean = true, dedupIntervals: String = "auto"): DataFrame =
+      JoinOps.rangeJoin(df, right, xCol, loCol, hiCol, bandWidth, how, loInclusive,
+        hiInclusive, dedupIntervals = dedupIntervals)
     def asofJoin(right: DataFrame, on: String, by: Seq[String] = Nil,
         direction: String = "backward", tolerance: Option[Double] = None,
         suffix: String = "_right", skewSafe: Boolean = false): DataFrame =

@@ -212,6 +212,36 @@ class ReshapeAndJoinSpec extends SparkSpec {
     assert(sorted(auto.select("id", "rid")) == sorted(naive.select("id", "rid")))
   }
 
+  test("rangeJoin distinct-interval compression matches the naive theta join") {
+    val l = (1 to 80).map(i => (i, (i % 40).toDouble)).toDF("id", "x")
+    // 30 right rows but only 3 distinct (lo, hi) — auto probe fires (d/n = 0.1)
+    val r = (1 to 30).map(j => (j, (j % 3) * 10.0, (j % 3) * 10.0 + 6.0))
+      .toDF("rid", "lo", "hi")
+    val naive = sorted(l.join(r, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("id", "rid"))
+    for (mode <- Seq("auto", "on", "off")) {
+      val got = JoinOps.rangeJoin(l, r, "x", "lo", "hi", bandWidth = 4.0,
+        dedupIntervals = mode)
+      assert(sorted(got.select("id", "rid")) == naive, s"mode=$mode")
+      // column order is stable across paths: left columns then right columns
+      assert(got.columns.toSeq == Seq("id", "x", "rid", "lo", "hi"), s"mode=$mode")
+    }
+  }
+
+  test("rangeJoin compression handles outer forms, null bounds and over-wide intervals") {
+    val l = Seq((1, 5.0), (2, 99.0), (3, 11.0)).toDF("id", "x")
+    // duplicated intervals + a null-bounded row + an over-wide interval
+    def jd(x: Double): java.lang.Double = java.lang.Double.valueOf(x)
+    val r = Seq[(Int, java.lang.Double, java.lang.Double)](
+        (1, jd(3.0), jd(9.0)), (2, jd(3.0), jd(9.0)), (3, jd(3.0), jd(9.0)),
+        (4, jd(3.0), jd(9.0)), (5, null, jd(9.0)), (6, jd(0.0), jd(50.0)))
+      .toDF("rid", "lo", "hi")
+    val naive = l.join(r, col("x") >= col("lo") && col("x") <= col("hi"), "full_outer")
+    val got = JoinOps.rangeJoin(l, r, "x", "lo", "hi", bandWidth = 2.0,
+      how = "outer", maxBands = 8, dedupIntervals = "on")
+    assert(sorted(got.select("id", "rid")) == sorted(naive.select("id", "rid")))
+  }
+
   test("rangeJoin outer forms keep unmatched rows from both sides") {
     val l = Seq((1, 5.0), (2, 99.0)).toDF("id", "x")
     val r = Seq((1, 3.0, 9.0), (2, 40.0, 41.0)).toDF("rid", "lo", "hi")
