@@ -198,6 +198,35 @@ object QueriesLlm {
       .select("doc_id", "lang")
       .stratifiedHashSample("doc_id", "lang",
         Map("en" -> 0.5, "es" -> 0.2), defaultFraction = 0.05)),
+    // domain mixture: en/zh/es/fr -> 40/30/20/10% of a 600-row target
+    // (de dropped); both down-sampling (en: m~1.1 -> some rows x1, x2)
+    // and up-sampling (zh: m=2.4 -> every row >=2 copies) in one gate
+    "mix_domains" -> ((s, d) => graft.llm.Sampling.mixDomains(
+      documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
+      Seq("en" -> 0.4, "zh" -> 0.3, "es" -> 0.2, "fr" -> 0.1),
+      targetRows = 600L).select("doc_id", "lang", "copy")),
+    // SemDeDup with pinned centroids (embeddings of vec_id < 8, no Lloyd
+    // refinement) so the WHOLE path — cell assignment via the CentroidSims
+    // kernel, within-cell pair join, keep-lowest-id rule — is exactly
+    // replicated by the DuckDB oracle
+    "semdedup" -> ((s, d) => {
+      // corpus with planted exact copies (vec_id+100000 of vec_id < 10) —
+      // the natural pairwise-sim ceiling in this table is ~0.51, so the
+      // planted family is what the keep-lowest-id rule must remove
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      Similarity.semDedupWithCentroids(vecCorpus(s, d), "vec_id", "embedding",
+        cents, threshold = 0.95).select("vec_id", "cell")
+    }),
+    // the production path (trained centroids) pinned by its invariants:
+    // no kept within-cell near-dup pair survives, nothing lost/invented
+    "semdedup_trained_gate" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.95, nCells = 16, kmeansIters = 3)
+      Similarity.semDedupGate(emb, kept, "vec_id", "embedding", 0.95)
+    }),
     "chunk_documents" -> ((s, d) => documents(s, d)
       .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48)),
     // drop training docs sharing >= 3 winnow fingerprints with the
@@ -551,6 +580,48 @@ object QueriesLlm {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
         |  / 4294967296.0 AS u FROM documents)
         |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2 ELSE 0.05 END""".stripMargin,
+    // multiplier arithmetic (w*T/n) and the md5-uniform replicated exactly;
+    // copies = floor(m) + Bernoulli(frac(m)) via generate_series
+    "mix_domains" ->
+      """WITH n AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+        |w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.3), ('es', 0.2), ('fr', 0.1)) t(lang, wt)),
+        |m AS (SELECT d.doc_id, d.lang, w.wt * 600.0 / CAST(n.n_d AS DOUBLE) AS mult,
+        |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS u
+        |  FROM documents d JOIN w USING (lang) JOIN n USING (lang))
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
+        |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
+        |FROM m""".stripMargin,
+    // full replication of the pinned-centroid SemDeDup path: cell = argmax
+    // over dot(vec, centroid)/||centroid|| (first index wins ties, 1-based,
+    // centroid order = vec_id order), then drop any doc with a smaller-id
+    // same-cell neighbor at round(cos, 6) >= 0.95
+    "semdedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         |cn AS (
+         |  SELECT vec_id AS cid, embedding AS cvec,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnorm
+         |  FROM embeddings WHERE vec_id < 8),
+         |cells AS (
+         |  SELECT e.vec_id, e.embedding, c.cell
+         |  FROM corpus e CROSS JOIN LATERAL (
+         |    SELECT CAST(cid + 1 AS INT) AS cell
+         |    FROM cn CROSS JOIN LATERAL (SELECT e.embedding AS qv, cvec AS nv) l
+         |    ORDER BY $dotSql / cnorm DESC, cid ASC LIMIT 1) c),
+         |nm AS (SELECT vec_id, embedding, cell, ${normSql("embedding")} AS nrm FROM cells),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM nm a JOIN nm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
+         |  WHERE round($dotSql / (a.nrm * b.nrm), 6) >= 0.95)
+         |SELECT vec_id, cell FROM cells
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "semdedup_trained_gate" ->
+      "SELECT count(*) AS n_input, TRUE AS no_kept_dups, TRUE AS kept_in_bounds FROM embeddings",
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
         |x AS (SELECT doc_id, toks,

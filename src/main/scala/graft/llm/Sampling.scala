@@ -86,4 +86,51 @@ object Sampling {
     }
     df.filter(hashUniform(col(s"`$keyCol`"), seed) < f)
   }
+
+  /** Domain-mixture resampling (the Pile / DoReMi recipe, public method —
+    * the reference has no equivalent): re-weight a corpus so each domain's
+    * share of a `targetRows`-sized output matches `weights`, by
+    * deterministic per-row REPLICATION, not just filtering. Per-domain
+    * multiplier m_d = w_d · targetRows / n_d; every row emits
+    * `floor(m_d)` copies plus one more when its content-hash uniform falls
+    * below `frac(m_d)` — so over-represented domains down-sample
+    * (m_d < 1 ⇒ Bernoulli keep) and under-represented domains up-sample
+    * (m_d > 1 ⇒ whole epochs + a fractional epoch), which is exactly how
+    * training mixtures express "3.2 epochs of Wikipedia". Domains absent
+    * from `weights` are dropped. A `copy` index column disambiguates the
+    * replicas.
+    *
+    * Scale shape: one tiny per-domain count aggregate (map-side
+    * combinable, |domains| rows) broadcast back onto the corpus, then a
+    * narrow explode — no corpus-wide shuffle, and replication happens
+    * executor-side, so at 100 TB the plan is scan + broadcast-join +
+    * explode. Determinism: the multiplier arithmetic `w·T/n_d` and the
+    * md5-uniform are both engine-replicable bit-for-bit (same contract as
+    * [[hashSample]]).
+    */
+  def mixDomains(df: DataFrame, keyCol: String, domainCol: String,
+      weights: Seq[(String, Double)], targetRows: Long,
+      copyCol: String = "copy", seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "mix_domains: no domain weights")
+    require(weights.forall(_._2 >= 0.0), "mix_domains: negative weight")
+    require(targetRows > 0, "mix_domains: targetRows must be positive")
+    val dom = col(s"`$domainCol`").cast("string")
+    val counts = df.groupBy(dom.as("__dom")).agg(count(lit(1)).as("__n"))
+    // weight literal CASE — |weights| is small; rows of unlisted domains
+    // get weight 0 and vanish with their empty copy array
+    val w = weights.foldLeft(lit(0.0d)) { case (acc, (k, v)) =>
+      when(col("__dom") === k, lit(v)).otherwise(acc)
+    }
+    val mult = w * lit(targetRows.toDouble) / col("__n").cast("double")
+    val u = hashUniform(col(s"`$keyCol`"), seed)
+    val copies = (floor(col("__mult")).cast("int") +
+      when(u < col("__mult") - floor(col("__mult")), 1).otherwise(0))
+    df.join(broadcast(counts.withColumn("__mult", mult)
+        .select(col("__dom"), col("__mult"))),
+        dom === col("__dom"), "left")
+      .withColumn("__copies", coalesce(copies, lit(0)))
+      .withColumn(copyCol, explode(when(col("__copies") > 0,
+        sequence(lit(0), col("__copies") - 1)).otherwise(array().cast("array<int>"))))
+      .drop("__dom", "__mult", "__copies")
+  }
 }

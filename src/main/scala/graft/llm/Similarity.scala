@@ -354,6 +354,80 @@ object Similarity {
       .select("qid", "nid", "sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method; the reference repo has no
+    * equivalent): cluster the embedding space into cells, then within each
+    * cell drop every document whose cosine similarity (rounded to
+    * `roundTo`, same convention as [[cosineDupPairs]]) to a LOWER-id
+    * document in the same cell reaches `threshold`. Candidate generation
+    * is the within-cell self-join — the paper's core trick: cross-cell
+    * pairs are never materialized, so the pair space is Σ|cell|² instead
+    * of N², and the join is an equi-join on the cell id
+    * (shuffle-partitionable; a skewed giant cell is AQE-splittable because
+    * the exact-cosine filter runs after the join, not inside a custom
+    * comparator). Keep rule: lowest id survives (the paper keeps the point
+    * nearest the centroid; min-id is deterministic under re-clustering,
+    * re-partitioning, and re-runs — the property a reproducible corpus
+    * build needs). Returns the kept rows with their `cell` id.
+    */
+  def semDedupWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      roundTo: Int = 6): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val cells = withCell(df.repartition(par), vecCol, centroids)
+    val a = cells.select(col(idCol).as("__id1"), col(vecCol).as("__v1"),
+      norm(col(vecCol)).as("__n1"), col("cell"))
+    val b = cells.select(col(idCol).as("__id2"), col(vecCol).as("__v2"),
+      norm(col(vecCol)).as("__n2"), col("cell"))
+    // a doc is dropped when ANY smaller-id same-cell doc is near it — the
+    // witness itself need not survive (one anti-join, no iteration; same
+    // greedy rule NVIDIA NeMo-Curator ships for semantic dedup)
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(round(dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")),
+        roundTo) >= threshold)
+      .select(col("__id2").as(idCol)).distinct()
+    cells.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semDedupWithCentroids]] with centroids trained by the IVF k-means
+    * path ([[trainCentroids]]: deterministic stride seeds + Lloyd steps
+    * over a bounded sample). `nCells` governs the pair-space compression:
+    * E[Σ|cell|²] ≈ N²/nCells for balanced cells, so at corpus scale pick
+    * nCells ∝ N / (target cell size).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, kmeansIters: Int = 5): DataFrame = {
+    val cents = trainCentroids(df.select(col(idCol), col(vecCol)), idCol,
+      vecCol, nCells, kmeansIters)
+    semDedupWithCentroids(df, idCol, vecCol, cents, threshold)
+  }
+
+  /** One-row invariant gate for [[semDedup]]: after dedup, no two KEPT
+    * documents in the same cell may still be near-duplicates, and every
+    * input row is either kept or dropped (no loss, no invention). Pinning
+    * the booleans (not the kept count) keeps the gate robust to centroid
+    * evolution while still tripping on a broken keep rule.
+    */
+  def semDedupGate(input: DataFrame, kept: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val survivors = kept.select(col(idCol).as("__id1"), col(vecCol).as("__v1"),
+      norm(col(vecCol)).as("__n1"), col("cell"))
+    val pairsLeft = survivors
+      .join(survivors.select(col("__id1").as("__id2"), col("__v1").as("__v2"),
+        col("__n1").as("__n2"), col("cell")), Seq("cell"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(round(dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")), 6)
+        >= threshold)
+      .count()
+    val nIn = input.count()
+    val nKept = kept.count()
+    input.sparkSession.range(1).select(
+      lit(nIn).as("n_input"),
+      lit(pairsLeft == 0).as("no_kept_dups"),
+      lit(nKept > 0 && nKept <= nIn).as("kept_in_bounds"))
+  }
+
   /** Mean per-query recall of an approximate top-k result against the
     * exact one. Both inputs carry (qid, nid); recall for a query is the
     * fraction of its exact neighbors the approximate path recovered.

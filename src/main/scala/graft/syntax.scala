@@ -296,5 +296,12 @@ object syntax {
         fractions: Map[String, Double], defaultFraction: Double = 0.0,
         seed: Long = 42L): DataFrame =
       Sampling.stratifiedHashSample(df, keyCol, strataCol, fractions, defaultFraction, seed)
+    def mixDomains(keyCol: String, domainCol: String,
+        weights: Seq[(String, Double)], targetRows: Long,
+        copyCol: String = "copy", seed: Long = 42L): DataFrame =
+      Sampling.mixDomains(df, keyCol, domainCol, weights, targetRows, copyCol, seed)
+    def semDedup(idCol: String, vecCol: String, threshold: Double,
+        nCells: Int = 16, kmeansIters: Int = 5): DataFrame =
+      graft.llm.Similarity.semDedup(df, idCol, vecCol, threshold, nCells, kmeansIters)
   }
 }

@@ -316,4 +316,61 @@ class LlmSpec extends SparkSpec {
     assert(frames.distinct.length == frames.length,
       "every frame must sample a different offset")
   }
+
+  test("semDedupWithCentroids keeps the lowest id of each within-cell dup family") {
+    // two well-separated directions; near-dups planted along each
+    val docs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.01f)), // dups of 0 (cell A)
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.01f, 0.999f)), // dups of 2 (cell B)
+      (4L, Array(0.7f, 0.7f))                              // lone diagonal
+    ).toDF("id", "vec")
+    val cents = Array(Array(1.0d, 0.0d), Array(0.0d, 1.0d))
+    val kept = Similarity.semDedupWithCentroids(docs, "id", "vec", cents, 0.99)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // 1 and 3 drop (smaller-id near neighbor in-cell); 4 survives in
+    // whichever cell it lands because nothing is near it
+    assert(kept.toSeq == Seq(0L, 2L, 4L))
+    // cell ids are 1-based first-match: id 0 -> cell 1, id 2 -> cell 2
+    val cells = Similarity.semDedupWithCentroids(docs, "id", "vec", cents, 0.99)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(0L) == 1 && cells(2L) == 2)
+  }
+
+  test("semDedup trained path satisfies its invariant gate") {
+    val docs = (0 until 40).map { i =>
+      val base = i % 4
+      val v = Array.tabulate(8)(j => if (j == base * 2) 1.0f else 0.001f * i)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val kept = Similarity.semDedup(docs, "id", "vec", threshold = 0.98,
+      nCells = 4, kmeansIters = 2)
+    val gate = Similarity.semDedupGate(docs, kept, "id", "vec", 0.98).collect()(0)
+    assert(gate.getLong(0) == 40L)
+    assert(gate.getBoolean(1), "kept set must contain no within-cell dup pair")
+    assert(gate.getBoolean(2))
+  }
+
+  test("mixDomains replicates by w*T/n and drops unlisted domains") {
+    import graft.llm.Sampling
+    val rows = (0 until 30).map(i => (i.toLong,
+      if (i < 20) "big" else if (i < 28) "small" else "out"))
+    val df = rows.toDF("k", "dom")
+    // big: m = 0.5*40/20 = 1.0 -> exactly 1 copy each; small: m = 0.5*40/8
+    //  = 2.5 -> 2 or 3 copies each; "out" unlisted -> dropped
+    val out = Sampling.mixDomains(df, "k", "dom",
+      Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L)
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("big") == 20L, "m=1.0 must keep every row exactly once")
+    assert(byDom("small") >= 16L && byDom("small") <= 24L,
+      s"m=2.5 gives 2-3 copies per row, got ${byDom("small")}")
+    assert(!byDom.contains("out"))
+    // copy index is dense from 0 per row
+    val copies = out.filter(col("dom") === "small" && col("k") === 20L)
+      .select("copy").collect().map(_.getInt(0)).sorted
+    assert(copies.headOption.contains(0) && copies.toSeq == copies.indices.toSeq)
+    // determinism: same input, same output
+    assert(out.count() == Sampling.mixDomains(df, "k", "dom",
+      Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
+  }
 }
