@@ -13,15 +13,30 @@ object Tables {
   def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
   def nation(s: SparkSession, dir: String): DataFrame = load(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = load(s, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and floor-truncate to microseconds — the
-    * same conversion DuckDB applies reading the file, so oracles agree.
+  /** events.parquet's `ts` physical type depends on the generator version:
+    * TIMESTAMP(NANOS) (older driver testdata — Spark's reader rejects it,
+    * so read nanos as long via the legacy conf and floor-truncate to
+    * microseconds, the same conversion DuckDB applies) or TIMESTAMP(MICROS)
+    * (current testdata — read as-is). Dispatch on the loaded schema so both
+    * generations work; assuming nanos against a micros file resolved `ts`
+    * as TIMESTAMP_NTZ and broke every events-table query (round-9 incident:
+    * 38 gates failed on `ts div 1000`).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        // The nanos path produced TIMESTAMP_LTZ (timestamp_micros); the
+        // micros file reads as TIMESTAMP_NTZ. Cast to LTZ — value-identical
+        // under the UTC session zone — so downstream ops (epoch casts,
+        // date_trunc) and the DuckDB oracles behave exactly as before.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
