@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.llm.{Dedup, Pca, Similarity, TextAnalysis, Multimodal}
 import graft.syntax._
 
 /** LLM-pipeline extension operators (builder brief): dedup (exact, MinHash
@@ -227,6 +227,25 @@ object QueriesLlm {
         threshold = 0.95, nCells = 16, kmeansIters = 3)
       Similarity.semDedupGate(emb, kept, "vec_id", "embedding", 0.95)
     }),
+    // PCA projection with a PINNED component matrix / mean / eigenvalues
+    // (all values exactly float-representable: multiples of 2^-6 / 2^-7),
+    // so the whole projection path — CentroidSims dot kernel, driver-side
+    // offset fold, whitening scale — is exactly replicated in DuckDB.
+    // The trained path (Pca.fit) is pinned by pca_trained_gate invariants,
+    // same split as semdedup / semdedup_trained_gate.
+    "pca_project" -> ((s, d) => {
+      val k = 8; val dim = 64
+      val w = Array.tabulate(k, dim)((r, i) => (((i * 7 + r * 13) % 17) - 8) / 64.0)
+      val mu = Array.tabulate(dim)(i => ((i % 5) - 2) / 128.0)
+      val sc = Array.tabulate(k)(r => 1.0 / math.sqrt((8.0 - r) / 2.0))
+      val proj = Pca.projectExpr(col("embedding"), mu, w, sc)
+      embeddings(s, d).withColumn("__p", proj)
+        .select(col("vec_id") +: (1 to k).map(r =>
+          round(element_at(col("__p"), r), 6).as(s"p$r")): _*)
+    }),
+    "pca_trained_gate" -> ((s, d) =>
+      Pca.trainedGate(embeddings(s, d).select("vec_id", "embedding"),
+        "embedding", 8)),
     "chunk_documents" -> ((s, d) => documents(s, d)
       .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48)),
     // drop training docs sharing >= 3 winnow fingerprints with the
@@ -622,6 +641,36 @@ object QueriesLlm {
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "semdedup_trained_gate" ->
       "SELECT count(*) AS n_input, TRUE AS no_kept_dups, TRUE AS kept_in_bounds FROM embeddings",
+    // pinned-matrix projection replicated value-for-value: same exactly-
+    // float-representable W/mu (multiples of 2^-6/2^-7), same ascending-
+    // index dot order as the CentroidSims kernel, same IEEE sqrt/divide
+    "pca_project" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 7)) AS r),
+        |w AS (SELECT r,
+        |  list_transform(generate_series(0, 63),
+        |    i -> (CAST((i*7 + r*13) % 17 AS DOUBLE) - 8) / 64.0) AS wv,
+        |  1.0 / sqrt((8.0 - r) / 2.0) AS sc FROM r),
+        |mu AS (SELECT list_transform(generate_series(0, 63),
+        |    i -> (CAST(i % 5 AS DOUBLE) - 2) / 128.0) AS m),
+        |p AS (SELECT vec_id, w.r AS r,
+        |  (list_sum(list_transform(generate_series(1, 64),
+        |     i -> CAST(embedding[i] AS DOUBLE) * wv[i]))
+        |   - list_sum(list_transform(generate_series(1, 64),
+        |     i -> m[i] * wv[i]))) * sc AS v
+        |  FROM embeddings CROSS JOIN w CROSS JOIN mu)
+        |SELECT vec_id,
+        |  round(max(CASE WHEN r = 0 THEN v END), 6) AS p1,
+        |  round(max(CASE WHEN r = 1 THEN v END), 6) AS p2,
+        |  round(max(CASE WHEN r = 2 THEN v END), 6) AS p3,
+        |  round(max(CASE WHEN r = 3 THEN v END), 6) AS p4,
+        |  round(max(CASE WHEN r = 4 THEN v END), 6) AS p5,
+        |  round(max(CASE WHEN r = 5 THEN v END), 6) AS p6,
+        |  round(max(CASE WHEN r = 6 THEN v END), 6) AS p7,
+        |  round(max(CASE WHEN r = 7 THEN v END), 6) AS p8
+        |FROM p GROUP BY vec_id""".stripMargin,
+    "pca_trained_gate" ->
+      """SELECT count(*) AS n_input, TRUE AS orthonormal,
+        |TRUE AS eig_sorted, TRUE AS var_match FROM embeddings""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
         |x AS (SELECT doc_id, toks,
