@@ -205,6 +205,55 @@ object vector {
       copy(child = c)
   }
 
+  /** SimHash signature of a token array in one compiled pass: each DISTINCT
+    * token hashed to its 48-bit md5 prefix (numerically identical to
+    * `conv(substring(md5(tok), 1, bits/4), 16, 10)`), contributing ±1 at
+    * every bit position; bit j of the result is set iff the signed count is
+    * positive. Replaces the explode + groupBy(id) + `bits` conditional-sum
+    * columns formulation — which shuffles one row per distinct token and
+    * generates a 48-wide aggregation buffer — with a narrow per-row map:
+    * no shuffle, no aggregate, same value. `bits` must be a multiple of 8
+    * (hex-pair aligned), ≤ 63.
+    */
+  def simhashKernel(toks: ArrayData, bits: Int): Long = {
+    val md = md5TL.get()
+    val nBytes = bits / 8
+    val counts = new Array[Int](bits)
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val t = toks.getUTF8String(i).toString
+      if (seen.add(t)) {
+        md.reset()
+        val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L; var b = 0
+        while (b < nBytes) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L; var j = 0
+    while (j < bits) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+    require(bits > 0 && bits < 64 && bits % 8 == 0,
+      "SimhashSig: bits must be a positive multiple of 8, < 64")
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(a: Any): Any =
+      simhashKernel(a.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.vector.simhashKernel($a, $bits)")
+    override protected def withNewChildInternal(c: Expression): SimhashSig =
+      copy(child = c)
+  }
+
   /** Whole MinHash signature for one document in a single compiled pass:
     * distinct word shingles from the token array, then per lane i the min
     * over shingles of Spark's own `xxhash64(shingle, i)` chain
@@ -333,6 +382,8 @@ object vector {
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   def window_min(a: Column, w: Int): Column =
     Bridge.column(WindowMin(Bridge.expression(a), w))
+  def simhash_sig(toks: Column, bits: Int): Column =
+    Bridge.column(SimhashSig(Bridge.expression(toks), bits))
   def gram_hash48(toks: Column, n: Int): Column =
     Bridge.column(GramHash48(Bridge.expression(toks), n))
   def minhash_sig(toks: Column, numHashes: Int, shingleN: Int): Column =

@@ -226,8 +226,13 @@ object Dedup {
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 10, smallEdgeThreshold: Long = 100000L): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // symmetrize in ONE pass over pairs: the unionAll form evaluates the
+    // (expensive) pair pipeline once per branch — the checkpoint sits
+    // downstream of the union, so it materialized the LSH pipeline twice
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(eager = false)
     // Adaptive cutover (same pattern as ScaleWindows): near-dup edge lists
     // are tiny relative to the corpus — duplicate pairs above threshold are
@@ -396,17 +401,14 @@ object Dedup {
 
   /** 48-bit SimHash over distinct tokens, with md5-derived token hashes
     * (md5 so the oracle can reproduce it; 48 bits keeps the value in a
-    * signed BIGINT). One explode + one map-side-combinable aggregation.
+    * signed BIGINT). One narrow codegen projection — the signature is a
+    * pure function of the row's own tokens, so the earlier explode +
+    * groupBy(id) + 48 conditional-sum columns (a full shuffle of one row
+    * per distinct token and a 48-wide agg buffer) was pure overhead; the
+    * [[graft.functions.vector.simhashKernel]] form is value-identical
+    * (same md5-prefix bit math) with no exchange at any corpus size.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, bits / 4), 16, 10).cast("long"))
-    val bitSums = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until bits).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column).reduce(_ + _)
-    agg.select(col("id"), sig.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.vector.simhash_sig(tokens(col(textCol)), bits).as("simhash"))
 }

@@ -29,6 +29,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("pca projection is stateless and agrees with batch on a stream") {
+    implicit val sq = spark.sqlContext
+    import graft.llm.Pca
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (math.sin(i * 0.7 * (d + 1))).toFloat)))
+    val batch = vecs.toDF("id", "v")
+    val model = Pca.fit(batch, "v", 2)
+    val expected = Pca.project(batch, "v", model, whiten = true, outCol = "p")
+      .select(col("id"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val in = MemoryStream[(Long, Array[Float])]
+    in.addData(vecs: _*)
+    val out = runToCompletion(
+      Pca.project(in.toDF().toDF("id", "v"), "v", model,
+        whiten = true, outCol = "p"),
+      "pca_stream_out")
+    val got = out.select(col("id"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, p) =>
+      p.zip(expected(id)).foreach { case (a, b) => assert(a == b,
+        s"stream/batch projection drift for id=$id") }
+    }
+  }
+
   test("sampling, splitting, and chunking run unchanged on streaming frames") {
     // all three are narrow projections/filters — the streaming proof is that
     // the SAME call works on an unbounded frame and agrees with batch
