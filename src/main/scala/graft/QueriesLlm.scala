@@ -176,6 +176,10 @@ object QueriesLlm {
         element_at(col("embedding_q8"), 2).cast("int").as("q2"),
         element_at(col("embedding_q8"), 3).cast("int").as("q3"))
     }),
+    "build_vocab" -> ((s, d) =>
+      TextAnalysis.buildVocab(documents(s, d), "doc_id", "text", 100)),
+    "vocab_size_gate" -> ((s, d) =>
+      TextAnalysis.vocabSizeGate(documents(s, d), "text")),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")),
@@ -531,6 +535,21 @@ object QueriesLlm {
         |  UNION ALL SELECT vec_id, s, list_transform(v, x -> 0) FROM m WHERE s <= 0)
         |SELECT vec_id, round(s, 6) AS scale, coalesce(list_sum(q), 0) AS q_sum,
         |  q[1] AS q1, q[2] AS q2, q[3] AS q3 FROM q""".stripMargin,
+    "build_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token),
+        |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM v),
+        |r AS (SELECT token, tf, df,
+        |    row_number() OVER (ORDER BY tf DESC, token) AS rank FROM v)
+        |SELECT rank, token, tf, df,
+        |  round(sum(tf) OVER (ORDER BY rank) / n.total, 6) AS coverage
+        |FROM r, n WHERE rank <= 100""".stripMargin,
+    "vocab_size_gate" ->
+      """SELECT count(DISTINCT token) AS n_exact, TRUE AS approx_ok
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
         |  FROM documents),

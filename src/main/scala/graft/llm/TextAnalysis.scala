@@ -307,6 +307,54 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  /** Top-k corpus vocabulary — the tokenizer-training / OOV-audit prep
+    * step: term frequency, document frequency, and cumulative corpus
+    * coverage for the k most frequent tokens (ties broken on the token so
+    * the ranking is deterministic across engines). One explode → one
+    * map-side-combinable aggregation keyed on the token; the top-k sort
+    * runs over the |vocab| aggregate, never over token instances, and the
+    * coverage prefix sum is a window over k rows on the driver-bounded
+    * result. Scales to any corpus: the only shuffle is the (token) agg.
+    */
+  def buildVocab(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    val tok = df.select(col(s"`$idCol`").as("id"),
+      explode(Dedup.tokens(col(s"`$textCol`"))).as("token"))
+    val vocab = tok.groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
+    val total = vocab.agg(coalesce(sum(col("tf")), lit(1L)))
+      .collect()(0).getLong(0).toDouble
+    import org.apache.spark.sql.expressions.Window
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    // driver merge) — the global windows below then run over k rows, never
+    // the full vocabulary
+    val top = vocab.orderBy(col("tf").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("token"))))
+    top.withColumn("coverage",
+        round(sum(col("tf")).over(
+          Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0))
+          / total, 6))
+      .select("rank", "token", "tf", "df", "coverage")
+  }
+
+  /** Invariant gate for sketch-based distinct counting: HLL++
+    * approx_count_distinct of the vocabulary within `tol` of the exact
+    * count (same pattern as the ANN recall gates — the sketch itself is
+    * engine-specific, the bound is the contract). Returns one row:
+    * (n_exact, approx_ok). At 100 TB the approx path is the one you run —
+    * constant memory per partition vs the exact count's full shuffle.
+    */
+  def vocabSizeGate(df: DataFrame, textCol: String,
+      tol: Double = 0.05): DataFrame = {
+    val tok = df.select(explode(Dedup.tokens(col(s"`$textCol`"))).as("token"))
+    tok.agg(count_distinct(col("token")).as("n_exact"),
+        approx_count_distinct(col("token")).as("n_approx"))
+      .select(col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= tol).as("approx_ok"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))
