@@ -39,6 +39,22 @@ object Bench {
       exhaust(spark.read.parquet(s"$sfDir/lineitem.parquet")
         .selectExpr("count(distinct l_returnflag)", "sum(l_quantity)"))
     } catch { case _: Throwable => () }
+    // …and the custom-kernel/HOF paths: whichever dedup/similarity query
+    // runs first otherwise absorbs ~3s of their one-time codegen+JIT (the
+    // round-10 dedup_clusters measurements were dominated by it). 64 rows
+    // through the kernels is enough to compile and JIT every hot class.
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.vector
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      exhaust(docs.select(
+        vector.minhash_sig(col("toks"), 128, 3).as("m"),
+        vector.simhash_sig(col("toks"), 48).as("s"),
+        vector.window_min(vector.gram_hash48(col("toks"), 3), 4).as("w"),
+        size(filter(zip_with(col("toks"), col("toks"), (a, b) => a === b),
+          b => b)).as("z")))
+    } catch { case _: Throwable => () }
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run (targeted perf iteration)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -89,8 +105,14 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // SPARK_GRAFT_BENCH_OUT redirects the full record (the sf1 smoke lane
-    // must not clobber the committed sf0.1 regression reference)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    // must not clobber the committed sf0.1 regression reference). Restricted
+    // runs (SPARK_GRAFT_QUERIES set) and non-default sf dirs divert to a
+    // scratch path for the same reason — only a full default-sf run may
+    // overwrite the committed reference implicitly.
+    val isReferenceRun = only.isEmpty && sfDir == "/root/testdata/sf0.1"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (isReferenceRun) "/root/repo/bench_out.json"
+      else "/root/repo/target/bench_scratch.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}\n""")

@@ -176,6 +176,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.unigramLogProb(emptyDocs, "id", "t").count() == 0)
   }
 
+  test("buildVocab / vocabSizeGate tolerate empty and tiny corpora, k > vocab") {
+    import graft.llm.TextAnalysis
+    val empty = Seq.empty[(Long, String)].toDF("id", "t")
+    assert(TextAnalysis.buildVocab(empty, "id", "t", 10).count() == 0)
+    val one = Seq((1L, "a b a")).toDF("id", "t")
+    val v = TextAnalysis.buildVocab(one, "id", "t", 10)
+      .orderBy("rank").collect()
+    assert(v.length == 2) // k caps, vocab smaller
+    assert(v(0).getString(1) == "a" && v(0).getLong(2) == 2)
+    assert(math.abs(v(1).getDouble(4) - 1.0) < 1e-9) // full coverage at tail
+    val g = TextAnalysis.vocabSizeGate(one, "t").collect()(0)
+    assert(g.getLong(0) == 2 && g.getBoolean(1))
+  }
+
+  test("Pca tolerates degenerate inputs: k > dim, constant column") {
+    import graft.llm.Pca
+    val d = (0 until 20).map(i =>
+      (i.toLong, Array(i.toFloat, 1.0f))).toDF("id", "v") // dim-2, col 1 constant
+    val m = Pca.fit(d, "v", 5)
+    assert(m.k == 2, "k must cap at dim")
+    assert(m.eigenvalues(1) < 1e-9, "constant lane has ~zero variance")
+    val p = Pca.project(d, "v", m, whiten = false, outCol = "p").collect()
+    assert(p.length == 20)
+  }
+
   test("asofJoin: null left `on` keys never match (all directions)") {
     import graft.operators.JoinOps
     val l = Seq((1, Option(10L)), (2, Option.empty[Long]), (3, Option(30L)))
