@@ -101,10 +101,34 @@ object QueriesJoin {
             .groupBy("user_id", "ts").agg(max(col("value")).as("click_value")),
           on = "ts", by = Seq("user_id"),
           direction = "forward", tolerance = Some(3600.0d))
+    }),
+    // FastSS deletion-neighborhood fuzzy join: c_name ids differ in digits,
+    // so distance-1 families are plentiful and the candidate buckets stay
+    // family-sized (a theta-join levenshtein<=1 would be the O(n²) BNLJ)
+    "fuzzy_self_join" -> ((s, d) =>
+      graft.operators.JoinOps.fuzzySelfJoin(
+        customer(s, d).select("c_custkey", "c_name"), "c_custkey", "c_name",
+        maxDist = 1)),
+    "fuzzy_join" -> ((s, d) => {
+      val names = customer(s, d).select("c_custkey", "c_name")
+      graft.operators.JoinOps.fuzzyJoin(
+          names.filter(col("c_custkey") % 100 === 0), names,
+          "c_name", "c_name", maxDist = 2)
+        .select(col("c_custkey"), col("c_custkey_r"), col("dist"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_self_join" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "fuzzy_join" ->
+      """SELECT a.c_custkey, b.c_custkey AS c_custkey_r,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey % 100 = 0
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "conditional_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderkey, o.o_orderdate
         |FROM lineitem l JOIN orders o

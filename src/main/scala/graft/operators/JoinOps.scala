@@ -381,4 +381,89 @@ object JoinOps {
       out.drop(lid, rid)
     }
   }
+
+  /** Edit-distance (fuzzy) join — the entity-resolution join the reference's
+    * conditional_join family cannot express. Exact, never all-pairs:
+    * candidate generation via k-deletion neighborhoods (FastSS, Bocek et
+    * al. 2007: ed(u,v) ≤ k ⇒ the sets of strings reachable by ≤ k single-
+    * character deletions intersect — delete the edited positions from both
+    * sides), then exact `levenshtein` verification on the candidates.
+    *
+    * Scale shape: each side emits its ≤ O(len^k) deletion variants hashed
+    * to 64-bit keys (one narrow explode), the only shuffle is the equi-join
+    * on the variant hash, and bucket sizes are bounded by how many strings
+    * actually collapse to the same variant — near-duplicate families, not
+    * the corpus. Contrast: q-gram or prefix-segment candidate schemes
+    * degenerate to block joins on shared-prefix data (ID-style keys), and a
+    * theta-join `levenshtein(a,b) <= k` is an O(n²) BroadcastNestedLoop.
+    * `maxDist` ≤ 2 (the variant count is len choose k — fine for the short
+    * strings entity resolution runs on; document lengths belong in
+    * [[graft.llm.Dedup]] MinHash, not here).
+    *
+    * Output: one row per matched pair — left columns + right columns
+    * (collision-suffixed `_r`) + `dist`.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"fuzzyJoin: maxDist must be in [1, 2], got $maxDist (use an equi join for 0)")
+    val rightRenamed = right.toDF(right.columns.map(c =>
+      if (left.columns.contains(c)) s"${c}_r" else c): _*)
+    val rCol = if (left.columns.contains(rightCol)) s"${rightCol}_r" else rightCol
+    val lk = left.select(col(s"`$leftCol`").as("__lkey")).distinct()
+      .select(col("__lkey"),
+        explode(variantHashes(col("__lkey"), maxDist)).as("__vh"))
+    val rk = rightRenamed.select(col(s"`$rCol`").as("__rkey")).distinct()
+      .select(col("__rkey"),
+        explode(variantHashes(col("__rkey"), maxDist)).as("__vh"))
+    // candidate pairs over DISTINCT key strings (duplicates re-expand via
+    // the final equi-joins), verified by exact edit distance
+    val cand = lk.join(rk, Seq("__vh"))
+      .select("__lkey", "__rkey").distinct()
+      .withColumn("dist", levenshtein(col("__lkey"), col("__rkey")))
+      .filter(col("dist") <= maxDist)
+    left.as("__fjL").join(cand.as("__fjC"),
+        col(s"__fjL.`$leftCol`") === col("__fjC.__lkey"))
+      .join(rightRenamed.as("__fjR"),
+        col("__fjC.__rkey") === col(s"__fjR.`$rCol`"))
+      .drop("__lkey", "__rkey")
+  }
+
+  /** Self fuzzy join: pairs (id1 < id2) of rows whose `strCol` values are
+    * within `maxDist` edits. Same FastSS candidate scheme as [[fuzzyJoin]].
+    */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"fuzzySelfJoin: maxDist must be in [1, 2], got $maxDist")
+    val base = df.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("s"))
+    val keyed = base.select(col("id"), col("s"),
+      explode(variantHashes(col("s"), maxDist)).as("__vh"))
+    keyed.as("a").join(keyed.as("b"), Seq("__vh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+
+  /** xxhash64 of the string and every ≤ maxDist single-character deletion
+    * (distinct). The k=2 layer nests deletions of deletions: O(len²)
+    * variants — short entity strings only. HOF note (PLANS.md contract):
+    * each lambda element evaluates one substring concat — O(len) work per
+    * element, no captured-array re-evaluation.
+    */
+  private def variantHashes(s: Column, maxDist: Int): Column = {
+    def deletions(x: Column): Column =
+      transform(sequence(lit(1), length(x)),
+        i => concat(x.substr(lit(1), i - 1), x.substr(i + 1, length(x))))
+    val d1 = deletions(s)
+    val vars =
+      if (maxDist == 1) array_union(array(s), d1)
+      else array_union(array(s),
+        array_union(d1, array_distinct(flatten(transform(d1, x => deletions(x))))))
+    transform(vars, v => xxhash64(v))
+  }
 }

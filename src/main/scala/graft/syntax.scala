@@ -232,6 +232,11 @@ object syntax {
         direction: String = "backward", tolerance: Option[Double] = None,
         suffix: String = "_right", skewSafe: Boolean = false): DataFrame =
       JoinOps.asofJoin(df, right, on, by, direction, tolerance, suffix, skewSafe)
+    def fuzzyJoin(right: DataFrame, leftCol: String, rightCol: String,
+        maxDist: Int = 1): DataFrame =
+      JoinOps.fuzzyJoin(df, right, leftCol, rightCol, maxDist)
+    def fuzzySelfJoin(idCol: String, strCol: String, maxDist: Int = 1): DataFrame =
+      JoinOps.fuzzySelfJoin(df, idCol, strCol, maxDist)
 
     // §2.12 timeseries
     def fillMissingTimestamps(tsCol: String, frequency: String,

@@ -285,4 +285,61 @@ class ReshapeAndJoinSpec extends SparkSpec {
       .map(row => (if (row.isNullAt(0)) -1 else row.getInt(0), row.getInt(1))).sorted.toSeq
     assert(gotFull == Seq((-1, 3), (-1, 4), (1, 2)))
   }
+
+  test("fuzzySelfJoin finds exactly the pairs within edit distance (all edit kinds)") {
+    import graft.operators.JoinOps
+    val d = Seq(
+      (1L, "kitten"), (2L, "sitten"),  // substitution, dist 1
+      (3L, "kittn"),                   // deletion vs kitten, dist 1
+      (4L, "kittens"),                 // insertion vs kitten, dist 1
+      (5L, "sitting"),                 // dist 2 from sitten -> excluded at k=1
+      (6L, "zebra")).toDF("id", "s")
+    val got = JoinOps.fuzzySelfJoin(d, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    // exact expectation computed against a reference levenshtein
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (i1, s1) <- rows; (i2, s2) <- rows if i1 < i2
+      dd = lev(s1, s2) if dd <= 1
+    } yield (i1, i2, dd)).sorted.toSeq
+    assert(got.toSeq == expected)
+  }
+
+  test("fuzzySelfJoin maxDist=2 matches brute force on a digit-id corpus") {
+    import graft.operators.JoinOps
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val strs = (0 until 40).map(i => (i.toLong, f"Cust#${i % 20}%03d${i / 20}%d"))
+    val d = strs.toDF("id", "s")
+    val got = JoinOps.fuzzySelfJoin(d, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val expected = (for {
+      (i1, s1) <- strs; (i2, s2) <- strs if i1 < i2
+      dd = lev(s1, s2) if dd <= 2
+    } yield (i1, i2, dd)).sorted
+    assert(got == expected)
+  }
+
+  test("fuzzyJoin two-table form suffixes collisions and is complete") {
+    import graft.operators.JoinOps
+    val l = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val r = Seq((10L, "alpah"), (11L, "betas"), (12L, "gamma")).toDF("id", "name")
+    val got = JoinOps.fuzzyJoin(l, r, "name", "name", maxDist = 2)
+      .select("id", "id_r", "dist")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).sorted.toSeq
+    assert(got.contains((1L, 10L, 2)) && got.contains((2L, 11L, 1)))
+    assert(!got.exists(_._2 == 12L))
+  }
 }
