@@ -455,7 +455,7 @@ object JoinOps {
     * each lambda element evaluates one substring concat — O(len) work per
     * element, no captured-array re-evaluation.
     */
-  private def variantHashes(s: Column, maxDist: Int): Column = {
+  private[graft] def variantHashes(s: Column, maxDist: Int): Column = {
     def deletions(x: Column): Column =
       transform(sequence(lit(1), length(x)),
         i => concat(x.substr(lit(1), i - 1), x.substr(i + 1, length(x))))

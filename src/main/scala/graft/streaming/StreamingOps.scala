@@ -130,6 +130,34 @@ object StreamingOps {
         round(col("__best.j"), 6).as("jaccard"))
   }
 
+  /** Stream-static fuzzy (edit-distance) matching: each arriving string is
+    * resolved against a static reference table via the same FastSS
+    * deletion-neighborhood candidates as the batch
+    * [[graft.operators.JoinOps.fuzzyJoin]] (stateless narrow variant
+    * explode on the stream side, stream-static equi-join on the 8-byte
+    * variant hash), verified with `levenshtein`, and collapsed to the best
+    * match per stream row — (min distance, tie → min ref id) — with an
+    * update-mode aggregation, the same contract as [[nearDupFlags]]. The
+    * static side is hashed once per micro-batch plan; at scale pre-compute
+    * and persist it bucketed by `__vh`.
+    */
+  def fuzzyMatchFlags(stream: DataFrame, idCol: String, strCol: String,
+      ref: DataFrame, refIdCol: String, refStrCol: String,
+      maxDist: Int = 1): DataFrame = {
+    import graft.operators.JoinOps
+    val refK = ref.select(col(s"`$refIdCol`").as("ref_id"),
+        col(s"`$refStrCol`").as("__rs"))
+      .withColumn("__vh", explode(JoinOps.variantHashes(col("__rs"), maxDist)))
+    val sK = stream.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("__s"))
+      .withColumn("__vh", explode(JoinOps.variantHashes(col("__s"), maxDist)))
+    sK.join(refK, Seq("__vh"))
+      .withColumn("__d", levenshtein(col("__s"), col("__rs")))
+      .filter(col("__d") <= maxDist)
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d").as("d"), col("ref_id").as("r"))).as("__best"))
+      .select(col("id"), col("__best.r").as("ref_id"), col("__best.d").as("dist"))
+  }
+
   /** Streaming approximate nearest neighbors: each arriving query vector is
     * IVF-probed against a static corpus. Centroids come from
     * `Similarity.trainCentroids` on the corpus (batch, once); the stream

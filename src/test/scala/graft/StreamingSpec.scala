@@ -185,6 +185,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("fuzzyMatchFlags resolves streamed strings against a static reference") {
+    implicit val sq = spark.sqlContext
+    val ref = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma")).toDF("rid", "name")
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "alpah"), (2L, "betas"), (3L, "alpha"), (4L, "nomatch"))
+    val out = runToCompletion(
+      graft.streaming.StreamingOps.fuzzyMatchFlags(
+        in.toDF().toDF("id", "s"), "id", "s", ref, "rid", "name", maxDist = 2),
+      "fuzzy_flags_out", mode = "complete")
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(m(1L) == ((10L, 2)))  // transposition = 2 edits
+    assert(m(2L) == ((11L, 1)))
+    assert(m(3L) == ((10L, 0)))  // exact match, distance 0
+    assert(!m.contains(4L))
+  }
+
   test("nearDupFlags verifies streamed docs against a static corpus by exact Jaccard") {
     implicit val sq = spark.sqlContext
     val base = (1 to 60).map(i => s"corp$i").mkString(" ")
