@@ -16,7 +16,8 @@ object Bench {
     "groupby_agg", "groupby_topk", "pivot_longer", "pivot_wider", "complete",
     "count_cumulative_unique", "math_ecdf", "fill_direction", "clean_names",
     "filter_on", "xlsx_table", "row_to_names", "min_max_scale_jointly",
-    "asof_join", "hash_split", "chunk_documents")
+    "asof_join", "hash_split", "chunk_documents",
+    "dedup_near", "semdedup", "pca_project", "build_vocab", "fuzzy_self_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
