@@ -93,6 +93,16 @@ object QueriesDomain {
     }),
     "read_commandline" -> ((s, d) => IoOps.readCommandline(s,
       "printf 'a,b\\n1,x\\n2,y\\n'", schema = Some("a INT, b STRING"))),
+    // z-order with PINNED boundaries (multiples of 3 / 4000) so the
+    // bucketize + bit-interleave math is exactly replicated in DuckDB; the
+    // data-derived approxQuantile path is spec-gated (balance + locality)
+    "zorder_value" -> ((s, d) => {
+      val qb = Array.tabulate(15)(i => (i + 1) * 3.0)
+      val pb = Array.tabulate(15)(i => (i + 1) * 4000.0)
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        IoOps.zOrderValue(Seq(col("l_quantity"), col("l_extendedprice")),
+          Seq(qb, pb), bits = 4).as("z"))
+    }),
     "xlsx_table" -> ((s, d) => {
       IoOps.xlsxTable(s, writeNationXlsx(s, d), "tNation")
     }),
@@ -169,6 +179,22 @@ object QueriesDomain {
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_orderkey < 100""",
     "read_commandline" ->
       """SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(a, b)""",
+    "zorder_value" ->
+      """WITH b AS (
+        |  SELECT list_transform(generate_series(1, 15), i -> i * 3.0) AS qb,
+        |         list_transform(generate_series(1, 15), i -> i * 4000.0) AS pb),
+        |r AS (SELECT l_orderkey, l_linenumber,
+        |  list_sum(list_transform(qb, x ->
+        |    CASE WHEN CAST(l_quantity AS DOUBLE) > x THEN 1 ELSE 0 END)) AS rq,
+        |  list_sum(list_transform(pb, x ->
+        |    CASE WHEN CAST(l_extendedprice AS DOUBLE) > x THEN 1 ELSE 0 END)) AS rp
+        |  FROM lineitem, b)
+        |SELECT l_orderkey, l_linenumber, CAST(
+        |  ((rq >> 0) & 1) * 1  + ((rp >> 0) & 1) * 2 +
+        |  ((rq >> 1) & 1) * 4  + ((rp >> 1) & 1) * 8 +
+        |  ((rq >> 2) & 1) * 16 + ((rp >> 2) & 1) * 32 +
+        |  ((rq >> 3) & 1) * 64 + ((rp >> 3) & 1) * 128 AS BIGINT) AS z
+        |FROM r""".stripMargin,
     "xlsx_table" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "xlsx_cells" ->

@@ -75,6 +75,68 @@ object IoOps {
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Z-order (Morton) value over numeric columns — the multi-dimensional
+    * locality key behind clustered data layouts: rows close in EVERY listed
+    * dimension land close in the one-dimensional z order, so min/max
+    * footer pruning works for filters on ANY subset of the dimensions
+    * (a lexicographic sort only serves its leading column). Each column is
+    * quantile-bucketed into 2^bits ranks via the supplied boundaries
+    * (length 2^bits − 1, ascending — from [[zBoundaries]] or pinned), then
+    * the rank bits are interleaved with plain integer arithmetic. Pure
+    * codegen projection: the boundary table rides as one array literal per
+    * column, the indicator-sum bucketizer and the shift/mask interleave
+    * are exactly replicable in any SQL engine (the oracle gate does).
+    */
+  def zOrderValue(cols: Seq[org.apache.spark.sql.Column],
+      boundaries: Seq[Array[Double]], bits: Int = 8): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.length <= 6, "z_order: 1..6 columns")
+    require(bits >= 1 && bits <= 16, "z_order: bits in [1,16]")
+    require(boundaries.length == cols.length,
+      "z_order: one boundary array per column")
+    boundaries.foreach(b => require(b.length == (1 << bits) - 1,
+      s"z_order: need ${(1 << bits) - 1} boundaries per column"))
+    val n = cols.length
+    val ranks = cols.zip(boundaries).map { case (c, bs) =>
+      // rank = #boundaries strictly below the value (nulls rank 0): an
+      // O(2^bits) indicator sum — codegen'd, constant-reference HOF
+      aggregate(typedLit(bs.toSeq),
+        lit(0),
+        (acc, b) => acc + when(c.cast("double") > b, 1).otherwise(0))
+    }
+    (0 until bits).flatMap { j =>
+      (0 until n).map { i =>
+        shiftleft(shiftright(ranks(i), j).bitwiseAND(lit(1)), j * n + i)
+      }
+    }.reduce[org.apache.spark.sql.Column](_ + _).cast("long")
+  }
+
+  /** Data-derived quantile boundaries for [[zOrderValue]]: 2^bits − 1
+    * approxQuantile split points per column (one bounded driver action).
+    */
+  def zBoundaries(df: DataFrame, cols: Seq[String],
+      bits: Int = 8): Seq[Array[Double]] = {
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    cols.map(c => df.stat.approxQuantile(c, probs, 1e-4))
+  }
+
+  /** Z-ordered parquet write: range-partition on the z-value (balanced
+    * output files), sort within partitions by it, drop the helper column.
+    * Filters on any clustered dimension then prune row groups via parquet
+    * min/max — the OPTIMIZE ZORDER layout, expressed with stock Spark.
+    */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 8, numFiles: Int = 0, mode: String = "overwrite"): Unit = {
+    val bs = zBoundaries(df, cols, bits)
+    val z = zOrderValue(cols.map(c => col(s"`$c`")), bs, bits)
+    val withZ = df.withColumn("__z", z)
+    val parts = if (numFiles > 0) numFiles
+      else df.sparkSession.sparkContext.defaultParallelism
+    withZ.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Run a shell command, parse stdout as CSV
     * (reference: janitor/io.py:96 read_commandline). The command runs
     * driver-side; its output is parallelized then parsed by the csv reader.

@@ -39,4 +39,33 @@ class PartitionedWriteSpec extends SparkSpec {
       .map(_.files.size).sum < scan.relation.location.listFiles(Nil, Nil)
       .map(_.files.size).sum)
   }
+
+  test("writeZOrdered clusters both dimensions: per-file ranges shrink vs global") {
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 37 % 100).toDouble, ((i * 53) % 100) * 1000.0)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    IoOps.writeZOrdered(df, path, Seq("x", "y"), bits = 6, numFiles = 8)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 4, s"expected several output files, got ${files.length}")
+    val back = spark.read.parquet(path)
+    assert(back.count() == n)
+    // locality: the average per-file span of EACH dimension must be well
+    // under the global span — the property min/max row-group pruning needs
+    def avgSpan(c: String): Double = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).collect()(0)
+      r.getDouble(1) - r.getDouble(0)
+    }.sum / files.length
+    assert(avgSpan("x") < 60.0, s"x not clustered: avg span ${avgSpan("x")}")
+    assert(avgSpan("y") < 60000.0, s"y not clustered: avg span ${avgSpan("y")}")
+  }
+
+  test("zBoundaries produces ascending split points of the right arity") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val bs = IoOps.zBoundaries(df, Seq("v"), bits = 4)
+    assert(bs.head.length == 15)
+    assert(bs.head.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
 }
