@@ -218,6 +218,11 @@ object QueriesCore {
     "factorize_columns" -> ((s, d) => events(s, d)
       .select("event_id", "event_type")
       .factorizeColumns("event_type", "event_id")),
+    // the deprecated-alias surface (reference label_encode -> factorize):
+    // gated separately so the alias is certified, not assumed
+    "label_encode" -> ((s, d) => events(s, d)
+      .select("event_id", "event_type")
+      .labelEncode("event_type", "event_id")),
     "currency_column_to_numeric" -> ((s, d) => orders(s, d)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 2 === 1,
@@ -538,6 +543,11 @@ object QueriesCore {
     "truncate_datetime" ->
       """SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_hour FROM events""",
     "factorize_columns" ->
+      """WITH f AS (SELECT event_type AS v, min(event_id) AS first_seen FROM events GROUP BY 1),
+        |c AS (SELECT v, CAST(row_number() OVER (ORDER BY first_seen) - 1 AS INTEGER) AS code FROM f)
+        |SELECT e.event_id, e.event_type, c.code AS event_type_enc
+        |FROM events e JOIN c ON e.event_type = c.v""".stripMargin,
+    "label_encode" ->
       """WITH f AS (SELECT event_type AS v, min(event_id) AS first_seen FROM events GROUP BY 1),
         |c AS (SELECT v, CAST(row_number() OVER (ORDER BY first_seen) - 1 AS INTEGER) AS code FROM f)
         |SELECT e.event_id, e.event_type, c.code AS event_type_enc

@@ -190,4 +190,30 @@ class PropertySpec extends SparkSpec {
         knownValues = Seq("m_a", "m_b"))
     assert(sorted(wide.select("id", "m_a", "m_b")) == sorted(d))
   }
+
+  test("fuzzySelfJoin == brute-force levenshtein (random strings, unicode + empties)") {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val rng = new Random(13)
+    val alphabet = "abéλ日1"
+    for (k <- 1 to 2) {
+      val strs = (0 until 60).map { i =>
+        val len = rng.nextInt(7) // includes empty strings
+        (i.toLong, (1 to len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+      }
+      val got = JoinOps.fuzzySelfJoin(strs.toDF("id", "s"), "id", "s", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val expected = (for {
+        (i1, s1) <- strs; (i2, s2) <- strs if i1 < i2
+        d = lev(s1, s2) if d <= k
+      } yield (i1, i2, d)).sorted
+      assert(got == expected, s"maxDist=$k mismatch")
+    }
+  }
 }
