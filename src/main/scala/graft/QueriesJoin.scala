@@ -115,6 +115,17 @@ object QueriesJoin {
           names.filter(col("c_custkey") % 100 === 0), names,
           "c_name", "c_name", maxDist = 2)
         .select(col("c_custkey"), col("c_custkey_r"), col("dist"))
+    }),
+    // char-based Jaro-Winkler kernel vs DuckDB's byte-based function —
+    // identical on this ASCII data (probed bit-exact over random ASCII)
+    "jaro_winkler" -> ((s, d) => {
+      import graft.functions.vector.jaro_winkler
+      customer(s, d).select(col("c_custkey"),
+        round(jaro_winkler(col("c_name"), reverse(col("c_name"))), 6).as("jw_rev"),
+        round(jaro_winkler(col("c_name"),
+          concat(substring(col("c_name"), 1, 9), lit("X"),
+            substring(col("c_name"), 11, 1000))), 6).as("jw_sub"),
+        round(jaro_winkler(col("c_name"), col("c_name")), 6).as("jw_self"))
     })
   )
 
@@ -129,6 +140,13 @@ object QueriesJoin {
         |  levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey % 100 = 0
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    "jaro_winkler" ->
+      """SELECT c_custkey,
+        |  round(jaro_winkler_similarity(c_name, reverse(c_name)), 6) AS jw_rev,
+        |  round(jaro_winkler_similarity(c_name,
+        |    substr(c_name, 1, 9) || 'X' || substr(c_name, 11)), 6) AS jw_sub,
+        |  round(jaro_winkler_similarity(c_name, c_name), 6) AS jw_self
+        |FROM customer""".stripMargin,
     "conditional_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderkey, o.o_orderdate
         |FROM lineitem l JOIN orders o

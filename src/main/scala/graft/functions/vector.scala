@@ -205,6 +205,70 @@ object vector {
       copy(child = c)
   }
 
+  /** Jaro-Winkler similarity (standard constants: half-max match window,
+    * transpositions/2, Winkler prefix ≤ 4 at p = 0.1 above the 0.7 boost
+    * threshold; two empty strings score 0.0) — the ranking companion to
+    * the FastSS fuzzy join. Bit-compatible with DuckDB's
+    * `jaro_winkler_similarity` on ASCII (DuckDB measures bytes, so
+    * multi-byte codepoints diverge there — this kernel is char-based,
+    * which is what you want; the oracle gate uses ASCII data).
+    */
+  def jaroWinklerKernel(ua: org.apache.spark.unsafe.types.UTF8String,
+      ub: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (a == b) return 1.0
+    val w = math.max(0, math.max(la, lb) / 2 - 1)
+    val ma = new Array[Boolean](la); val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb, i + w + 1)
+      var j = math.max(0, i - w)
+      var hit = false
+      while (j < hi && !hit) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val j0 = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (j0 > 0.7) {
+      var p = 0
+      val lim = math.min(4, math.min(la, lb))
+      while (p < lim && a.charAt(p) == b.charAt(p)) p += 1
+      j0 + p * 0.1 * (1.0 - j0)
+    } else j0
+  }
+
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinklerKernel(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.vector.jaroWinklerKernel($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+      copy(left = l, right = r)
+  }
+
   /** SimHash signature of a token array in one compiled pass: each DISTINCT
     * token hashed to its 48-bit md5 prefix (numerically identical to
     * `conv(substring(md5(tok), 1, bits/4), 16, 10)`), contributing ±1 at
@@ -384,6 +448,8 @@ object vector {
     Bridge.column(WindowMin(Bridge.expression(a), w))
   def simhash_sig(toks: Column, bits: Int): Column =
     Bridge.column(SimhashSig(Bridge.expression(toks), bits))
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
   def gram_hash48(toks: Column, n: Int): Column =
     Bridge.column(GramHash48(Bridge.expression(toks), n))
   def minhash_sig(toks: Column, numHashes: Int, shingleN: Int): Column =

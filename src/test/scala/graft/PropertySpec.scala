@@ -191,6 +191,26 @@ class PropertySpec extends SparkSpec {
     assert(sorted(wide.select("id", "m_a", "m_b")) == sorted(d))
   }
 
+  test("jaroWinkler matches the textbook values, bounds, and symmetry") {
+    import graft.functions.vector.jaroWinklerKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      jaroWinklerKernel(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.961111) < 1e-6)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-6)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.813333) < 1e-6)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0) // DuckDB's empty rule
+    assert(jw("same", "same") == 1.0)
+    val rng = new Random(99)
+    (1 to 200).foreach { _ =>
+      val a = (1 to rng.nextInt(10)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+      val b = (1 to rng.nextInt(10)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+      val x = jw(a, b)
+      assert(x >= 0.0 && x <= 1.0)
+      assert(x == jw(b, a), s"not symmetric on '$a','$b'")
+    }
+  }
+
   test("fuzzySelfJoin == brute-force levenshtein (random strings, unicode + empties)") {
     def lev(a: String, b: String): Int = {
       val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
