@@ -268,7 +268,16 @@ object QueriesLlm {
         .withColumn("ord", col("id") * 10000 + col("chunk_id"))
       graft.llm.Sampling.shardByTokenBudget(chunks, "ord", "n_tokens", 4096L)
         .select("id", "chunk_id", "n_tokens", "shard")
-    })
+    }),
+    // C4-style corpus-wide line dedup: the near-dup corpus copies lose all
+    // segments except the " extraword"-modified tail; output is pinned by
+    // per-doc kept-count + rebuilt-text md5. Documents have no newlines,
+    // so the gate segments on the frequent token " a ".
+    "dedup_lines" -> ((s, d) =>
+      Dedup.dedupLines(corpus(s, d), "doc_id", "text",
+          minLineChars = 10, sep = " a ")
+        .select(col("doc_id"), col("n_lines_kept"),
+          md5(col("text").cast("binary")).as("text_md5")))
   )
 
   private def jaccardSql(corpusExpr: String) =
@@ -707,6 +716,25 @@ object QueriesLlm {
         |SELECT id, chunk_id, n_tokens,
         |  CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY id * 10000 + chunk_id
         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 4096) AS INT) AS shard
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH c AS ($corpusSql),
+         |d AS (SELECT doc_id, string_split(text, ' a ') AS ls FROM c),
+         |x AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM d),
+         |l AS (SELECT doc_id, i - 1 AS idx, ls[i] AS line FROM x),
+         |e AS (SELECT doc_id, idx, line, md5(lower(trim(line))) AS lh
+         |  FROM l WHERE length(trim(line)) >= 10),
+         |k AS (SELECT doc_id, idx, line FROM (
+         |    SELECT doc_id, idx, line,
+         |      row_number() OVER (PARTITION BY lh ORDER BY doc_id, idx) AS rn
+         |    FROM e) WHERE rn = 1),
+         |kept AS (SELECT doc_id, idx, line FROM l WHERE length(trim(line)) < 10
+         |  UNION ALL SELECT doc_id, idx, line FROM k),
+         |r AS (SELECT doc_id, count(*) AS n_lines_kept,
+         |    string_agg(line, ' a ' ORDER BY idx) AS t
+         |  FROM kept GROUP BY doc_id)
+         |SELECT ids.doc_id, CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+         |  md5(coalesce(r.t, '')) AS text_md5
+         |FROM (SELECT DISTINCT doc_id FROM c) ids LEFT JOIN r USING (doc_id)""".stripMargin
   )
 }

@@ -411,4 +411,48 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame =
     df.select(col(idCol).as("id"),
       graft.functions.vector.simhash_sig(tokens(col(textCol)), bits).as("simhash"))
+
+  /** C4-style line-level corpus dedup (reference has no counterpart; the
+    * C4 recipe — Raffel et al., arXiv:1910.10683 §2.2 — drops every
+    * repeated occurrence of a line across the WHOLE corpus, keeping the
+    * first). A line participates in dedup only when its trimmed length is
+    * ≥ `minLineChars` (boilerplate guards like blank lines or "---" stay
+    * everywhere, as in C4's three-sentence-span variant); matching is on
+    * md5(lower(trim(line))) so the shuffle carries a 32-byte key, never
+    * the line text. First occurrence = smallest (id, line index).
+    *
+    * Scale shape: split+posexplode (narrow) → ONE aggregation shuffle on
+    * the line hash whose min(struct(id, idx, line)) both elects the keeper
+    * and carries its text (map-side combine applies; no join back to the
+    * corpus for the winner's content) → union with the always-kept short
+    * lines (narrow) → ONE shuffle on id to reassemble documents in line
+    * order. Documents whose every line was dropped re-enter via a left
+    * join on id, which reuses the reassembly exchange. Nothing is
+    * quadratic; both shuffle keys are bounded-width.
+    *
+    * Returns (idCol, textCol deduped, n_lines_kept).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 10, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("idx", "line")))
+    val short = lines.filter(length(trim(col("line"))) < minLineChars)
+    val firstOcc = lines.filter(length(trim(col("line"))) >= minLineChars)
+      .groupBy(md5(lower(trim(col("line"))).cast("binary")).as("lh"))
+      .agg(min(struct(col("id"), col("idx"), col("line"))).as("f"))
+      .select(col("f.id").as("id"), col("f.idx").as("idx"),
+        col("f.line").as("line"))
+    val rebuilt = short.unionByName(firstOcc)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), sep).as("__text"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
 }

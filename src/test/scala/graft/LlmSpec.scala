@@ -373,4 +373,29 @@ class LlmSpec extends SparkSpec {
     assert(out.count() == Sampling.mixDomains(df, "k", "dom",
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
+
+  test("dedupLines drops repeated long lines corpus-wide, keeps first occurrence") {
+    val d = Seq(
+      (1L, "unique first line\nshared boilerplate line\nok"),
+      (2L, "shared boilerplate line\nanother unique line"),
+      (3L, "shared boilerplate line"),
+      (4L, "")).toDF("id", "text")
+    val out = Dedup.dedupLines(d, "id", "text", minLineChars = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 keeps everything ("ok" is short -> always kept; boilerplate's
+    // first occurrence is (1, idx=1))
+    assert(out(1L) == (("unique first line\nshared boilerplate line\nok", 3L)))
+    // doc 2 loses the boilerplate copy
+    assert(out(2L) == (("another unique line", 1L)))
+    // doc 3 loses its only line but still appears
+    assert(out(3L) == (("", 0L)))
+    // doc 4: single empty line is short -> kept verbatim
+    assert(out(4L) == (("", 1L)))
+    // case/whitespace-insensitive matching
+    val c = Seq((1L, "Shared Boilerplate Line  "), (2L, "shared boilerplate line"))
+      .toDF("id", "text")
+    val cOut = Dedup.dedupLines(c, "id", "text", minLineChars = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cOut(1L) == 1L && cOut(2L) == 0L)
+  }
 }
