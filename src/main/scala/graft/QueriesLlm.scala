@@ -261,6 +261,14 @@ object QueriesLlm {
         docs.filter(col("doc_id") < 20), "doc_id", "text", minShared = 3)
         .select("doc_id", "lang")
     }),
+    // Bloom-prefiltered form: bit-identical output (exact verify after the
+    // probe), held to the SAME oracle as the broadcast-index operator
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminateBloom(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "doc_id", "text", minShared = 3)
+        .select("doc_id", "lang")
+    }),
     // chunks -> equal-token-work shards via the scale-safe prefix sum
     "shard_by_token_budget" -> ((s, d) => {
       val chunks = documents(s, d)
@@ -279,6 +287,14 @@ object QueriesLlm {
         .select(col("doc_id"), col("n_lines_kept"),
           md5(col("text").cast("binary")).as("text_md5")))
   )
+
+  private lazy val decontaminateSql = winnowSql +
+    """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+      |bfp AS (SELECT DISTINCT fp FROM f WHERE doc_id < 20),
+      |contaminated AS (SELECT f.doc_id FROM f JOIN bfp USING (fp)
+      |  GROUP BY f.doc_id HAVING count(*) >= 3)
+      |SELECT d.doc_id, d.lang FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
   private def jaccardSql(corpusExpr: String) =
     s"""WITH corpus AS (
@@ -377,13 +393,9 @@ object QueriesLlm {
          |FROM clusters JOIN sizes USING (cluster) WHERE id = cluster""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "winnow_fingerprints" -> (winnowSql + "SELECT doc_id AS id, unnest(fps) AS fp FROM wins"),
-    "decontaminate" -> (winnowSql +
-      """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
-        |bfp AS (SELECT DISTINCT fp FROM f WHERE doc_id < 20),
-        |contaminated AS (SELECT f.doc_id FROM f JOIN bfp USING (fp)
-        |  GROUP BY f.doc_id HAVING count(*) >= 3)
-        |SELECT d.doc_id, d.lang FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin),
+    "decontaminate" -> decontaminateSql,
+    // the Bloom prefilter must be invisible in the result: same oracle
+    "decontaminate_bloom" -> decontaminateSql,
     "contamination_pairs" -> (winnowSql +
       """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
         |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),

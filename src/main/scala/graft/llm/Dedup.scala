@@ -399,6 +399,48 @@ object Dedup {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — result-identical to [[decontaminate]]
+    * (same fingerprints, same minShared rule), with a constant-memory
+    * membership prefilter in front of the exact verify. Why it exists: the
+    * broadcast-index form needs the whole benchmark fingerprint set in
+    * every executor; at a 10⁸-fingerprint benchmark that hash relation is
+    * multiple GB, while a 1%-fpp Bloom filter is ~9.6 bits/item (~120 MB)
+    * and its membership test is a narrow, codegen'd per-row probe
+    * (Spark's own `BloomFilterMightContain`, the runtime-filter kernel).
+    * False positives cannot leak through: the probe only PREFILTERS the
+    * corpus fingerprint stream, and survivors (≈ fpp × corpus) still pass
+    * through the exact semi-join before any document is dropped — so the
+    * output is bit-identical to the exact operator, which is exactly what
+    * the shared oracle gate asserts.
+    */
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      minShared: Int = 3, shingleN: Int = 3, window: Int = 4,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftx.Bridge
+    val benchFps = winnowFingerprints(benchmark, benchIdCol, benchTextCol,
+      shingleN, window).select("fp").distinct()
+      .localCheckpoint(eager = false) // feeds count, bloom build, verify join
+    val n = math.max(benchFps.count(), 1L)
+    val bf = benchFps.stat.bloomFilter("fp", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val mightContain = Bridge.column(
+      BloomFilterMightContain(Literal(bytes),
+        Bridge.expression(col("fp").cast("long"))))
+    val contaminated = winnowFingerprints(df, idCol, textCol, shingleN, window)
+      .filter(mightContain)                      // narrow probe, no shuffle
+      .join(broadcast(benchFps), Seq("fp"))      // exact verify on survivors
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("id").as(idCol))
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 48-bit SimHash over distinct tokens, with md5-derived token hashes
     * (md5 so the oracle can reproduce it; 48 bits keeps the value in a
     * signed BIGINT). One narrow codegen projection — the signature is a

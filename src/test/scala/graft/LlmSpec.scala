@@ -374,6 +374,27 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("decontaminateBloom is bit-identical to the exact broadcast-index form") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words),                       // = benchmark doc -> contaminated
+      (2L, words + " trailing extras"),  // heavy overlap -> contaminated
+      (3L, (100 to 140).map(i => s"z$i").mkString(" "))) // clean
+      .toDF("id", "t")
+    val bench = docs.filter(col("id") === 1L)
+    val exact = Dedup.decontaminate(docs, "id", "t", bench, "id", "t", minShared = 3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val bloom = Dedup.decontaminateBloom(docs, "id", "t", bench, "id", "t", minShared = 3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(exact == Seq(3L))
+    assert(bloom == exact)
+    // a deliberately high-fpp filter still cannot change the result:
+    // false positives die in the exact verify join
+    val sloppy = Dedup.decontaminateBloom(docs, "id", "t", bench, "id", "t",
+      minShared = 3, fpp = 0.5).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sloppy == exact)
+  }
+
   test("dedupLines drops repeated long lines corpus-wide, keeps first occurrence") {
     val d = Seq(
       (1L, "unique first line\nshared boilerplate line\nok"),
