@@ -250,6 +250,37 @@ object QueriesLlm {
     "pca_trained_gate" -> ((s, d) =>
       Pca.trainedGate(embeddings(s, d).select("vec_id", "embedding"),
         "embedding", 8)),
+    // Product quantization with PINNED codebooks (subspace slices of
+    // vec_id < 8), so encode — CentroidSims kernel, L2-argmin-as-argmax
+    // score, first-tie rule — is exactly replicated in DuckDB. The trained
+    // path is pinned by the pq_recall floor, same split as semdedup / pca.
+    "pq_encode" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cbs = pinnedCodebooks(emb, m = 4, dsub = 16)
+      Similarity.pqEncode(emb, "embedding", cbs)
+        .select(col("vec_id") +: (1 to 4).map(i =>
+          element_at(col("embedding_pq"), i).as(s"c$i")): _*)
+    }),
+    "pq_adc_topk" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cbs = pinnedCodebooks(emb, m = 4, dsub = 16)
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 10, cbs, refine = 4)
+    }),
+    "pq_recall" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 10)
+      val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16, kmeansIters = 3)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nCells = 16, kmeansIters = 3)
+      // PqProbe (sf0.01): refine=16/nProbe=8 -> 0.80 measured; 0.65 floor
+      // leaves the same regeneration margin as the IVF gate
+      val approx = Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding",
+        k = 10, cents, cbs, nProbe = 8, refine = 16)
+      val exact = Similarity.dotTopK(qs, emb, "vec_id", "embedding", k = 10)
+      Similarity.recallGate(approx, exact, floor = 0.65)
+    }),
     "chunk_documents" -> ((s, d) => documents(s, d)
       .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48)),
     // drop training docs sharing >= 3 winnow fingerprints with the
@@ -287,6 +318,42 @@ object QueriesLlm {
         .select(col("doc_id"), col("n_lines_kept"),
           md5(col("text").cast("binary")).as("text_md5")))
   )
+
+  /** Pinned PQ codebooks for the exact gates: codebook of subspace s =
+    * the dim-slice [s·dsub, (s+1)·dsub) of embeddings vec_id < 8, in
+    * vec_id order — float values, so the double round-trip is lossless
+    * and DuckDB sees bit-identical centroids.
+    */
+  private def pinnedCodebooks(emb: DataFrame, m: Int,
+      dsub: Int): Array[Array[Array[Double]]] = {
+    val rows = emb.filter(col("vec_id") < 8).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    Array.tabulate(m)(s => rows.map(_.slice(s * dsub, s * dsub + dsub)))
+  }
+
+  /** Shared CTE prefix for the pinned-PQ oracles: the 4×8 codebooks (dim
+    * slices of vec_id < 8), their double norms, and every vector's 1-based
+    * per-subspace code under the L2-argmin-as-argmax rule with first-tie.
+    */
+  private lazy val pqCodesSql =
+    s"""WITH cb AS (
+       |  SELECT sp.s, vec_id AS j, embedding[sp.s*16+1 : sp.s*16+16] AS cvec
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sp
+       |  WHERE vec_id < 8),
+       |cbn AS (SELECT s, j, cvec,
+       |  sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+       |  FROM cb),
+       |codes AS (
+       |  SELECT e.vec_id, sp.s, c.code
+       |  FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sp
+       |  CROSS JOIN LATERAL (
+       |    SELECT CAST(b.j + 1 AS INT) AS code
+       |    FROM cbn b
+       |    CROSS JOIN LATERAL (SELECT e.embedding[sp.s*16+1 : sp.s*16+16] AS qv, b.cvec AS nv) l
+       |    WHERE b.s = sp.s
+       |    ORDER BY ($dotSql / b.cn) * b.cn - b.cn * b.cn / 2.0 DESC, b.j ASC
+       |    LIMIT 1) c)
+       |""".stripMargin
 
   private lazy val decontaminateSql = winnowSql +
     """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
@@ -681,6 +748,42 @@ object QueriesLlm {
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "semdedup_trained_gate" ->
       "SELECT count(*) AS n_input, TRUE AS no_kept_dups, TRUE AS kept_in_bounds FROM embeddings",
+    // pinned-codebook PQ: codebooks, L2-argmin score ((dot/cn)*cn - cn²/2,
+    // first-tie), ADC table ((dot/cn)*cn), fold order, and exact rerank all
+    // replicated value-for-value
+    "pq_encode" -> (pqCodesSql +
+      """SELECT vec_id,
+        |  max(CASE WHEN s = 0 THEN code END) AS c1,
+        |  max(CASE WHEN s = 1 THEN code END) AS c2,
+        |  max(CASE WHEN s = 2 THEN code END) AS c3,
+        |  max(CASE WHEN s = 3 THEN code END) AS c4
+        |FROM codes GROUP BY vec_id""".stripMargin),
+    "pq_adc_topk" -> (pqCodesSql +
+      """, cl AS (SELECT vec_id, list(code ORDER BY s) AS code FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |tb AS (SELECT q.qid, b.s, b.j,
+        |    (list_sum(list_transform(generate_series(1, 16),
+        |       i -> CAST(q.qe[b.s*16 + i] AS DOUBLE) * CAST(b.cvec[i] AS DOUBLE))) / b.cn) * b.cn AS t
+        |  FROM q CROSS JOIN cbn b),
+        |qt AS (SELECT qid, list(t ORDER BY s, j) AS tt FROM tb GROUP BY qid),
+        |pairs AS (SELECT qt.qid, c.vec_id AS nid,
+        |    list_sum(list_transform(generate_series(1, 4),
+        |      s -> tt[(s-1)*8 + code[s]])) AS adc
+        |  FROM qt CROSS JOIN cl c WHERE c.vec_id <> qt.qid),
+        |short AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rn
+        |    FROM pairs) WHERE rn <= 40),
+        |rer AS (SELECT s.qid, s.nid,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS score
+        |  FROM short s JOIN embeddings a ON a.vec_id = s.qid
+        |  JOIN embeddings b ON b.vec_id = s.nid)
+        |SELECT qid, nid, score FROM (
+        |  SELECT qid, nid, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
+        |  FROM rer) WHERE rn <= 10""".stripMargin),
+    "pq_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, 0.65 AS recall_floor, TRUE AS meets_floor",
     // pinned-matrix projection replicated value-for-value: same exactly-
     // float-representable W/mu (multiples of 2^-6/2^-7), same ascending-
     // index dot order as the CentroidSims kernel, same IEEE sqrt/divide

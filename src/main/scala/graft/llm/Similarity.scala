@@ -428,6 +428,183 @@ object Similarity {
       lit(nKept > 0 && nKept <= nIn).as("kept_in_bounds"))
   }
 
+  // ---------------------------------------------------------------- PQ ---
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011 — public
+    * method): the vector is cut into `m` contiguous subvectors of dim/m
+    * components and each subspace gets its own `k`-centroid k-means
+    * codebook, so a d-dim float vector stores as m small codes (m bytes at
+    * k ≤ 256 — a 32× storage cut at d=64/m=8 over float32) while distances
+    * are approximated per-subspace from the codebooks. Training reuses the
+    * deterministic IVF machinery ([[trainCentroids]]: stride seeds + Lloyd
+    * over a bounded checkpointed sample) once per subspace on the SLICED
+    * corpus — m bounded driver collects of k × dim/m doubles, never the
+    * corpus. Returns codebooks(s)(j) = centroid j of subspace s.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, kmeansIters: Int = 4,
+      trainTarget: Int = 4096): Array[Array[Array[Double]]] = {
+    val dim = probeDim(corpus, vecCol).getOrElse(
+      throw new IllegalArgumentException("pqTrain: empty corpus"))
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
+      trainCentroids(sliced, idCol, vecCol, k, kmeansIters, trainTarget)
+    }
+  }
+
+  /** Driver-side L2 norms of one codebook, in the same ascending-index
+    * summation order as the CentroidSims kernel and the DuckDB oracle.
+    */
+  private def cbNorms(cb: Array[Array[Double]]): Array[Double] =
+    cb.map { c => var s = 0.0d; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; math.sqrt(s) }
+
+  /** 1-based code of one subvector: the L2-nearest codebook centroid,
+    * first index among ties. argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2) since
+    * ‖v‖² is constant per row — which lets the assignment ride the same
+    * codegen [[graft.functions.vector.CentroidSims]] kernel as IVF
+    * (sims_j = v·c_j/‖c_j‖, so the score is sims_j·‖c_j‖ − ‖c_j‖²/2 via a
+    * k-element zip_with over literal norms — k elements, not dim).
+    */
+  private def pqSubCode(sub: Column, cb: Array[Array[Double]]): Column = {
+    val cn = cbNorms(cb)
+    val scores = zip_with(cellSims(sub, cb),
+      array(cn.map(n => lit(n)): _*),
+      (s, n) => s * n - n * n / 2.0d)
+    array_position(scores, array_max(scores)).cast("int")
+  }
+
+  /** Encode every row's vector to its m-byte PQ code array (1-based
+    * centroid ids, subspace order). Pure narrow projection — the codebooks
+    * ride as codegen reference objects; streaming-safe.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    // each subspace's sims must be bound once (CollapseProject would
+    // otherwise inline the kernel into both argmax operands)
+    val withSubs = codebooks.zipWithIndex.foldLeft(df) { case (acc, (cb, s)) =>
+      acc.withColumn(s"__pq$s",
+        pqSubCode(slice(col(vecCol), s * dsub + 1, dsub), cb))
+    }
+    withSubs
+      .withColumn(s"${vecCol}_pq",
+        array((0 until m).map(s => col(s"__pq$s")): _*))
+      .drop((0 until m).map(s => s"__pq$s"): _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k by inner product: corpus rows are
+    * scanned as their m-code arrays; each query precomputes ONCE its m×k
+    * lookup table T[s·k+j] = q_s·c_{s,j} (a k·m-double column built from
+    * the same CentroidSims kernel), so the per-pair cost is m table adds
+    * instead of a d-wide dot — the compressed-domain scan that makes a
+    * 100 TB corpus pass affordable. Approximate score = Σ_s T[code_s];
+    * `refine` × k ADC survivors per query are exactly re-ranked on the
+    * true dot (the standard shortlist+rerank recipe), output is the exact-
+    * scored top k. Compose with [[withCell]]/[[withProbeCells]] for
+    * IVF-PQ ([[ivfPqTopK]]) so the scan also skips cells.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
+      refine: Int = 4, roundTo: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val kCents = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    // per-query flat lookup table: T[s*kCents + (j-1)] = dot(q_s, c_{s,j})
+    val tableCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val cn = cbNorms(cb)
+      zip_with(cellSims(slice(col("qvec"), s * dsub + 1, dsub), cb),
+        array(cn.map(n => lit(n)): _*), (sim, n) => sim * n)
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("__t", flatten(array(tableCols: _*)))
+    val c = pqEncode(
+      corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+      vecCol, codebooks)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        col(s"${vecCol}_pq").as("__code"))
+    val adc = aggregate(
+      zip_with(col("__code"), sequence(lit(0), lit(m - 1)),
+        (code, s) => element_at(col("__t"), s * kCents + code)),
+      lit(0.0d), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("__adc", adc)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("__adc").desc, col("nid").asc)
+    val shortlist = scored.withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= k * refine)
+      .withColumn("score", round(dot(col("qvec"), col("nvec")), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    shortlist.withColumn("__rn2", row_number().over(w))
+      .filter(col("__rn2") <= k)
+      .select("qid", "nid", "score")
+  }
+
+  /** IVF-PQ: the inverted-file probe prunes cells (each query scans only
+    * its nProbe nearest cells) and ADC compresses the in-cell scan — the
+    * composition production ANN engines (FAISS IVFPQ) run at corpus scale.
+    * Same shortlist+exact-rerank contract as [[pqAdcTopK]].
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nProbe: Int = 8,
+      refine: Int = 4, roundTo: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val kCents = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    val tableCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val cn = cbNorms(cb)
+      zip_with(cellSims(slice(col("qvec"), s * dsub + 1, dsub), cb),
+        array(cn.map(n => lit(n)): _*), (sim, n) => sim * n)
+    }
+    val q = withProbeCells(queries, vecCol, centroids, nProbe)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cell"))
+      .withColumn("__t", flatten(array(tableCols: _*)))
+    val c = pqEncode(withCell(corpus, vecCol, centroids), vecCol, codebooks)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"),
+        col(s"${vecCol}_pq").as("__code"))
+    val adc = aggregate(
+      zip_with(col("__code"), sequence(lit(0), lit(m - 1)),
+        (code, s) => element_at(col("__t"), s * kCents + code)),
+      lit(0.0d), (acc, x) => acc + x)
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("__adc", adc)
+      // a vector probed via several cells keeps one candidate row
+      .dropDuplicates("qid", "nid")
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("__adc").desc, col("nid").asc)
+    val shortlist = scored.withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= k * refine)
+      .withColumn("score", round(dot(col("qvec"), col("nvec")), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    shortlist.withColumn("__rn2", row_number().over(w))
+      .filter(col("__rn2") <= k)
+      .select("qid", "nid", "score")
+  }
+
+  /** Exact inner-product top-k — the brute baseline ADC/IVF-PQ recall is
+    * measured against (dot ranking, not cosine: PQ approximates the dot).
+    */
+  def dotTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", round(dot(col("qvec"), col("nvec")), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("qid", "nid", "score")
+  }
+
   /** Mean per-query recall of an approximate top-k result against the
     * exact one. Both inputs carry (qid, nid); recall for a query is the
     * fraction of its exact neighbors the approximate path recovered.

@@ -374,6 +374,33 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("PQ encode/ADC: exact on centroid-aligned vectors, matches brute dot top-k") {
+    // dim=8, m=2 subspaces of 4; codebook s has 2 centroids
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0)),
+      Array(Array(0, 0, 2.0, 0), Array(0, 0, 0, 2.0)))
+    def v(a: Int, b: Int): Seq[Float] =
+      (cb(0)(a) ++ cb(1)(b)).map(_.toFloat).toSeq
+    val rows = Seq((1L, v(0, 0)), (2L, v(0, 1)), (3L, v(1, 0)), (4L, v(1, 1)))
+    val df = rows.toDF("id", "vec")
+    val codes = Similarity.pqEncode(df, "vec", cb)
+      .select("id", "vec_pq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(1L) == Seq(1, 1) && codes(2L) == Seq(1, 2)
+      && codes(3L) == Seq(2, 1) && codes(4L) == Seq(2, 2))
+    // corpus vectors sit exactly on codebook centroids -> ADC = exact dot,
+    // so PQ top-k must equal the brute-force dot ranking, scores included
+    val qs = df.filter(col("id") <= 2L)
+    val adc = sorted(Similarity.pqAdcTopK(qs, df, "id", "vec", k = 2, cb, refine = 1))
+    val brute = sorted(Similarity.dotTopK(qs, df, "id", "vec", k = 2))
+    assert(adc == brute)
+    // IVF-PQ with one probe cell covering everything agrees too
+    val cents = Array(Array(0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5))
+    val ivf = sorted(Similarity.ivfPqTopK(qs, df, "id", "vec", k = 2,
+      cents, cb, nProbe = 1, refine = 1))
+    assert(ivf == brute)
+  }
+
   test("decontaminateBloom is bit-identical to the exact broadcast-index form") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq(
