@@ -183,6 +183,9 @@ object QueriesLlm {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")),
+    "bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
+        Seq("spark", "table", "hash", "merge"), k = 20)),
     "unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -638,6 +641,24 @@ object QueriesLlm {
       """SELECT count(DISTINCT token) AS n_exact, TRUE AS approx_ok
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
         |      FROM documents)""".stripMargin,
+    // BM25 constants written as the exact doubles the Spark plan folds to:
+    // k1+1 = 2.2 (1.2+1 rounds to the same double), 1-b = 0.25 (exact)
+    "bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |t AS (SELECT doc_id, dl, unnest(toks) AS token FROM d),
+        |f AS (SELECT doc_id, dl, token, count(*) AS tf FROM t
+        |  WHERE token IN ('spark', 'table', 'hash', 'merge') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS dft FROM f GROUP BY token),
+        |sc AS (SELECT f.doc_id, f.token,
+        |    ln(1 + (st.n - dfq.dft + 0.5) / (dfq.dft + 0.5)) *
+        |    ((CAST(f.tf AS DOUBLE) * 2.2) /
+        |     (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(f.dl AS DOUBLE)) / st.avgdl))) AS s
+        |  FROM f JOIN dfq USING (token) CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(list_sum(list(s ORDER BY token)), 6) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
         |  FROM documents),

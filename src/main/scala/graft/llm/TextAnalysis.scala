@@ -307,6 +307,50 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  /** BM25 top-k retrieval (Robertson/Okapi; the keyword-relevance scorer a
+    * data pipeline uses to pull topic-targeted subsets out of a corpus):
+    * score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with the Lucene-robust idf ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale shape: tokens are FILTERED to the query terms before any
+    * shuffle (a |terms|-literal isin — the narrow pushdown that makes this
+    * a keyword scan, not a corpus index build), then one (id, token) agg,
+    * a broadcast join of the |terms|-row df table, and one per-doc agg.
+    * N/avgdl are one bounded 1-row action. The final top-k is
+    * orderBy+limit = TakeOrderedAndProject, never a global sort. Per-doc
+    * term scores are folded in token order (array_sort + ascending fold)
+    * so float summation order is engine-invariant — same contract as the
+    * oracle's list_sum(list(s ORDER BY token)).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    val toks = df.select(col(s"`$idCol`").as("id"),
+      Dedup.tokens(col(s"`$textCol`")).as("__toks"))
+      .withColumn("dl", size(col("__toks")))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl")).head()
+    val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+    val f = toks.select(col("id"), col("dl"), explode(col("__toks")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dft = f.groupBy("token").agg(count(lit(1)).cast("double").as("dft"))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))
+    val den = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / lit(avgdl))
+    val perTerm = f.join(broadcast(dft), Seq("token"))
+      .withColumn("__s", idf * ((col("tf").cast("double") * lit(k1 + 1)) / den))
+    perTerm.groupBy(col("id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("token"), col("__s")))),
+          x => x.getField("__s")),
+        lit(0.0d), (a, x) => a + x), roundTo).as("score"))
+      .select(col("id").as(idCol), col("score"))
+      .orderBy(col("score").desc, col(s"`$idCol`").asc)
+      .limit(k)
+  }
+
   /** Top-k corpus vocabulary — the tokenizer-training / OOV-audit prep
     * step: term frequency, document frequency, and cumulative corpus
     * coverage for the k most frequent tokens (ties broken on the token so

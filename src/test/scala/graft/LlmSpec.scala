@@ -374,6 +374,26 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("bm25TopK ranks by term relevance with length normalization") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),          // high tf, short
+      (2L, "spark engine and other words here"), // one hit, longer
+      (3L, "nothing relevant at all"),           // no hit -> excluded
+      (4L, "spark spark engine")).toDF("id", "t")
+    val out = TextAnalysis.bm25TopK(docs, "id", "t", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L),
+      s"tf-dominant ranking expected, got ${out.toSeq}")
+    assert(out.forall(_._2 > 0))
+    // multi-term query: doc hitting both terms beats single-term docs
+    val docs2 = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha delta words"), (3L, "beta epsilon words"))
+      .toDF("id", "t")
+    val both = TextAnalysis.bm25TopK(docs2, "id", "t", Seq("alpha", "beta"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(both == Seq(1L))
+  }
+
   test("PQ encode/ADC: exact on centroid-aligned vectors, matches brute dot top-k") {
     // dim=8, m=2 subspaces of 4; codebook s has 2 centroids
     val cb: Array[Array[Array[Double]]] = Array(
