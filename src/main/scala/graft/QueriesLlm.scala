@@ -205,6 +205,12 @@ object QueriesLlm {
       .select("doc_id", "lang")
       .stratifiedHashSample("doc_id", "lang",
         Map("en" -> 0.5, "es" -> 0.2), defaultFraction = 0.05)),
+    // A-ES weighted sample, weight = doc length: long docs overrepresented
+    // exactly per w/Σw; exponential keys replicated in DuckDB
+    "weighted_hash_sample" -> ((s, d) => graft.llm.Sampling
+      .weightedHashSample(documents(s, d)
+          .select(col("doc_id"), length(col("text")).cast("double").as("w")),
+        "doc_id", "w", k = 50)),
     // domain mixture: en/zh/es/fr -> 40/30/20/10% of a 600-row target
     // (de dropped); both down-sampling (en: m~1.1 -> some rows x1, x2)
     // and up-sampling (zh: m=2.4 -> every row >=2 copies) in one gate
@@ -713,6 +719,14 @@ object QueriesLlm {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
         |      / 4294967296.0 < 0.25""".stripMargin,
+    "weighted_hash_sample" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS w FROM documents),
+        |u AS (SELECT doc_id, w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM w WHERE w > 0)
+        |SELECT doc_id, w, round(-ln(u) / w, 6) AS skey FROM u
+        |ORDER BY skey ASC, doc_id ASC LIMIT 50""".stripMargin,
     // cuts written as running sums (0.8, then 0.8 + 0.1) so both engines do
     // the same double arithmetic at the bucket boundaries
     "hash_split" ->

@@ -55,6 +55,29 @@ object Sampling {
     df.withColumn(destCol, expr)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, the A-ES exponential-key family): every row draws
+    * r = −ln(u)/w with u its content-hash uniform ([[hashUniform]] — NOT
+    * rand(seed), so the draw is partition/run/engine-invariant and stable
+    * under corpus growth), and the k smallest r win; P(row ranked first) =
+    * w_i/Σw, the weighted-sampling-without-replacement guarantee. Rows
+    * with weight ≤ 0 never sample. r is rounded BEFORE ranking (tie-break
+    * on the key) so the boundary is engine-invariant.
+    *
+    * Scale shape: one narrow projection + orderBy+limit =
+    * TakeOrderedAndProject (per-partition top-k, driver merges k·partitions
+    * rows) — no global sort, no shuffle of the corpus.
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    val u = hashUniform(col(s"`$keyCol`"), seed)
+    df.filter(col(s"`$weightCol`").cast("double") > 0)
+      .withColumn("skey",
+        round((-log(u)) / col(s"`$weightCol`").cast("double"), roundTo))
+      .orderBy(col("skey").asc, col(s"`$keyCol`").asc)
+      .limit(k)
+  }
+
   /** Token-budget sharding: assign each row (chunk, document) a shard id so
     * every shard carries ≈ `budget` tokens — the deterministic way to cut a
     * tokenized corpus into equal-work training shards. shard =

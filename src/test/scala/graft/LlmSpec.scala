@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class LlmSpec extends SparkSpec {
@@ -372,6 +372,24 @@ class LlmSpec extends SparkSpec {
     // determinism: same input, same output
     assert(out.count() == Sampling.mixDomains(df, "k", "dom",
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
+  }
+
+  test("weightedHashSample: deterministic, weight-dominant, skips w<=0") {
+    val rows = (1L to 10L).map(i => (i, 0.001)) :+ (99L, 1000.0) :+ (100L, 0.0) :+ (101L, -1.0)
+    val df = rows.toDF("id", "w")
+    val out = Sampling.weightedHashSample(df, "id", "w", k = 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // w=1000 vs w=0.001: worst-case exponential key of the heavy row
+    // (-ln(1-2^-32)/1000) is below the best possible light-row key
+    // (-ln(1-2^-32)/0.001 bounded by u granularity), so the heavy row
+    // ALWAYS ranks first; zero/negative weights never appear
+    assert(out.head == 99L)
+    assert(!out.contains(100L) && !out.contains(101L))
+    assert(out.size == 5)
+    // partition-invariance: same result from a different layout
+    val out2 = Sampling.weightedHashSample(df.repartition(7), "id", "w", k = 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(out2 == out)
   }
 
   test("bm25TopK ranks by term relevance with length normalization") {
