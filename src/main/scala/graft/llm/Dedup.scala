@@ -413,26 +413,37 @@ object Dedup {
     * output is bit-identical to the exact operator, which is exactly what
     * the shared oracle gate asserts.
     */
-  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
-      minShared: Int = 3, shingleN: Int = 3, window: Int = 4,
-      fpp: Double = 0.01): DataFrame = {
+  /** Boolean probe column: whether `value` (a long) might be a member of
+    * the `fp` column of `fps` — a driver-built Spark sketch Bloom filter
+    * riding the plan as one binary literal, tested per row by the codegen
+    * `BloomFilterMightContain` kernel (the same expression Spark's runtime
+    * row-group filters inject). Narrow, stateless, streaming-safe; the
+    * build is one distributed aggregation + a bounded (bits/8-byte)
+    * driver materialization.
+    */
+  def fpBloomMightContain(fps: DataFrame, value: Column,
+      fpp: Double = 0.01): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftx.Bridge
-    val benchFps = winnowFingerprints(benchmark, benchIdCol, benchTextCol,
-      shingleN, window).select("fp").distinct()
-      .localCheckpoint(eager = false) // feeds count, bloom build, verify join
-    val n = math.max(benchFps.count(), 1L)
-    val bf = benchFps.stat.bloomFilter("fp", n, fpp)
+    val n = math.max(fps.count(), 1L)
+    val bf = fps.stat.bloomFilter("fp", n, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos); bos.toByteArray
     }
-    val mightContain = Bridge.column(
-      BloomFilterMightContain(Literal(bytes),
-        Bridge.expression(col("fp").cast("long"))))
+    Bridge.column(BloomFilterMightContain(Literal(bytes),
+      Bridge.expression(value.cast("long"))))
+  }
+
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      minShared: Int = 3, shingleN: Int = 3, window: Int = 4,
+      fpp: Double = 0.01): DataFrame = {
+    val benchFps = winnowFingerprints(benchmark, benchIdCol, benchTextCol,
+      shingleN, window).select("fp").distinct()
+      .localCheckpoint(eager = false) // feeds count, bloom build, verify join
     val contaminated = winnowFingerprints(df, idCol, textCol, shingleN, window)
-      .filter(mightContain)                      // narrow probe, no shuffle
+      .filter(fpBloomMightContain(benchFps, col("fp"), fpp)) // narrow probe
       .join(broadcast(benchFps), Seq("fp"))      // exact verify on survivors
       .groupBy(col("id"))
       .agg(count(lit(1)).as("__shared"))

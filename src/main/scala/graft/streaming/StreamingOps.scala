@@ -90,6 +90,27 @@ object StreamingOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationFlags]] with the Bloom prefilter of
+    * `Dedup.decontaminateBloom` in front of the index join: the reference
+    * Bloom filter is built ONCE at stream setup (driver-side, static
+    * input) and then rides every micro-batch as a stateless codegen probe
+    * — the shape that lets a stream check membership against a benchmark
+    * index too big to broadcast comfortably. Exact verify after the probe
+    * keeps flags bit-identical to [[contaminationFlags]] (spec-pinned).
+    */
+  def contaminationFlagsBloom(stream: DataFrame, idCol: String, textCol: String,
+      referenceIndex: DataFrame, minShared: Int = 3,
+      shingleN: Int = 3, window: Int = 4, fpp: Double = 0.01): DataFrame = {
+    val refFps = referenceIndex.select(col("fp")).distinct()
+    val probe = graft.llm.Dedup.fpBloomMightContain(refFps, col("fp"), fpp)
+    graft.llm.Dedup.winnowFingerprints(stream, idCol, textCol, shingleN, window)
+      .filter(probe)
+      .join(broadcast(refFps), Seq("fp"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Streaming near-duplicate flagging against a static reference corpus:
     * the MinhashSig kernel is a per-row expression, so an arriving
     * document's full signature, band hashes, and shingle set are all

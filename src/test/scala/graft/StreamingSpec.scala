@@ -236,4 +236,23 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.keySet == Set(2L))
     assert(flagged(2L) >= 3L)
   }
+
+  test("contaminationFlagsBloom flags identically through the Bloom prefilter") {
+    implicit val sq = spark.sqlContext
+    val bench = (1 to 30).map(i => s"secret$i").mkString(" ")
+    val refIndex = graft.llm.Dedup.winnowFingerprints(
+      Seq((0L, bench)).toDF("id", "t"), "id", "t")
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "totally unrelated words that never overlap anything here at all"),
+      (2L, "preamble text then " + bench + " then a closing remark"))
+    // fpp=0.5 stresses the filter: false positives must die in the exact join
+    val out = runToCompletion(
+      StreamingOps.contaminationFlagsBloom(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", refIndex, minShared = 3, fpp = 0.5),
+      "contam_bloom_out", mode = "update")
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(2L))
+    assert(flagged(2L) >= 3L)
+  }
 }
