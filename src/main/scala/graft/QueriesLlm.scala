@@ -186,6 +186,8 @@ object QueriesLlm {
     "bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
         Seq("spark", "table", "hash", "merge"), k = 20)),
+    "perplexity_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(documents(s, d), "doc_id", "text")),
     "unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -684,6 +686,21 @@ object QueriesLlm {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(log10(c / n.n)), 6) AS avg_logprob
         |FROM tok JOIN v USING (t), n GROUP BY doc_id""".stripMargin,
+    // cume_dist == ecdf's "rows with value <= v over n, ties included";
+    // the tercile boundary arithmetic (cum/n as one double, x3, ceil) is
+    // the same IEEE sequence on both engines
+    "perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |    round(avg(log10(c / n.n)), 6) AS avg_logprob
+        |  FROM tok JOIN v USING (t), n GROUP BY doc_id),
+        |e AS (SELECT doc_id, n_tokens, avg_logprob,
+        |    cume_dist() OVER (ORDER BY avg_logprob) AS e FROM sc)
+        |SELECT doc_id, n_tokens, avg_logprob,
+        |  CAST(least(ceil(e * 3), 3) AS INT) AS bucket FROM e""".stripMargin,
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w FROM documents),
         |m AS (SELECT doc_id, len(w) AS ntok,

@@ -282,6 +282,27 @@ object TextAnalysis {
         round(avg(log10(col("c") / n)), 6).as("avg_logprob"))
   }
 
+  /** CCNet-style LM-quality bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3: split the corpus into head/middle/tail terciles of the LM score
+    * and train preferentially on the head): each document's
+    * [[unigramLogProb]] score is ranked by the corpus ECDF — computed
+    * through the scale-safe bucketed prefix sum
+    * ([[graft.functions.MathFunctions.ecdf]] → ScaleWindows.runningSum, no
+    * single-partition window) — and bucket b ∈ 1..nBuckets is
+    * ceil(ecdf·nBuckets) (1 = lowest scores = "tail", nBuckets = "head").
+    * Ties share a rounded score, so they land in one bucket
+    * deterministically on any engine.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    val scored = unigramLogProb(df, idCol, textCol)
+    graft.functions.MathFunctions.ecdf(scored, "avg_logprob", "__e")
+      .withColumn("bucket",
+        least(ceil(col("__e") * nBuckets), lit(nBuckets.toLong)).cast("int"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_logprob"),
+        col("bucket"))
+  }
+
   /** Top-k TF-IDF terms per document — the keyword/fingerprint summary an
     * indexing or near-dup triage pipeline keeps per doc. tf = raw in-doc
     * count, idf = log10(N/df); ranking ties break on the term itself so the

@@ -374,6 +374,19 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("perplexityBuckets terciles the corpus by unigram LM score") {
+    // doc 3 is all common tokens (highest avg logprob -> head bucket 3),
+    // doc 1 is all rare tokens (tail bucket 1)
+    val docs = Seq(
+      (1L, "rare1 rare2 rare3"),
+      (2L, "common rare4 common x1"),
+      (3L, "common common common common")).toDF("id", "t")
+    val out = TextAnalysis.perplexityBuckets(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(1L) == 1 && out(3L) == 3)
+    assert(out(2L) == 2)
+  }
+
   test("weightedHashSample: deterministic, weight-dominant, skips w<=0") {
     val rows = (1L to 10L).map(i => (i, 0.001)) :+ (99L, 1000.0) :+ (100L, 0.0) :+ (101L, -1.0)
     val df = rows.toDF("id", "w")
