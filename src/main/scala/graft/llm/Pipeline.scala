@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
   * composition of stages that are each individually DuckDB-oracle-gated:
   *
   *   clean (strip HTML → normalize URLs → scrub PII)
+  *   → optional corpus-wide line dedup (C4 recipe, boilerplate removal)
   *   → quality filter (Gopher flags keep)
   *   → near-dedup (MinHash-LSH pairs → components → canonical row)
-  *   → optional benchmark decontamination (winnow-fingerprint overlap)
+  *   → optional benchmark decontamination (winnow-fingerprint overlap;
+  *     Bloom-prefiltered form when the benchmark index is huge)
+  *   → optional CCNet perplexity bucketing (head/middle/tail LM terciles)
   *   → deterministic train/val/test split (content-hash)
   *
   * Every stage is a narrow map, a blocked shuffle keyed on a hash, or a
   * broadcast anti join — the composition inherits each stage's 100 TB
   * design. Returns the surviving rows with the cleaned text in place,
-  * `cluster_size` from dedup, and a `split` column.
+  * `cluster_size` from dedup, a `split` column, and (when bucketing is on)
+  * the `bucket` tercile.
   */
 object Pipeline {
 
@@ -24,18 +28,37 @@ object Pipeline {
       dedupThreshold: Double = 0.8,
       splitWeights: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      lineDedup: Boolean = false,
+      bloomDecontaminate: Boolean = false,
+      perplexityBucketing: Boolean = false): DataFrame = {
     val cleanedText: Column = TextAnalysis.scrubPii(
       TextAnalysis.replaceUrls(TextAnalysis.stripHtml(col(s"`$textCol`"))))
     val cleaned = df.withColumn(textCol, cleanedText)
-    val kept = cleaned
+    val lineDeduped =
+      if (lineDedup)
+        Dedup.dedupLines(cleaned.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol)
+          .drop("n_lines_kept")
+          .join(cleaned.drop(textCol), Seq(idCol))
+      else cleaned
+    val kept = lineDeduped
       .withColumn("__g", TextAnalysis.gopherQualityFlags(col(s"`$textCol`")))
       .filter(col("__g.keep")).drop("__g")
     val deduped = Dedup.dedupNear(kept, idCol, textCol, dedupThreshold)
     val decontaminated = benchmark match {
+      case Some(b) if bloomDecontaminate =>
+        Dedup.decontaminateBloom(deduped, idCol, textCol, b, idCol, textCol)
       case Some(b) => Dedup.decontaminate(deduped, idCol, textCol, b, idCol, textCol)
       case None => deduped
     }
-    Sampling.hashSplit(decontaminated, idCol, splitWeights, "split", seed)
+    val bucketed =
+      if (perplexityBucketing)
+        decontaminated.join(
+          TextAnalysis.perplexityBuckets(
+            decontaminated.select(col(s"`$idCol`"), col(s"`$textCol`")),
+            idCol, textCol).select(col(s"`$idCol`"), col("bucket")),
+          Seq(idCol))
+      else decontaminated
+    Sampling.hashSplit(bucketed, idCol, splitWeights, "split", seed)
   }
 }

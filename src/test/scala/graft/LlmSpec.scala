@@ -114,6 +114,15 @@ class LlmSpec extends SparkSpec {
     // no benchmark: doc 5 survives too
     val noBench = Pipeline.prepareCorpus(docs, "id", "text")
     assert(noBench.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    // full option set: line dedup + bloom decontamination + bucketing give
+    // the same survivors (bloom is result-invariant; line dedup only strips
+    // within-corpus repeats, which the near-dedup already removed here) and
+    // add the bucket tercile
+    val full = Pipeline.prepareCorpus(docs, "id", "text",
+      benchmark = Some(bench), lineDedup = true, bloomDecontaminate = true,
+      perplexityBucketing = true)
+    assert(full.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(full.columns.contains("bucket") && full.columns.contains("split"))
   }
 
   test("LLM verbs chain through the syntax surface") {
