@@ -188,6 +188,9 @@ object QueriesLlm {
         Seq("spark", "table", "hash", "merge"), k = 20)),
     "perplexity_buckets" -> ((s, d) =>
       TextAnalysis.perplexityBuckets(documents(s, d), "doc_id", "text")),
+    "bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
     "unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -686,6 +689,20 @@ object QueriesLlm {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(log10(c / n.n)), 6) AS avg_logprob
         |FROM tok JOIN v USING (t), n GROUP BY doc_id""".stripMargin,
+    "bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |uni AS (SELECT doc_id, unnest(w) AS t FROM tok),
+        |c1 AS (SELECT t, count(*) AS c1 FROM uni GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+        |bg AS (SELECT doc_id, w[i] AS p, w[i+1] AS t
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM tok)),
+        |c2 AS (SELECT p, t, count(*) AS c2 FROM bg GROUP BY p, t),
+        |cp AS (SELECT p, CAST(sum(c2) AS DOUBLE) AS cp FROM c2 GROUP BY p),
+        |sc AS (SELECT bg.doc_id,
+        |    log10(0.75 * (c2.c2 / cp.cp) + 0.25 * (c1.c1 / n.n)) AS s
+        |  FROM bg JOIN c2 USING (p, t) JOIN cp USING (p) JOIN c1 USING (t) CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(s), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // cume_dist == ecdf's "rows with value <= v over n, ties included";
     // the tercile boundary arithmetic (cum/n as one double, x3, ceil) is
     // the same IEEE sequence on both engines

@@ -282,6 +282,47 @@ object TextAnalysis {
         round(avg(log10(col("c") / n)), 6).as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM scoring (Jelinek–Mercer smoothing: per bigram
+    * s = log10(λ·P(t|p) + (1−λ)·P(t)) with P(t|p) = c(p,t)/c(p,·) and the
+    * unigram backoff P(t) = c(t)/N; avg_logprob = mean over the document's
+    * bigrams) — the step up from [[unigramLogProb]] toward the KenLM-style
+    * fluency scores CCNet-family pipelines filter on. Documents with fewer
+    * than two tokens have no bigrams and drop from the result.
+    *
+    * Scale shape: bigram pairs come from a constant-reference zip_with over
+    * shifted slices (PLANS HOF contract — no O(len²) re-splits), then
+    * three map-side-combinable count aggregations — (p,t), (p), (t) — and
+    * joins back keyed on those same vocab keys (AQE broadcasts them at
+    * test scale, shuffles co-key at corpus scale). N is one bounded scalar
+    * action. Nothing is quadratic; no single-partition window.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val base = df.select(col(s"`$idCol`").as("id"),
+      Dedup.tokens(col(s"`$textCol`")).as("__toks"))
+    val m = greatest(size(col("__toks")) - 1, lit(0))
+    val pairs = base.select(col("id"), explode(
+      zip_with(slice(col("__toks"), lit(1), m), slice(col("__toks"), lit(2), m),
+        (a, b) => struct(a.as("p"), b.as("t")))).as("__bg"))
+      .select(col("id"), col("__bg.p").as("p"), col("__bg.t").as("t"))
+    val uni = base.select(explode(col("__toks")).as("t"))
+    val c1 = uni.groupBy("t").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(coalesce(count(lit(1)), lit(1L)))
+      .collect()(0).getLong(0).toDouble
+    val c2 = pairs.groupBy("p", "t").agg(count(lit(1)).as("c2"))
+    val cp = c2.groupBy("p").agg(sum(col("c2")).cast("double").as("cp"))
+    pairs
+      .join(c2, Seq("p", "t"))
+      .join(cp, Seq("p"))
+      .join(c1, Seq("t"))
+      .withColumn("__s", log10(
+        lit(lambda) * (col("c2") / col("cp")) +
+          lit(1.0 - lambda) * (col("c1") / lit(n))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__s")), 6).as("avg_logprob"))
+  }
+
   /** CCNet-style LM-quality bucketing (Wenzek et al., arXiv:1911.00359
     * §4.3: split the corpus into head/middle/tail terciles of the LM score
     * and train preferentially on the head): each document's

@@ -383,6 +383,21 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("bigramLogProb scores fluent-under-the-corpus sequences higher") {
+    // "a b" appears 3x as a bigram; "a z" once — doc 4's repeated common
+    // bigram must outscore doc 5's one-off pairing
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "a b e"),
+      (4L, "a b a b"), (5L, "a z q w")).toDF("id", "t")
+    val out = TextAnalysis.bigramLogProb(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(4L)._1 == 3L && out(5L)._1 == 3L)
+    assert(out(4L)._2 > out(5L)._2)
+    // single-token doc has no bigrams and drops
+    val one = TextAnalysis.bigramLogProb(Seq((9L, "solo")).toDF("id", "t"), "id", "t")
+    assert(one.count() == 0)
+  }
+
   test("perplexityBuckets terciles the corpus by unigram LM score") {
     // doc 3 is all common tokens (highest avg logprob -> head bucket 3),
     // doc 1 is all rare tokens (tail bucket 1)
