@@ -191,6 +191,8 @@ object QueriesLlm {
     "bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
+    "token_quantiles_gate" -> ((s, d) =>
+      TextAnalysis.tokenQuantilesGate(documents(s, d), "text")),
     "unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -689,6 +691,17 @@ object QueriesLlm {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(log10(c / n.n)), 6) AS avg_logprob
         |FROM tok JOIN v USING (t), n GROUP BY doc_id""".stripMargin,
+    // quantile_cont == Spark's exact `percentile` (both linear-interpolated
+    // rank p*(N-1)); the sketch side is pinned only through approx_ok
+    "token_quantiles_gate" ->
+      """WITH n AS (SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n
+        |  FROM documents)
+        |SELECT round(quantile_cont(n, 0.25), 6) AS p25,
+        |  round(quantile_cont(n, 0.5), 6) AS p50,
+        |  round(quantile_cont(n, 0.75), 6) AS p75,
+        |  round(quantile_cont(n, 0.9), 6) AS p90,
+        |  TRUE AS approx_ok
+        |FROM n""".stripMargin,
     "bigram_logprob" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
         |uni AS (SELECT doc_id, unnest(w) AS t FROM tok),

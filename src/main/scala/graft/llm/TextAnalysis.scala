@@ -461,6 +461,34 @@ object TextAnalysis {
           col("n_exact") <= tol).as("approx_ok"))
   }
 
+  /** Token-length quantile gate — the percentile twin of [[vocabSizeGate]]:
+    * exact interpolated percentiles of the per-doc token count (Spark's
+    * `percentile`, the same linear-interpolation definition as DuckDB's
+    * quantile_cont, so the exact side hash-matches) next to the
+    * `percentile_approx` sketch a 100 TB corpus-profiling pass actually
+    * runs (bounded-memory KLL-style summary; the exact aggregate's
+    * per-value counts map can't hold a corpus-scale cardinality). Pins the
+    * exact values (rounded) and the boolean that every sketch estimate is
+    * within `tol` of exact.
+    */
+  def tokenQuantilesGate(df: DataFrame, textCol: String,
+      tol: Double = 0.05): DataFrame = {
+    val counts = df.select(
+      size(Dedup.tokens(col(s"`$textCol`"))).cast("double").as("n"))
+    counts
+      .agg(expr("percentile(n, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ex"),
+        percentile_approx(col("n"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), lit(1000)).as("ap"))
+      .select(
+        round(element_at(col("ex"), 1), 6).as("p25"),
+        round(element_at(col("ex"), 2), 6).as("p50"),
+        round(element_at(col("ex"), 3), 6).as("p75"),
+        round(element_at(col("ex"), 4), 6).as("p90"),
+        forall(zip_with(col("ex"), col("ap"), (e, a) =>
+          abs(a - e) <= lit(tol) * greatest(abs(e), lit(1.0d))),
+          x => x).as("approx_ok"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))

@@ -383,6 +383,17 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("tokenQuantilesGate: exact percentiles ordered, sketch within tolerance") {
+    val docs = (1 to 100).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("id", "t")
+    val r = TextAnalysis.tokenQuantilesGate(docs, "t").collect()(0)
+    val Seq(p25, p50, p75, p90) = (0 to 3).map(r.getDouble)
+    assert(p25 < p50 && p50 < p75 && p75 < p90)
+    // doc lengths are 1..100 -> interpolated median = 50.5
+    assert(p50 == 50.5)
+    assert(r.getBoolean(4))
+  }
+
   test("bigramLogProb scores fluent-under-the-corpus sequences higher") {
     // "a b" appears 3x as a bigram; "a z" once — doc 4's repeated common
     // bigram must outscore doc 5's one-off pairing
