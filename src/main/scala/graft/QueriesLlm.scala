@@ -49,6 +49,16 @@ object QueriesLlm {
       // full-corpus scale path; all-pairs on 100 TB is never the plan)
       Dedup.ngramJaccardPairs(corpus(s, d).filter(col("doc_id") % 100000 < 1000),
         "doc_id", "text", threshold = 0.8)),
+    // new-crawl-vs-corpus dedup: the 20 perturbed copies are the probe
+    // side, the raw table the ref side; oracle = exhaustive cross Jaccard
+    "dedup_cross_corpus" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val probe = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text"))
+      Dedup.crossCorpusDupPairs(probe, "doc_id", "text",
+        docs, "doc_id", "text", threshold = 0.8)
+    }),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(
       corpus(s, d).select(col("doc_id").as("id")), "id",
       Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8))),
@@ -438,6 +448,23 @@ object QueriesLlm {
         |md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql,
+    "dedup_cross_corpus" ->
+      """WITH p AS (SELECT doc_id + 100000 AS doc_id, text || ' extraword' AS text
+        |  FROM documents WHERE doc_id < 20),
+        |wp AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM p),
+        |wr AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |shp AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM wp),
+        |shr AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM wr)
+        |SELECT id1, id2, j FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM shp a CROSS JOIN shr b)
+        |WHERE j >= 0.8""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS (
          |  $corpusSql

@@ -190,6 +190,74 @@ object Dedup {
       .select("id1", "id2", "j")
   }
 
+  /** Cross-corpus near-duplicate pairs — "dedup the new crawl against the
+    * corpus we already trained on": every (probe, ref) pair with exact
+    * n-gram Jaccard ≥ threshold, candidates from a MinHash band join
+    * BETWEEN the two tables (same LSH design as [[minhashDupPairs]], but
+    * the join is probe⋈ref on (band, bandhash) — never a self-join, never
+    * probe×ref). Per-side hot-bucket caps bound boilerplate blowup; on top
+    * of the band path, an unconditional identical-signature equi-join (one
+    * 8-byte sigkey per doc) catches exact/near-exact copies even when
+    * every one of their buckets is hot — the cross-corpus analogue of the
+    * self-join star rescue, and cheap because it is a plain equi-join on a
+    * scalar key. Candidates are estimated-Jaccard prefiltered then
+    * exact-verified, so precision is exact. Returns (id1 = probe id,
+    * id2 = ref id, j) — fixed names, same pair convention as the other
+    * dedup ops (the two input id columns may share a name).
+    */
+  def crossCorpusDupPairs(probe: DataFrame, probeIdCol: String, probeTextCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
+      shingleN: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val par = probe.sparkSession.sparkContext.defaultParallelism
+    def prep(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      df.repartition(par).select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("sig",
+          graft.functions.vector.minhash_sig(tokens(col("text")), numHashes, shingleN))
+        .filter(col("sig").isNotNull)
+        .localCheckpoint(eager = false)
+    def banded(base: DataFrame): DataFrame = {
+      val b = base.select(col("id"),
+        posexplode(bandHashes(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band", "bandhash")))
+      val ok = b.groupBy("band", "bandhash").count()
+        .filter(col("count") <= maxBucketSize).drop("count")
+      b.join(ok, Seq("band", "bandhash"))
+    }
+    val (pBase, rBase) = (prep(probe, probeIdCol, probeTextCol),
+      prep(ref, refIdCol, refTextCol))
+    val bandCands = banded(pBase).select(col("band"), col("bandhash"), col("id").as("pid"))
+      .join(banded(rBase).select(col("band"), col("bandhash"), col("id").as("rid")),
+        Seq("band", "bandhash"))
+      .select("pid", "rid")
+    val sigCands = pBase
+      .select(xxhash64(col("sig").cast("string")).as("sigkey"), col("id").as("pid"))
+      .join(rBase.select(xxhash64(col("sig").cast("string")).as("sigkey"),
+        col("id").as("rid")), Seq("sigkey"))
+      .select("pid", "rid")
+    val cands = bandCands.unionAll(sigCands).dropDuplicates("pid", "rid")
+    val margin = math.max(0.0, threshold - 0.15)
+    val estimated = cands
+      .join(pBase.select(col("id").as("pid"), col("sig").as("sig1")), Seq("pid"))
+      .join(rBase.select(col("id").as("rid"), col("sig").as("sig2")), Seq("rid"))
+      .withColumn("est", size(filter(zip_with(col("sig1"), col("sig2"),
+        (x, y) => x === y), b => b)).cast("double") / numHashes)
+      .filter(col("est") >= margin)
+      .select("pid", "rid")
+    estimated
+      .join(pBase.select(col("id").as("pid"),
+        array_sort(shingles(col("text"), shingleN)).as("sh1")), Seq("pid"))
+      .join(rBase.select(col("id").as("rid"),
+        array_sort(shingles(col("text"), shingleN)).as("sh2")), Seq("rid"))
+      .withColumn("inter",
+        graft.functions.vector.sorted_intersect_count(col("sh1"), col("sh2")))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("j") >= threshold)
+      .select(col("pid").as("id1"), col("rid").as("id2"), col("j"))
+  }
+
   /** Exact all-pairs n-gram Jaccard above a threshold — the quadratic
     * baseline the LSH path approximates; use only at small scale or within
     * blocks.

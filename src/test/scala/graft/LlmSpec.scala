@@ -383,6 +383,25 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("crossCorpusDupPairs finds probe-vs-ref near-dups; sig rescue survives hot buckets") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val ref = Seq((10L, base), (11L, "completely different material here today"))
+      .toDF("rid", "rt")
+    val probe = Seq((1L, base + " tail"), (2L, "nothing shared with anything"))
+      .toDF("pid", "pt")
+    val pairs = Dedup.crossCorpusDupPairs(probe, "pid", "pt", ref, "rid", "rt",
+      threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 10L)))
+    // maxBucketSize = 0 kills every band bucket; identical signatures must
+    // still pair through the sigkey equi-join
+    val probe2 = Seq((1L, base)).toDF("pid", "pt")
+    val rescued = Dedup.crossCorpusDupPairs(probe2, "pid", "pt", ref, "rid", "rt",
+      threshold = 0.9, maxBucketSize = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rescued.toSeq == Seq((1L, 10L)))
+  }
+
   test("tokenQuantilesGate: exact percentiles ordered, sketch within tolerance") {
     val docs = (1 to 100).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" ")))
       .toDF("id", "t")
