@@ -203,6 +203,10 @@ object QueriesLlm {
         .withColumnRenamed("id", "doc_id")),
     "token_quantiles_gate" -> ((s, d) =>
       TextAnalysis.tokenQuantilesGate(documents(s, d), "text")),
+    "find_canaries" -> ((s, d) =>
+      TextAnalysis.findCanaries(documents(s, d), "doc_id", "text",
+        Seq("spark a", "hash value", "d1b0cf3a-canary-e9ff"))
+        .withColumnRenamed("id", "doc_id")),
     "unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -718,6 +722,10 @@ object QueriesLlm {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(log10(c / n.n)), 6) AS avg_logprob
         |FROM tok JOIN v USING (t), n GROUP BY doc_id""".stripMargin,
+    "find_canaries" ->
+      """SELECT doc_id, c AS canary
+        |FROM documents, (SELECT unnest(['spark a', 'hash value', 'd1b0cf3a-canary-e9ff']) AS c)
+        |WHERE contains(text, c)""".stripMargin,
     // quantile_cont == Spark's exact `percentile` (both linear-interpolated
     // rank p*(N-1)); the sketch side is pinned only through approx_ok
     "token_quantiles_gate" ->

@@ -461,6 +461,23 @@ object TextAnalysis {
           col("n_exact") <= tol).as("approx_ok"))
   }
 
+  /** Canary-string scan — the exact-substring sweep for benchmark canary
+    * GUIDs (BIG-bench-style canaries, eval-set sentinel strings) that runs
+    * before any training dump ships: one row per (document, canary) hit.
+    * Pure narrow projection (the canary list is a constant array literal;
+    * per-row cost = Σ|canary| substring scans — no tokenization, no
+    * shuffle), so it streams unchanged and composes with `filter`/anti-join
+    * for the drop. Case-sensitive by contract: canaries are exact literal
+    * markers.
+    */
+  def findCanaries(df: DataFrame, idCol: String, textCol: String,
+      canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "findCanaries: empty canary list")
+    df.select(col(s"`$idCol`").as("id"),
+        explode(filter(array(canaries.map(lit): _*),
+          c => col(s"`$textCol`").contains(c))).as("canary"))
+  }
+
   /** Token-length quantile gate — the percentile twin of [[vocabSizeGate]]:
     * exact interpolated percentiles of the per-doc token count (Spark's
     * `percentile`, the same linear-interpolation definition as DuckDB's

@@ -383,6 +383,19 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("findCanaries reports each (doc, canary) literal hit") {
+    val docs = Seq(
+      (1L, "clean text with CANARY-123 inside"),
+      (2L, "has CANARY-123 and also CANARY-456 here"),
+      (3L, "nothing to see")).toDF("id", "t")
+    val hits = TextAnalysis.findCanaries(docs, "id", "t",
+      Seq("CANARY-123", "CANARY-456"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hits == Set((1L, "CANARY-123"), (2L, "CANARY-123"), (2L, "CANARY-456")))
+    // case-sensitive contract
+    assert(TextAnalysis.findCanaries(docs, "id", "t", Seq("canary-123")).count() == 0)
+  }
+
   test("crossCorpusDupPairs finds probe-vs-ref near-dups; sig rescue survives hot buckets") {
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
     val ref = Seq((10L, base), (11L, "completely different material here today"))
