@@ -497,6 +497,21 @@ object Similarity {
       .drop((0 until m).map(s => s"__pq$s"): _*)
   }
 
+  /** Per-query flat ADC lookup table: element s·k + j (1-based) =
+    * q_s · c_{s,j}, built from the same CentroidSims kernel as encoding so
+    * the arithmetic ((dot/‖c‖)·‖c‖) is bit-stable against the oracle.
+    * Pure narrow expression — shared by the batch ADC scans and the
+    * streaming IVF-PQ probe.
+    */
+  def pqAdcTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    flatten(array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val cn = cbNorms(cb)
+      zip_with(cellSims(slice(vec, s * dsub + 1, dsub), cb),
+        array(cn.map(n => lit(n)): _*), (sim, n) => sim * n)
+    }: _*))
+  }
+
   /** Asymmetric-distance (ADC) top-k by inner product: corpus rows are
     * scanned as their m-code arrays; each query precomputes ONCE its m×k
     * lookup table T[s·k+j] = q_s·c_{s,j} (a k·m-double column built from
@@ -513,15 +528,8 @@ object Similarity {
       refine: Int = 4, roundTo: Int = 6): DataFrame = {
     val m = codebooks.length
     val kCents = codebooks.head.length
-    val dsub = codebooks.head.head.length
-    // per-query flat lookup table: T[s*kCents + (j-1)] = dot(q_s, c_{s,j})
-    val tableCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      val cn = cbNorms(cb)
-      zip_with(cellSims(slice(col("qvec"), s * dsub + 1, dsub), cb),
-        array(cn.map(n => lit(n)): _*), (sim, n) => sim * n)
-    }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("__t", flatten(array(tableCols: _*)))
+      .withColumn("__t", pqAdcTable(col("qvec"), codebooks))
     val c = pqEncode(
       corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
       vecCol, codebooks)
@@ -556,15 +564,9 @@ object Similarity {
       refine: Int = 4, roundTo: Int = 6): DataFrame = {
     val m = codebooks.length
     val kCents = codebooks.head.length
-    val dsub = codebooks.head.head.length
-    val tableCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      val cn = cbNorms(cb)
-      zip_with(cellSims(slice(col("qvec"), s * dsub + 1, dsub), cb),
-        array(cn.map(n => lit(n)): _*), (sim, n) => sim * n)
-    }
     val q = withProbeCells(queries, vecCol, centroids, nProbe)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cell"))
-      .withColumn("__t", flatten(array(tableCols: _*)))
+      .withColumn("__t", pqAdcTable(col("qvec"), codebooks))
     val c = pqEncode(withCell(corpus, vecCol, centroids), vecCol, codebooks)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cell"),
         col(s"${vecCol}_pq").as("__code"))

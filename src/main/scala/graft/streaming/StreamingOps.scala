@@ -211,6 +211,42 @@ object StreamingOps {
       .select(col("qid"), col("__t.nid").as("nid"), col("__t.sim").as("sim"))
   }
 
+  /** Streaming IVF-PQ: [[ivfTopKStream]] with the static corpus held as
+    * m-byte PQ codes instead of raw vectors — the compressed-domain probe
+    * for a corpus too large to keep as float arrays. Corpus rows are
+    * cell-assigned and PQ-encoded ONCE at setup (batch, narrow); each
+    * arriving query computes its probe cells and its m×k ADC lookup table
+    * statelessly, joins the pre-bucketed code table on the cell id, and
+    * ranks by the ADC score (collect_list top-k, update mode; exact rerank
+    * is a batch follow-up — the stream never touches corpus vectors).
+    */
+  def ivfPqTopKStream(stream: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nProbe: Int = 8,
+      roundTo: Int = 6): DataFrame = {
+    import graft.llm.Similarity
+    val q = Similarity.withProbeCells(stream, vecCol, centroids, nProbe)
+      .withColumn("__t", Similarity.pqAdcTable(col(vecCol), codebooks))
+      .select(col(idCol).as("qid"), col("__t"), col("cell"))
+    val c = Similarity.pqEncode(
+      Similarity.withCell(corpus, vecCol, centroids), vecCol, codebooks)
+      .select(col(idCol).as("nid"), col(s"${vecCol}_pq").as("__code"), col("cell"))
+    val kCents = codebooks.head.length
+    val m = codebooks.length
+    val adc = aggregate(
+      zip_with(col("__code"), sequence(lit(0), lit(m - 1)),
+        (code, s) => element_at(col("__t"), s * kCents + code)),
+      lit(0.0d), (acc, x) => acc + x)
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", round(adc, roundTo))
+    scored.groupBy("qid")
+      .agg(slice(array_sort(collect_list(struct((-col("score")).as("neg"),
+        col("nid").as("nid"), col("score").as("score")))), 1, k).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t2"))
+      .select(col("qid"), col("__t2.nid").as("nid"), col("__t2.score").as("score"))
+  }
+
   /** Stream-static as-of enrichment — the streaming counterpart of
     * [[graft.operators.JoinOps.asofJoin]] (backward direction): each
     * arriving row picks up the STATIC frame's latest row at-or-before its

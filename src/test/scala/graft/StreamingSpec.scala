@@ -185,6 +185,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("ivfPqTopKStream ranks by ADC over the pre-encoded static corpus") {
+    implicit val sq = spark.sqlContext
+    // corpus vectors sit exactly on codebook centroids -> ADC = exact dot,
+    // so the streamed ranking must equal the batch dotTopK ranking
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0)),
+      Array(Array(0, 0, 2.0, 0), Array(0, 0, 0, 2.0)))
+    def v(a: Int, b: Int): Array[Float] =
+      (cb(0)(a) ++ cb(1)(b)).map(_.toFloat)
+    val corpus = Seq((1L, v(0, 0)), (2L, v(0, 1)), (3L, v(1, 0)), (4L, v(1, 1)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5))
+    val in = MemoryStream[(Long, Array[Float])]
+    in.addData((100L, v(0, 0)), (101L, v(1, 1)))
+    val streamed = runToCompletion(
+      StreamingOps.ivfPqTopKStream(in.toDF().toDF("vec_id", "embedding"),
+        corpus, "vec_id", "embedding", k = 2, cents, cb, nProbe = 1),
+      "ivfpq_stream_out", mode = "update")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.llm.Similarity.dotTopK(
+      Seq((100L, v(0, 0)), (101L, v(1, 1))).toDF("vec_id", "embedding"),
+      corpus, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("fuzzyMatchFlags resolves streamed strings against a static reference") {
     implicit val sq = spark.sqlContext
     val ref = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma")).toDF("rid", "name")
