@@ -207,6 +207,34 @@ object QueriesLlm {
       TextAnalysis.findCanaries(documents(s, d), "doc_id", "text",
         Seq("spark a", "hash value", "d1b0cf3a-canary-e9ff"))
         .withColumnRenamed("id", "doc_id")),
+    // real BPE (Sennrich 1508.07909): trained path pinned by invariants —
+    // lossless segmentation, vocabulary closure, token-count bounds —
+    // same gate pattern as semdedup/pca trained gates; the merge algebra
+    // itself is pinned by the textbook-example spec
+    "bpe_gate" -> ((s, d) => {
+      import graft.llm.Bpe
+      val docs = documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 200)
+      val vocab = Bpe.vocabOf(merges).toSeq.sorted
+      val enc = docs
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("__w"))
+        .withColumn("__bpe", Bpe.encode(col("__w"), merges))
+      enc.select(
+          (concat_ws("", transform(col("__bpe"),
+            t => regexp_replace(t, "</w>", ""))) === concat_ws("", col("__w"))).as("__l"),
+          forall(col("__bpe"), t =>
+            length(t) === 1 || array_contains(
+              array(vocab.map(lit): _*), t)).as("__c"),
+          (size(col("__bpe")) >= size(col("__w")) &&
+            size(col("__bpe")) <= length(concat_ws("", col("__w"))) + size(col("__w"))).as("__b"))
+        .agg(count(lit(1)).as("n_docs"),
+          bool_and(col("__l")).as("lossless"),
+          bool_and(col("__c")).as("closed"),
+          bool_and(col("__b")).as("bounds_ok"),
+          // merge count is data-dependent (a small-vocabulary corpus can
+          // fully merge before the budget) — pin the bound, not the count
+          lit(merges.nonEmpty && merges.size <= 200).as("merges_ok"))
+    }),
     "unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -722,6 +750,9 @@ object QueriesLlm {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(log10(c / n.n)), 6) AS avg_logprob
         |FROM tok JOIN v USING (t), n GROUP BY doc_id""".stripMargin,
+    "bpe_gate" ->
+      """SELECT count(*) AS n_docs, TRUE AS lossless, TRUE AS closed,
+        |TRUE AS bounds_ok, TRUE AS merges_ok FROM documents""".stripMargin,
     "find_canaries" ->
       """SELECT doc_id, c AS canary
         |FROM documents, (SELECT unnest(['spark a', 'hash value', 'd1b0cf3a-canary-e9ff']) AS c)

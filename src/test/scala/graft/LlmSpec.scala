@@ -383,6 +383,29 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("BPE: deterministic merge training and canonical greedy encoding") {
+    import graft.llm.Bpe
+    // the Sennrich et al. (2016) corpus: low x5, lower x2, newest x6, widest x3
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "t")
+    val merges = Bpe.train(df, "t", numMerges = 10)
+    // (e,s) 9 -> (es,t) 9 -> (est,</w>) 9 -> (l,o) 7 -> (lo,w) 7 (ties
+    // break lexicographically per the documented rule)
+    assert(merges.take(5) == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+    // the canonical generalization: unseen word "lowest" encodes [low, est</w>]
+    val enc = Seq((1L, "lowest")).toDF("id", "t")
+      .select(Bpe.encode(Dedup.tokens(col("t")), merges).as("b"))
+      .collect()(0).getSeq[String](0).toSeq
+    assert(enc == Seq("low", "est</w>"))
+    // lossless: stripping the markers reconstructs the words
+    val joined = enc.map(_.replace("</w>", "")).mkString
+    assert(joined == "lowest")
+    // determinism under repartitioning
+    assert(Bpe.train(df.repartition(7), "t", numMerges = 10) == merges)
+  }
+
   test("findCanaries reports each (doc, canary) literal hit") {
     val docs = Seq(
       (1L, "clean text with CANARY-123 inside"),
