@@ -493,7 +493,10 @@ object Dedup {
       fpp: Double = 0.01): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftx.Bridge
-    val n = math.max(fps.count(), 1L)
+    val n = fps.count()
+    // empty reference: nothing can be a member (stat.bloomFilter NPEs on
+    // a zero-row build — its aggregate returns a null buffer)
+    if (n == 0) return lit(false)
     val bf = fps.stat.bloomFilter("fp", n, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -308,5 +308,33 @@ object syntax {
     def semDedup(idCol: String, vecCol: String, threshold: Double,
         nCells: Int = 16, kmeansIters: Int = 5): DataFrame =
       graft.llm.Similarity.semDedup(df, idCol, vecCol, threshold, nCells, kmeansIters)
+    def dedupLines(idCol: String, textCol: String, minLineChars: Int = 10,
+        sep: String = "\n"): DataFrame =
+      Dedup.dedupLines(df, idCol, textCol, minLineChars, sep)
+    def decontaminateAgainst(idCol: String, textCol: String,
+        benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+        minShared: Int = 3, bloom: Boolean = false): DataFrame =
+      if (bloom) Dedup.decontaminateBloom(df, idCol, textCol, benchmark,
+        benchIdCol, benchTextCol, minShared)
+      else Dedup.decontaminate(df, idCol, textCol, benchmark,
+        benchIdCol, benchTextCol, minShared)
+    def crossCorpusDupPairs(idCol: String, textCol: String, ref: DataFrame,
+        refIdCol: String, refTextCol: String, threshold: Double): DataFrame =
+      Dedup.crossCorpusDupPairs(df, idCol, textCol, ref, refIdCol, refTextCol, threshold)
+    def bm25TopK(idCol: String, textCol: String, queryTerms: Seq[String],
+        k: Int = 20): DataFrame =
+      TextAnalysis.bm25TopK(df, idCol, textCol, queryTerms, k)
+    def perplexityBuckets(idCol: String, textCol: String,
+        nBuckets: Int = 3): DataFrame =
+      TextAnalysis.perplexityBuckets(df, idCol, textCol, nBuckets)
+    def bigramLogProb(idCol: String, textCol: String,
+        lambda: Double = 0.75): DataFrame =
+      TextAnalysis.bigramLogProb(df, idCol, textCol, lambda)
+    def findCanaries(idCol: String, textCol: String,
+        canaries: Seq[String]): DataFrame =
+      TextAnalysis.findCanaries(df, idCol, textCol, canaries)
+    def weightedHashSample(keyCol: String, weightCol: String, k: Int,
+        seed: Long = 42L): DataFrame =
+      Sampling.weightedHashSample(df, keyCol, weightCol, k, seed)
   }
 }

@@ -138,6 +138,12 @@ class LlmSpec extends SparkSpec {
     // only the two long docs fingerprint
     assert(docs.winnowFingerprints("id", "t").select("id").distinct().count() == 2)
     assert(docs.textAnalysis("t").columns.contains("quality"))
+    // round-10 surface: the new verbs chain too
+    assert(docs.dedupLines("id", "t").columns.contains("n_lines_kept"))
+    assert(docs.bm25TopK("id", "t", Seq("other")).count() == 1)
+    assert(docs.findCanaries("id", "t", Seq("entirely")).count() == 1)
+    assert(docs.decontaminateAgainst("id", "t", docs.filter(col("id") === 3L),
+      "id", "t", bloom = true).count() <= 3)
   }
 
   test("winnowing guarantees shared fingerprints for shared runs; containment finds partial overlap") {
