@@ -236,4 +236,62 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"maxDist=$k mismatch")
     }
   }
+
+  test("dedupLines == brute-force first-occurrence scan (random corpora)") {
+    val rng = new Random(29)
+    val vocabLines = Vector("shared boilerplate line one", "another repeated chunk",
+      "short", "x", "unique" /* placeholder, replaced per doc */)
+    (1 to 3).foreach { round =>
+      val docs = (0 until 25).map { i =>
+        val nLines = rng.nextInt(6)
+        val lines = (0 until nLines).map { j =>
+          val pick = rng.nextInt(6)
+          if (pick < 4) vocabLines(pick) else s"unique line $i-$j ${rng.nextInt(1000)}"
+        }
+        (i.toLong, lines.mkString("\n"))
+      }
+      val got = graft.llm.Dedup.dedupLines(docs.toDF("id", "text"), "id", "text",
+        minLineChars = 10)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      // brute force on the driver: first (id, idx) occurrence of each
+      // normalized long line wins; short lines always kept
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.sortBy(_._1).map { case (id, text) =>
+        val kept = text.split("\n", -1).zipWithIndex.filter { case (line, _) =>
+          val t = line.trim
+          if (t.length < 10) true
+          else {
+            val key = t.toLowerCase
+            if (seen(key)) false else { seen += key; true }
+          }
+        }.map(_._1)
+        (id, kept.mkString("\n"), kept.length.toLong)
+      }
+      assert(got == expected, s"round $round mismatch")
+    }
+  }
+
+  test("crossCorpusDupPairs == exhaustive cross Jaccard (random corpora)") {
+    val rng = new Random(41)
+    def doc(seed: Int): String =
+      (1 to 25).map(i => s"w${(seed * 31 + i * 7) % 40}").mkString(" ")
+    val ref = (0 until 20).map(i => (i.toLong, doc(i))).toDF("rid", "rt")
+    val probe = (0 until 10).map(i => (100L + i, doc(i * 2) + (if (rng.nextBoolean()) " tail" else "")))
+      .toDF("pid", "pt")
+    def sh(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val refRows = ref.collect().map(r => (r.getLong(0), r.getString(1)))
+    val probeRows = probe.collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (p, pt) <- probeRows; (r, rt) <- refRows
+      inter = (sh(pt) & sh(rt)).size
+      j = inter.toDouble / (sh(pt).size + sh(rt).size - inter) if j >= 0.7
+    } yield (p, r)).sorted.toSeq
+    val got = graft.llm.Dedup.crossCorpusDupPairs(probe, "pid", "pt",
+      ref, "rid", "rt", threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expected)
+  }
 }
