@@ -392,7 +392,10 @@ object TextAnalysis {
       .withColumn("dl", size(col("__toks")))
     val stats = toks.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl")).head()
-    val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+    // empty corpus: avg is NULL; the term scan below is empty anyway, the
+    // placeholder only keeps the plan well-typed
+    val n = stats.getDouble(0)
+    val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
     val f = toks.select(col("id"), col("dl"), explode(col("__toks")).as("token"))
       .filter(col("token").isin(queryTerms: _*))
       .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))

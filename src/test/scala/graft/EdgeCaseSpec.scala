@@ -221,4 +221,39 @@ class EdgeCaseSpec extends SparkSpec {
       TypeOps.changeType(stream, "value", "int", ignoreException = "keep_values")
     }
   }
+
+  test("round-10 llm verbs on empty/degenerate inputs") {
+    import graft.llm.{Bpe, Dedup, Sampling, TextAnalysis}
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "t")
+    // corpus-level ops return empty (never throw) on an empty corpus
+    assert(Dedup.dedupLines(empty, "id", "t").count() == 0)
+    assert(TextAnalysis.bm25TopK(empty, "id", "t", Seq("x")).count() == 0)
+    assert(TextAnalysis.bigramLogProb(empty, "id", "t").count() == 0)
+    assert(Sampling.weightedHashSample(
+      Seq((1L, 2.0)).toDF("id", "w"), "id", "w", k = 10).count() == 1)
+    // bm25 with terms absent from the corpus: empty, no divide-by-zero
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "t")
+    assert(TextAnalysis.bm25TopK(docs, "id", "t", Seq("zzz")).count() == 0)
+    // one-token docs have no bigrams
+    assert(TextAnalysis.bigramLogProb(Seq((1L, "solo")).toDF("id", "t"), "id", "t")
+      .count() == 0)
+    // single doc lands in the head bucket (ecdf = 1)
+    val one = TextAnalysis.perplexityBuckets(Seq((1L, "a b c")).toDF("id", "t"), "id", "t")
+      .collect()(0)
+    assert(one.getInt(3) == 3)
+    // empty canary list is a contract violation
+    intercept[IllegalArgumentException] {
+      TextAnalysis.findCanaries(docs, "id", "t", Seq.empty)
+    }
+    // cross-corpus dedup with an empty probe side is empty
+    assert(Dedup.crossCorpusDupPairs(empty, "id", "t", docs, "id", "t", 0.8).count() == 0)
+    // BPE on an empty corpus trains zero merges; encoding still works
+    val merges = Bpe.train(empty, "t", numMerges = 5)
+    assert(merges.isEmpty)
+    val enc = Seq((1L, "ab")).toDF("id", "t")
+      .select(Bpe.encode(Dedup.tokens(col("t")), merges).as("b"))
+      .collect()(0).getSeq[String](0)
+    assert(enc == Seq("a", "b", Bpe.Eow))
+  }
 }
