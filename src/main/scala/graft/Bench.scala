@@ -17,7 +17,9 @@ object Bench {
     "count_cumulative_unique", "math_ecdf", "fill_direction", "clean_names",
     "filter_on", "xlsx_table", "row_to_names", "min_max_scale_jointly",
     "asof_join", "hash_split", "chunk_documents",
-    "dedup_near", "semdedup", "pca_project", "build_vocab", "fuzzy_self_join")
+    "dedup_near", "semdedup", "pca_project", "build_vocab", "fuzzy_self_join",
+    "dedup_lines", "dedup_cross_corpus", "decontaminate_bloom", "pq_adc_topk",
+    "pq_recall", "bm25_topk", "perplexity_buckets", "bigram_logprob", "bpe_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
