@@ -448,10 +448,21 @@ object Similarity {
       throw new IllegalArgumentException("pqTrain: empty corpus"))
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m $m")
     val dsub = dim / m
+    // ONE count + ONE hash-sampled checkpoint of the full vectors; each
+    // subspace then trains on a narrow slice of the cached sample (the
+    // naive per-subspace trainCentroids calls re-counted and re-sampled
+    // the corpus m times — m extra full scans for identical samples)
+    val n = corpus.count()
+    val trainMod = math.max(1L, n / math.max(trainTarget, k).toLong)
+    val sample = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint()
     Array.tabulate(m) { s =>
-      val sliced = corpus.select(col(idCol),
+      val sliced = sample.select(col(idCol),
         slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
-      trainCentroids(sliced, idCol, vecCol, k, kmeansIters, trainTarget)
+      trainCentroids(sliced, idCol, vecCol, k, kmeansIters,
+        trainTarget = Int.MaxValue)
     }
   }
 
