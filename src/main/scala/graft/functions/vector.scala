@@ -256,6 +256,81 @@ object vector {
     } else j0
   }
 
+  /** Hashes of a string's FastSS ≤ maxDist deletion neighborhood, with no
+    * variant string ever materialized: a positional polynomial hash
+    * H(s) = Σ c[a]·B^a lets every deletion variant be one O(1) arithmetic
+    * combination of a prefix table and once- and twice-B-shifted suffix
+    * tables (deleting position i shifts every later exponent down one) —
+    * O(len) precompute + O(1) per variant, O(len²) total at k=2, versus the
+    * higher-order-function form's O(len³) substring concats and
+    * allocations (the dominant cost of the whole fuzzy-join pipeline; see
+    * PLANS.md HOF contract). Hash identity is internal to the join — both
+    * sides use this kernel and candidates are verified with exact
+    * levenshtein, so the hash function only needs to be consistent, never
+    * externally replicable. Output is sorted-distinct.
+    */
+  def deletionHashKernel(s: org.apache.spark.unsafe.types.UTF8String,
+      maxDist: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val B = 1099511628211L // FNV prime as the polynomial base
+    // pow[a] = B^a; pre[i] = Σ_{a<i} c[a]B^a; s1[t] = Σ_{a>=t} c[a]B^(a-1);
+    // s2[t] = Σ_{a>=t} c[a]B^(a-2) (natural 2^64 wraparound)
+    val pow = new Array[Long](n + 1)
+    pow(0) = 1L
+    var a = 0
+    while (a < n) { pow(a + 1) = pow(a) * B; a += 1 }
+    val pre = new Array[Long](n + 1)
+    a = 0
+    while (a < n) { pre(a + 1) = pre(a) + str.charAt(a).toLong * pow(a); a += 1 }
+    val s1 = new Array[Long](n + 2)
+    val s2 = new Array[Long](n + 2)
+    a = n - 1
+    while (a >= 1) { s1(a) = s1(a + 1) + str.charAt(a).toLong * pow(a - 1); a -= 1 }
+    a = n - 1
+    while (a >= 2) { s2(a) = s2(a + 1) + str.charAt(a).toLong * pow(a - 2); a -= 1 }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    // mix with the variant length so "ab" (from "aab" del 0) and an
+    // original "ab" still collide (both hash (len=2, same poly)) while
+    // different-length equal-poly accidents stay apart
+    def fin(h: Long, len: Int): Long = {
+      var x = h ^ (len.toLong * 0x9e3779b97f4a7c15L)
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x ^ (x >>> 27)
+    }
+    out.add(fin(pre(n), n))
+    var i = 0
+    while (i < n) { // delete position i
+      out.add(fin(pre(i) + s1(i + 1), n - 1))
+      if (maxDist >= 2) {
+        var j = i + 1
+        while (j < n) { // delete positions i < j
+          out.add(fin(pre(i) + (s1(i + 1) - s1(j)) + s2(j + 1), n - 2))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  case class DeletionHashes(child: Expression, maxDist: Int)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      deletionHashKernel(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxDist)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.vector.deletionHashKernel($a, $maxDist)")
+    override protected def withNewChildInternal(c: Expression): DeletionHashes =
+      copy(child = c)
+  }
+
   case class JaroWinkler(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -456,6 +531,8 @@ object vector {
     Bridge.column(MinhashSig(Bridge.expression(toks), numHashes, shingleN))
   def lsh_buckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     Bridge.column(LshBuckets(Bridge.expression(vec), planes))
+  def deletion_hashes(s: Column, maxDist: Int): Column =
+    Bridge.column(DeletionHashes(Bridge.expression(s), maxDist))
   /** `centroids` in double (as refined by Lloyd); each row's norm is taken
     * in double BEFORE the float cast, matching the literal form's
     * `dot(vec, float literals) / lit(sqrt(sum of double squares))`.

@@ -437,13 +437,19 @@ object JoinOps {
     require(maxDist >= 1 && maxDist <= 2,
       s"fuzzySelfJoin: maxDist must be in [1, 2], got $maxDist")
     val base = df.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("s"))
-    val keyed = base.select(col("id"), col("s"),
+      .localCheckpoint(eager = false) // feeds the variant explode + 2 string joins
+    val keyed = base.select(col("id"),
       explode(variantHashes(col("s"), maxDist)).as("__vh"))
-    keyed.as("a").join(keyed.as("b"), Seq("__vh"))
+    // candidate ids are deduped BEFORE the strings join in: a k=2 pair
+    // shares many deletion variants, so the (id1, id2) distinct runs over
+    // 16-byte rows instead of shuffling both strings once per collision
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("__vh"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.s").as("s1"), col("b.s").as("s2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .filter(col("dist") <= maxDist)
       .select("id1", "id2", "dist")
@@ -455,15 +461,10 @@ object JoinOps {
     * each lambda element evaluates one substring concat — O(len) work per
     * element, no captured-array re-evaluation.
     */
-  private[graft] def variantHashes(s: Column, maxDist: Int): Column = {
-    def deletions(x: Column): Column =
-      transform(sequence(lit(1), length(x)),
-        i => concat(x.substr(lit(1), i - 1), x.substr(i + 1, length(x))))
-    val d1 = deletions(s)
-    val vars =
-      if (maxDist == 1) array_union(array(s), d1)
-      else array_union(array(s),
-        array_union(d1, array_distinct(flatten(transform(d1, x => deletions(x))))))
-    transform(vars, v => xxhash64(v))
-  }
+  private[graft] def variantHashes(s: Column, maxDist: Int): Column =
+    // codegen kernel: prefix/shifted-suffix polynomial hashes — O(1) per
+    // deletion variant, no variant string materialized. The HOF form this
+    // replaces (nested transform of substr concats) was O(len³) allocs at
+    // k=2 and dominated the fuzzy-join pipelines.
+    graft.functions.vector.deletion_hashes(s, maxDist)
 }
