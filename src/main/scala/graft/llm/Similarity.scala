@@ -411,7 +411,10 @@ object Similarity {
     */
   def semDedupGate(input: DataFrame, kept: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
-    val survivors = kept.select(col(idCol).as("__id1"), col(vecCol).as("__v1"),
+    // the gate fires two actions over `kept` (pair scan + count); pin the
+    // dedup pipeline's result so it runs once, not per action
+    val keptPinned = kept.localCheckpoint(eager = false)
+    val survivors = keptPinned.select(col(idCol).as("__id1"), col(vecCol).as("__v1"),
       norm(col(vecCol)).as("__n1"), col("cell"))
     val pairsLeft = survivors
       .join(survivors.select(col("__id1").as("__id2"), col("__v1").as("__v2"),
@@ -421,7 +424,7 @@ object Similarity {
         >= threshold)
       .count()
     val nIn = input.count()
-    val nKept = kept.count()
+    val nKept = keptPinned.count()
     input.sparkSession.range(1).select(
       lit(nIn).as("n_input"),
       lit(pairsLeft == 0).as("no_kept_dups"),
