@@ -111,6 +111,32 @@ object StreamingOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Streaming C4 line dedup — the cross-batch form of
+    * [[graft.llm.Dedup.dedupLines]]: emits each arriving document's
+    * (id, idx, line) rows, KEEPING a long-enough line only on its first
+    * corpus-wide occurrence; later occurrences — in the same batch or any
+    * later one — are dropped by Spark's stateful `dropDuplicates` on the
+    * normalized line hash (state store keyed by the 32-byte md5; unbounded
+    * by contract, like the batch operator's corpus-wide rule — callers who
+    * need bounded state use `withWatermark` + `dropDuplicatesWithinWatermark`
+    * upstream). Short lines pass through unconditionally. Reassembly into
+    * documents is a per-sink concern (`foreachBatch` groupBy id) because a
+    * second stateful aggregation cannot chain behind the dedup in update
+    * mode.
+    */
+  def dedupLinesStream(stream: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 10, sep: String = "\n"): DataFrame = {
+    val lines = stream.select(col(s"`$idCol`").as("id"),
+      posexplode(split(col(s"`$textCol`"), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("idx", "line")))
+    val short = lines.filter(length(trim(col("line"))) < minLineChars)
+      .withColumn("lh", lit(null).cast("string"))
+    val kept = lines.filter(length(trim(col("line"))) >= minLineChars)
+      .withColumn("lh", md5(lower(trim(col("line"))).cast("binary")))
+      .dropDuplicates("lh")
+    kept.unionByName(short).select("id", "idx", "line")
+  }
+
   /** Streaming near-duplicate flagging against a static reference corpus:
     * the MinhashSig kernel is a per-row expression, so an arriving
     * document's full signature, band hashes, and shingle set are all

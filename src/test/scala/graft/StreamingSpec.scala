@@ -185,6 +185,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("dedupLinesStream drops repeated long lines across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupLinesStream(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text")
+      .writeStream.format("memory").queryName("lines_out").outputMode("append").start()
+    in.addData((1L, "shared boilerplate line\nunique first"), (2L, "shared boilerplate line\nok"))
+    q.processAllAvailable()
+    // second batch repeats the boilerplate -> still deduped (cross-batch state)
+    in.addData((3L, "shared boilerplate line\nanother unique line"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lines_out").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows.contains((1L, "shared boilerplate line")) ||
+      rows.contains((2L, "shared boilerplate line")),
+      "exactly one batch-1 doc carries the boilerplate's first occurrence")
+    assert(rows.count(_._2 == "shared boilerplate line") == 1)
+    assert(!rows.exists { case (id, l) => id == 3L && l == "shared boilerplate line" })
+    assert(rows.contains((3L, "another unique line")))
+    // short lines always pass
+    assert(rows.contains((2L, "ok")))
+  }
+
   test("ivfPqTopKStream ranks by ADC over the pre-encoded static corpus") {
     implicit val sq = spark.sqlContext
     // corpus vectors sit exactly on codebook centroids -> ADC = exact dot,
