@@ -150,6 +150,31 @@ object QueriesLlm {
         Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain"))
         .select(col("doc_id") +:
           (0 until 4).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)),
+    // REAL codecs: a well-formed 24bpp BMP / 16-bit PCM WAV is synthesized
+    // per doc from its id (pixels/samples analytic), then parsed back by
+    // the actual format decoder; the oracle recomputes every feature from
+    // the formula alone — a byte-soup "decoder" cannot pass b00 (bottom-up
+    // row navigation) or the chunk-walked WAV stats
+    "multimodal_bmp_decode" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        Multimodal.bmp_features(Multimodal.synth_bmp(col("doc_id"), 16, 9)).as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 1).as("w"), element_at(col("f"), 2).as("h"),
+        element_at(col("f"), 3).as("mean_b"), element_at(col("f"), 4).as("mean_g"),
+        element_at(col("f"), 5).as("mean_r"), element_at(col("f"), 6).as("b00"))),
+    "multimodal_bmp_resize" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), Multimodal.bmp_features(Multimodal.bmp_resize(
+        Multimodal.synth_bmp(col("doc_id"), 16, 9), 4, 3)).as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 1).as("w"), element_at(col("f"), 2).as("h"),
+        element_at(col("f"), 3).as("mean_b"), element_at(col("f"), 6).as("b00"))),
+    "multimodal_wav_decode" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        Multimodal.wav_stats(Multimodal.synth_wav(col("doc_id"), 256, 16000)).as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 1).as("rate"), element_at(col("f"), 2).as("channels"),
+        element_at(col("f"), 3).as("n_samples"), element_at(col("f"), 4).as("mean"),
+        element_at(col("f"), 5).as("rms"))),
     // PII synthesized per-doc (the corpus has none); output hashed so the
     // dump stays small while pinning every redacted byte
     "scrub_pii" -> ((s, d) => documents(s, d)
@@ -630,6 +655,31 @@ object QueriesLlm {
         s"CAST(('0x' || substr(md5(text || '$i'), 1, 6)) AS BIGINT) % 1000 / 1000.0 AS f$i").mkString(",\n")
       s"SELECT doc_id,\n$feats\nFROM documents"
     },
+    "multimodal_bmp_decode" ->
+      """WITH px AS (SELECT doc_id, x.x, y.y FROM documents,
+        |  (SELECT unnest(generate_series(0, 15)) AS x) x,
+        |  (SELECT unnest(generate_series(0, 8)) AS y) y)
+        |SELECT doc_id, 16.0 AS w, 9.0 AS h,
+        |  CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE) / 144 AS mean_b,
+        |  CAST(sum((doc_id*31 + x*7 + y*13 + 85) % 256) AS DOUBLE) / 144 AS mean_g,
+        |  CAST(sum((doc_id*31 + x*7 + y*13 + 170) % 256) AS DOUBLE) / 144 AS mean_r,
+        |  CAST(doc_id*31 % 256 AS DOUBLE) AS b00
+        |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_bmp_resize" ->
+      """WITH px AS (SELECT doc_id, x.x, y.y FROM documents,
+        |  (SELECT unnest(generate_series(0, 3)) AS x) x,
+        |  (SELECT unnest(generate_series(0, 2)) AS y) y)
+        |SELECT doc_id, 4.0 AS w, 3.0 AS h,
+        |  CAST(sum((doc_id*31 + (x*4)*7 + (y*3)*13) % 256) AS DOUBLE) / 12 AS mean_b,
+        |  CAST(doc_id*31 % 256 AS DOUBLE) AS b00
+        |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_wav_decode" ->
+      """WITH s AS (SELECT doc_id, ((doc_id*7 + i.i*11) % 4096) - 2048 AS v FROM documents,
+        |  (SELECT unnest(generate_series(0, 255)) AS i) i)
+        |SELECT doc_id, 16000.0 AS rate, 1.0 AS channels, 256.0 AS n_samples,
+        |  CAST(sum(v) AS DOUBLE) / 256 AS mean,
+        |  sqrt(CAST(sum(v*v) AS DOUBLE) / 256) AS rms
+        |FROM s GROUP BY doc_id""".stripMargin,
     // byte-stride downsample; document text is ASCII so per-char substr in
     // SQL equals the engine's per-byte slicing
     // empty-doc guard: the engine's strided fold over an empty payload yields 0

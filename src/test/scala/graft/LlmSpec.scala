@@ -389,6 +389,42 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("real BMP/WAV codecs: synth -> parse roundtrip matches analytic values") {
+    val df = Seq(7L).toDF("seed")
+    val f = df.select(Multimodal.bmp_features(
+      Multimodal.synth_bmp(col("seed"), 5, 3)).as("f"))
+      .collect()(0).getSeq[Double](0)
+    assert(f(0) == 5.0 && f(1) == 3.0)
+    def ch(seed: Long, x: Int, y: Int, c: Int): Long =
+      ((seed * 31 + x * 7 + y * 13 + c * 85) % 256 + 256) % 256
+    for (c <- 0 until 3) {
+      val exp = (for (x <- 0 until 5; y <- 0 until 3) yield ch(7, x, y, c)).sum.toDouble / 15
+      assert(f(2 + c) == exp, s"channel $c mean")
+    }
+    assert(f(5) == ch(7, 0, 0, 0).toDouble) // logical (0,0): bottom-up nav proof
+    // nearest-neighbor resize to 2x2 re-encodes a valid BMP whose pixels
+    // are the sampled source pixels
+    val r = df.select(Multimodal.bmp_features(Multimodal.bmp_resize(
+      Multimodal.synth_bmp(col("seed"), 4, 4), 2, 2)).as("f"))
+      .collect()(0).getSeq[Double](0)
+    assert(r(0) == 2.0 && r(1) == 2.0)
+    val sampled = for (x <- Seq(0, 2); y <- Seq(0, 2)) yield ch(7, x, y, 0)
+    assert(r(2) == sampled.sum.toDouble / 4)
+    // WAV: header walk + PCM stats
+    val wv = df.select(Multimodal.wav_stats(
+      Multimodal.synth_wav(col("seed"), 100, 16000)).as("f"))
+      .collect()(0).getSeq[Double](0)
+    assert(wv(0) == 16000.0 && wv(1) == 1.0 && wv(2) == 100.0)
+    def smp(i: Int): Long = (((7L * 7 + i * 11L) % 4096) + 4096) % 4096 - 2048
+    val samples = (0 until 100).map(smp)
+    assert(wv(3) == samples.sum.toDouble / 100)
+    assert(wv(4) == math.sqrt(samples.map(s => s * s).sum.toDouble / 100))
+    // garbage payloads decode to null, not an exception
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("p")
+    assert(bad.select(Multimodal.bmp_features(col("p"))).collect()(0).isNullAt(0))
+    assert(bad.select(Multimodal.wav_stats(col("p"))).collect()(0).isNullAt(0))
+  }
+
   test("BPE: deterministic merge training and canonical greedy encoding") {
     import graft.llm.Bpe
     // the Sennrich et al. (2016) corpus: low x5, lower x2, newest x6, widest x3
