@@ -175,6 +175,16 @@ object QueriesLlm {
         element_at(col("f"), 1).as("rate"), element_at(col("f"), 2).as("channels"),
         element_at(col("f"), 3).as("n_samples"), element_at(col("f"), 4).as("mean"),
         element_at(col("f"), 5).as("rms"))),
+    // video stand-in: 10-frame GFV1 container per doc, every 3rd frame
+    // sampled (the explode fan-out a video pipeline runs), each sampled
+    // frame decoded by the REAL BMP parser
+    "multimodal_frame_sample" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), posexplode(Multimodal.sample_frames(
+        Multimodal.synth_frames(col("doc_id"), 10, 8, 4), 3)).as(Seq("pos", "frame")))
+      .withColumn("__f", Multimodal.bmp_features(col("frame")))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("__f"), 3).as("mean_b"),
+        element_at(col("__f"), 6).as("b00"))),
     // PII synthesized per-doc (the corpus has none); output hashed so the
     // dump stays small while pinning every redacted byte
     "scrub_pii" -> ((s, d) => documents(s, d)
@@ -673,6 +683,16 @@ object QueriesLlm {
         |  CAST(sum((doc_id*31 + (x*4)*7 + (y*3)*13) % 256) AS DOUBLE) / 12 AS mean_b,
         |  CAST(doc_id*31 % 256 AS DOUBLE) AS b00
         |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH fr AS (SELECT doc_id, p.p, doc_id*1000 + p.p*3 AS fseed FROM documents,
+        |  (SELECT unnest(generate_series(0, 3)) AS p) p),
+        |px AS (SELECT doc_id, p, fseed, x.x, y.y FROM fr,
+        |  (SELECT unnest(generate_series(0, 7)) AS x) x,
+        |  (SELECT unnest(generate_series(0, 3)) AS y) y)
+        |SELECT doc_id, CAST(p AS INT) AS pos,
+        |  CAST(sum((fseed*31 + x*7 + y*13) % 256) AS DOUBLE) / 32 AS mean_b,
+        |  CAST(fseed*31 % 256 AS DOUBLE) AS b00
+        |FROM px GROUP BY doc_id, p, fseed""".stripMargin,
     "multimodal_wav_decode" ->
       """WITH s AS (SELECT doc_id, ((doc_id*7 + i.i*11) % 4096) - 2048 AS v FROM documents,
         |  (SELECT unnest(generate_series(0, 255)) AS i) i)

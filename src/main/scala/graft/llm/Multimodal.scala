@@ -235,6 +235,65 @@ object Multimodal {
     override protected def withNewChildInternal(c: Expression): WavStats = copy(child = c)
   }
 
+  /** Build a real multi-frame container ("GFV1": frame count + per-frame
+    * length-prefixed BMP payloads) — the uncompressed stand-in for a video
+    * file. Frame f's pixels use per-frame seed = seed·1000 + f, so every
+    * sampled frame's features stay analytic for the oracle.
+    */
+  def synthFrameStackKernel(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val frames = Array.tabulate(nFrames)(f => synthBmpKernel(seed * 1000 + f, w, h))
+    val total = 8 + frames.map(_.length + 4).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GFV1".getBytes).putInt(nFrames)
+    frames.foreach { fr => out.putInt(fr.length); out.put(fr) }
+    out.array()
+  }
+
+  /** REAL frame sampling: walk the container's length-prefixed frame table
+    * and return every `stride`-th frame payload (frames 0, stride, …) —
+    * the explode-ready fan-out a video pipeline runs before per-frame
+    * decode. Null for non-GFV1 payloads.
+    */
+  def sampleFramesKernel(bytes: Array[Byte], stride: Int): GenericArrayData = {
+    if (bytes == null || bytes.length < 8 ||
+      new String(bytes, 0, 4, "US-ASCII") != "GFV1") return null
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(4)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 8
+    var f = 0
+    while (f < n && off + 4 <= bytes.length) {
+      val len = bb.getInt(off)
+      if (off + 4 + len > bytes.length) return null
+      if (f % stride == 0)
+        out += java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+      off += 4 + len
+      f += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  case class SynthFrames(child: Expression, nFrames: Int, w: Int, h: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any): Any =
+      synthFrameStackKernel(a.asInstanceOf[Long], nFrames, w, h)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.llm.Multimodal.synthFrameStackKernel($a, $nFrames, $w, $h)")
+    override protected def withNewChildInternal(c: Expression): SynthFrames = copy(child = c)
+  }
+  case class SampleFrames(child: Expression, stride: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      sampleFramesKernel(a.asInstanceOf[Array[Byte]], stride)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.llm.Multimodal.sampleFramesKernel($a, $stride)")
+    override protected def withNewChildInternal(c: Expression): SampleFrames = copy(child = c)
+  }
+
   import org.apache.spark.sql.graftx.Bridge
   /** Column wrappers for the real codec kernels. */
   def synth_bmp(seed: Column, w: Int, h: Int): Column =
@@ -247,6 +306,10 @@ object Multimodal {
     Bridge.column(SynthWav(Bridge.expression(seed.cast("long")), n, rate))
   def wav_stats(payload: Column): Column =
     Bridge.column(WavStats(Bridge.expression(payload)))
+  def synth_frames(seed: Column, nFrames: Int, w: Int, h: Int): Column =
+    Bridge.column(SynthFrames(Bridge.expression(seed.cast("long")), nFrames, w, h))
+  def sample_frames(payload: Column, stride: Int): Column =
+    Bridge.column(SampleFrames(Bridge.expression(payload), stride))
 
   /** Wrap a source column as a multimodal asset: binary payload + metadata
     * struct (mime, byte length, checksum). With real assets the payload

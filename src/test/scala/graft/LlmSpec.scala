@@ -423,6 +423,19 @@ class LlmSpec extends SparkSpec {
     val bad = Seq(Array[Byte](1, 2, 3)).toDF("p")
     assert(bad.select(Multimodal.bmp_features(col("p"))).collect()(0).isNullAt(0))
     assert(bad.select(Multimodal.wav_stats(col("p"))).collect()(0).isNullAt(0))
+    assert(bad.select(Multimodal.sample_frames(col("p"), 2)).collect()(0).isNullAt(0))
+    // frame stack: every stride-th frame comes back as a decodable BMP with
+    // the per-frame seed fold
+    val fr = df.select(posexplode(Multimodal.sample_frames(
+        Multimodal.synth_frames(col("seed"), 7, 3, 2), 3)).as(Seq("pos", "frame")))
+      .withColumn("f", Multimodal.bmp_features(col("frame")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](2))
+    assert(fr.map(_._1).toSeq == Seq(0, 1, 2)) // frames 0, 3, 6
+    fr.foreach { case (pos, feats) =>
+      val fseed = 7L * 1000 + pos * 3
+      assert(feats(0) == 3.0 && feats(1) == 2.0)
+      assert(feats(5) == (((fseed * 31) % 256 + 256) % 256).toDouble)
+    }
   }
 
   test("BPE: deterministic merge training and canonical greedy encoding") {
