@@ -59,6 +59,20 @@ object QueriesLlm {
       Dedup.crossCorpusDupPairs(probe, "doc_id", "text",
         docs, "doc_id", "text", threshold = 0.8)
     }),
+    // group-scoped near-dedup: identical texts planted under a foreign
+    // lang must NOT pair (blocking keys carry the by column), while the
+    // same-lang perturbed copies must
+    "dedup_minhash_by_lang" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val sameLang = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text"), col("lang"))
+      val crossLang = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          lit("zz").as("lang"))
+      Dedup.minhashDupPairs(docs.unionAll(sameLang).unionAll(crossLang),
+        "doc_id", "text", threshold = 0.8, byCols = Seq("lang"))
+    }),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(
       corpus(s, d).select(col("doc_id").as("id")), "id",
       Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8))),
@@ -168,6 +182,15 @@ object QueriesLlm {
       .select(col("doc_id"),
         element_at(col("f"), 1).as("w"), element_at(col("f"), 2).as("h"),
         element_at(col("f"), 3).as("mean_b"), element_at(col("f"), 6).as("b00"))),
+    // decode -> decimate x4 -> re-encode -> decode again: the roundtrip
+    // proves the re-encoded container is itself well-formed
+    "multimodal_wav_resample" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), Multimodal.wav_stats(Multimodal.wav_resample(
+        Multimodal.synth_wav(col("doc_id"), 256, 16000), 4)).as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 1).as("rate"), element_at(col("f"), 2).as("channels"),
+        element_at(col("f"), 3).as("n_samples"), element_at(col("f"), 4).as("mean"),
+        element_at(col("f"), 5).as("rms"))),
     "multimodal_wav_decode" -> ((s, d) => documents(s, d)
       .select(col("doc_id"),
         Multimodal.wav_stats(Multimodal.synth_wav(col("doc_id"), 256, 16000)).as("f"))
@@ -515,6 +538,24 @@ object QueriesLlm {
         |md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql,
+    "dedup_minhash_by_lang" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' extraword' AS text, lang
+        |    FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text, 'zz' AS lang
+        |    FROM documents WHERE doc_id < 20),
+        |w AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w FROM corpus),
+        |sh AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w)
+        |SELECT id1, id2, j FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang)
+        |WHERE j >= 0.8""".stripMargin,
     "dedup_cross_corpus" ->
       """WITH p AS (SELECT doc_id + 100000 AS doc_id, text || ' extraword' AS text
         |  FROM documents WHERE doc_id < 20),
@@ -699,6 +740,13 @@ object QueriesLlm {
         |SELECT doc_id, 16000.0 AS rate, 1.0 AS channels, 256.0 AS n_samples,
         |  CAST(sum(v) AS DOUBLE) / 256 AS mean,
         |  sqrt(CAST(sum(v*v) AS DOUBLE) / 256) AS rms
+        |FROM s GROUP BY doc_id""".stripMargin,
+    "multimodal_wav_resample" ->
+      """WITH s AS (SELECT doc_id, ((doc_id*7 + i.i*11) % 4096) - 2048 AS v FROM documents,
+        |  (SELECT unnest(generate_series(0, 255, 4)) AS i) i)
+        |SELECT doc_id, 4000.0 AS rate, 1.0 AS channels, 64.0 AS n_samples,
+        |  CAST(sum(v) AS DOUBLE) / 64 AS mean,
+        |  sqrt(CAST(sum(v*v) AS DOUBLE) / 64) AS rms
         |FROM s GROUP BY doc_id""".stripMargin,
     // byte-stride downsample; document text is ASCII so per-char substr in
     // SQL equals the engine's per-byte slicing

@@ -106,14 +106,24 @@ object Dedup {
     * r=4, b=32, τ=0.8 that is ~5e-8, so the verified output is exactly the
     * τ-threshold pair set (what the DuckDB oracle computes exhaustively).
     */
+  /** `byCols` (optional) scopes dedup to groups: every blocking key —
+    * band buckets AND the identical-signature rescue — gains the by
+    * columns, so candidates can only pair within a group (the
+    * dedup-within-language / within-source recipe). Empty = corpus-wide,
+    * byte-identical to the unscoped behavior.
+    */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
-      shingleN: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+      shingleN: Int = 3, maxBucketSize: Int = 100000,
+      byCols: Seq[String] = Nil): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // small parquet inputs arrive as one partition; shingle hashing is the
     // dominant narrow cost — spread it across the executor threads
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val docs = df.repartition(par).select(col(idCol).as("id"), col(textCol).as("text"))
+    val docs = df.repartition(par).select(
+      (col(idCol).as("id") +: col(textCol).as("text") +:
+        byCols.map(c => col(s"`$c`").as(s"__by_$c"))): _*)
+    val byKeys = byCols.map(c => s"__by_$c")
     // sig rides in the same projection as the text (the signature kernel is
     // a per-row expression) — no signatures⋈docs join, no extra shuffle
     val base = docs
@@ -123,9 +133,11 @@ object Dedup {
       .localCheckpoint(eager = false)
     // band rows carry only (id, band, bandhash) — the shuffle stays tiny no
     // matter how long the documents are
-    val banded = base.select(col("id"),
-      posexplode(bandHashes(col("sig"), numBands, rowsPerBand))
-        .as(Seq("band", "bandhash")))
+    val banded = base.select(
+      (col("id") +: byKeys.map(col)) :+
+        posexplode(bandHashes(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band", "bandhash")): _*)
+    val bandJoinKeys = Seq("band", "bandhash") ++ byKeys
     // hot-bucket guard: boilerplate text (license headers, templated pages)
     // lands thousands of docs in one (band, bandhash) bucket, turning the
     // self-join quadratic. Buckets over `maxBucketSize` are dropped from
@@ -133,10 +145,10 @@ object Dedup {
     // found through its other numBands-1 bands (OR-amplification). The count
     // aggregation shuffles on the same keys as the self-join, so AQE reuses
     // the exchange.
-    val bucketOk = banded.groupBy("band", "bandhash").count()
+    val bucketOk = banded.groupBy(bandJoinKeys.map(col): _*).count()
       .filter(col("count") <= maxBucketSize).drop("count")
-    val inBucket = banded.join(bucketOk, Seq("band", "bandhash"))
-    val coldCands = inBucket.as("a").join(inBucket.as("b"), Seq("band", "bandhash"))
+    val inBucket = banded.join(bucketOk, bandJoinKeys)
+    val coldCands = inBucket.as("a").join(inBucket.as("b"), bandJoinKeys)
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     // The one case OR-amplification canNOT cover: a family of >maxBucketSize
@@ -160,11 +172,14 @@ object Dedup {
     // guarantee: a pair is lost only if all numBands of its buckets are hot,
     // which for non-identical signatures means numBands independent
     // collisions with foreign boilerplate — the documented residual trade.
-    val sigged = base.select(col("id"), xxhash64(col("sig").cast("string")).as("sigkey"))
-    val famRep = sigged.groupBy("sigkey")
+    val sigKeys = "sigkey" +: byKeys
+    val sigged = base.select(
+      col("id") +: xxhash64(col("sig").cast("string")).as("sigkey") +:
+        byKeys.map(col): _*)
+    val famRep = sigged.groupBy(sigKeys.map(col): _*)
       .agg(min(col("id")).as("rep"), count(lit(1)).as("fam"))
       .filter(col("fam") > maxBucketSize).drop("fam")
-    val starCands = sigged.join(famRep, Seq("sigkey"))
+    val starCands = sigged.join(famRep, sigKeys)
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id1"), col("id").as("id2"))
     val cands = coldCands.unionAll(starCands).dropDuplicates("id1", "id2")

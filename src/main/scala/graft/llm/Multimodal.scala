@@ -235,6 +235,51 @@ object Multimodal {
     override protected def withNewChildInternal(c: Expression): WavStats = copy(child = c)
   }
 
+  /** REAL WAV decimation: keep every `factor`-th sample of a 16-bit PCM
+    * payload and re-encode a well-formed WAV at sampleRate/factor — the
+    * audio twin of [[bmpResizeKernel]] (decode → downsample → re-encode as
+    * a narrow projection). Null for unsupported payloads.
+    */
+  def wavResampleKernel(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    if (bytes == null || bytes.length < 44) return null
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = -1; var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val len = bb.getInt(off + 4)
+      if (id == "fmt ") {
+        if (bb.getShort(off + 8) != 1 || bb.getShort(off + 22) != 16) return null
+        rate = bb.getInt(off + 12)
+      } else if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    if (rate < 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return null
+    val n = dataLen / 2
+    val m = (n + factor - 1) / factor
+    val out = java.nio.ByteBuffer.allocate(44 + m * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + m * 2).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate / factor).putInt(rate / factor * 2).putShort(2).putShort(16)
+    out.put("data".getBytes).putInt(m * 2)
+    var i = 0
+    while (i < n) { out.putShort(bb.getShort(dataOff + i * 2)); i += factor }
+    out.array()
+  }
+
+  case class WavResample(child: Expression, factor: Int) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      wavResampleKernel(a.asInstanceOf[Array[Byte]], factor)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.llm.Multimodal.wavResampleKernel($a, $factor)")
+    override protected def withNewChildInternal(c: Expression): WavResample = copy(child = c)
+  }
+
   /** Build a real multi-frame container ("GFV1": frame count + per-frame
     * length-prefixed BMP payloads) — the uncompressed stand-in for a video
     * file. Frame f's pixels use per-frame seed = seed·1000 + f, so every
@@ -306,6 +351,8 @@ object Multimodal {
     Bridge.column(SynthWav(Bridge.expression(seed.cast("long")), n, rate))
   def wav_stats(payload: Column): Column =
     Bridge.column(WavStats(Bridge.expression(payload)))
+  def wav_resample(payload: Column, factor: Int): Column =
+    Bridge.column(WavResample(Bridge.expression(payload), factor))
   def synth_frames(seed: Column, nFrames: Int, w: Int, h: Int): Column =
     Bridge.column(SynthFrames(Bridge.expression(seed.cast("long")), nFrames, w, h))
   def sample_frames(payload: Column, stride: Int): Column =

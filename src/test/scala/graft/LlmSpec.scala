@@ -419,6 +419,13 @@ class LlmSpec extends SparkSpec {
     val samples = (0 until 100).map(smp)
     assert(wv(3) == samples.sum.toDouble / 100)
     assert(wv(4) == math.sqrt(samples.map(s => s * s).sum.toDouble / 100))
+    // decimation: every 5th sample survives, rate divides, container re-parses
+    val rs = df.select(Multimodal.wav_stats(Multimodal.wav_resample(
+      Multimodal.synth_wav(col("seed"), 100, 16000), 5)).as("f"))
+      .collect()(0).getSeq[Double](0)
+    assert(rs(0) == 3200.0 && rs(2) == 20.0)
+    val dec = (0 until 100 by 5).map(smp)
+    assert(rs(3) == dec.sum.toDouble / 20)
     // garbage payloads decode to null, not an exception
     val bad = Seq(Array[Byte](1, 2, 3)).toDF("p")
     assert(bad.select(Multimodal.bmp_features(col("p"))).collect()(0).isNullAt(0))
