@@ -261,6 +261,17 @@ object QueriesLlm {
         .withColumnRenamed("id", "doc_id")),
     "token_quantiles_gate" -> ((s, d) =>
       TextAnalysis.tokenQuantilesGate(documents(s, d), "text")),
+    // pinned-weight scoring (exactly-representable weights) — the feature
+    // extraction + fold order + sigmoid replicated in DuckDB; the trained
+    // path is pinned by the invariant gate below
+    "quality_classifier" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), round(graft.llm.QualityClassifier.score(col("text"),
+        Array(0.5, -0.25, 0.125, -2.0, 1.5, -0.75)), 6).as("score"))),
+    "quality_classifier_gate" -> ((s, d) => {
+      val docs = documents(s, d).withColumn("y",
+        (size(split(lower(col("text")), "\\s+")) >= 50).cast("int"))
+      graft.llm.QualityClassifier.trainedGate(docs, "doc_id", "text", "y")
+    }),
     "find_canaries" -> ((s, d) =>
       TextAnalysis.findCanaries(documents(s, d), "doc_id", "text",
         Seq("spark a", "hash value", "d1b0cf3a-canary-e9ff"))
@@ -875,6 +886,25 @@ object QueriesLlm {
       """SELECT doc_id, c AS canary
         |FROM documents, (SELECT unnest(['spark a', 'hash value', 'd1b0cf3a-canary-e9ff']) AS c)
         |WHERE contains(text, c)""".stripMargin,
+    "quality_classifier" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nospace,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS sym,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS dig,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE) AS stops
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    0.5 + (-0.25) * ln(1.0 + n) + 0.125 * (nospace / greatest(n, 1.0))
+        |        + (-2.0) * (sym / greatest(nc, 1.0)) + 1.5 * (stops / greatest(n, 1.0))
+        |        + (-0.75) * (dig / greatest(nc, 1.0)) AS margin
+        |  FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 6) AS score FROM m""".stripMargin,
+    "quality_classifier_gate" ->
+      """SELECT count(*) AS n_docs, TRUE AS acc_ok, TRUE AS weights_finite,
+        |TRUE AS score_in_bounds FROM documents""".stripMargin,
     // quantile_cont == Spark's exact `percentile` (both linear-interpolated
     // rank p*(N-1)); the sketch side is pinned only through approx_ok
     "token_quantiles_gate" ->

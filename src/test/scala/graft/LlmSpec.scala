@@ -389,6 +389,27 @@ class LlmSpec extends SparkSpec {
       Seq("big" -> 0.5, "small" -> 0.5), targetRows = 40L).count())
   }
 
+  test("QualityClassifier learns a separable label and scores monotonically") {
+    import graft.llm.QualityClassifier
+    // label = long doc; lengths 5..20 (y=0) vs 80..110 (y=1)
+    val docs = ((1 to 40).map { i =>
+      (i.toLong, (1 to (5 + i % 16)).map(j => s"w$j").mkString(" "), 0)
+    } ++ (41 to 80).map { i =>
+      (i.toLong, (1 to (80 + i % 31)).map(j => s"w$j").mkString(" "), 1)
+    }).toDF("id", "t", "y")
+    val w = QualityClassifier.train(docs, "id", "t", "y", sampleTarget = 1000)
+    assert(w.forall(x => !x.isNaN && !x.isInfinite))
+    val acc = docs.select(
+      avg(((QualityClassifier.score(col("t"), w) > 0.5).cast("double")
+        === col("y").cast("double")).cast("double"))).head.getDouble(0)
+    assert(acc >= 0.95, s"separable labels must be learned, got $acc")
+    // pinned weights: the only token-count-sensitive feature dominates
+    val wPinned = Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    val s = Seq((1L, "a b"), (2L, "a b c d e f g h")).toDF("id", "t")
+      .select(QualityClassifier.score(col("t"), wPinned)).collect().map(_.getDouble(0))
+    assert(s(1) > s(0))
+  }
+
   test("real BMP/WAV codecs: synth -> parse roundtrip matches analytic values") {
     val df = Seq(7L).toDF("seed")
     val f = df.select(Multimodal.bmp_features(
