@@ -435,6 +435,15 @@ object QueriesLlm {
       graft.llm.Sampling.shardByTokenBudget(chunks, "ord", "n_tokens", 4096L)
         .select("id", "chunk_id", "n_tokens", "shard")
     }),
+    // GPT-style concat-and-chunk packing map: doc_id order, 512-token
+    // sequences; every (sequence × doc) overlap row is integer arithmetic
+    // over the prefix sum, so the gate is hash-exact
+    "pack_sequences" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+      graft.llm.Sampling.packSequences(docs, "doc_id", "n_tokens", seqLen = 512)
+        .select("doc_id", "n_tokens", "seq_id", "tok_start", "tok_end", "seq_off")
+    }),
     // C4-style corpus-wide line dedup: the near-dup corpus copies lose all
     // segments except the " extraword"-modified tail; output is pinned by
     // per-doc kept-count + rebuilt-text md5. Documents have no newlines,
@@ -443,7 +452,15 @@ object QueriesLlm {
       Dedup.dedupLines(corpus(s, d), "doc_id", "text",
           minLineChars = 10, sep = " a ")
         .select(col("doc_id"), col("n_lines_kept"),
-          md5(col("text").cast("binary")).as("text_md5")))
+          md5(col("text").cast("binary")).as("text_md5"))),
+    // ExactSubstr-style span removal: the planted +100000 docs repeat every
+    // 8-token window of their source doc, so the whole copy (minus the
+    // trailing " extraword" remainder shorter than L) must vanish
+    "dedup_substrings" -> ((s, d) =>
+      Dedup.dedupSubstrings(corpus(s, d), "doc_id", "text",
+          minMatchTokens = 8)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("n_tokens_kept"), col("n_tokens_removed")))
   )
 
   /** Pinned PQ codebooks for the exact gates: codebook of subspace s =
@@ -1128,6 +1145,23 @@ object QueriesLlm {
         |  CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY id * 10000 + chunk_id
         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 4096) AS INT) AS shard
         |FROM c""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM t WHERE n_tokens > 0),
+        |x AS (SELECT doc_id, n_tokens, cum - n_tokens AS off,
+        |    unnest(generate_series(
+        |      CAST(floor((cum - n_tokens) / 512.0) AS BIGINT),
+        |      CAST(floor((cum - 1) / 512.0) AS BIGINT))) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, seq_id,
+        |  CAST(greatest(seq_id * 512 - off, 0) AS BIGINT) AS tok_start,
+        |  CAST(least((seq_id + 1) * 512 - off, n_tokens) AS BIGINT) AS tok_end,
+        |  CAST(greatest(off - seq_id * 512, 0) AS BIGINT) AS seq_off
+        |FROM x""".stripMargin,
     "dedup_lines" ->
       s"""WITH c AS ($corpusSql),
          |d AS (SELECT doc_id, string_split(text, ' a ') AS ls FROM c),
@@ -1146,6 +1180,36 @@ object QueriesLlm {
          |  FROM kept GROUP BY doc_id)
          |SELECT ids.doc_id, CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
          |  md5(coalesce(r.t, '')) AS text_md5
-         |FROM (SELECT DISTINCT doc_id FROM c) ids LEFT JOIN r USING (doc_id)""".stripMargin
+         |FROM (SELECT DISTINCT doc_id FROM c) ids LEFT JOIN r USING (doc_id)""".stripMargin,
+    // replicates Dedup.dedupSubstrings at L=8: 48-bit md5-prefix gram
+    // hashes, keeper = min(doc_id*2^32 + pos), coverage = flagged start + 8
+    "dedup_substrings" ->
+      s"""WITH c AS ($corpusSql),
+         |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |    t -> len(t) > 0) AS w FROM c),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |    CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |      w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]),
+         |      1, 12)) AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+         |        FROM w)),
+         |dg AS (SELECT gh, count(*) AS cnt,
+         |    min(doc_id * 4294967296 + pos) AS keeper FROM g GROUP BY gh),
+         |f AS (SELECT g.doc_id, g.pos FROM g JOIN dg USING (gh)
+         |  WHERE dg.cnt > 1 AND g.doc_id * 4294967296 + g.pos <> dg.keeper),
+         |cov AS (SELECT DISTINCT doc_id, pos + off AS cp FROM f
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off)),
+         |t AS (SELECT doc_id, i - 1 AS tp, w[i] AS tok
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM w)),
+         |kept AS (SELECT t.doc_id, t.tp, t.tok FROM t
+         |  LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.tp = cov.cp
+         |  WHERE cov.cp IS NULL),
+         |r AS (SELECT doc_id, count(*) AS nk,
+         |    string_agg(tok, ' ' ORDER BY tp) AS txt FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(w) AS n FROM w)
+         |SELECT tot.doc_id, md5(coalesce(r.txt, '')) AS text_md5,
+         |  CAST(coalesce(r.nk, 0) AS BIGINT) AS n_tokens_kept,
+         |  CAST(tot.n - coalesce(r.nk, 0) AS BIGINT) AS n_tokens_removed
+         |FROM tot LEFT JOIN r USING (doc_id)""".stripMargin
   )
 }

@@ -594,4 +594,61 @@ object Dedup {
         coalesce(col("__text"), lit("")).as(textCol),
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
   }
+
+  /** ExactSubstr-style substring-level dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §4.1):
+    * remove every token span of length ≥ `minMatchTokens` that occurs
+    * verbatim elsewhere in the corpus, keeping only the globally first
+    * occurrence. Token-granular stand-in for the paper's suffix-array
+    * scan: a span is duplicated iff it contains a duplicated L-token-gram,
+    * so flagging every non-first occurrence of each duplicated L-gram and
+    * dropping the L tokens it starts marks exactly the tokens inside
+    * ≥ L-token repeats (overlapping flagged grams merge positionally).
+    * Within-document repeats are deduplicated too, as in the paper.
+    *
+    * First occurrence of a gram = smallest (id, pos), compared as the
+    * single sortable long id·2³² + pos — replicable in any SQL engine,
+    * no struct ordering semantics needed. Tokenization: whitespace split,
+    * empties dropped; output text is the kept tokens joined by single
+    * spaces (same normalization contract as [[dedupLines]]).
+    *
+    * Scale shape: gram hashing is the narrow codegen [[graft.functions.vector.gram_hash48]]
+    * kernel (no gram string materialized); ONE aggregation shuffle on the
+    * 48-bit gram hash (count + min-key, map-side combine) elects keepers;
+    * the flagged-occurrence join reuses the same hash key; ONE shuffle on
+    * id collects each doc's flagged start positions; the rebuild is a
+    * narrow per-row projection — each token index is checked against the
+    * doc's own sorted flagged starts (exists over an attribute reference,
+    * constant per PLANS.md HOF contract; spans per doc are few unless the
+    * doc is one giant repeat). Nothing quadratic in the corpus; shuffle
+    * keys are 8-byte hashes, never text.
+    *
+    * Returns (idCol, textCol deduped, n_tokens_kept, n_tokens_removed).
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      minMatchTokens: Int = 20): DataFrame = {
+    val L = minMatchTokens
+    require(L >= 2, s"dedupSubstrings: minMatchTokens must be >= 2, got $L")
+    val toked = df.select(col(idCol).as("id"),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+    val okey = col("id") * lit(4294967296L) + col("pos")
+    val grams = toked.select(col("id"),
+      posexplode(graft.functions.vector.gram_hash48(col("toks"), L))
+        .as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min(okey).as("keeper"))
+      .filter(col("cnt") > 1)
+    val spans = grams.join(dupGrams, Seq("gh"))
+      .filter(okey =!= col("keeper"))
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toked.join(spans, Seq("id"), "left")
+      .withColumn("kept", when(col("starts").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (t, i) =>
+          !exists(col("starts"), p => i >= p && i < p + L))))
+      .select(col("id").as(idCol),
+        array_join(col("kept"), " ").as(textCol),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
 }

@@ -96,6 +96,46 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Sequence packing (concat-and-chunk, the GPT-2/3 training-prep layout,
+    * arXiv:2005.14165 appendix B): lay the corpus out as ONE virtual token
+    * stream in `orderCol` order — documents back to back, no padding — and
+    * cut fixed `seqLen`-token training sequences from it. Emits the packing
+    * MAP: one row per (sequence × document) overlap, telling the loader
+    * which token range of which document lands at which offset of which
+    * sequence. Documents longer than `seqLen` span several sequences;
+    * short documents share one. Every sequence is exactly full (the last
+    * may be partial).
+    *
+    * Output adds: `seq_id` (0-based), `tok_start`/`tok_end` (the doc's own
+    * token range landing in this sequence, end-exclusive) and `seq_off`
+    * (offset inside the sequence where that range starts).
+    *
+    * Scale shape: the global token offset is the scale-safe bucketed
+    * prefix sum of [[shardByTokenBudget]]; the fan-out to overlapped
+    * sequences is a narrow sequence+explode (each doc emits
+    * ceil(tokens/seqLen)+1 rows at most). Deterministic for a unique
+    * `orderCol`. Rows with zero/negative `tokenCol` are dropped (they
+    * occupy no stream positions).
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"pack_sequences: seqLen must be positive, got $seqLen")
+    val tok = col(s"`$tokenCol`").cast("long")
+    graft.operators.ScaleWindows.runningSum(df, orderCol, tokenCol, "__cum")
+      .filter(tok > 0)
+      .withColumn("__off", col("__cum").cast("long") - tok)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__off").cast("double") / seqLen).cast("long"),
+        floor((col("__cum").cast("double") - 1d) / seqLen).cast("long"))))
+      .withColumn("tok_start",
+        greatest(col("seq_id") * seqLen - col("__off"), lit(0L)))
+      .withColumn("tok_end",
+        least((col("seq_id") + 1) * seqLen - col("__off"), tok))
+      .withColumn("seq_off",
+        greatest(col("__off") - col("seq_id") * seqLen, lit(0L)))
+      .drop("__cum", "__off")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions over the same
     * content-hash uniform — still a pure narrow filter (the fractions map is
     * a literal CASE, no join, no per-group pass). Strata absent from the map

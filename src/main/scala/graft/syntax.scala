@@ -297,6 +297,8 @@ object syntax {
         weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         destCol: String = "split", seed: Long = 42L): DataFrame =
       Sampling.hashSplit(df, keyCol, weights, destCol, seed)
+    def packSequences(orderCol: String, tokenCol: String, seqLen: Int): DataFrame =
+      Sampling.packSequences(df, orderCol, tokenCol, seqLen)
     def stratifiedHashSample(keyCol: String, strataCol: String,
         fractions: Map[String, Double], defaultFraction: Double = 0.0,
         seed: Long = 42L): DataFrame =
@@ -311,6 +313,9 @@ object syntax {
     def dedupLines(idCol: String, textCol: String, minLineChars: Int = 10,
         sep: String = "\n"): DataFrame =
       Dedup.dedupLines(df, idCol, textCol, minLineChars, sep)
+    def dedupSubstrings(idCol: String, textCol: String,
+        minMatchTokens: Int = 20): DataFrame =
+      Dedup.dedupSubstrings(df, idCol, textCol, minMatchTokens)
     def decontaminateAgainst(idCol: String, textCol: String,
         benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
         minShared: Int = 3, bloom: Boolean = false): DataFrame =

@@ -85,6 +85,44 @@ class AsofAndSamplingSpec extends SparkSpec {
     assert(small.subsetOf(a))
   }
 
+  test("packSequences tiles the token stream exactly: full sequences, no gaps, no overlap") {
+    val d = Seq((1L, 700), (2L, 100), (3L, 5), (4L, 0), (5L, 300), (6L, 1000))
+      .toDF("id", "n_tokens")
+    val out = graft.llm.Sampling.packSequences(d, "id", "n_tokens", seqLen = 256)
+      .select("id", "n_tokens", "seq_id", "tok_start", "tok_end", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = 700 + 100 + 5 + 300 + 1000 // zero-token row drops out
+    // every emitted range is non-empty and inside the doc
+    assert(out.forall { case (_, n, _, s, e, _) => s >= 0 && s < e && e <= n })
+    // the ranges of each doc tile [0, n_tokens) in seq order
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._4 == 0L)
+      assert(sorted.last._5 == sorted.head._2.toLong)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4 && b._3 == a._3 + 1)
+        case _ =>
+      }
+    }
+    // every sequence except the last is exactly full, and its pieces are
+    // contiguous from offset 0
+    val bySeq = out.groupBy(_._3)
+    val lastSeq = (total - 1) / 256
+    assert(bySeq.keySet == (0L to lastSeq).toSet)
+    bySeq.foreach { case (sid, rows) =>
+      val sorted = rows.sortBy(_._6)
+      assert(sorted.head._6 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._6 == a._6 + (a._5 - a._4))
+        case _ =>
+      }
+      val filled = rows.map(r => r._5 - r._4).sum
+      if (sid < lastSeq) assert(filled == 256L)
+      else assert(filled == total - 256L * lastSeq)
+    }
+  }
+
   test("hashSplit covers every row with stable proportions") {
     val d = spark.range(10000).toDF("id")
     val counts = d.hashSplit("id").groupBy("split").count()

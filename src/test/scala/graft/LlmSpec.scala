@@ -670,4 +670,37 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(cOut(1L) == 1L && cOut(2L) == 0L)
   }
+
+  test("dedupSubstrings removes non-first occurrences of long shared spans") {
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = words("dup", 10) // 10-token shared run
+    val d = Seq(
+      (1L, s"${words("a", 3)} $shared ${words("b", 3)}"),
+      (2L, s"${words("c", 4)} $shared"),   // loses the whole shared run
+      (3L, words("solo", 12)),             // untouched
+      (4L, shared),                        // exact copy of the run only
+      (5L, "")).toDF("id", "text")
+    val out = Dedup.dedupSubstrings(d, "id", "text", minMatchTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // first occurrence (doc 1) keeps everything
+    assert(out(1L) == ((s"${words("a", 3)} $shared ${words("b", 3)}", 16L, 0L)))
+    // docs 2 and 4 lose all 10 shared tokens (flagged 8-gram starts 0..2
+    // cover positions 0..9 of the run)
+    assert(out(2L) == ((words("c", 4), 4L, 10L)))
+    assert(out(4L) == (("", 0L, 10L)))
+    assert(out(3L) == ((words("solo", 12), 12L, 0L)))
+    assert(out(5L) == (("", 0L, 0L)))
+    // within-document repetition: the second copy of an 8-token run in the
+    // SAME doc is removed too (ExactSubstr dedups self-repeats)
+    val rep = Seq((1L, s"${words("x", 8)} mid ${words("x", 8)}")).toDF("id", "text")
+    val r1 = Dedup.dedupSubstrings(rep, "id", "text", minMatchTokens = 8)
+      .collect().head
+    assert(r1.getString(1) == s"${words("x", 8)} mid")
+    assert(r1.getLong(3) == 8L)
+    // spans shorter than L survive even when repeated
+    val short = Seq((1L, words("y", 5)), (2L, words("y", 5))).toDF("id", "text")
+    assert(Dedup.dedupSubstrings(short, "id", "text", minMatchTokens = 8)
+      .filter(col("n_tokens_removed") > 0).count() == 0)
+  }
 }
