@@ -19,7 +19,8 @@ object Bench {
     "asof_join", "hash_split", "chunk_documents",
     "dedup_near", "semdedup", "pca_project", "build_vocab", "fuzzy_self_join",
     "dedup_lines", "dedup_cross_corpus", "decontaminate_bloom", "pq_adc_topk",
-    "pq_recall", "bm25_topk", "perplexity_buckets", "bigram_logprob", "bpe_gate")
+    "pq_recall", "bm25_topk", "perplexity_buckets", "bigram_logprob", "bpe_gate",
+    "dedup_substrings", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

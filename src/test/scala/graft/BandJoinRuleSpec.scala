@@ -88,4 +88,39 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(j.count() == 0) // 3.0 and 9.0 are both excluded by strict bounds
     spark.conf.set("spark.graft.bandJoin.enabled", "false")
   }
+
+  test("graft kernels are callable from SQL via the injected registry") {
+    val r = spark.sql(
+      """SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw,
+        |  normal_cdf(0.0d) AS nc, probit(0.5d) AS pr,
+        |  natural_sort_key('a2') < natural_sort_key('a10') AS nat,
+        |  strip_accents('café') AS sa,
+        |  unicode_normalize('café', 'NFD') AS un,
+        |  dot_product(array(cast(1 as float), cast(2 as float)),
+        |              array(cast(3 as float), cast(4 as float))) AS dp,
+        |  l2_norm(array(cast(3 as float), cast(4 as float))) AS nrm,
+        |  sorted_intersect_count(array('a','b','e'), array('b','e','z')) AS ic,
+        |  size(gram_hash48(array('a','b','c'), 2)) AS ng,
+        |  size(minhash_sig(array('a','b','c','d'), 16, 2)) AS nm,
+        |  simhash_sig(array('a','b'), 16) AS sh,
+        |  size(window_min(array(9L,1L,4L,7L), 2)) AS wm,
+        |  size(deletion_hashes('ab', 1)) AS dh""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    // polynomial approximations (Abramowitz-Stegun / Acklam): ~1e-8 accurate
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-7 && math.abs(r.getDouble(2)) < 1e-7)
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "cafe")
+    assert(r.getString(5).length == 5) // NFD: e + combining acute
+    assert(r.getDouble(6) == 11.0 && r.getDouble(7) == 5.0)
+    assert(r.getInt(8) == 2)
+    assert(r.getInt(9) == 2 && r.getInt(10) == 16)
+    assert(r.getLong(11) >= 0L && r.getLong(11) < (1L << 16))
+    assert(r.getInt(12) >= 1)
+    assert(r.getInt(13) == 3) // 'ab', 'b', 'a'
+    // literal-ness enforced at resolution: a column-valued shingle size fails
+    val err = intercept[Exception] {
+      spark.sql("SELECT gram_hash48(array('a','b'), id + 1) FROM range(3)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }
