@@ -101,6 +101,17 @@ object QueriesLlm {
     "similarity_lsh_topk" -> ((s, d) => Similarity.lshCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),
+    // whole-corpus kNN graph: the brute method IS the exact definition, so
+    // the gate is hash-exact; the lsh scale path gets a recall companion
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(
+      embeddings(s, d), "vec_id", "embedding", k = 3, method = "brute")),
+    "knn_graph_lsh_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.recallGate(
+        Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, method = "lsh"),
+        Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, method = "brute"),
+        floor = 0.70)
+    }),
     // Recall gates: the approximate paths measured against the exact
     // brute-force ranking on the same deterministic query set. The oracle
     // pins (n_queries, floor, meets_floor=true); a recall regression flips
@@ -460,7 +471,14 @@ object QueriesLlm {
       Dedup.dedupSubstrings(corpus(s, d), "doc_id", "text",
           minMatchTokens = 8)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
-          col("n_tokens_kept"), col("n_tokens_removed")))
+          col("n_tokens_kept"), col("n_tokens_removed"))),
+    "corpus_report" -> ((s, d) =>
+      graft.llm.TextAnalysis.corpusReport(documents(s, d), "text",
+        byCol = Some("source"))),
+    // "how much of the probe corpus is already in the reference corpus":
+    // the planted near-dup docs make containment_a strictly positive
+    "corpus_overlap" -> ((s, d) =>
+      Dedup.corpusOverlap(corpus(s, d), documents(s, d), "doc_id", "text"))
   )
 
   /** Pinned PQ codebooks for the exact gates: codebook of subspace s =
@@ -1210,6 +1228,65 @@ object QueriesLlm {
          |SELECT tot.doc_id, md5(coalesce(r.txt, '')) AS text_md5,
          |  CAST(coalesce(r.nk, 0) AS BIGINT) AS n_tokens_kept,
          |  CAST(tot.n - coalesce(r.nk, 0) AS BIGINT) AS n_tokens_removed
-         |FROM tot LEFT JOIN r USING (doc_id)""".stripMargin
+         |FROM tot LEFT JOIN r USING (doc_id)""".stripMargin,
+    // per-doc quality replicated from the quality_score oracle, summed as
+    // exact 1e-6-scaled integers (order-invariant, same as the Spark side)
+    "corpus_report" ->
+      """WITH q AS (SELECT source,
+        |  len(string_split_regex(text, '\s+')) AS nt, length(text) AS nc,
+        |  md5(text) AS h,
+        |  CAST(round(round(
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |    (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) >= 3
+        |          AND CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) <= 10
+        |     THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.2 +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.1,
+        |    6) * 1e6) AS BIGINT) AS q6
+        |  FROM documents)
+        |SELECT source AS "group", count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  count(DISTINCT h) AS n_distinct_texts,
+        |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_text_frac,
+        |  round(CAST(sum(q6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality
+        |FROM q GROUP BY source""".stripMargin,
+    // winnowing fingerprint sets of both corpora (same CTE shape as
+    // winnowSql, parameterized by corpus), then exact set arithmetic
+    "corpus_overlap" -> {
+      def fpsOf(corpusExpr: String) =
+        s"""SELECT DISTINCT fp FROM (
+           |  SELECT unnest(list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+           |    j -> list_min(hs[j:j+3])))) AS fp FROM (
+           |    SELECT list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+           |      i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 12)) AS BIGINT)) AS hs
+           |    FROM (SELECT string_split_regex(lower(text), '\\s+') AS w FROM ($corpusExpr))))""".stripMargin
+      s"""WITH fa AS (${fpsOf(corpusSql)}),
+         |fb AS (${fpsOf("SELECT text FROM documents")}),
+         |j AS (SELECT coalesce(a.one, 0) AS ina, coalesce(b.one, 0) AS inb FROM
+         |  (SELECT fp, 1 AS one FROM fa) a FULL OUTER JOIN
+         |  (SELECT fp, 1 AS one FROM fb) b USING (fp)),
+         |s AS (SELECT CAST(sum(ina) AS BIGINT) AS n_fps_a,
+         |    CAST(sum(inb) AS BIGINT) AS n_fps_b,
+         |    CAST(sum(ina * inb) AS BIGINT) AS n_shared FROM j)
+         |SELECT n_fps_a, n_fps_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / greatest(CAST(n_fps_a AS DOUBLE), 1.0), 6) AS containment_a,
+         |  round(CAST(n_shared AS DOUBLE) /
+         |    greatest(CAST(n_fps_a + n_fps_b - n_shared AS DOUBLE), 1.0), 6) AS jaccard
+         |FROM s""".stripMargin
+    },
+    "knn_graph" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
+         |s AS (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    round($dotSql / (${normSql("qv")} * ${normSql("c.embedding")}), 6) AS sim
+         |  FROM q JOIN embeddings c ON q.qid <> c.vec_id
+         |  CROSS JOIN LATERAL (SELECT c.embedding AS nv) l
+         |)
+         |SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |WHERE rn <= 3""".stripMargin,
+    "knn_graph_lsh_recall" ->
+      "SELECT CAST(500 AS BIGINT) AS n_queries, 0.70 AS recall_floor, TRUE AS meets_floor"
   )
 }

@@ -629,8 +629,11 @@ object Dedup {
       minMatchTokens: Int = 20): DataFrame = {
     val L = minMatchTokens
     require(L >= 2, s"dedupSubstrings: minMatchTokens must be >= 2, got $L")
+    // null text ⇒ empty token array (size(null) is -1, not 0 — the counts
+    // below must see a real array)
     val toked = df.select(col(idCol).as("id"),
-      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+      coalesce(filter(split(col(textCol), "\\s+"), t => length(t) > 0),
+        array().cast("array<string>")).as("toks"))
     val okey = col("id") * lit(4294967296L) + col("pos")
     val grams = toked.select(col("id"),
       posexplode(graft.functions.vector.gram_hash48(col("toks"), L))
@@ -650,5 +653,38 @@ object Dedup {
         size(col("kept")).cast("long").as("n_tokens_kept"),
         (size(col("toks")) - size(col("kept"))).cast("long")
           .as("n_tokens_removed"))
+  }
+
+  /** Corpus-level overlap between two corpora ("how much of the new crawl
+    * is already in the trained corpus?") measured on the winnowing
+    * fingerprint SETS — so partial/edited overlap counts, not just
+    * identical documents. Returns ONE row: distinct fingerprint counts,
+    * the shared count, containment of A in B (the decision number for
+    * contamination), and set Jaccard.
+    *
+    * Scale shape: two fingerprint pipelines (narrow codegen kernels), a
+    * distinct per side (shuffle on the 8-byte fp), one full-outer
+    * equi-join on fp, one combinable global aggregation. No document
+    * pairs, no text in any shuffle — corpus comparison at 100 TB is
+    * exactly this plan.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, window: Int = 4): DataFrame = {
+    val fa = winnowFingerprints(a, idCol, textCol, shingleN, window)
+      .select(col("fp")).distinct().withColumn("ina", lit(1L))
+    val fb = winnowFingerprints(b, idCol, textCol, shingleN, window)
+      .select(col("fp")).distinct().withColumn("inb", lit(1L))
+    fa.join(fb, Seq("fp"), "full_outer")
+      .agg(sum(coalesce(col("ina"), lit(0L))).as("n_fps_a"),
+        sum(coalesce(col("inb"), lit(0L))).as("n_fps_b"),
+        sum(coalesce(col("ina"), lit(0L)) * coalesce(col("inb"), lit(0L)))
+          .as("n_shared"))
+      .select(col("n_fps_a"), col("n_fps_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          greatest(col("n_fps_a").cast("double"), lit(1.0d)), 6)
+          .as("containment_a"),
+        round(col("n_shared").cast("double") /
+          greatest((col("n_fps_a") + col("n_fps_b") - col("n_shared"))
+            .cast("double"), lit(1.0d)), 6).as("jaccard"))
   }
 }

@@ -354,6 +354,30 @@ object Similarity {
       .select("qid", "nid", "sim")
   }
 
+  /** Whole-corpus kNN graph (every row's k nearest neighbors by cosine) —
+    * the substrate for SemDeDup-style pruning, dataset cartography, and
+    * graph-based quality propagation. `method`:
+    *   - "lsh" (default): the scale path — both sides bucket through
+    *     [[lshCosineTopK]]'s (table, bucket) equi-join; candidate count is
+    *     Σ|bucket|² per table, never N². Approximate (recall-gated).
+    *   - "ivf": cell-pruned variant via [[ivfCosineTopK]] with the corpus
+    *     itself as the query side.
+    *   - "brute": exact O(N²) baseline — the oracle anchor; it broadcasts
+    *     the query side, so only use it on corpora that fit a broadcast
+    *     (gates, samples, rerank shortlists).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      method: String = "lsh"): DataFrame = {
+    val self = df.select(col(s"`$idCol`"), col(s"`$vecCol`"))
+    method match {
+      case "lsh"   => lshCosineTopK(self, self, idCol, vecCol, k)
+      case "ivf"   => ivfCosineTopK(self, self, idCol, vecCol, k)
+      case "brute" => cosineTopK(self, self, idCol, vecCol, k)
+      case other => throw new IllegalArgumentException(
+        s"knn_graph: method must be lsh|ivf|brute, got $other")
+    }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public method; the reference repo has no
     * equivalent): cluster the embedding space into cells, then within each

@@ -509,6 +509,37 @@ object TextAnalysis {
           x => x).as("approx_ok"))
   }
 
+  /** One-call corpus health report — the first thing a data curator runs
+    * on a new crawl: per-group (or whole-corpus) document/token/char
+    * volumes, exact duplicate-text rate, and mean quality score. ONE
+    * aggregation pass; every statistic is combinable (the duplicate rate
+    * rides on count_distinct of the 128-bit text hash, so the shuffle
+    * carries 16-byte keys, not text). Mean quality sums per-doc scores as
+    * exact 1e-6-scaled integers, so the float total is order-invariant —
+    * the whole row is hash-exact across engines.
+    */
+  def corpusReport(df: DataFrame, textCol: String,
+      byCol: Option[String] = None): DataFrame = {
+    val t = col(s"`$textCol`")
+    val grouped = byCol match {
+      case Some(c) => df.groupBy(col(s"`$c`").cast("string").as("group"))
+      case None    => df.groupBy(lit("all").as("group"))
+    }
+    grouped.agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(t).cast("long")).as("n_tokens"),
+        sum(length(t).cast("long")).as("n_chars"),
+        count_distinct(md5(t.cast("binary"))).as("n_distinct_texts"),
+        sum(round(qualityScore(t) * 1e6d).cast("long")).as("__qsum"))
+      .select(col("group"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_tokens"),
+        col("n_distinct_texts"),
+        round(lit(1.0d) - col("n_distinct_texts").cast("double") /
+          col("n_docs"), 6).as("dup_text_frac"),
+        round(col("__qsum").cast("double") / col("n_docs") / 1e6d, 6)
+          .as("mean_quality"))
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))

@@ -316,6 +316,14 @@ object syntax {
     def dedupSubstrings(idCol: String, textCol: String,
         minMatchTokens: Int = 20): DataFrame =
       Dedup.dedupSubstrings(df, idCol, textCol, minMatchTokens)
+    def corpusReport(textCol: String, byCol: Option[String] = None): DataFrame =
+      TextAnalysis.corpusReport(df, textCol, byCol)
+    def corpusOverlapWith(other: DataFrame, idCol: String,
+        textCol: String): DataFrame =
+      Dedup.corpusOverlap(df, other, idCol, textCol)
+    def knnGraph(idCol: String, vecCol: String, k: Int,
+        method: String = "lsh"): DataFrame =
+      graft.llm.Similarity.knnGraph(df, idCol, vecCol, k, method)
     def decontaminateAgainst(idCol: String, textCol: String,
         benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
         minShared: Int = 3, bloom: Boolean = false): DataFrame =

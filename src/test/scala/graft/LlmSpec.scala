@@ -702,5 +702,60 @@ class LlmSpec extends SparkSpec {
     val short = Seq((1L, words("y", 5)), (2L, words("y", 5))).toDF("id", "text")
     assert(Dedup.dedupSubstrings(short, "id", "text", minMatchTokens = 8)
       .filter(col("n_tokens_removed") > 0).count() == 0)
+    // null text behaves as empty (no -1 sizes)
+    val withNull = Seq((1L, Some(words("n", 9))), (2L, None))
+      .toDF("id", "text")
+    val nOut = Dedup.dedupSubstrings(withNull, "id", "text", minMatchTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(nOut(2L) == (("", 0L, 0L)))
+    assert(nOut(1L)._2 == 9L)
+  }
+
+  test("corpusReport aggregates volumes, dup rate, and mean quality per group") {
+    val d = Seq(
+      (1L, "alpha beta gamma", "a"),
+      (2L, "alpha beta gamma", "a"),   // exact dup of 1
+      (3L, "delta epsilon", "a"),
+      (4L, "zeta", "b")).toDF("id", "text", "src")
+    val by = TextAnalysis.corpusReport(d, "text", byCol = Some("src"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = by("a")
+    assert(a.getLong(1) == 3L)                    // n_docs
+    assert(a.getLong(2) == 8L)                    // n_tokens: 3+3+2
+    assert(a.getLong(3) == 16 + 16 + 13)          // n_chars
+    assert(a.getLong(5) == 2L)                    // distinct texts
+    assert(math.abs(a.getDouble(6) - 1.0 / 3) < 1e-6) // dup_text_frac
+    assert(a.getDouble(7) > 0 && a.getDouble(7) <= 1) // mean_quality
+    // global form: one row, group = "all"
+    val all = TextAnalysis.corpusReport(d, "text").collect()
+    assert(all.length == 1 && all.head.getString(0) == "all"
+      && all.head.getLong(1) == 4L)
+  }
+
+  test("corpusOverlap: identical corpora fully contain; disjoint corpora share nothing") {
+    val mk = (tag: String) => (1 to 3).map(i =>
+      (i.toLong, (1 to 25).map(j => s"$tag${i}w$j").mkString(" "))).toDF("id", "t")
+    val a = mk("x")
+    val same = Dedup.corpusOverlap(a, a, "id", "t").collect().head
+    assert(same.getLong(0) == same.getLong(1) && same.getLong(0) == same.getLong(2))
+    assert(same.getDouble(3) == 1.0 && same.getDouble(4) == 1.0)
+    val other = Dedup.corpusOverlap(a, mk("y"), "id", "t").collect().head
+    assert(other.getLong(2) == 0L && other.getDouble(3) == 0.0)
+  }
+
+  test("knnGraph: brute is the exact definition; lsh/ivf return k rows per id; bad method throws") {
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 0.7 + j).toFloat))
+    }.toDF("id", "v")
+    val brute = Similarity.knnGraph(vecs, "id", "v", k = 2, method = "brute")
+    val got = brute.groupBy("qid").count().collect()
+    assert(got.length == 12 && got.forall(_.getLong(1) == 2L))
+    // no self edges
+    assert(brute.filter(col("qid") === col("nid")).count() == 0)
+    val lsh = Similarity.knnGraph(vecs, "id", "v", k = 2, method = "lsh")
+    assert(lsh.groupBy("qid").count().collect().forall(_.getLong(1) <= 2L))
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(vecs, "id", "v", k = 2, method = "hnsw")
+    }
   }
 }
