@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   *
   *   clean (strip HTML → normalize URLs → scrub PII)
   *   → optional corpus-wide line dedup (C4 recipe, boilerplate removal)
+  *   → optional ExactSubstr substring dedup (≥L-token verbatim repeats)
   *   → quality filter (Gopher flags keep)
   *   → near-dedup (MinHash-LSH pairs → components → canonical row)
   *   → optional benchmark decontamination (winnow-fingerprint overlap;
@@ -30,6 +31,8 @@ object Pipeline {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       seed: Long = 42L,
       lineDedup: Boolean = false,
+      substringDedup: Boolean = false,
+      substringMinMatchTokens: Int = 20,
       bloomDecontaminate: Boolean = false,
       perplexityBucketing: Boolean = false): DataFrame = {
     val cleanedText: Column = TextAnalysis.scrubPii(
@@ -41,7 +44,17 @@ object Pipeline {
           .drop("n_lines_kept")
           .join(cleaned.drop(textCol), Seq(idCol))
       else cleaned
-    val kept = lineDeduped
+    // ExactSubstr pass (after line dedup, before the quality filter — the
+    // paper's order: remove verbatim repeats first, then judge what's left)
+    val substringDeduped =
+      if (substringDedup)
+        Dedup.dedupSubstrings(
+            lineDeduped.select(col(s"`$idCol`"), col(s"`$textCol`")),
+            idCol, textCol, substringMinMatchTokens)
+          .drop("n_tokens_kept", "n_tokens_removed")
+          .join(lineDeduped.drop(textCol), Seq(idCol))
+      else lineDeduped
+    val kept = substringDeduped
       .withColumn("__g", TextAnalysis.gopherQualityFlags(col(s"`$textCol`")))
       .filter(col("__g.keep")).drop("__g")
     val deduped = Dedup.dedupNear(kept, idCol, textCol, dedupThreshold)

@@ -123,6 +123,13 @@ class LlmSpec extends SparkSpec {
       perplexityBucketing = true)
     assert(full.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
     assert(full.columns.contains("bucket") && full.columns.contains("split"))
+    // substring-dedup stage: doc 2's copy of doc 1's text loses its tokens
+    // BEFORE the quality filter, so it falls out there instead of at
+    // near-dedup — survivors unchanged, stage order as in the paper
+    val sub = Pipeline.prepareCorpus(docs, "id", "text",
+      benchmark = Some(bench), substringDedup = true,
+      substringMinMatchTokens = 8)
+    assert(sub.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("LLM verbs chain through the syntax surface") {

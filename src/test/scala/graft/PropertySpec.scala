@@ -271,6 +271,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupSubstrings == brute first-occurrence gram-coverage scan (random corpora)") {
+    val rng = new Random(53)
+    val L = 3
+    (1 to 3).foreach { round =>
+      val docs = (0 until 20).map { i =>
+        val n = rng.nextInt(12)
+        (i.toLong, (0 until n).map(_ => s"w${rng.nextInt(6)}").mkString(" "))
+      }
+      val got = graft.llm.Dedup.dedupSubstrings(docs.toDF("id", "text"),
+          "id", "text", minMatchTokens = L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // brute force on the driver: per gram string, global first (id, pos);
+      // every other occurrence covers its L token positions
+      val all = docs.map { case (id, t) => (id, t.split("\\s+").filter(_.nonEmpty)) }
+      val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      for ((id, toks) <- all.sortBy(_._1); p <- 0 to toks.length - L) {
+        val g = toks.slice(p, p + L).mkString(" ")
+        if (!first.contains(g)) first(g) = (id, p)
+        counts(g) += 1
+      }
+      val expected = all.sortBy(_._1).map { case (id, toks) =>
+        val covered = Array.fill(toks.length)(false)
+        for (p <- 0 to toks.length - L) {
+          val g = toks.slice(p, p + L).mkString(" ")
+          if (counts(g) > 1 && first(g) != ((id, p)))
+            (p until p + L).foreach(covered(_) = true)
+        }
+        val kept = toks.indices.filterNot(covered).map(toks)
+        (id, kept.mkString(" "), kept.length.toLong, (toks.length - kept.length).toLong)
+      }
+      assert(got == expected, s"round $round mismatch")
+    }
+  }
+
   test("crossCorpusDupPairs == exhaustive cross Jaccard (random corpora)") {
     val rng = new Random(41)
     def doc(seed: Int): String =
