@@ -34,6 +34,40 @@ object StreamingOps {
       .agg(a.as(s"${agg}_$aggCol"))
   }
 
+  /** Streaming corpus health report — the per-window form of
+    * [[graft.llm.TextAnalysis.corpusReport]] for crawl-ingest monitoring:
+    * document/token/char volumes, duplicate-text rate, and mean quality per
+    * event-time window (and optional extra keys). Exactly one change vs the
+    * batch form: the duplicate rate rides on `approx_count_distinct` (HLL),
+    * because exact distinct over an unbounded stream needs unbounded state
+    * while HLL state is constant — the 100 TB/day answer. Mean quality
+    * keeps the exact order-invariant integer-sum form, so every other
+    * column agrees with the batch report on the same window.
+    */
+  def corpusReportStream(stream: DataFrame, tsCol: String, watermark: String,
+      windowDuration: String, textCol: String,
+      by: Seq[String] = Nil): DataFrame = {
+    val t = col(s"`$textCol`")
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(s"`$tsCol`"), windowDuration) +:
+        by.map(c => col(s"`$c`")): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.llm.TextAnalysis.tokenCount(t).cast("long")).as("n_tokens"),
+        sum(length(t).cast("long")).as("n_chars"),
+        approx_count_distinct(md5(t.cast("binary"))).as("n_distinct_texts"),
+        sum(round(graft.llm.TextAnalysis.qualityScore(t) * 1e6d).cast("long"))
+          .as("__qsum"))
+      .withColumn("avg_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+      .withColumn("dup_text_frac", round(greatest(
+        lit(1.0d) - col("n_distinct_texts").cast("double") / col("n_docs"),
+        lit(0.0d)), 6))
+      .withColumn("mean_quality",
+        round(col("__qsum").cast("double") / col("n_docs") / 1e6d, 6))
+      .drop("__qsum")
+  }
+
   /** Streaming exact dedup within the watermark horizon — the streaming form
     * of exact dedup (drop late re-arrivals of the same key).
     */

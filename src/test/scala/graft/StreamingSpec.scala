@@ -116,6 +116,36 @@ class StreamingSpec extends SparkSpec {
     assert(byType == Map("click" -> 3.0, "view" -> 5.0))
   }
 
+  test("corpusReportStream matches the batch report per window (HLL exact at small cardinality)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = "alpha beta gamma"; val b = "delta epsilon"
+    in.addData(
+      (ts("2024-01-01 00:00:10"), a),
+      (ts("2024-01-01 00:00:20"), a),   // dup within window 1
+      (ts("2024-01-01 00:00:40"), b),
+      (ts("2024-01-01 00:11:00"), b))   // window 2
+    val rep = StreamingOps.corpusReportStream(in.toDF().toDF("ts", "text"),
+      "ts", "10 minutes", "10 minutes", "text")
+    val out = runToCompletion(rep, "report_out", mode = "complete")
+      .orderBy("window.start").collect()
+    assert(out.length == 2)
+    val w1 = out(0)
+    assert(w1.getAs[Long]("n_docs") == 3L)
+    assert(w1.getAs[Long]("n_tokens") == 8L)      // 3 + 3 + 2
+    assert(w1.getAs[Long]("n_distinct_texts") == 2L)
+    assert(math.abs(w1.getAs[Double]("dup_text_frac") - 1.0 / 3) < 1e-6)
+    // the batch report over window-1's rows agrees on every column
+    val batch = graft.llm.TextAnalysis.corpusReport(
+      Seq(a, a, b).toDF("text"), "text").collect().head
+    assert(batch.getAs[Long]("n_tokens") == w1.getAs[Long]("n_tokens"))
+    assert(batch.getAs[Double]("mean_quality") == w1.getAs[Double]("mean_quality"))
+    assert(batch.getAs[Double]("dup_text_frac") == w1.getAs[Double]("dup_text_frac"))
+    val w2 = out(1)
+    assert(w2.getAs[Long]("n_docs") == 1L && w2.getAs[Double]("dup_text_frac") == 0.0)
+  }
+
   test("countCumulativeUnique tracks running distinct per key") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, String)]
