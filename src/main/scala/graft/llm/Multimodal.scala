@@ -8,14 +8,18 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata
-  * structs. The decode step is REAL for uncompressed containers — 24-bit
-  * BI_RGB BMP and 16-bit PCM WAV parse with JDK-only code (codegen
-  * kernels below), so the binary → features path is an actual format
-  * decode, exactly oracle-gated via synthesized payloads whose pixel /
-  * sample values are analytic. Compressed codecs (JPEG/PNG/MP3/H.264) are
-  * STUBBED (no codec libs in this container — see builder brief); their
-  * Spark-side mechanics — schema, batching, deterministic features — are
-  * the same contract the real kernels demonstrate.
+  * structs. The decode step is REAL for 24-bit BI_RGB BMP, 16-bit PCM WAV
+  * AND zlib-compressed 8-bit RGB PNG (all JDK-only codegen kernels below —
+  * PNG entropy coding rides on java.util.zip, with all five scanline
+  * filter types implemented on both encode and decode), so the binary →
+  * features path is an actual format decode, exactly oracle-gated via
+  * synthesized payloads whose pixel / sample values are analytic, and
+  * cross-validated against the JDK's own ImageIO reader in LlmSpec. Lossy
+  * codecs (JPEG/MP3/H.264) remain STUBBED (decoder-implementation-defined
+  * output can't be exactly oracle-gated; no codec libs in this container —
+  * see builder brief); their Spark-side mechanics — schema, batching,
+  * deterministic features — are the same contract the real kernels
+  * demonstrate.
   */
 object Multimodal {
 
@@ -191,6 +195,199 @@ object Multimodal {
       n.toDouble, sum / nn, math.sqrt(sq / nn)))
   }
 
+  // REAL compressed codec: PNG (zlib via the JDK's Deflater/Inflater).
+  // Unlike BMP/WAV this exercises an actual entropy-coded container: the
+  // encoder cycles through ALL FIVE scanline filter types (None/Sub/Up/
+  // Average/Paeth, row y uses filter y mod 5) before deflating, so the
+  // decoder only recovers the analytic pixel values if its inflate AND
+  // per-type unfiltering are correct — a byte-soup "decoder" cannot pass
+  // the oracle. Pixel (x, y) channel c ∈ {R=0, G=1, B=2} value is the
+  // same analytic (seed·31 + x·7 + y·13 + c·85) mod 256 formula as the
+  // BMP kernels, so the DuckDB oracle computes every decoded feature
+  // without any PNG code. Compressed SIZE is zlib-implementation-defined
+  // and is never pinned — only decoded content is.
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = data.length
+    out.write(len >>> 24); out.write(len >>> 16); out.write(len >>> 8); out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(tb)
+    out.write(data)
+    val v = crc.getValue
+    out.write((v >>> 24).toInt); out.write((v >>> 16).toInt)
+    out.write((v >>> 8).toInt); out.write(v.toInt)
+  }
+
+  /** Build a real 8-bit RGB PNG (color type 2, no interlace) of the
+    * analytic pixel pattern, filtering row y with type y mod 5.
+    */
+  def synthPngKernel(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          cur(x * 3 + c) =
+            (((seed * 31 + x * 7L + y * 13L + c * 85L) % 256 + 256) % 256).toInt
+          c += 1
+        }
+        x += 1
+      }
+      val ft = y % 5
+      raw(pos) = ft.toByte; pos += 1
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = if (y > 0) prev(i) else 0
+        val cc = if (y > 0 && i >= 3) prev(i - 3) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - (a + b) / 2
+          case _ => cur(i) - paeth(a, b, cc)
+        }
+        raw(pos) = (f & 0xff).toByte; pos += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10), 0, 8)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    pngChunk(out, "IHDR", ihdr.array())
+    pngChunk(out, "IDAT", zbuf.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL PNG decode: signature + chunk walk, IDAT concat, zlib inflate,
+    * and all five filter-type reversals, emitting
+    * [width, height, meanR, meanG, meanB, r00] — r00 (red of pixel (0,0))
+    * plus the three exact channel means only come out right if inflation
+    * and unfiltering are correct. Null for anything but 8-bit
+    * non-interlaced RGB (type 2) or on any structural error.
+    */
+  def pngFeaturesKernel(bytes: Array[Byte]): GenericArrayData = {
+    if (bytes == null || bytes.length < 45) return null
+    if ((bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' ||
+        bytes(3) != 'G') return null
+    try {
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      var off = 8
+      var w = 0; var h = 0; var ok = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && off + 8 <= bytes.length) {
+        val len = be32(off)
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        val dataOff = off + 8
+        if (dataOff + len + 4 > bytes.length) return null
+        typ match {
+          case "IHDR" =>
+            w = be32(dataOff); h = be32(dataOff + 4)
+            val depth = bytes(dataOff + 8); val color = bytes(dataOff + 9)
+            val interlace = bytes(dataOff + 12)
+            ok = depth == 8 && color == 2 && interlace == 0 && w > 0 && h > 0
+          case "IDAT" => idat.write(bytes, dataOff, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        off = dataOff + len + 4
+      }
+      if (!ok || idat.size() == 0) return null
+      val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var filled = 0
+      while (filled < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && inflater.needsInput()) return null // truncated stream
+        filled += n
+      }
+      inflater.end()
+      if (filled < raw.length) return null
+      val cur = new Array[Int](stride)
+      val prev = new Array[Int](stride)
+      val sums = new Array[Long](3)
+      var r00 = 0
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + stride)
+        val ft = raw(base) & 0xff
+        if (ft > 4) return null
+        var i = 0
+        while (i < stride) {
+          val x = raw(base + 1 + i) & 0xff
+          val a = if (i >= 3) cur(i - 3) else 0
+          val b = if (y > 0) prev(i) else 0
+          val cc = if (y > 0 && i >= 3) prev(i - 3) else 0
+          cur(i) = (ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case _ => x + paeth(a, b, cc)
+          }) & 0xff
+          sums(i % 3) += cur(i)
+          i += 1
+        }
+        if (y == 0) r00 = cur(0)
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      val n = w.toLong * h
+      new GenericArrayData(Array[Any](w.toDouble, h.toDouble,
+        sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n,
+        r00.toDouble))
+    } catch { case _: java.util.zip.DataFormatException => null }
+  }
+
+  case class SynthPng(child: Expression, w: Int, h: Int) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any): Any =
+      synthPngKernel(a.asInstanceOf[Long], w, h)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.llm.Multimodal.synthPngKernel($a, $w, $h)")
+    override protected def withNewChildInternal(c: Expression): SynthPng = copy(child = c)
+  }
+  case class PngFeatures(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      pngFeaturesKernel(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.llm.Multimodal.pngFeaturesKernel($a)")
+    override protected def withNewChildInternal(c: Expression): PngFeatures = copy(child = c)
+  }
+
   case class SynthBmp(child: Expression, w: Int, h: Int) extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(a: Any): Any =
@@ -347,6 +544,10 @@ object Multimodal {
     Bridge.column(BmpFeatures(Bridge.expression(payload)))
   def bmp_resize(payload: Column, tw: Int, th: Int): Column =
     Bridge.column(BmpResize(Bridge.expression(payload), tw, th))
+  def synth_png(seed: Column, w: Int, h: Int): Column =
+    Bridge.column(SynthPng(Bridge.expression(seed.cast("long")), w, h))
+  def png_features(payload: Column): Column =
+    Bridge.column(PngFeatures(Bridge.expression(payload)))
   def synth_wav(seed: Column, n: Int, rate: Int): Column =
     Bridge.column(SynthWav(Bridge.expression(seed.cast("long")), n, rate))
   def wav_stats(payload: Column): Column =

@@ -417,6 +417,43 @@ class LlmSpec extends SparkSpec {
     assert(s(1) > s(0))
   }
 
+  test("real PNG codec: deflate + all five filter types roundtrip; ImageIO cross-validates") {
+    def ch(seed: Long, x: Int, y: Int, c: Int): Long =
+      ((seed * 31 + x * 7 + y * 13 + c * 85) % 256 + 256) % 256
+    // h = 7 > 5 rows forces every filter type (None/Sub/Up/Average/Paeth)
+    val df = Seq(9L).toDF("seed")
+    val f = df.select(Multimodal.png_features(
+      Multimodal.synth_png(col("seed"), 6, 7)).as("f"))
+      .collect()(0).getSeq[Double](0)
+    assert(f(0) == 6.0 && f(1) == 7.0)
+    for (c <- 0 until 3) {
+      val exp = (for (x <- 0 until 6; y <- 0 until 7) yield ch(9, x, y, c)).sum.toDouble / 42
+      assert(f(2 + c) == exp, s"channel $c mean after unfiltering")
+    }
+    assert(f(5) == ch(9, 0, 0, 0).toDouble)
+    // authenticity: the JDK's own ImageIO PNG reader decodes our payload to
+    // the same pixels — the container is REAL PNG, not a private format
+    val payload = Multimodal.synthPngKernel(9L, 6, 7)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth == 6 && img.getHeight == 7)
+    for (x <- 0 until 6; y <- 0 until 7) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == ch(9, x, y, 0), s"R($x,$y)")
+      assert(((rgb >> 8) & 0xff) == ch(9, x, y, 1), s"G($x,$y)")
+      assert((rgb & 0xff) == ch(9, x, y, 2), s"B($x,$y)")
+    }
+    // corrupt/truncated/foreign payloads decode to null, not an exception
+    val bad = Seq(
+      Array[Byte](1, 2, 3),
+      payload.take(40),
+      payload.updated(60, (payload(60) ^ 0x55).toByte)).toDF("p")
+    val decoded = bad.select(Multimodal.png_features(col("p"))).collect()
+    assert(decoded(0).isNullAt(0) && decoded(1).isNullAt(0))
+    // (a flipped IDAT byte either fails inflate -> null, or inflates to
+    // different pixels; both are acceptable — it must not throw)
+    assert(decoded.length == 3)
+  }
+
   test("real BMP/WAV codecs: synth -> parse roundtrip matches analytic values") {
     val df = Seq(7L).toDF("seed")
     val f = df.select(Multimodal.bmp_features(
