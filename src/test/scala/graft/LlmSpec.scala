@@ -415,6 +415,15 @@ class LlmSpec extends SparkSpec {
     val s = Seq((1L, "a b"), (2L, "a b c d e f g h")).toDF("id", "t")
       .select(QualityClassifier.score(col("t"), wPinned)).collect().map(_.getDouble(0))
     assert(s(1) > s(0))
+    // the distributed-gradient form (unbounded-training-set path) learns
+    // the same label; per-step arithmetic is identical, only the sum's
+    // float association differs, so accuracy must match the driver loop
+    val wd = QualityClassifier.train(docs, "id", "t", "y", sampleTarget = 1000,
+      distributedGradient = true)
+    val accD = docs.select(
+      avg(((QualityClassifier.score(col("t"), wd) > 0.5).cast("double")
+        === col("y").cast("double")).cast("double"))).head.getDouble(0)
+    assert(accD >= 0.95, s"distributed-gradient path regressed: $accD")
   }
 
   test("real PNG codec: deflate + all five filter types roundtrip; ImageIO cross-validates") {
