@@ -369,7 +369,20 @@ object QueriesCore {
     "flag_jumps" -> ((s, d) => events(s, d).select("event_id", "value")
       .flagJumps("event_id",
         default = operators.TimeseriesOps.JumpCriteria("absolute", "any", 10.0))
-      .withColumnRenamed("value_jump_flag", "jump"))
+      .withColumnRenamed("value_jump_flag", "jump")),
+    // per-user inactivity-gap sessions (gap = 6h on this data ≈ 45% break
+    // rate); (user_id, ts) is unique in the generator, so the keyed-window
+    // order is total and the ids are deterministic
+    "sessionize" -> ((s, d) =>
+      operators.TimeseriesOps.sessionize(
+        events(s, d).select("event_id", "user_id", "ts"),
+        "user_id", "ts", gapSeconds = 21600L)
+        .select("event_id", "user_id", "session_id")),
+    "session_stats" -> ((s, d) =>
+      operators.TimeseriesOps.sessionStats(
+        events(s, d).select("user_id", "ts"),
+        "user_id", "ts", gapSeconds = 21600L)
+        .withColumn("duration_sec", round(col("duration_sec"), 6)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -678,6 +691,30 @@ object QueriesCore {
     "flag_jumps" ->
       """SELECT event_id, value,
         |CASE WHEN abs(value - lag(value) OVER (ORDER BY event_id)) > 10 THEN 1 ELSE 0 END AS jump
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "sessionize" ->
+      """WITH l AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM l""".stripMargin,
+    "session_stats" ->
+      """WITH l AS (SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts) > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 6) AS duration_sec
+        |FROM s GROUP BY user_id, session_id""".stripMargin
   )
 }

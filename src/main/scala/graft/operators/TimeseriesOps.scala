@@ -164,4 +164,48 @@ object TimeseriesOps {
     }
     flagged.drop(cols.map(_ + "__prev"): _*)
   }
+
+  /** Per-key sessionization: split each key's event stream into sessions
+    * separated by inactivity gaps > `gapSeconds`. Appends `session_id`
+    * (0-based per key, in `tsCol` order). Classic clickstream/telemetry
+    * prep the reference has no equivalent for (public semantics: the
+    * inactivity-gap session window, as in Spark's own `session_window`).
+    *
+    * Scale shape: ONE shuffle on the key; both the consecutive-event lag
+    * and the running break count ride the SAME keyed window spec, so the
+    * plan is Exchange(key) → Sort(key, ts) → two chained Window operators,
+    * no join. Keyed windows parallelize across keys (the skew caveat is a
+    * single hot key — a user with billions of events — which AQE cannot
+    * split inside a window; that key is a data bug upstream, not a plan
+    * problem). Timestamp arithmetic is exact integer micros.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"sessionize: gapSeconds must be > 0, got $gapSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$keyCol`")).orderBy(col(s"`$tsCol`"))
+    val micros = unix_micros(col(s"`$tsCol`"))
+    val break = when(
+      micros - lag(micros, 1).over(w) > gapSeconds * 1000000L, 1L)
+      .otherwise(lit(0L)) // first row per key: lag null -> comparison null -> 0
+    df.withColumn("session_id",
+      sum(break).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session aggregate over [[sessionize]] output: one row per
+    * (key, session) with start/end, event count, and duration seconds —
+    * the table a funnel/engagement query actually consumes. One extra
+    * combinable aggregation on (key, session_id), reusing the
+    * sessionize exchange when planned together.
+    */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, gapSeconds)
+      .groupBy(col(s"`$keyCol`"), col("session_id"))
+      .agg(
+        min(col(s"`$tsCol`")).as("session_start"),
+        max(col(s"`$tsCol`")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max(col(s"`$tsCol`"))) -
+          unix_micros(min(col(s"`$tsCol`")))) / 1e6d).as("duration_sec"))
 }

@@ -34,6 +34,23 @@ object StreamingOps {
       .agg(a.as(s"${agg}_$aggCol"))
   }
 
+  /** Streaming sessionization: per-key inactivity-gap sessions via Spark's
+    * native `session_window` (state merges windows that an arriving event
+    * bridges; watermark bounds state). The streaming twin of
+    * [[graft.operators.TimeseriesOps.sessionStats]] — same (start, end,
+    * count, duration) per session, emitted when the watermark closes it.
+    */
+  def sessionWindowStats(stream: DataFrame, tsCol: String, watermark: String,
+      gap: String, keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(s"`$tsCol`"), gap) +:
+        keyCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keyCols.map(c => col(s"`$c`")) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")): _*)
+
   /** Streaming corpus health report — the per-window form of
     * [[graft.llm.TextAnalysis.corpusReport]] for crawl-ingest monitoring:
     * document/token/char volumes, duplicate-text rate, and mean quality per

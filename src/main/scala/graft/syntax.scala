@@ -246,6 +246,10 @@ object syntax {
     def sortTimestampsMonotonically(tsCol: String, direction: String = "increasing",
         strict: Boolean = false, tiebreak: Seq[String] = Nil): DataFrame =
       TimeseriesOps.sortTimestampsMonotonically(df, tsCol, direction, strict, tiebreak)
+    def sessionize(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+      TimeseriesOps.sessionize(df, keyCol, tsCol, gapSeconds)
+    def sessionStats(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+      TimeseriesOps.sessionStats(df, keyCol, tsCol, gapSeconds)
     def flagJumps(orderCol: String,
         default: TimeseriesOps.JumpCriteria = TimeseriesOps.JumpCriteria(),
         perColumn: Map[String, TimeseriesOps.JumpCriteria] = Map.empty,

@@ -115,6 +115,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.dedupNear(solo, "id", "t", 0.8).count() == 2)
   }
 
+  test("sessionize splits per-key streams on inactivity gaps; stats aggregate sessions") {
+    import graft.operators.TimeseriesOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "u1", t("2024-01-01 00:00:00")),
+      (2L, "u1", t("2024-01-01 00:10:00")),  // 10 min -> same session
+      (3L, "u1", t("2024-01-01 02:00:01")),  // > 1h50m gap -> new session
+      (4L, "u2", t("2024-01-01 00:05:00")),  // separate key: own session 0
+      (5L, "u1", t("2024-01-01 02:30:00"))   // 30 min -> stays in session 1
+    ).toDF("id", "user", "ts")
+    val out = TimeseriesOps.sessionize(ev, "user", "ts", gapSeconds = 3600)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+    val stats = TimeseriesOps.sessionStats(ev, "user", "ts", gapSeconds = 3600)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(stats(("u1", 0L)) == ((2L, 600.0)))
+    assert(stats(("u1", 1L)) == ((2L, 1799.0)))
+    assert(stats(("u2", 0L)) == ((1L, 0.0)))
+    // a gap of exactly gapSeconds does NOT break (strict >)
+    val exact = Seq((1L, "u", t("2024-01-01 00:00:00")),
+      (2L, "u", t("2024-01-01 01:00:00"))).toDF("id", "user", "ts")
+    assert(TimeseriesOps.sessionize(exact, "user", "ts", 3600)
+      .agg(max("session_id")).head.getLong(0) == 0L)
+    // empty frame
+    assert(TimeseriesOps.sessionize(
+      Seq.empty[(Long, String, java.sql.Timestamp)].toDF("id", "user", "ts"),
+      "user", "ts", 60).count() == 0)
+  }
+
   test("timeseries and text verbs tolerate empty and single-row frames") {
     val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("ts", "v")

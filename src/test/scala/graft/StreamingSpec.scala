@@ -158,6 +158,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("k") === "u2").collect().map(_.getLong(2)).toSeq == Seq(1L))
   }
 
+  test("sessionWindowStats merges events into gap-bounded sessions (batch parity)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (ts("2024-01-01 00:00:00"), "u1"),
+      (ts("2024-01-01 00:10:00"), "u1"),   // same session (gap 10m < 1h)
+      (ts("2024-01-01 02:00:01"), "u1"),   // new session
+      (ts("2024-01-01 00:05:00"), "u2"))
+    val out = runToCompletion(
+      StreamingOps.sessionWindowStats(in.toDF().toDF("ts", "user"),
+        "ts", "10 minutes", "1 hour", Seq("user")),
+      "session_out", mode = "complete")
+      .collect().map(r => (r.getString(0), r.getLong(3))).sorted.toSeq
+    // u1: sessions of 2 and 1 events; u2: one single-event session — the
+    // same grouping the batch sessionize spec pins at gap 3600
+    assert(out == Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
+  }
+
   test("flagJumps flags per-key deltas beyond threshold") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Double)]
