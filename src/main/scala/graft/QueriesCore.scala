@@ -382,7 +382,13 @@ object QueriesCore {
       operators.TimeseriesOps.sessionStats(
         events(s, d).select("user_id", "ts"),
         "user_id", "ts", gapSeconds = 21600L)
-        .withColumn("duration_sec", round(col("duration_sec"), 6)))
+        .withColumn("duration_sec", round(col("duration_sec"), 6))),
+    // first-touch ordered funnel: view -> click -> purchase per user
+    "funnel" -> ((s, d) =>
+      operators.EventOps.funnel(events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+    "cohort_retention" -> ((s, d) =>
+      operators.EventOps.cohortRetention(events(s, d), "user_id", "ts", "week"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -715,6 +721,30 @@ object QueriesCore {
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events,
         |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 6) AS duration_sec
-        |FROM s GROUP BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "funnel" ->
+      """WITH keys AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(ts) AS click_ts FROM events e
+        |  JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > view_ts GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS purchase_ts FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > click_ts GROUP BY e.user_id)
+        |SELECT k.user_id, view_ts, click_ts, purchase_ts,
+        |  CAST(CASE WHEN view_ts IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM keys k LEFT JOIN s0 USING (user_id)
+        |  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
+    "cohort_retention" ->
+      """WITH b AS (SELECT user_id, date_trunc('week', ts) AS b FROM events),
+        |c AS (SELECT user_id, min(b) AS cohort FROM b GROUP BY user_id)
+        |SELECT cohort,
+        |  CAST((epoch_us(b.b) - epoch_us(cohort)) // 604800000000 AS BIGINT)
+        |    AS period_offset,
+        |  count(DISTINCT b.user_id) AS n_active
+        |FROM b JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin
   )
 }

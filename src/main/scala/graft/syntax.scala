@@ -250,6 +250,12 @@ object syntax {
       TimeseriesOps.sessionize(df, keyCol, tsCol, gapSeconds)
     def sessionStats(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
       TimeseriesOps.sessionStats(df, keyCol, tsCol, gapSeconds)
+    def funnel(keyCol: String, tsCol: String, typeCol: String,
+        steps: Seq[String]): DataFrame =
+      EventOps.funnel(df, keyCol, tsCol, typeCol, steps)
+    def cohortRetention(keyCol: String, tsCol: String,
+        period: String = "week"): DataFrame =
+      EventOps.cohortRetention(df, keyCol, tsCol, period)
     def flagJumps(orderCol: String,
         default: TimeseriesOps.JumpCriteria = TimeseriesOps.JumpCriteria(),
         perColumn: Map[String, TimeseriesOps.JumpCriteria] = Map.empty,

@@ -145,6 +145,39 @@ class EdgeCaseSpec extends SparkSpec {
       "user", "ts", 60).count() == 0)
   }
 
+  test("funnel honors step order; cohortRetention counts distinct actives per offset") {
+    import graft.operators.EventOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes view -> click -> purchase in order
+      ("u1", t("2024-01-01 00:00:00"), "view"),
+      ("u1", t("2024-01-01 00:01:00"), "click"),
+      ("u1", t("2024-01-01 00:02:00"), "purchase"),
+      // u2 clicked BEFORE viewing: click doesn't count, funnel stops at view
+      ("u2", t("2024-01-01 00:00:00"), "click"),
+      ("u2", t("2024-01-01 00:01:00"), "view"),
+      // u3 never viewed
+      ("u3", t("2024-01-01 00:00:00"), "purchase")
+    ).toDF("user", "ts", "etype")
+    val f = EventOps.funnel(ev, "user", "ts", "etype",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(f == Map("u1" -> 3L, "u2" -> 1L, "u3" -> 0L))
+    // duplicate step names rejected
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev, "user", "ts", "etype", Seq("view", "view"))
+    }
+    // cohort: u1/u2 first active week 1, u3 week 2; u2 returns in week 2
+    val cev = Seq(
+      ("u1", t("2024-01-01 10:00:00")), ("u2", t("2024-01-03 10:00:00")),
+      ("u2", t("2024-01-08 10:00:00")), ("u3", t("2024-01-09 10:00:00"))
+    ).toDF("user", "ts")
+    val r = EventOps.cohortRetention(cev, "user", "ts", "week")
+      .collect().map(x => (x.getTimestamp(0).toString.take(10), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+
   test("timeseries and text verbs tolerate empty and single-row frames") {
     val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("ts", "v")
