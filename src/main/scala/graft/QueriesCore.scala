@@ -388,7 +388,13 @@ object QueriesCore {
       operators.EventOps.funnel(events(s, d), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
     "cohort_retention" -> ((s, d) =>
-      operators.EventOps.cohortRetention(events(s, d), "user_id", "ts", "week"))
+      operators.EventOps.cohortRetention(events(s, d), "user_id", "ts", "week")),
+    // custom TypedImperativeAggregate: deterministic bottom-k-by-md5 group
+    // sample with real partial aggregation (bounded k-heap per map task)
+    "group_sample" -> ((s, d) =>
+      operators.GroupedOps.groupSample(
+        events(s, d).select(col("event_type"), col("event_id").cast("string").as("eid")),
+        Seq("event_type"), "eid", k = 3))
   )
 
   val oracles: Map[String, String] = Map(
@@ -745,6 +751,13 @@ object QueriesCore {
         |  CAST((epoch_us(b.b) - epoch_us(cohort)) // 604800000000 AS BIGINT)
         |    AS period_offset,
         |  count(DISTINCT b.user_id) AS n_active
-        |FROM b JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin
+        |FROM b JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "group_sample" ->
+      """WITH h AS (SELECT event_type, CAST(event_id AS VARCHAR) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY md5(v)) AS rn
+        |  FROM h)
+        |SELECT event_type, CAST(rn - 1 AS INT) AS pos, v AS sampled
+        |FROM r WHERE rn <= 3""".stripMargin
   )
 }

@@ -1,0 +1,113 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst AGGREGATES (the tier of extension [[vector]]'s scalar
+  * kernels don't cover): TypedImperativeAggregate implementations with
+  * real partial aggregation — per-partition buffers update map-side,
+  * merge on the reduce side, so the shuffle carries one bounded buffer
+  * per (partition, group) instead of the group's rows.
+  */
+object aggregates {
+
+  /** Deterministic per-group k-sample: the k values with the SMALLEST
+    * md5(value) — "bottom-k by content hash", the group-scoped form of
+    * [[graft.llm.Sampling.hashSample]]'s partition/run/engine-invariant
+    * sampling (a seeded rand() sample changes under repartitioning; a
+    * hash sample never does, and any SQL engine can replicate it).
+    *
+    * Versus the window form (row_number over hash ≤ k): no per-group full
+    * sort, and partial aggregation applies — each map task keeps a
+    * bounded k-element heap per group, so the exchange carries ≤ k
+    * (hash, value) pairs per group per partition. At 100 TB that is the
+    * difference between shuffling the table and shuffling samples.
+    *
+    * Returns array<string> of the k winners in hash order (deterministic).
+    */
+  case class BottomKByHash(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[mutable.PriorityQueue[(String, String)]] {
+    require(k >= 1, s"bottom_k_by_hash: k must be >= 1, got $k")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    // max-heap on the hash: the root is the current worst kept element
+    override def createAggregationBuffer(): mutable.PriorityQueue[(String, String)] =
+      mutable.PriorityQueue.empty[(String, String)](Ordering.by(_._1))
+
+    private def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+
+    private def offer(buf: mutable.PriorityQueue[(String, String)],
+        h: String, v: String): Unit = {
+      if (buf.size < k) buf.enqueue((h, v))
+      else if (h < buf.head._1) { buf.dequeue(); buf.enqueue((h, v)) }
+    }
+
+    override def update(buf: mutable.PriorityQueue[(String, String)],
+        input: InternalRow): mutable.PriorityQueue[(String, String)] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[UTF8String].toString
+        offer(buf, md5Hex(s), s)
+      }
+      buf
+    }
+
+    override def merge(a: mutable.PriorityQueue[(String, String)],
+        b: mutable.PriorityQueue[(String, String)]): mutable.PriorityQueue[(String, String)] = {
+      b.foreach { case (h, v) => offer(a, h, v) }
+      a
+    }
+
+    override def eval(buf: mutable.PriorityQueue[(String, String)]): Any =
+      new GenericArrayData(buf.toSeq.sortBy(_._1)
+        .map(p => UTF8String.fromString(p._2)).toArray[Any])
+
+    override def serialize(buf: mutable.PriorityQueue[(String, String)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { case (h, v) => out.writeUTF(h); out.writeUTF(v) }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(String, String)] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { buf.enqueue((in.readUTF(), in.readUTF())); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): BottomKByHash =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BottomKByHash =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): BottomKByHash = copy(child = cs.head)
+  }
+
+  import org.apache.spark.sql.graftx.Bridge
+
+  /** Column form of [[BottomKByHash]] (input is cast to string). */
+  def bottom_k_by_hash(v: Column, k: Int): Column =
+    Bridge.column(BottomKByHash(Bridge.expression(v.cast("string")), k)
+      .toAggregateExpression())
+}

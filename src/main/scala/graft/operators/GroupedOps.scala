@@ -183,4 +183,21 @@ object GroupedOps {
     */
   def toSet(df: DataFrame, column: String): DataFrame =
     df.select(col(s"`$column`")).distinct()
+
+  /** Deterministic per-group k-sample via the custom
+    * [[graft.functions.aggregates.BottomKByHash]] TypedImperativeAggregate:
+    * the k values per group with the smallest content hash — stable under
+    * repartitioning, reruns, and engines, with REAL partial aggregation
+    * (each map task ships a bounded k-heap per group, never the rows; the
+    * window form row_number-over-hash ≤ k would sort every group's rows).
+    * Output: one row per sampled value — (by..., pos, sampled) in hash
+    * order.
+    */
+  def groupSample(df: DataFrame, by: Seq[String], valueCol: String,
+      k: Int): DataFrame =
+    df.groupBy(by.map(c => col(s"`$c`")): _*)
+      .agg(graft.functions.aggregates.bottom_k_by_hash(col(s"`$valueCol`"), k)
+        .as("__sample"))
+      .select(by.map(c => col(s"`$c`")) :+
+        posexplode(col("__sample")).as(Seq("pos", "sampled")): _*)
 }

@@ -145,6 +145,34 @@ class EdgeCaseSpec extends SparkSpec {
       "user", "ts", 60).count() == 0)
   }
 
+  test("BottomKByHash aggregate: partition-invariant sample, partial aggregation in plan") {
+    import graft.operators.GroupedOps
+    val d = spark.range(0, 300).select(
+      col("id").cast("string").as("v"), (col("id") % 3).as("g"))
+    def run(parts: Int) =
+      GroupedOps.groupSample(d.repartition(parts), Seq("g"), "v", 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val one = run(1)
+    assert(one == run(17), "sample must not depend on partitioning")
+    // brute expectation: per group, the 5 ids with the smallest md5
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = (0L until 300L).groupBy(_ % 3).toSeq.flatMap { case (g, ids) =>
+      ids.map(_.toString).sortBy(md5hex).take(5).zipWithIndex
+        .map { case (v, i) => (g, i, v) }
+    }.sorted
+    assert(one == expected)
+    // the custom aggregate must plan with PARTIAL + FINAL stages (map-side
+    // combine) — the whole point vs a window row_number
+    val plan = GroupedOps.groupSample(d, Seq("g"), "v", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottomkbyhash") || plan.contains("partial_BottomKByHash"),
+      s"expected partial aggregation stage, got:\n$plan")
+    // k larger than the group: everything sampled, no error
+    assert(GroupedOps.groupSample(
+      Seq(("a", "x"), ("a", "y")).toDF("g", "v"), Seq("g"), "v", 10).count() == 2)
+  }
+
   test("funnel honors step order; cohortRetention counts distinct actives per offset") {
     import graft.operators.EventOps
     def t(s: String) = java.sql.Timestamp.valueOf(s)
