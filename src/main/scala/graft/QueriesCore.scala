@@ -394,7 +394,17 @@ object QueriesCore {
     "group_sample" -> ((s, d) =>
       operators.GroupedOps.groupSample(
         events(s, d).select(col("event_type"), col("event_id").cast("string").as("eid")),
-        Seq("event_type"), "eid", k = 3))
+        Seq("event_type"), "eid", k = 3)),
+    // trailing 6h window per user; the float sum rides exact cents
+    "rolling_agg" -> ((s, d) =>
+      operators.TimeseriesOps.rollingAgg(
+        events(s, d).select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", 21600L,
+        Map(
+          "roll_n" -> count(lit(1)),
+          "roll_sum_cents" -> sum(round(col("value") * 100).cast("long")),
+          "roll_max" -> max(col("value"))))
+        .select("event_id", "user_id", "roll_n", "roll_sum_cents", "roll_max"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -758,6 +768,14 @@ object QueriesCore {
         |    row_number() OVER (PARTITION BY event_type ORDER BY md5(v)) AS rn
         |  FROM h)
         |SELECT event_type, CAST(rn - 1 AS INT) AS pos, v AS sampled
-        |FROM r WHERE rn <= 3""".stripMargin
+        |FROM r WHERE rn <= 3""".stripMargin,
+    "rolling_agg" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS roll_n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_cents,
+        |  max(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

@@ -192,6 +192,31 @@ object TimeseriesOps {
       sum(break).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Per-key rolling time-window aggregates (pandas `rolling("7D")` /
+    * SQL RANGE BETWEEN): for each event, aggregate the key's events in
+    * `(ts − windowSeconds, ts]`... inclusive of the current row, trailing.
+    * `aggs` maps output column → aggregating Column over the value
+    * (e.g. "roll_sum" -> sum(col("v"))).
+    *
+    * Scale shape: ONE shuffle on the key; the RANGE frame over integer
+    * micros is evaluated by Spark's sliding window frame (two pointers
+    * over the sorted key partition, O(n) amortized per key) — no
+    * self-join, no explode of the window. Same keyed-window skew caveat
+    * as [[sessionize]].
+    */
+  def rollingAgg(df: DataFrame, keyCol: String, tsCol: String,
+      windowSeconds: Long, aggs: Map[String, Column]): DataFrame = {
+    require(windowSeconds > 0, "rolling_agg: windowSeconds must be > 0")
+    require(aggs.nonEmpty, "rolling_agg: no aggregates given")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$keyCol`"))
+      .orderBy(unix_micros(col(s"`$tsCol`")))
+      .rangeBetween(-(windowSeconds * 1000000L - 1), 0)
+    aggs.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (name, agg)) =>
+      acc.withColumn(name, agg.over(w))
+    }
+  }
+
   /** Per-session aggregate over [[sessionize]] output: one row per
     * (key, session) with start/end, event count, and duration seconds —
     * the table a funnel/engagement query actually consumes. One extra

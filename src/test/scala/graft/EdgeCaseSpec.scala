@@ -173,6 +173,26 @@ class EdgeCaseSpec extends SparkSpec {
       Seq(("a", "x"), ("a", "y")).toDF("g", "v"), Seq("g"), "v", 10).count() == 2)
   }
 
+  test("rollingAgg: trailing range window is exclusive-open at the tail, per key") {
+    import graft.operators.TimeseriesOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u", t("2024-01-01 00:00:00"), 1.0),
+      ("u", t("2024-01-01 00:30:00"), 2.0),
+      ("u", t("2024-01-01 01:00:00"), 4.0),  // exactly 1h after first: OUT of 1h window
+      ("v", t("2024-01-01 00:45:00"), 8.0)   // other key: independent
+    ).toDF("user", "ts", "v")
+    val out = TimeseriesOps.rollingAgg(ev, "user", "ts", 3600L,
+      Map("roll_sum" -> sum(col("v")), "roll_n" -> count(lit(1))))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(19)) ->
+        ((r.getDouble(4), r.getLong(3)))).toMap
+    assert(out(("u", "2024-01-01 00:00:00")) == ((1.0, 1L)))
+    assert(out(("u", "2024-01-01 00:30:00")) == ((3.0, 2L)))
+    // the first event fell out: (00:00, 01:00] keeps only 00:30 and 01:00
+    assert(out(("u", "2024-01-01 01:00:00")) == ((6.0, 2L)))
+    assert(out(("v", "2024-01-01 00:45:00")) == ((8.0, 1L)))
+  }
+
   test("funnel honors step order; cohortRetention counts distinct actives per offset") {
     import graft.operators.EventOps
     def t(s: String) = java.sql.Timestamp.valueOf(s)
