@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object aggregates {
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** Deterministic per-group k-sample: the k values with the SMALLEST
     * md5(value) — "bottom-k by content hash", the group-scoped form of
     * [[graft.llm.Sampling.hashSample]]'s partition/run/engine-invariant
@@ -46,10 +53,16 @@ object aggregates {
       mutable.PriorityQueue.empty[(String, String)](Ordering.by(_._1))
 
     private def md5Hex(s: String): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
+      val md = aggregates.md5TL.get()
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
       val sb = new java.lang.StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      var i = 0
+      while (i < 16) {
+        val v = d(i) & 0xff
+        sb.append(aggregates.hexDigits(v >>> 4)).append(aggregates.hexDigits(v & 0xf))
+        i += 1
+      }
       sb.toString
     }
 
