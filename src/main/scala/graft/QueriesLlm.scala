@@ -209,6 +209,14 @@ object QueriesLlm {
         element_at(col("f"), 1).as("w"), element_at(col("f"), 2).as("h"),
         element_at(col("f"), 3).as("mean_r"), element_at(col("f"), 4).as("mean_g"),
         element_at(col("f"), 5).as("mean_b"), element_at(col("f"), 6).as("r00"))),
+    // decode -> NN-sample -> re-encode -> decode again: the roundtrip proves
+    // the re-encoded compressed container is itself well-formed
+    "multimodal_png_resize" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), Multimodal.png_features(Multimodal.png_resize(
+        Multimodal.synth_png(col("doc_id"), 16, 9), 4, 3)).as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 1).as("w"), element_at(col("f"), 2).as("h"),
+        element_at(col("f"), 3).as("mean_r"), element_at(col("f"), 6).as("r00"))),
     // decode -> decimate x4 -> re-encode -> decode again: the roundtrip
     // proves the re-encoded container is itself well-formed
     "multimodal_wav_resample" -> ((s, d) => documents(s, d)
@@ -787,6 +795,14 @@ object QueriesLlm {
         |  CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE) / 144 AS mean_r,
         |  CAST(sum((doc_id*31 + x*7 + y*13 + 85) % 256) AS DOUBLE) / 144 AS mean_g,
         |  CAST(sum((doc_id*31 + x*7 + y*13 + 170) % 256) AS DOUBLE) / 144 AS mean_b,
+        |  CAST(doc_id*31 % 256 AS DOUBLE) AS r00
+        |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_png_resize" ->
+      """WITH px AS (SELECT doc_id, x.x, y.y FROM documents,
+        |  (SELECT unnest(generate_series(0, 3)) AS x) x,
+        |  (SELECT unnest(generate_series(0, 2)) AS y) y)
+        |SELECT doc_id, 4.0 AS w, 3.0 AS h,
+        |  CAST(sum((doc_id*31 + (x*4)*7 + (y*3)*13) % 256) AS DOUBLE) / 12 AS mean_r,
         |  CAST(doc_id*31 % 256 AS DOUBLE) AS r00
         |FROM px GROUP BY doc_id""".stripMargin,
     "multimodal_bmp_resize" ->

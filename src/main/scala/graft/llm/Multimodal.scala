@@ -227,45 +227,35 @@ object Multimodal {
     out.write((v >>> 8).toInt); out.write(v.toInt)
   }
 
-  /** Build a real 8-bit RGB PNG (color type 2, no interlace) of the
-    * analytic pixel pattern, filtering row y with type y mod 5.
+  /** Encode an 8-bit RGB pixel array (row-major, 3 ints per pixel) as a
+    * real PNG, filtering row y with type y mod 5 — every filter type is
+    * exercised on any image ≥ 5 rows.
     */
-  def synthPngKernel(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
     val stride = w * 3
     val raw = new Array[Byte](h * (1 + stride))
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride)
     var pos = 0
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        var c = 0
-        while (c < 3) {
-          cur(x * 3 + c) =
-            (((seed * 31 + x * 7L + y * 13L + c * 85L) % 256 + 256) % 256).toInt
-          c += 1
-        }
-        x += 1
-      }
+      val base = y * stride
       val ft = y % 5
       raw(pos) = ft.toByte; pos += 1
       var i = 0
       while (i < stride) {
-        val a = if (i >= 3) cur(i - 3) else 0
-        val b = if (y > 0) prev(i) else 0
-        val cc = if (y > 0 && i >= 3) prev(i - 3) else 0
+        val cur = px(base + i)
+        val a = if (i >= 3) px(base + i - 3) else 0
+        val b = if (y > 0) px(base - stride + i) else 0
+        val cc = if (y > 0 && i >= 3) px(base - stride + i - 3) else 0
         val f = ft match {
-          case 0 => cur(i)
-          case 1 => cur(i) - a
-          case 2 => cur(i) - b
-          case 3 => cur(i) - (a + b) / 2
-          case _ => cur(i) - paeth(a, b, cc)
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case _ => cur - paeth(a, b, cc)
         }
         raw(pos) = (f & 0xff).toByte; pos += 1
         i += 1
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
     val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
@@ -285,14 +275,33 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** REAL PNG decode: signature + chunk walk, IDAT concat, zlib inflate,
-    * and all five filter-type reversals, emitting
-    * [width, height, meanR, meanG, meanB, r00] — r00 (red of pixel (0,0))
-    * plus the three exact channel means only come out right if inflation
-    * and unfiltering are correct. Null for anything but 8-bit
-    * non-interlaced RGB (type 2) or on any structural error.
+  /** Build a real 8-bit RGB PNG (color type 2, no interlace) of the
+    * analytic pixel pattern, filtering row y with type y mod 5.
     */
-  def pngFeaturesKernel(bytes: Array[Byte]): GenericArrayData = {
+  def synthPngKernel(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px((y * w + x) * 3 + c) =
+            (((seed * 31 + x * 7L + y * 13L + c * 85L) % 256 + 256) % 256).toInt
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(px, w, h)
+  }
+
+  /** Decode a supported PNG to (w, h, row-major RGB ints); null when
+    * unsupported or structurally broken — shared by the feature and
+    * resize kernels.
+    */
+  private def decodePng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     if (bytes == null || bytes.length < 45) return null
     if ((bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' ||
         bytes(3) != 'G') return null
@@ -334,10 +343,7 @@ object Multimodal {
       }
       inflater.end()
       if (filled < raw.length) return null
-      val cur = new Array[Int](stride)
-      val prev = new Array[Int](stride)
-      val sums = new Array[Long](3)
-      var r00 = 0
+      val px = new Array[Int](h * stride)
       var y = 0
       while (y < h) {
         val base = y * (1 + stride)
@@ -346,28 +352,69 @@ object Multimodal {
         var i = 0
         while (i < stride) {
           val x = raw(base + 1 + i) & 0xff
-          val a = if (i >= 3) cur(i - 3) else 0
-          val b = if (y > 0) prev(i) else 0
-          val cc = if (y > 0 && i >= 3) prev(i - 3) else 0
-          cur(i) = (ft match {
+          val a = if (i >= 3) px(y * stride + i - 3) else 0
+          val b = if (y > 0) px((y - 1) * stride + i) else 0
+          val cc = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) else 0
+          px(y * stride + i) = (ft match {
             case 0 => x
             case 1 => x + a
             case 2 => x + b
             case 3 => x + (a + b) / 2
             case _ => x + paeth(a, b, cc)
           }) & 0xff
-          sums(i % 3) += cur(i)
           i += 1
         }
-        if (y == 0) r00 = cur(0)
-        System.arraycopy(cur, 0, prev, 0, stride)
         y += 1
       }
-      val n = w.toLong * h
-      new GenericArrayData(Array[Any](w.toDouble, h.toDouble,
-        sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n,
-        r00.toDouble))
+      (w, h, px)
     } catch { case _: java.util.zip.DataFormatException => null }
+  }
+
+  /** REAL PNG nearest-neighbor resize: decode, sample the source grid at
+    * tw×th, re-encode through [[encodePng]] — the compressed-codec twin of
+    * [[bmpResizeKernel]]. Null for unsupported payloads.
+    */
+  def pngResizeKernel(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val dec = decodePng(bytes)
+    if (dec == null || tw <= 0 || th <= 0) return null
+    val (w, h, px) = dec
+    val out = new Array[Int](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * w / tw
+        var c = 0
+        while (c < 3) {
+          out((y * tw + x) * 3 + c) = px((sy * w + sx) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(out, tw, th)
+  }
+
+  /** REAL PNG decode: signature + chunk walk, IDAT concat, zlib inflate,
+    * and all five filter-type reversals, emitting
+    * [width, height, meanR, meanG, meanB, r00] — r00 (red of pixel (0,0))
+    * plus the three exact channel means only come out right if inflation
+    * and unfiltering are correct. Null for anything but 8-bit
+    * non-interlaced RGB (type 2) or on any structural error.
+    */
+  def pngFeaturesKernel(bytes: Array[Byte]): GenericArrayData = {
+    val dec = decodePng(bytes)
+    if (dec == null) return null
+    val (w, h, px) = dec
+    val sums = new Array[Long](3)
+    var i = 0
+    while (i < px.length) { sums(i % 3) += px(i); i += 1 }
+    val n = w.toLong * h
+    new GenericArrayData(Array[Any](w.toDouble, h.toDouble,
+      sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n,
+      px(0).toDouble))
   }
 
   case class SynthPng(child: Expression, w: Int, h: Int) extends UnaryExpression {
@@ -377,6 +424,15 @@ object Multimodal {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, a => s"graft.llm.Multimodal.synthPngKernel($a, $w, $h)")
     override protected def withNewChildInternal(c: Expression): SynthPng = copy(child = c)
+  }
+  case class PngResize(child: Expression, tw: Int, th: Int) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      pngResizeKernel(a.asInstanceOf[Array[Byte]], tw, th)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.llm.Multimodal.pngResizeKernel($a, $tw, $th)")
+    override protected def withNewChildInternal(c: Expression): PngResize = copy(child = c)
   }
   case class PngFeatures(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -548,6 +604,8 @@ object Multimodal {
     Bridge.column(SynthPng(Bridge.expression(seed.cast("long")), w, h))
   def png_features(payload: Column): Column =
     Bridge.column(PngFeatures(Bridge.expression(payload)))
+  def png_resize(payload: Column, tw: Int, th: Int): Column =
+    Bridge.column(PngResize(Bridge.expression(payload), tw, th))
   def synth_wav(seed: Column, n: Int, rate: Int): Column =
     Bridge.column(SynthWav(Bridge.expression(seed.cast("long")), n, rate))
   def wav_stats(payload: Column): Column =
