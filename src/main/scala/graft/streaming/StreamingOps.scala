@@ -34,6 +34,28 @@ object StreamingOps {
       .agg(a.as(s"${agg}_$aggCol"))
   }
 
+  /** Sliding-window aggregation (the streaming rolling_agg: each event
+    * lands in every `windowDuration` window that covers it, emitted every
+    * `slideDuration`). Same agg dispatch as [[windowedAgg]]; watermark
+    * bounds the open-window state.
+    */
+  def slidingWindowAgg(stream: DataFrame, tsCol: String, watermark: String,
+      windowDuration: String, slideDuration: String, by: Seq[String],
+      aggCol: String, agg: String): DataFrame = {
+    val a: Column = agg match {
+      case "sum" => sum(col(aggCol))
+      case "count" => count(lit(1))
+      case "avg" | "mean" => avg(col(aggCol))
+      case "min" => min(col(aggCol))
+      case "max" => max(col(aggCol))
+      case other => throw new IllegalArgumentException(s"slidingWindowAgg: bad agg $other")
+    }
+    stream.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowDuration, slideDuration) +:
+        by.map(c => col(s"`$c`"))): _*)
+      .agg(a.as(s"${agg}_$aggCol"))
+  }
+
   /** Streaming sessionization: per-key inactivity-gap sessions via Spark's
     * native `session_window` (state merges windows that an arriving event
     * bridges; watermark bounds state). The streaming twin of

@@ -158,6 +158,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("k") === "u2").collect().map(_.getLong(2)).toSeq == Seq(1L))
   }
 
+  test("slidingWindowAgg lands each event in every covering window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((ts("2024-01-01 00:07:00"), 3.0), (ts("2024-01-01 00:12:00"), 5.0))
+    val agg = StreamingOps.slidingWindowAgg(in.toDF().toDF("ts", "v"),
+      "ts", "10 minutes", "10 minutes", "5 minutes", Nil, "v", "sum")
+    val out = runToCompletion(agg, "sliding_out", mode = "complete")
+      .selectExpr("window.start AS s", "sum_v").collect()
+      .map(r => r.getTimestamp(0).toString.take(16) -> r.getDouble(1)).toMap
+    // event at :07 covers windows starting :00 and :05; :12 covers :05 and :10
+    assert(out == Map("2024-01-01 00:00" -> 3.0, "2024-01-01 00:05" -> 8.0,
+      "2024-01-01 00:10" -> 5.0))
+  }
+
   test("sessionWindowStats merges events into gap-bounded sessions (batch parity)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
