@@ -283,6 +283,9 @@ object QueriesLlm {
       TextAnalysis.buildVocab(documents(s, d), "doc_id", "text", 100)),
     "vocab_size_gate" -> ((s, d) =>
       TextAnalysis.vocabSizeGate(documents(s, d), "text")),
+    "token_cms_gate" -> ((s, d) =>
+      TextAnalysis.tokenCmsGate(documents(s, d), "text",
+        Seq("table", "hash", "scan", "value", "zzz_absent"))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")),
@@ -732,6 +735,16 @@ object QueriesLlm {
          |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
          |)
          |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
+    "token_cms_gate" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |e AS (SELECT token, count(*) AS n_exact FROM tok
+        |  WHERE token IN ('table', 'hash', 'scan', 'value', 'zzz_absent')
+        |  GROUP BY token)
+        |SELECT p.token, CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+        |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+        |FROM (VALUES ('table'), ('hash'), ('scan'), ('value'), ('zzz_absent')) p(token)
+        |LEFT JOIN e USING (token)""".stripMargin,
     "similarity_lsh_recall" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, 0.80 AS recall_floor, TRUE AS meets_floor",
     "similarity_q8_recall" ->

@@ -464,6 +464,40 @@ object TextAnalysis {
           col("n_exact") <= tol).as("approx_ok"))
   }
 
+  /** Count-Min-sketch heavy-hitter gate — the third sketch family next to
+    * HLL ([[vocabSizeGate]]) and quantiles ([[tokenQuantilesGate]]): token
+    * frequencies estimated from ONE bounded-memory pass (Spark's native
+    * `count_min_sketch` aggregate, a few hundred KB regardless of corpus
+    * size) checked against exact counts for a deterministic probe set.
+    * CMS guarantees estimate ≥ true and, w.h.p., estimate ≤ true + eps·N —
+    * both bounds become gate booleans; the exact probe counts are returned
+    * for hash comparison. The sketch is a single aggregate row (bounded
+    * collect); probes are evaluated driver-side against it.
+    */
+  def tokenCmsGate(df: DataFrame, textCol: String, probes: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    require(probes.nonEmpty, "token_cms_gate: empty probe set")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df.select(explode(Dedup.tokens(col(s"`$textCol`"))).as("token"))
+    val row = tok.agg(
+      expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), 42)").as("sketch"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(row.getAs[Array[Byte]](0))
+    val n = row.getLong(1)
+    val exact = tok.filter(col("token").isin(probes: _*))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slack = math.ceil(eps * n).toLong
+    probes.map { p =>
+      val ex = exact.getOrElse(p, 0L)
+      val est = cms.estimateCount(p)
+      (p, ex, est >= ex, est <= ex + slack)
+    }.toDF("token", "n_exact", "est_ge_exact", "est_within_eps")
+  }
+
   /** Canary-string scan — the exact-substring sweep for benchmark canary
     * GUIDs (BIG-bench-style canaries, eval-set sentinel strings) that runs
     * before any training dump ships: one row per (document, canary) hit.

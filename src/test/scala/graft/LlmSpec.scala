@@ -764,6 +764,20 @@ class LlmSpec extends SparkSpec {
     assert(nOut(1L)._2 == 9L)
   }
 
+  test("tokenCmsGate: CMS never undercounts and stays within eps*N on probes") {
+    val docs = Seq(
+      (1L, ("hot " * 50) + "cold rare"),
+      (2L, ("hot " * 30) + "cold mid mid")).toDF("id", "t")
+    val out = TextAnalysis.tokenCmsGate(docs, "t",
+      Seq("hot", "cold", "mid", "absent"), eps = 0.01)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out("hot") == ((80L, true, true)))
+    assert(out("cold") == ((2L, true, true)))
+    assert(out("mid") == ((2L, true, true)))
+    assert(out("absent")._1 == 0L && out("absent")._2)
+  }
+
   test("corpusReport aggregates volumes, dup rate, and mean quality per group") {
     val d = Seq(
       (1L, "alpha beta gamma", "a"),
