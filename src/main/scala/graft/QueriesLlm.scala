@@ -286,6 +286,8 @@ object QueriesLlm {
     "token_cms_gate" -> ((s, d) =>
       TextAnalysis.tokenCmsGate(documents(s, d), "text",
         Seq("table", "hash", "scan", "value", "zzz_absent"))),
+    "collocations" -> ((s, d) =>
+      TextAnalysis.collocations(documents(s, d), "text", minCount = 20, k = 30)),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")),
@@ -735,6 +737,22 @@ object QueriesLlm {
          |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
          |)
          |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
+    "collocations" ->
+      """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+        |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+        |bc AS (SELECT bg, count(*) AS cab FROM (
+        |    SELECT w[i] || ' ' || w[i+1] AS bg
+        |    FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM w))
+        |  GROUP BY bg),
+        |nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS n FROM bc),
+        |j AS (SELECT b.bg, b.cab, ua.c AS ca, ub.c AS cb FROM bc b
+        |  JOIN uc ua ON ua.t = string_split(b.bg, ' ')[1]
+        |  JOIN uc ub ON ub.t = string_split(b.bg, ' ')[2]
+        |  WHERE b.cab >= 20)
+        |SELECT bg, cab, round(ln((cab / nb.n) / ((ca / nu.n) * (cb / nu.n))), 6) AS pmi
+        |FROM j, nb, nu
+        |ORDER BY pmi DESC, bg LIMIT 30""".stripMargin,
     "token_cms_gate" ->
       """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
         |  FROM documents),

@@ -464,6 +464,42 @@ object TextAnalysis {
           col("n_exact") <= tol).as("approx_ok"))
   }
 
+  /** PMI collocations: the top-k word bigrams by pointwise mutual
+    * information, PMI = ln(p(ab) / (p(a)·p(b))) with p over the corpus's
+    * bigram / unigram distributions — the standard collocation extractor
+    * (phrase mining, tokenizer-merge candidates, stopword diagnostics).
+    * `minCount` suppresses the low-support noise PMI is notorious for.
+    *
+    * Scale shape: bigram extraction is the constant-reference zip_with
+    * (PLANS.md HOF contract), counts are combinable aggregations on the
+    * token/bigram hash, the two unigram joins are keyed equi joins (AQE
+    * broadcasts when the vocab is small), totals ride a broadcast
+    * single-row cross join, and top-k is TakeOrderedAndProject. Counts are
+    * exact integers; the single ln is rounded to 6 on both engines.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val toks = Dedup.tokens(col(s"`$textCol`"))
+    val uc = df.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bc = df.select(explode(Dedup.ngrams(toks, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cab"))
+    val nu = uc.agg(sum(col("c")).cast("double").as("n_uni"))
+    val nb = bc.agg(sum(col("cab")).cast("double").as("n_bi"))
+    bc.filter(col("cab") >= minCount)
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(uc.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uc.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("bg"), col("cab"),
+        round(log((col("cab") / col("n_bi")) /
+          ((col("ca") / col("n_uni")) * (col("cb") / col("n_uni")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+  }
+
   /** Count-Min-sketch heavy-hitter gate — the third sketch family next to
     * HLL ([[vocabSizeGate]]) and quantiles ([[tokenQuantilesGate]]): token
     * frequencies estimated from ONE bounded-memory pass (Spark's native

@@ -764,6 +764,22 @@ class LlmSpec extends SparkSpec {
     assert(nOut(1L)._2 == 9L)
   }
 
+  test("collocations surfaces glued bigrams by PMI and suppresses low support") {
+    // "new york" always adjacent (high PMI); "the" is everywhere (low PMI
+    // with anything); "rare pair" occurs once -> cut by minCount
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"new york the w$i the city the w${i + 100}")) :+
+      (21L, "rare pair")
+    val out = TextAnalysis.collocations(docs.toDF("id", "t"), "t",
+      minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head._1 == "new york" && out.head._2 == 20L)
+    assert(!out.exists(_._1 == "rare pair"))
+    // PMI of the perfectly-glued pair beats any "the"-anchored bigram
+    val theRows = out.filter(_._1.contains("the"))
+    assert(theRows.forall(_._3 < out.head._3))
+  }
+
   test("tokenCmsGate: CMS never undercounts and stays within eps*N on probes") {
     val docs = Seq(
       (1L, ("hot " * 50) + "cold rare"),

@@ -158,6 +158,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("k") === "u2").collect().map(_.getLong(2)).toSeq == Seq(1L))
   }
 
+  test("BottomKByHash aggregates on streams (custom TypedImperativeAggregate in streaming state)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    in.addData(("g1", "a"), ("g1", "b"), ("g1", "c"), ("g2", "z"))
+    val agg = in.toDF().toDF("g", "v")
+      .groupBy("g")
+      .agg(graft.functions.aggregates.bottom_k_by_hash(col("v"), 2).as("s"))
+    val out = runToCompletion(agg, "bkh_out", mode = "complete")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(out("g1") == List("a", "b", "c").sortBy(md5hex).take(2))
+    assert(out("g2") == List("z"))
+  }
+
   test("slidingWindowAgg lands each event in every covering window") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Double)]
