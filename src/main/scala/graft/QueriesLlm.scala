@@ -1274,7 +1274,7 @@ object QueriesLlm {
          |  md5(coalesce(r.t, '')) AS text_md5
          |FROM (SELECT DISTINCT doc_id FROM c) ids LEFT JOIN r USING (doc_id)""".stripMargin,
     // replicates Dedup.dedupSubstrings at L=8: 48-bit md5-prefix gram
-    // hashes, keeper = min(doc_id*2^32 + pos), coverage = flagged start + 8
+    // hashes, keeper = first (doc_id, pos) per gram, coverage = start + 8
     "dedup_substrings" ->
       s"""WITH c AS ($corpusSql),
          |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
@@ -1285,10 +1285,12 @@ object QueriesLlm {
          |      1, 12)) AS BIGINT) AS gh
          |  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
          |        FROM w)),
-         |dg AS (SELECT gh, count(*) AS cnt,
-         |    min(doc_id * 4294967296 + pos) AS keeper FROM g GROUP BY gh),
-         |f AS (SELECT g.doc_id, g.pos FROM g JOIN dg USING (gh)
-         |  WHERE dg.cnt > 1 AND g.doc_id * 4294967296 + g.pos <> dg.keeper),
+         |f AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      count(*) OVER (PARTITION BY gh) AS cnt,
+         |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+         |    FROM g)
+         |  WHERE cnt > 1 AND rn > 1),
          |cov AS (SELECT DISTINCT doc_id, pos + off AS cp FROM f
          |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off)),
          |t AS (SELECT doc_id, i - 1 AS tp, w[i] AS tok

@@ -606,11 +606,12 @@ object Dedup {
     * ≥ L-token repeats (overlapping flagged grams merge positionally).
     * Within-document repeats are deduplicated too, as in the paper.
     *
-    * First occurrence of a gram = smallest (id, pos), compared as the
-    * single sortable long id·2³² + pos — replicable in any SQL engine,
-    * no struct ordering semantics needed. Tokenization: whitespace split,
-    * empties dropped; output text is the kept tokens joined by single
-    * spaces (same normalization contract as [[dedupLines]]).
+    * First occurrence of a gram = smallest (id, pos) under struct
+    * ordering (same keeper-election pattern as [[dedupLines]] — safe for
+    * the full long id range; a packed id·2³² + pos key would overflow at
+    * id ≥ 2³¹). Tokenization: whitespace split, empties dropped; output
+    * text is the kept tokens joined by single spaces (same normalization
+    * contract as [[dedupLines]]).
     *
     * Scale shape: gram hashing is the narrow codegen [[graft.functions.vector.gram_hash48]]
     * kernel (no gram string materialized); ONE aggregation shuffle on the
@@ -634,15 +635,15 @@ object Dedup {
     val toked = df.select(col(idCol).as("id"),
       coalesce(filter(split(col(textCol), "\\s+"), t => length(t) > 0),
         array().cast("array<string>")).as("toks"))
-    val okey = col("id") * lit(4294967296L) + col("pos")
     val grams = toked.select(col("id"),
       posexplode(graft.functions.vector.gram_hash48(col("toks"), L))
         .as(Seq("pos", "gh")))
     val dupGrams = grams.groupBy("gh")
-      .agg(count(lit(1)).as("cnt"), min(okey).as("keeper"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("pos"))).as("keeper"))
       .filter(col("cnt") > 1)
     val spans = grams.join(dupGrams, Seq("gh"))
-      .filter(okey =!= col("keeper"))
+      .filter(col("id") =!= col("keeper.id") || col("pos") =!= col("keeper.pos"))
       .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("starts"))
     toked.join(spans, Seq("id"), "left")
       .withColumn("kept", when(col("starts").isNull, col("toks"))
