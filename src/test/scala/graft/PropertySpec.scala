@@ -307,6 +307,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionize == brute per-key gap scan; rollingAgg == brute O(n²) window (random events)") {
+    import graft.operators.TimeseriesOps
+    val rng = new Random(67)
+    (1 to 3).foreach { round =>
+      val events = (0 until 120).map { i =>
+        val user = s"u${rng.nextInt(6)}"
+        val ts = new java.sql.Timestamp(1700000000000L + rng.nextInt(500000) * 1000L)
+        (i.toLong, user, ts, rng.nextInt(100).toDouble)
+      }.distinct
+      val df = events.toDF("id", "user", "ts", "v")
+      val gap = 30 + rng.nextInt(120) // seconds
+      val got = TimeseriesOps.sessionize(df, "user", "ts", gap)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      // brute: per user, sort by (ts, then nothing — ts ties excluded by
+      // construction below), count strict-gap breaks
+      val byUser = events.groupBy(_._2)
+      val tsUnique = byUser.forall { case (_, es) =>
+        es.map(_._3.getTime).distinct.size == es.size }
+      if (tsUnique) { // only assert when the keyed order is total
+        val expected = byUser.flatMap { case (_, es) =>
+          val sorted = es.sortBy(_._3.getTime)
+          var sid = 0L
+          sorted.zipWithIndex.map { case (e, i) =>
+            if (i > 0 && (e._3.getTime - sorted(i - 1)._3.getTime) > gap * 1000L) sid += 1
+            e._1 -> sid
+          }
+        }.toMap
+        assert(got == expected, s"sessionize round $round (gap $gap)")
+      }
+      // rolling: trailing (ts - W, ts] sum/count per key, brute quadratic
+      val w = 60 + rng.nextInt(300)
+      val roll = TimeseriesOps.rollingAgg(df, "user", "ts", w,
+        Map("rs" -> sum(col("v")), "rn" -> count(lit(1))))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(5), r.getLong(4)))).toMap
+      events.foreach { case (id, user, ts, _) =>
+        val inWin = events.filter(e => e._2 == user &&
+          e._3.getTime > ts.getTime - w * 1000L && e._3.getTime <= ts.getTime)
+        assert(roll(id)._2 == inWin.size.toLong, s"rolling count id=$id w=$w")
+        assert(math.abs(roll(id)._1 - inWin.map(_._4).sum) < 1e-9, s"rolling sum id=$id")
+      }
+    }
+  }
+
+  test("funnel == brute ordered first-touch scan (random event sequences)") {
+    import graft.operators.EventOps
+    val rng = new Random(71)
+    val types = Seq("a", "b", "c")
+    (1 to 3).foreach { round =>
+      val events = (0 until 150).map { i =>
+        (s"u${rng.nextInt(10)}",
+          new java.sql.Timestamp(1700000000000L + i * 1000L), // unique ts
+          types(rng.nextInt(3)))
+      }
+      val got = EventOps.funnel(events.toDF("user", "ts", "etype"),
+          "user", "ts", "etype", types)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val expected = events.groupBy(_._1).map { case (u, es) =>
+        val sorted = es.sortBy(_._2.getTime)
+        var stage = 0
+        var lastTs = Long.MinValue
+        var done = false
+        while (!done && stage < types.length) {
+          sorted.find(e => e._3 == types(stage) && e._2.getTime > lastTs) match {
+            case Some(e) => lastTs = e._2.getTime; stage += 1
+            case None => done = true
+          }
+        }
+        u -> stage.toLong
+      }
+      assert(got == expected, s"funnel round $round")
+    }
+  }
+
   test("crossCorpusDupPairs == exhaustive cross Jaccard (random corpora)") {
     val rng = new Random(41)
     def doc(seed: Int): String =
