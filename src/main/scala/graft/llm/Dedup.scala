@@ -676,10 +676,12 @@ object Dedup {
     val fb = winnowFingerprints(b, idCol, textCol, shingleN, window)
       .select(col("fp")).distinct().withColumn("inb", lit(1L))
     fa.join(fb, Seq("fp"), "full_outer")
-      .agg(sum(coalesce(col("ina"), lit(0L))).as("n_fps_a"),
-        sum(coalesce(col("inb"), lit(0L))).as("n_fps_b"),
-        sum(coalesce(col("ina"), lit(0L)) * coalesce(col("inb"), lit(0L)))
-          .as("n_shared"))
+      .agg( // coalesce AFTER the sums too: two empty corpora must report
+        // zeros, not a null row
+        coalesce(sum(coalesce(col("ina"), lit(0L))), lit(0L)).as("n_fps_a"),
+        coalesce(sum(coalesce(col("inb"), lit(0L))), lit(0L)).as("n_fps_b"),
+        coalesce(sum(coalesce(col("ina"), lit(0L)) *
+          coalesce(col("inb"), lit(0L))), lit(0L)).as("n_shared"))
       .select(col("n_fps_a"), col("n_fps_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           greatest(col("n_fps_a").cast("double"), lit(1.0d)), 6)

@@ -226,6 +226,32 @@ class EdgeCaseSpec extends SparkSpec {
       ("2024-01-08", 0L) -> 1L))
   }
 
+  test("round-10 operators tolerate empty and degenerate inputs") {
+    import graft.llm.{Dedup => D, Sampling => S, TextAnalysis => T}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "t")
+    // empty corpora: no spans, no overlap, empty report group set
+    assert(D.dedupSubstrings(emptyDocs, "id", "t", 8).count() == 0)
+    val ov = D.corpusOverlap(emptyDocs, emptyDocs, "id", "t").collect().head
+    assert(ov.getLong(0) == 0L && ov.getLong(2) == 0L && ov.getDouble(4) == 0.0)
+    assert(T.corpusReport(emptyDocs, "t").count() == 0)
+    assert(T.collocations(emptyDocs, "t").count() == 0)
+    // packing: seqLen 1 puts every token in its own sequence; zero-token
+    // corpus packs nothing
+    val docs = Seq((1L, 3), (2L, 2)).toDF("id", "n")
+    assert(S.packSequences(docs, "id", "n", 1).count() == 5)
+    assert(S.packSequences(docs.filter(col("n") < 0), "id", "n", 16).count() == 0)
+    intercept[IllegalArgumentException] { S.packSequences(docs, "id", "n", 0) }
+    // funnel/cohort on empty events
+    import graft.operators.EventOps
+    val emptyEv = Seq.empty[(String, java.sql.Timestamp, String)]
+      .toDF("u", "ts", "e")
+    assert(EventOps.funnel(emptyEv, "u", "ts", "e", Seq("a", "b")).count() == 0)
+    assert(EventOps.cohortRetention(emptyEv, "u", "ts").count() == 0)
+    intercept[IllegalArgumentException] {
+      EventOps.cohortRetention(emptyEv, "u", "ts", "fortnight")
+    }
+  }
+
   test("timeseries and text verbs tolerate empty and single-row frames") {
     val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("ts", "v")
