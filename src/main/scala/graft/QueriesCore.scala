@@ -395,7 +395,9 @@ object QueriesCore {
       operators.GroupedOps.groupSample(
         events(s, d).select(col("event_type"), col("event_id").cast("string").as("eid")),
         Seq("event_type"), "eid", k = 3)),
-    // trailing 6h window per user; the float sum rides exact cents
+    // trailing 6h window per user; every float aggregate rides exact cents
+    // (integer-only projection: the driver's hash canonicalizer diverges on
+    // raw doubles even when DuckDB-local compares value-exact — VERDICT r10)
     "rolling_agg" -> ((s, d) =>
       operators.TimeseriesOps.rollingAgg(
         events(s, d).select("event_id", "user_id", "ts", "value"),
@@ -403,8 +405,8 @@ object QueriesCore {
         Map(
           "roll_n" -> count(lit(1)),
           "roll_sum_cents" -> sum(round(col("value") * 100).cast("long")),
-          "roll_max" -> max(col("value"))))
-        .select("event_id", "user_id", "roll_n", "roll_sum_cents", "roll_max"))
+          "roll_max_cents" -> max(round(col("value") * 100).cast("long"))))
+        .select("event_id", "user_id", "roll_n", "roll_sum_cents", "roll_max_cents"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -769,13 +771,19 @@ object QueriesCore {
         |  FROM h)
         |SELECT event_type, CAST(rn - 1 AS INT) AS pos, v AS sampled
         |FROM r WHERE rn <= 3""".stripMargin,
+    // explicit self-join, no RANGE frame: window-frame semantics over
+    // expressions are the one spot DuckDB versions could drift; BETWEEN on
+    // BIGINT microseconds is version-proof, and integer-cents outputs are
+    // canonicalizer-proof (VERDICT r10 #1). Fine at gate scale (10k events).
     "rolling_agg" ->
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS roll_n,
-        |  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_cents,
-        |  max(value) OVER w AS roll_max
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |  RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)""".stripMargin
+      """SELECT a.event_id, a.user_id,
+        |  count(*) AS roll_n,
+        |  sum(CAST(round(b.value * 100) AS BIGINT)) AS roll_sum_cents,
+        |  max(CAST(round(b.value * 100) AS BIGINT)) AS roll_max_cents
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id
+        |  AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 21599999999
+        |                         AND epoch_us(a.ts)
+        |GROUP BY a.event_id, a.user_id""".stripMargin
   )
 }
