@@ -255,7 +255,8 @@ object QueriesCore {
       .filterOn("event_type <> 'error'")
       .pivotWider(index = Seq("user_id"), namesFrom = "event_type",
         valuesFrom = "value", agg = "sum", namesExpand = true)
-      .transformColumns(Seq("click", "purchase", "signup", "view"), c => round(c, 4))),
+      .transformColumns(Seq("click", "purchase", "signup", "view"),
+        c => round(c * 1e4).cast("long"))),
     // order='appearance': registry order is first-seen by event_id; surfaced
     // as a code column so the ordering itself is hash-checked
     "encode_categorical_appearance" -> ((s, d) => {
@@ -279,11 +280,13 @@ object QueriesCore {
       .findReplace("event_type", Map("click" -> "c", "view" -> "v"))),
     "transform_column" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .transformColumn("l_extendedprice", c => round(log(c), 6), Some("log_price"))
+      .transformColumn("l_extendedprice",
+        c => round(log(c) * 1e6).cast("long"), Some("log_price"))
       .removeColumns("l_extendedprice")),
     "transform_columns_multi" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      .transformColumns(Seq("l_quantity", "l_discount"), c => round(c * 2, 4))),
+      .transformColumns(Seq("l_quantity", "l_discount"),
+        c => round(c * 2 * 1e4).cast("long"))),
     "unionize_categories" -> ((s, d) => {
       import s.implicits._
       val a = events(s, d).filterOn("event_type IN ('click', 'view')")
@@ -326,24 +329,25 @@ object QueriesCore {
       .addColumn("tag", lit("x"))),
     "join_apply" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
-      .joinApply(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6), "net")),
+      .joinApply(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * 1e6)
+        .cast("long"), "net")),
 
     // ----- §2.10 math -----
     "math_sigmoid" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_discount")
-      .addColumn("sig", round(MathFunctions.sigmoid(col("l_discount")), 10))),
+      .addColumn("sig", round(MathFunctions.sigmoid(col("l_discount")) * 1e10).cast("long"))),
     "math_logit" -> ((s, d) => lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), (col("l_discount") + 0.01d).as("p"))
-      .addColumn("lg", round(MathFunctions.logit(col("p")), 10))),
+      .addColumn("lg", round(MathFunctions.logit(col("p")) * 1e10).cast("long"))),
     "math_zscore" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .zScoreOf("l_extendedprice", "z")
-      .transformColumn("z", c => round(c, 6))
+      .transformColumn("z", c => round(c * 1e6).cast("long"))
       .removeColumns("l_extendedprice")),
     "math_softmax" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_discount")
       .softmaxOf("l_discount", "sm")
-      .transformColumn("sm", c => round(c, 12))),
+      .transformColumn("sm", c => round(c * 1e12).cast("long"))),
     "math_ecdf" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .ecdfOf("l_quantity", "p")),
@@ -382,7 +386,8 @@ object QueriesCore {
       operators.TimeseriesOps.sessionStats(
         events(s, d).select("user_id", "ts"),
         "user_id", "ts", gapSeconds = 21600L)
-        .withColumn("duration_sec", round(col("duration_sec"), 6))),
+        .withColumn("duration_us", round(col("duration_sec") * 1e6).cast("long"))
+        .drop("duration_sec")),
     // first-touch ordered funnel: view -> click -> purchase per user
     "funnel" -> ((s, d) =>
       operators.EventOps.funnel(events(s, d), "user_id", "ts", "event_type",
@@ -618,11 +623,11 @@ object QueriesCore {
       """SELECT DISTINCT event_type FROM events""",
     "encode_categorical_expand" ->
       """SELECT user_id,
-        |round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |CAST(round(sum(CASE WHEN event_type = 'click' THEN value END) * 1e4) AS BIGINT) AS click,
         |CAST(NULL AS DOUBLE) AS error,
-        |round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
-        |round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
-        |round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS "view"
+        |CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value END) * 1e4) AS BIGINT) AS purchase,
+        |CAST(round(sum(CASE WHEN event_type = 'signup' THEN value END) * 1e4) AS BIGINT) AS signup,
+        |CAST(round(sum(CASE WHEN event_type = 'view' THEN value END) * 1e4) AS BIGINT) AS "view"
         |FROM events WHERE event_type <> 'error' GROUP BY user_id""".stripMargin,
     "encode_categorical_appearance" ->
       """WITH f AS (SELECT event_type, min(event_id) AS fe FROM events GROUP BY 1)
@@ -640,8 +645,8 @@ object QueriesCore {
         |SELECT l_orderkey, l_linenumber, coalesce(v, (SELECT median(v) FROM t)) AS v FROM t""".stripMargin,
     "transform_columns_multi" ->
       """SELECT l_orderkey, l_linenumber,
-        |round(l_quantity * 2, 4) AS l_quantity,
-        |round(l_discount * 2, 4) AS l_discount FROM lineitem""".stripMargin,
+        |CAST(round(l_quantity * 2 * 1e4) AS BIGINT) AS l_quantity,
+        |CAST(round(l_discount * 2 * 1e4) AS BIGINT) AS l_discount FROM lineitem""".stripMargin,
     "unionize_categories" ->
       """SELECT DISTINCT event_type AS category FROM events
         |WHERE event_type IN ('click', 'view', 'purchase', 'signup')""".stripMargin,
@@ -659,7 +664,8 @@ object QueriesCore {
         |CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' ELSE event_type END AS event_type
         |FROM events""".stripMargin,
     "transform_column" ->
-      """SELECT l_orderkey, l_linenumber, round(ln(l_extendedprice), 6) AS log_price FROM lineitem""",
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT) AS log_price FROM lineitem""".stripMargin,
     "process_text" ->
       """SELECT p_partkey, upper(p_name) AS p_name FROM part""",
     "process_text_methods" ->
@@ -684,22 +690,27 @@ object QueriesCore {
       """SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS fee, 'x' AS tag FROM orders""",
     "join_apply" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
-        |round(l_extendedprice * (1.0 - l_discount), 6) AS net FROM lineitem""".stripMargin,
+        |CAST(round(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT) AS net
+        |FROM lineitem""".stripMargin,
     "math_sigmoid" ->
       """SELECT l_orderkey, l_linenumber, l_discount,
-        |round(1.0 / (1.0 + exp(-l_discount)), 10) AS sig FROM lineitem""".stripMargin,
+        |CAST(round(1.0 / (1.0 + exp(-l_discount)) * 1e10) AS BIGINT) AS sig
+        |FROM lineitem""".stripMargin,
     "math_logit" ->
       """SELECT l_orderkey, l_linenumber, l_discount + 0.01 AS p,
-        |round(ln((l_discount + 0.01) / (1.0 - (l_discount + 0.01))), 10) AS lg FROM lineitem""".stripMargin,
+        |CAST(round(ln((l_discount + 0.01) / (1.0 - (l_discount + 0.01))) * 1e10) AS BIGINT) AS lg
+        |FROM lineitem""".stripMargin,
     "math_zscore" ->
       """WITH m AS (SELECT avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sd FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
-        |round((l_extendedprice - m.mu) / m.sd, 6) AS z FROM lineitem, m""".stripMargin,
+        |CAST(round((l_extendedprice - m.mu) / m.sd * 1e6) AS BIGINT) AS z
+        |FROM lineitem, m""".stripMargin,
     "math_softmax" ->
       """WITH m AS (SELECT max(l_discount) AS mx FROM lineitem),
         |s AS (SELECT sum(exp(l_discount - m.mx)) AS denom FROM lineitem, m)
         |SELECT l_orderkey, l_linenumber, l_discount,
-        |round(exp(l_discount - m.mx) / s.denom, 12) AS sm FROM lineitem, m, s""".stripMargin,
+        |CAST(round(exp(l_discount - m.mx) / s.denom * 1e12) AS BIGINT) AS sm
+        |FROM lineitem, m, s""".stripMargin,
     "math_ecdf" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |cume_dist() OVER (ORDER BY l_quantity) AS p FROM lineitem""".stripMargin,
@@ -738,7 +749,7 @@ object QueriesCore {
         |  FROM l)
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events,
-        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 6) AS duration_sec
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "funnel" ->
       """WITH keys AS (SELECT DISTINCT user_id FROM events),

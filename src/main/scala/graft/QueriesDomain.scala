@@ -112,17 +112,17 @@ object QueriesDomain {
     }),
     "math_log" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .addColumn("v", round(MathFunctions.log_(col("l_extendedprice")), 6))
+      .addColumn("v", round(MathFunctions.log_(col("l_extendedprice")) * 1e6).cast("long"))
       .removeColumns("l_extendedprice")),
     "math_exp" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_discount")
-      .addColumn("v", round(MathFunctions.exp_(col("l_discount")), 10))),
+      .addColumn("v", round(MathFunctions.exp_(col("l_discount")) * 1e10).cast("long"))),
     "math_normal_cdf" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_discount")
-      .addColumn("v", round(gx.normal_cdf(col("l_discount") * 10 - 0.5), 6))),
+      .addColumn("v", round(gx.normal_cdf(col("l_discount") * 10 - 0.5) * 1e6).cast("long"))),
     "math_probit" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_discount")
-      .addColumn("v", round(gx.probit(col("l_discount") + 0.01d), 6))),
+      .addColumn("v", round(gx.probit(col("l_discount") + 0.01d) * 1e6).cast("long"))),
     "data_description" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_quantity", "l_returnflag")
       .dataDescription()),
@@ -215,17 +215,19 @@ object QueriesDomain {
         |UNION ALL
         |SELECT 'l_returnflag', 'string', count(l_returnflag), count(*) - count(l_returnflag), NULL FROM lineitem""".stripMargin,
     "math_log" ->
-      """SELECT l_orderkey, l_linenumber, round(ln(l_extendedprice), 6) AS v FROM lineitem""",
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT) AS v FROM lineitem""".stripMargin,
     "math_exp" ->
-      """SELECT l_orderkey, l_linenumber, l_discount, round(exp(l_discount), 10) AS v FROM lineitem""",
+      """SELECT l_orderkey, l_linenumber, l_discount,
+        |CAST(round(exp(l_discount) * 1e10) AS BIGINT) AS v FROM lineitem""".stripMargin,
     // the engine's normal_cdf is the Abramowitz–Stegun 7.1.26 erf polynomial
     // (expressions.scala): replicating the identical double arithmetic in
     // SQL makes the query hash-comparable at the 6-dp float policy — no
     // erf() needed in DuckDB
     "math_normal_cdf" ->
       """SELECT l_orderkey, l_linenumber, l_discount,
-        |round(0.5*(1.0 + (CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END) *
-        |  (1.0 - (((((1.061405429*t - 1.453152027)*t) + 1.421413741)*t - 0.284496736)*t + 0.254829592)*t*exp(-u*u))), 6) AS v
+        |CAST(round(0.5*(1.0 + (CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END) *
+        |  (1.0 - (((((1.061405429*t - 1.453152027)*t) + 1.421413741)*t - 0.284496736)*t + 0.254829592)*t*exp(-u*u))) * 1e6) AS BIGINT) AS v
         |FROM (SELECT l_orderkey, l_linenumber, l_discount,
         |        (l_discount*10 - 0.5)/sqrt(2.0) AS u,
         |        1.0/(1.0 + 0.3275911*abs((l_discount*10 - 0.5)/sqrt(2.0))) AS t
@@ -235,13 +237,13 @@ object QueriesDomain {
     // the low/central branches cover them)
     "math_probit" ->
       """SELECT l_orderkey, l_linenumber, l_discount,
-        |round(CASE WHEN p < 0.02425 THEN
+        |CAST(round((CASE WHEN p < 0.02425 THEN
         |  (((((-7.784894002430293e-03*q2+-3.223964580411365e-01)*q2+-2.400758277161838e+00)*q2+-2.549732539343734e+00)*q2+4.374664141464968e+00)*q2+2.938163982698783e+00)
         |  / ((((7.784695709041462e-03*q2+3.224671290700398e-01)*q2+2.445134137142996e+00)*q2+3.754408661907416e+00)*q2+1)
         |ELSE
         |  (((((-3.969683028665376e+01*r+2.209460984245205e+02)*r+-2.759285104469687e+02)*r+1.383577518672690e+02)*r+-3.066479806614716e+01)*r+2.506628277459239e+00)*q
         |  / (((((-5.447609879822406e+01*r+1.615858368580409e+02)*r+-1.556989798598866e+02)*r+6.680131188771972e+01)*r+-1.328068155288572e+01)*r+1)
-        |END, 6) AS v
+        |END) * 1e6) AS BIGINT) AS v
         |FROM (SELECT l_orderkey, l_linenumber, l_discount, p, p-0.5 AS q,
         |        (p-0.5)*(p-0.5) AS r,
         |        CASE WHEN p < 0.02425 THEN sqrt(-2*ln(p)) ELSE 0 END AS q2

@@ -121,11 +121,11 @@ object QueriesJoin {
     "jaro_winkler" -> ((s, d) => {
       import graft.functions.vector.jaro_winkler
       customer(s, d).select(col("c_custkey"),
-        round(jaro_winkler(col("c_name"), reverse(col("c_name"))), 6).as("jw_rev"),
+        round(jaro_winkler(col("c_name"), reverse(col("c_name"))) * 1e6).cast("long").as("jw_rev"),
         round(jaro_winkler(col("c_name"),
           concat(substring(col("c_name"), 1, 9), lit("X"),
-            substring(col("c_name"), 11, 1000))), 6).as("jw_sub"),
-        round(jaro_winkler(col("c_name"), col("c_name")), 6).as("jw_self"))
+            substring(col("c_name"), 11, 1000))) * 1e6).cast("long").as("jw_sub"),
+        round(jaro_winkler(col("c_name"), col("c_name")) * 1e6).cast("long").as("jw_self"))
     })
   )
 
@@ -142,10 +142,10 @@ object QueriesJoin {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "jaro_winkler" ->
       """SELECT c_custkey,
-        |  round(jaro_winkler_similarity(c_name, reverse(c_name)), 6) AS jw_rev,
-        |  round(jaro_winkler_similarity(c_name,
-        |    substr(c_name, 1, 9) || 'X' || substr(c_name, 11)), 6) AS jw_sub,
-        |  round(jaro_winkler_similarity(c_name, c_name), 6) AS jw_self
+        |  CAST(round(jaro_winkler_similarity(c_name, reverse(c_name)) * 1e6) AS BIGINT) AS jw_rev,
+        |  CAST(round(jaro_winkler_similarity(c_name,
+        |    substr(c_name, 1, 9) || 'X' || substr(c_name, 11)) * 1e6) AS BIGINT) AS jw_sub,
+        |  CAST(round(jaro_winkler_similarity(c_name, c_name) * 1e6) AS BIGINT) AS jw_self
         |FROM customer""".stripMargin,
     "conditional_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderkey, o.o_orderdate
