@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -37,18 +39,29 @@ object QueriesLlm {
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
   }
 
+  /** Gate-side integer scaling: the driver's hash canonicalizer diverges on
+    * double output columns (VERDICT r8-r10), so every gated projection of a
+    * computed double rides a micro-scaled BIGINT. Monotone on both engines'
+    * agreed values — selection/ranking semantics inside operators unchanged.
+    */
+  private def microCols(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, round(col(s"`$c`") * 1e6).cast("long")))
+
   val entries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(documents(s, d), "doc_id", "text")),
     "dedup_fingerprint" -> ((s, d) => documents(s, d)
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))),
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text", threshold = 0.8)),
+      microCols(Dedup.minhashDupPairs(corpus(s, d), "doc_id", "text",
+        threshold = 0.8), "j")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       // quadratic baseline: bounded corpus slice (the LSH path above is the
       // full-corpus scale path; all-pairs on 100 TB is never the plan)
-      Dedup.ngramJaccardPairs(corpus(s, d).filter(col("doc_id") % 100000 < 1000),
-        "doc_id", "text", threshold = 0.8)),
+      microCols(Dedup.ngramJaccardPairs(
+        corpus(s, d).filter(col("doc_id") % 100000 < 1000),
+        "doc_id", "text", threshold = 0.8), "j")),
     // new-crawl-vs-corpus dedup: the 20 perturbed copies are the probe
     // side, the raw table the ref side; oracle = exhaustive cross Jaccard
     "dedup_cross_corpus" -> ((s, d) => {
@@ -56,8 +69,8 @@ object QueriesLlm {
       val probe = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(col("text"), lit(" extraword")).as("text"))
-      Dedup.crossCorpusDupPairs(probe, "doc_id", "text",
-        docs, "doc_id", "text", threshold = 0.8)
+      microCols(Dedup.crossCorpusDupPairs(probe, "doc_id", "text",
+        docs, "doc_id", "text", threshold = 0.8), "j")
     }),
     // group-scoped near-dedup: identical texts planted under a foreign
     // lang must NOT pair (blocking keys carry the by column), while the
@@ -70,8 +83,8 @@ object QueriesLlm {
       val crossLang = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
           lit("zz").as("lang"))
-      Dedup.minhashDupPairs(docs.unionAll(sameLang).unionAll(crossLang),
-        "doc_id", "text", threshold = 0.8, byCols = Seq("lang"))
+      microCols(Dedup.minhashDupPairs(docs.unionAll(sameLang).unionAll(crossLang),
+        "doc_id", "text", threshold = 0.8, byCols = Seq("lang")), "j")
     }),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(
       corpus(s, d).select(col("doc_id").as("id")), "id",
@@ -85,16 +98,17 @@ object QueriesLlm {
     "winnow_fingerprints" -> ((s, d) =>
       Dedup.winnowFingerprints(documents(s, d), "doc_id", "text")),
     "contamination_pairs" -> ((s, d) =>
-      Dedup.containmentPairs(documents(s, d), "doc_id", "text", threshold = 0.5)),
-    "similarity_topk" -> ((s, d) => Similarity.cosineTopK(
+      microCols(Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        threshold = 0.5), "containment")),
+    "similarity_topk" -> ((s, d) => microCols(Similarity.cosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
-      "vec_id", "embedding", k = 5)),
-    "similarity_dup_pairs" -> ((s, d) => Similarity.cosineDupPairs(
-      vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99)),
+      "vec_id", "embedding", k = 5), "sim")),
+    "similarity_dup_pairs" -> ((s, d) => microCols(Similarity.cosineDupPairs(
+      vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99), "sim")),
     // the LSH-bucketed scale path held to the SAME exhaustive oracle:
     // at sim >= 0.99 the per-pair miss probability is ~7e-9
-    "similarity_lsh_dup_pairs" -> ((s, d) => Similarity.lshCosineDupPairs(
-      vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99)),
+    "similarity_lsh_dup_pairs" -> ((s, d) => microCols(Similarity.lshCosineDupPairs(
+      vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99), "sim")),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),
@@ -103,8 +117,8 @@ object QueriesLlm {
       "vec_id", "embedding", k = 5)),
     // whole-corpus kNN graph: the brute method IS the exact definition, so
     // the gate is hash-exact; the lsh scale path gets a recall companion
-    "knn_graph" -> ((s, d) => Similarity.knnGraph(
-      embeddings(s, d), "vec_id", "embedding", k = 3, method = "brute")),
+    "knn_graph" -> ((s, d) => microCols(Similarity.knnGraph(
+      embeddings(s, d), "vec_id", "embedding", k = 3, method = "brute"), "sim")),
     // recall of the lsh graph path on a deterministic 1-in-5 probe subset:
     // same code path knnGraph("lsh") runs (lshCosineTopK), 1/5 the exact-
     // baseline cost — per-query recall is iid, so the probe estimates the
@@ -160,8 +174,9 @@ object QueriesLlm {
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_ws"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))),
-    "quality_score" -> ((s, d) => documents(s, d)
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "quality_score" -> ((s, d) => microCols(documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")),
+      "quality")),
     "multimodal_featurize" -> ((s, d) =>
       Multimodal.asAsset(documents(s, d).select("doc_id", "text"), "text", "text/plain")
         .select(col("doc_id"), col("meta.mime").as("mime"),
@@ -252,11 +267,12 @@ object QueriesLlm {
             lit("@ex.com or 555-123-4567 at 10.0.0.1"))).cast("binary")).as("scrub_md5"))),
     // token-as-line repetition stats: every whitespace token becomes a line,
     // so repeated tokens exercise the duplicate-line machinery
-    "repetition_stats" -> ((s, d) => documents(s, d)
+    "repetition_stats" -> ((s, d) => microCols(documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.dupLineStats(translate(col("text"), " ", "\n")).as("st"))
       .select(col("doc_id"), col("st.n_lines"), col("st.n_dup_lines"),
-        col("st.dup_line_frac"), col("st.dup_char_frac"))),
+        col("st.dup_line_frac"), col("st.dup_char_frac")),
+      "dup_line_frac", "dup_char_frac")),
     // HTML/URL cleanup over synthesized markup (the corpus is plain text);
     // md5-pinned so every removed/unescaped byte is checked
     "strip_html" -> ((s, d) => documents(s, d)
@@ -283,33 +299,39 @@ object QueriesLlm {
         element_at(col("embedding_q8"), 3).cast("int").as("q3"))
     }),
     "build_vocab" -> ((s, d) =>
-      TextAnalysis.buildVocab(documents(s, d), "doc_id", "text", 100)),
+      microCols(TextAnalysis.buildVocab(documents(s, d), "doc_id", "text", 100),
+        "coverage")),
     "vocab_size_gate" -> ((s, d) =>
       TextAnalysis.vocabSizeGate(documents(s, d), "text")),
     "token_cms_gate" -> ((s, d) =>
       TextAnalysis.tokenCmsGate(documents(s, d), "text",
         Seq("table", "hash", "scan", "value", "zzz_absent"))),
     "collocations" -> ((s, d) =>
-      TextAnalysis.collocations(documents(s, d), "text", minCount = 20, k = 30)),
+      microCols(TextAnalysis.collocations(documents(s, d), "text",
+        minCount = 20, k = 30), "pmi")),
     "tfidf_top_terms" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
-        .withColumnRenamed("id", "doc_id")),
+      microCols(TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id"), "score")),
     "bm25_topk" -> ((s, d) =>
-      TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
-        Seq("spark", "table", "hash", "merge"), k = 20)),
+      microCols(TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
+        Seq("spark", "table", "hash", "merge"), k = 20), "score")),
     "perplexity_buckets" -> ((s, d) =>
-      TextAnalysis.perplexityBuckets(documents(s, d), "doc_id", "text")),
+      microCols(TextAnalysis.perplexityBuckets(documents(s, d), "doc_id", "text"),
+        "avg_logprob")),
     "bigram_logprob" -> ((s, d) =>
-      TextAnalysis.bigramLogProb(documents(s, d), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")),
+      microCols(TextAnalysis.bigramLogProb(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"), "avg_logprob")),
     "token_quantiles_gate" -> ((s, d) =>
-      TextAnalysis.tokenQuantilesGate(documents(s, d), "text")),
+      microCols(TextAnalysis.tokenQuantilesGate(documents(s, d), "text"),
+        "p25", "p50", "p75", "p90")),
     // pinned-weight scoring (exactly-representable weights) — the feature
     // extraction + fold order + sigmoid replicated in DuckDB; the trained
     // path is pinned by the invariant gate below
     "quality_classifier" -> ((s, d) => documents(s, d)
-      .select(col("doc_id"), round(graft.llm.QualityClassifier.score(col("text"),
-        Array(0.5, -0.25, 0.125, -2.0, 1.5, -0.75)), 6).as("score"))),
+      .select(col("doc_id"),
+        round(graft.llm.QualityClassifier.score(col("text"),
+          Array(0.5, -0.25, 0.125, -2.0, 1.5, -0.75)) * 1e6)
+          .cast("long").as("score"))),
     "quality_classifier_gate" -> ((s, d) => {
       val docs = documents(s, d).withColumn("y",
         (size(split(lower(col("text")), "\\s+")) >= 50).cast("int"))
@@ -348,16 +370,17 @@ object QueriesLlm {
           lit(merges.nonEmpty && merges.size <= 200).as("merges_ok"))
     }),
     "unigram_logprob" -> ((s, d) =>
-      TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")),
-    "gopher_quality" -> ((s, d) => documents(s, d)
+      microCols(TextAnalysis.unigramLogProb(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"), "avg_logprob")),
+    "gopher_quality" -> ((s, d) => microCols(documents(s, d)
       .select(col("doc_id"), TextAnalysis.gopherQualityFlags(col("text")).as("g"))
       .select(col("doc_id"), col("g.n_tokens"), col("g.mean_word_len"),
         col("g.symbol_ratio"), col("g.alpha_word_frac"), col("g.stop_hits"),
-        col("g.keep"))),
+        col("g.keep")),
+      "mean_word_len", "symbol_ratio", "alpha_word_frac")),
     "top_ngram_frac" -> ((s, d) =>
-      TextAnalysis.topNgramCharFrac(documents(s, d), "doc_id", "text", 2)
-        .withColumnRenamed("id", "doc_id")),
+      microCols(TextAnalysis.topNgramCharFrac(documents(s, d), "doc_id", "text", 2)
+        .withColumnRenamed("id", "doc_id"), "top2gram_frac")),
     "hash_sample" -> ((s, d) => documents(s, d)
       .select("doc_id", "lang").hashSample("doc_id", 0.25)),
     "hash_split" -> ((s, d) => documents(s, d)
@@ -368,10 +391,10 @@ object QueriesLlm {
         Map("en" -> 0.5, "es" -> 0.2), defaultFraction = 0.05)),
     // A-ES weighted sample, weight = doc length: long docs overrepresented
     // exactly per w/Σw; exponential keys replicated in DuckDB
-    "weighted_hash_sample" -> ((s, d) => graft.llm.Sampling
+    "weighted_hash_sample" -> ((s, d) => microCols(graft.llm.Sampling
       .weightedHashSample(documents(s, d)
           .select(col("doc_id"), length(col("text")).cast("double").as("w")),
-        "doc_id", "w", k = 50)),
+        "doc_id", "w", k = 50), "skey")),
     // domain mixture: en/zh/es/fr -> 40/30/20/10% of a 600-row target
     // (de dropped); both down-sampling (en: m~1.1 -> some rows x1, x2)
     // and up-sampling (zh: m=2.4 -> every row >=2 copies) in one gate
@@ -415,7 +438,7 @@ object QueriesLlm {
       val proj = Pca.projectExpr(col("embedding"), mu, w, sc)
       embeddings(s, d).withColumn("__p", proj)
         .select(col("vec_id") +: (1 to k).map(r =>
-          round(element_at(col("__p"), r), 6).as(s"p$r")): _*)
+          round(element_at(col("__p"), r) * 1e6).cast("long").as(s"p$r")): _*)
     }),
     "pca_trained_gate" -> ((s, d) =>
       Pca.trainedGate(embeddings(s, d).select("vec_id", "embedding"),
@@ -434,8 +457,8 @@ object QueriesLlm {
     "pq_adc_topk" -> ((s, d) => {
       val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val cbs = pinnedCodebooks(emb, m = 4, dsub = 16)
-      Similarity.pqAdcTopK(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", k = 10, cbs, refine = 4)
+      microCols(Similarity.pqAdcTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 10, cbs, refine = 4), "score")
     }),
     "pq_recall" -> ((s, d) => {
       val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -505,12 +528,14 @@ object QueriesLlm {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
           col("n_tokens_kept"), col("n_tokens_removed"))),
     "corpus_report" -> ((s, d) =>
-      graft.llm.TextAnalysis.corpusReport(documents(s, d), "text",
-        byCol = Some("source"))),
+      microCols(graft.llm.TextAnalysis.corpusReport(documents(s, d), "text",
+        byCol = Some("source")),
+        "avg_tokens", "dup_text_frac", "mean_quality")),
     // "how much of the probe corpus is already in the reference corpus":
     // the planted near-dup docs make containment_a strictly positive
     "corpus_overlap" -> ((s, d) =>
-      Dedup.corpusOverlap(corpus(s, d), documents(s, d), "doc_id", "text"))
+      microCols(Dedup.corpusOverlap(corpus(s, d), documents(s, d), "doc_id", "text"),
+        "containment_a", "jaccard"))
   )
 
   /** Pinned PQ codebooks for the exact gates: codebook of subspace s =
@@ -607,6 +632,11 @@ object QueriesLlm {
   private def normSql(v: String) =
     s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** Oracle twin of [[microCols]]: wrap a pair-list's jaccard column as a
+    * micro-scaled BIGINT so the driver hashes integers, never doubles. */
+  private def wrapJ(sql: String) =
+    s"SELECT id1, id2, CAST(round(j * 1e6) AS BIGINT) AS j FROM ($sql)"
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
@@ -615,7 +645,7 @@ object QueriesLlm {
       """SELECT doc_id,
         |md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
-    "dedup_minhash" -> jaccardPairsSql,
+    "dedup_minhash" -> wrapJ(jaccardPairsSql),
     "dedup_minhash_by_lang" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, lang FROM documents
@@ -633,7 +663,7 @@ object QueriesLlm {
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang)
-        |WHERE j >= 0.8""".stripMargin,
+        |WHERE j >= 0.8""".stripMargin.pipe(wrapJ),
     "dedup_cross_corpus" ->
       """WITH p AS (SELECT doc_id + 100000 AS doc_id, text || ' extraword' AS text
         |  FROM documents WHERE doc_id < 20),
@@ -650,7 +680,7 @@ object QueriesLlm {
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
         |  FROM shp a CROSS JOIN shr b)
-        |WHERE j >= 0.8""".stripMargin,
+        |WHERE j >= 0.8""".stripMargin.pipe(wrapJ),
     "dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS (
          |  $corpusSql
@@ -666,7 +696,7 @@ object QueriesLlm {
          |  least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS cluster
          |FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
          |GROUP BY c.doc_id""".stripMargin,
-    "dedup_ngram_jaccard" -> jaccardPairsBoundedSql,
+    "dedup_ngram_jaccard" -> wrapJ(jaccardPairsBoundedSql),
     "dedup_near" ->
       s"""WITH RECURSIVE corpus AS (
          |  $corpusSql
@@ -699,7 +729,7 @@ object QueriesLlm {
         |sz AS (SELECT doc_id, count(*) AS n FROM ff GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS m
         |          FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id1, id2, containment FROM (
+        |SELECT id1, id2, CAST(round(containment * 1e6) AS BIGINT) AS containment FROM (
         |  SELECT id1, id2, round(CAST(m AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
         |  FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2)
         |WHERE containment >= 0.5""".stripMargin),
@@ -711,7 +741,7 @@ object QueriesLlm {
          |  FROM q JOIN embeddings c ON q.qid <> c.vec_id
          |  CROSS JOIN LATERAL (SELECT c.embedding AS nv) l
          |)
-         |SELECT qid, nid, sim FROM (
+         |SELECT qid, nid, CAST(round(sim * 1e6) AS BIGINT) AS sim FROM (
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |WHERE rn <= 5""".stripMargin,
     "similarity_dup_pairs" ->
@@ -726,7 +756,8 @@ object QueriesLlm {
          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
          |)
-         |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
+         |SELECT id1, id2, CAST(round(sim * 1e6) AS BIGINT) AS sim
+         |FROM s WHERE sim >= 0.99""".stripMargin,
     "similarity_lsh_dup_pairs" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -739,7 +770,8 @@ object QueriesLlm {
          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
          |)
-         |SELECT id1, id2, sim FROM s WHERE sim >= 0.99""".stripMargin,
+         |SELECT id1, id2, CAST(round(sim * 1e6) AS BIGINT) AS sim
+         |FROM s WHERE sim >= 0.99""".stripMargin,
     "collocations" ->
       """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
         |uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
@@ -753,9 +785,10 @@ object QueriesLlm {
         |  JOIN uc ua ON ua.t = string_split(b.bg, ' ')[1]
         |  JOIN uc ub ON ub.t = string_split(b.bg, ' ')[2]
         |  WHERE b.cab >= 20)
-        |SELECT bg, cab, round(ln((cab / nb.n) / ((ca / nu.n) * (cb / nu.n))), 6) AS pmi
-        |FROM j, nb, nu
-        |ORDER BY pmi DESC, bg LIMIT 30""".stripMargin,
+        |SELECT bg, cab, CAST(round(pmi * 1e6) AS BIGINT) AS pmi FROM (
+        |  SELECT bg, cab, round(ln((cab / nb.n) / ((ca / nu.n) * (cb / nu.n))), 6) AS pmi
+        |  FROM j, nb, nu
+        |  ORDER BY pmi DESC, bg LIMIT 30)""".stripMargin,
     "token_cms_gate" ->
       """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
         |  FROM documents),
@@ -792,14 +825,14 @@ object QueriesLlm {
         |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
         |FROM documents""".stripMargin,
     "quality_score" ->
-      """SELECT doc_id, round(
+      """SELECT doc_id, CAST(round(round(
         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |  (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) >= 3
         |        AND CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) <= 10
         |   THEN 1.0 ELSE 0.5 END) * 0.3 +
         |  (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.2 +
         |  (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.1,
-        |  6) AS quality
+        |  6) * 1e6) AS BIGINT) AS quality
         |FROM documents""".stripMargin,
     "multimodal_featurize" ->
       """SELECT doc_id, 'text/plain' AS mime,
@@ -906,8 +939,8 @@ object QueriesLlm {
         |    i -> CASE WHEN ls[i] = ls[i-1] THEN length(ls[i]) ELSE 0 END)), 0) AS dchars,
         |  coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS tchars FROM l)
         |SELECT doc_id, CAST(n AS INT) AS n_lines, CAST(ndup AS INT) AS n_dup_lines,
-        |  CASE WHEN n > 0 THEN round(CAST(ndup AS DOUBLE) / n, 6) ELSE 0.0 END AS dup_line_frac,
-        |  CASE WHEN tchars > 0 THEN round(CAST(dchars AS DOUBLE) / tchars, 6) ELSE 0.0 END AS dup_char_frac
+        |  CAST(round((CASE WHEN n > 0 THEN round(CAST(ndup AS DOUBLE) / n, 6) ELSE 0.0 END) * 1e6) AS BIGINT) AS dup_line_frac,
+        |  CAST(round((CASE WHEN tchars > 0 THEN round(CAST(dchars AS DOUBLE) / tchars, 6) ELSE 0.0 END) * 1e6) AS BIGINT) AS dup_char_frac
         |FROM m""".stripMargin,
     "strip_html" -> {
       // generated nesting: one regexp_replace per scrub step, mirroring the
@@ -949,7 +982,7 @@ object QueriesLlm {
         |r AS (SELECT token, tf, df,
         |    row_number() OVER (ORDER BY tf DESC, token) AS rank FROM v)
         |SELECT rank, token, tf, df,
-        |  round(sum(tf) OVER (ORDER BY rank) / n.total, 6) AS coverage
+        |  CAST(round(round(sum(tf) OVER (ORDER BY rank) / n.total, 6) * 1e6) AS BIGINT) AS coverage
         |FROM r, n WHERE rank <= 100""".stripMargin,
     "vocab_size_gate" ->
       """SELECT count(DISTINCT token) AS n_exact, TRUE AS approx_ok
@@ -972,14 +1005,16 @@ object QueriesLlm {
         |  FROM f JOIN dfq USING (token) CROSS JOIN st),
         |agg AS (SELECT doc_id, round(list_sum(list(s ORDER BY token)), 6) AS score
         |  FROM sc GROUP BY doc_id)
-        |SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+        |SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score FROM (
+        |  SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
         |  FROM documents),
         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
         |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
-        |SELECT doc_id, t AS term, rank, round(score, 6) AS score FROM (
+        |SELECT doc_id, t AS term, rank,
+        |  CAST(round(round(score, 6) * 1e6) AS BIGINT) AS score FROM (
         |  SELECT doc_id, t, tf * log10(n.n / df) AS score,
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY tf * log10(n.n / df) DESC, t) AS rank
@@ -990,7 +1025,7 @@ object QueriesLlm {
         |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(log10(c / n.n)), 6) AS avg_logprob
+        |  CAST(round(round(avg(log10(c / n.n)), 6) * 1e6) AS BIGINT) AS avg_logprob
         |FROM tok JOIN v USING (t), n GROUP BY doc_id""".stripMargin,
     "bpe_gate" ->
       """SELECT count(*) AS n_docs, TRUE AS lossless, TRUE AS closed,
@@ -1014,7 +1049,9 @@ object QueriesLlm {
         |        + (-2.0) * (sym / greatest(nc, 1.0)) + 1.5 * (stops / greatest(n, 1.0))
         |        + (-0.75) * (dig / greatest(nc, 1.0)) AS margin
         |  FROM f)
-        |SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 6) AS score FROM m""".stripMargin,
+        |SELECT doc_id,
+        |  CAST(round(round(1.0 / (1.0 + exp(-margin)), 6) * 1e6) AS BIGINT) AS score
+        |FROM m""".stripMargin,
     "quality_classifier_gate" ->
       """SELECT count(*) AS n_docs, TRUE AS acc_ok, TRUE AS weights_finite,
         |TRUE AS score_in_bounds FROM documents""".stripMargin,
@@ -1023,10 +1060,10 @@ object QueriesLlm {
     "token_quantiles_gate" ->
       """WITH n AS (SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n
         |  FROM documents)
-        |SELECT round(quantile_cont(n, 0.25), 6) AS p25,
-        |  round(quantile_cont(n, 0.5), 6) AS p50,
-        |  round(quantile_cont(n, 0.75), 6) AS p75,
-        |  round(quantile_cont(n, 0.9), 6) AS p90,
+        |SELECT CAST(round(round(quantile_cont(n, 0.25), 6) * 1e6) AS BIGINT) AS p25,
+        |  CAST(round(round(quantile_cont(n, 0.5), 6) * 1e6) AS BIGINT) AS p50,
+        |  CAST(round(round(quantile_cont(n, 0.75), 6) * 1e6) AS BIGINT) AS p75,
+        |  CAST(round(round(quantile_cont(n, 0.9), 6) * 1e6) AS BIGINT) AS p90,
         |  TRUE AS approx_ok
         |FROM n""".stripMargin,
     "bigram_logprob" ->
@@ -1041,7 +1078,8 @@ object QueriesLlm {
         |sc AS (SELECT bg.doc_id,
         |    log10(0.75 * (c2.c2 / cp.cp) + 0.25 * (c1.c1 / n.n)) AS s
         |  FROM bg JOIN c2 USING (p, t) JOIN cp USING (p) JOIN c1 USING (t) CROSS JOIN n)
-        |SELECT doc_id, count(*) AS n_bigrams, round(avg(s), 6) AS avg_logprob
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(round(round(avg(s), 6) * 1e6) AS BIGINT) AS avg_logprob
         |FROM sc GROUP BY doc_id""".stripMargin,
     // cume_dist == ecdf's "rows with value <= v over n, ties included";
     // the tercile boundary arithmetic (cum/n as one double, x3, ceil) is
@@ -1056,7 +1094,8 @@ object QueriesLlm {
         |  FROM tok JOIN v USING (t), n GROUP BY doc_id),
         |e AS (SELECT doc_id, n_tokens, avg_logprob,
         |    cume_dist() OVER (ORDER BY avg_logprob) AS e FROM sc)
-        |SELECT doc_id, n_tokens, avg_logprob,
+        |SELECT doc_id, n_tokens,
+        |  CAST(round(avg_logprob * 1e6) AS BIGINT) AS avg_logprob,
         |  CAST(least(ceil(e * 3), 3) AS INT) AS bucket FROM e""".stripMargin,
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w FROM documents),
@@ -1068,9 +1107,9 @@ object QueriesLlm {
         |    ['the','a','and','of','to','in','is','it','that','for'])) AS stops
         |FROM t)
         |SELECT doc_id, CAST(ntok AS INT) AS n_tokens,
-        |  round(meanlen, 6) AS mean_word_len,
-        |  round(CASE WHEN ntok > 0 THEN CAST(symbols AS DOUBLE) / ntok ELSE 0.0 END, 6) AS symbol_ratio,
-        |  round(CASE WHEN ntok > 0 THEN CAST(alpha AS DOUBLE) / ntok ELSE 0.0 END, 6) AS alpha_word_frac,
+        |  CAST(round(round(meanlen, 6) * 1e6) AS BIGINT) AS mean_word_len,
+        |  CAST(round(round(CASE WHEN ntok > 0 THEN CAST(symbols AS DOUBLE) / ntok ELSE 0.0 END, 6) * 1e6) AS BIGINT) AS symbol_ratio,
+        |  CAST(round(round(CASE WHEN ntok > 0 THEN CAST(alpha AS DOUBLE) / ntok ELSE 0.0 END, 6) * 1e6) AS BIGINT) AS alpha_word_frac,
         |  CAST(stops AS INT) AS stop_hits,
         |  (ntok >= 50 AND ntok <= 100000 AND meanlen >= 3.0 AND meanlen <= 10.0
         |   AND CASE WHEN ntok > 0 THEN CAST(symbols AS DOUBLE) / ntok ELSE 0.0 END <= 0.1
@@ -1082,11 +1121,11 @@ object QueriesLlm {
         |g AS (SELECT doc_id, w, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
         |  i -> w[i] || ' ' || w[i+1]) AS grams FROM t)
         |SELECT doc_id,
-        |  CASE WHEN len(grams) > 0 AND length(array_to_string(w, ' ')) > 0
+        |  CAST(round((CASE WHEN len(grams) > 0 AND length(array_to_string(w, ' ')) > 0
         |    THEN round(CAST(list_max(list_transform(list_distinct(grams),
         |      g2 -> len(list_filter(grams, x -> x = g2)) * length(g2))) AS DOUBLE)
         |      / length(array_to_string(w, ' ')), 6)
-        |    ELSE 0.0 END AS top2gram_frac
+        |    ELSE 0.0 END) * 1e6) AS BIGINT) AS top2gram_frac
         |FROM g""".stripMargin,
     // the md5-uniform is replicated bit-for-bit: first 8 hex digits / 2^32
     "hash_sample" ->
@@ -1099,8 +1138,9 @@ object QueriesLlm {
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
         |      / 4294967296.0 AS u
         |  FROM w WHERE w > 0)
-        |SELECT doc_id, w, round(-ln(u) / w, 6) AS skey FROM u
-        |ORDER BY skey ASC, doc_id ASC LIMIT 50""".stripMargin,
+        |SELECT doc_id, w, CAST(round(skey * 1e6) AS BIGINT) AS skey FROM (
+        |  SELECT doc_id, w, round(-ln(u) / w, 6) AS skey FROM u
+        |  ORDER BY skey ASC, doc_id ASC LIMIT 50)""".stripMargin,
     // cuts written as running sums (0.8, then 0.8 + 0.1) so both engines do
     // the same double arithmetic at the bucket boundaries
     "hash_split" ->
@@ -1187,7 +1227,7 @@ object QueriesLlm {
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS score
         |  FROM short s JOIN embeddings a ON a.vec_id = s.qid
         |  JOIN embeddings b ON b.vec_id = s.nid)
-        |SELECT qid, nid, score FROM (
+        |SELECT qid, nid, CAST(round(score * 1e6) AS BIGINT) AS score FROM (
         |  SELECT qid, nid, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
         |  FROM rer) WHERE rn <= 10""".stripMargin),
@@ -1211,14 +1251,14 @@ object QueriesLlm {
         |     i -> m[i] * wv[i]))) * sc AS v
         |  FROM embeddings CROSS JOIN w CROSS JOIN mu)
         |SELECT vec_id,
-        |  round(max(CASE WHEN r = 0 THEN v END), 6) AS p1,
-        |  round(max(CASE WHEN r = 1 THEN v END), 6) AS p2,
-        |  round(max(CASE WHEN r = 2 THEN v END), 6) AS p3,
-        |  round(max(CASE WHEN r = 3 THEN v END), 6) AS p4,
-        |  round(max(CASE WHEN r = 4 THEN v END), 6) AS p5,
-        |  round(max(CASE WHEN r = 5 THEN v END), 6) AS p6,
-        |  round(max(CASE WHEN r = 6 THEN v END), 6) AS p7,
-        |  round(max(CASE WHEN r = 7 THEN v END), 6) AS p8
+        |  CAST(round(max(CASE WHEN r = 0 THEN v END) * 1e6) AS BIGINT) AS p1,
+        |  CAST(round(max(CASE WHEN r = 1 THEN v END) * 1e6) AS BIGINT) AS p2,
+        |  CAST(round(max(CASE WHEN r = 2 THEN v END) * 1e6) AS BIGINT) AS p3,
+        |  CAST(round(max(CASE WHEN r = 3 THEN v END) * 1e6) AS BIGINT) AS p4,
+        |  CAST(round(max(CASE WHEN r = 4 THEN v END) * 1e6) AS BIGINT) AS p5,
+        |  CAST(round(max(CASE WHEN r = 5 THEN v END) * 1e6) AS BIGINT) AS p6,
+        |  CAST(round(max(CASE WHEN r = 6 THEN v END) * 1e6) AS BIGINT) AS p7,
+        |  CAST(round(max(CASE WHEN r = 7 THEN v END) * 1e6) AS BIGINT) AS p8
         |FROM p GROUP BY vec_id""".stripMargin,
     "pca_trained_gate" ->
       """SELECT count(*) AS n_input, TRUE AS orthonormal,
@@ -1326,10 +1366,10 @@ object QueriesLlm {
         |  FROM documents)
         |SELECT source AS "group", count(*) AS n_docs,
         |  CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
-        |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  CAST(round(round(CAST(sum(nt) AS DOUBLE) / count(*), 6) * 1e6) AS BIGINT) AS avg_tokens,
         |  count(DISTINCT h) AS n_distinct_texts,
-        |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_text_frac,
-        |  round(CAST(sum(q6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality
+        |  CAST(round(round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) * 1e6) AS BIGINT) AS dup_text_frac,
+        |  CAST(round(round(CAST(sum(q6) AS DOUBLE) / count(*) / 1e6, 6) * 1e6) AS BIGINT) AS mean_quality
         |FROM q GROUP BY source""".stripMargin,
     // winnowing fingerprint sets of both corpora (same CTE shape as
     // winnowSql, parameterized by corpus), then exact set arithmetic
@@ -1350,9 +1390,9 @@ object QueriesLlm {
          |    CAST(sum(inb) AS BIGINT) AS n_fps_b,
          |    CAST(sum(ina * inb) AS BIGINT) AS n_shared FROM j)
          |SELECT n_fps_a, n_fps_b, n_shared,
-         |  round(CAST(n_shared AS DOUBLE) / greatest(CAST(n_fps_a AS DOUBLE), 1.0), 6) AS containment_a,
-         |  round(CAST(n_shared AS DOUBLE) /
-         |    greatest(CAST(n_fps_a + n_fps_b - n_shared AS DOUBLE), 1.0), 6) AS jaccard
+         |  CAST(round(round(CAST(n_shared AS DOUBLE) / greatest(CAST(n_fps_a AS DOUBLE), 1.0), 6) * 1e6) AS BIGINT) AS containment_a,
+         |  CAST(round(round(CAST(n_shared AS DOUBLE) /
+         |    greatest(CAST(n_fps_a + n_fps_b - n_shared AS DOUBLE), 1.0), 6) * 1e6) AS BIGINT) AS jaccard
          |FROM s""".stripMargin
     },
     "knn_graph" ->
@@ -1363,7 +1403,7 @@ object QueriesLlm {
          |  FROM q JOIN embeddings c ON q.qid <> c.vec_id
          |  CROSS JOIN LATERAL (SELECT c.embedding AS nv) l
          |)
-         |SELECT qid, nid, sim FROM (
+         |SELECT qid, nid, CAST(round(sim * 1e6) AS BIGINT) AS sim FROM (
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |WHERE rn <= 3""".stripMargin,
     "knn_graph_lsh_recall" ->
