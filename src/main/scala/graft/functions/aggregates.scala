@@ -92,11 +92,24 @@ object aggregates {
       new GenericArrayData(buf.toSeq.sortBy(_._1)
         .map(p => UTF8String.fromString(p._2)).toArray[Any])
 
+    // length-prefixed UTF-8, not writeUTF: sampled values are arbitrary
+    // document-length strings, and writeUTF throws UTFDataFormatException
+    // past 65535 encoded bytes — a shuffle-time crash on legal input
+    private def writeStr(out: java.io.DataOutputStream, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readStr(in: java.io.DataInputStream): String = {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
     override def serialize(buf: mutable.PriorityQueue[(String, String)]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
       out.writeInt(buf.size)
-      buf.foreach { case (h, v) => out.writeUTF(h); out.writeUTF(v) }
+      buf.foreach { case (h, v) => writeStr(out, h); writeStr(out, v) }
       out.flush(); bos.toByteArray
     }
 
@@ -105,7 +118,7 @@ object aggregates {
       val buf = createAggregationBuffer()
       val n = in.readInt()
       var i = 0
-      while (i < n) { buf.enqueue((in.readUTF(), in.readUTF())); i += 1 }
+      while (i < n) { buf.enqueue((readStr(in), readStr(in))); i += 1 }
       buf
     }
 

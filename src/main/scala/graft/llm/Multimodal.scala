@@ -317,13 +317,19 @@ object Multimodal {
         val len = be32(off)
         val typ = new String(bytes, off + 4, 4, "US-ASCII")
         val dataOff = off + 8
-        if (dataOff + len + 4 > bytes.length) return null
+        // len is attacker-controlled: negative or huge values must bail, in
+        // long arithmetic so dataOff + len + 4 cannot wrap positive
+        if (len < 0 || dataOff.toLong + len + 4 > bytes.length) return null
         typ match {
           case "IHDR" =>
             w = be32(dataOff); h = be32(dataOff + 4)
             val depth = bytes(dataOff + 8); val color = bytes(dataOff + 9)
+            val compression = bytes(dataOff + 10); val filter = bytes(dataOff + 11)
             val interlace = bytes(dataOff + 12)
-            ok = depth == 8 && color == 2 && interlace == 0 && w > 0 && h > 0
+            ok = depth == 8 && color == 2 && compression == 0 && filter == 0 &&
+              interlace == 0 && w > 0 && h > 0 &&
+              // h*(1+3w) and w*h*3 must fit an Int with headroom (64 MPx cap)
+              w.toLong * h <= (1L << 26)
           case "IDAT" => idat.write(bytes, dataOff, len)
           case "IEND" => done = true
           case _ => () // ancillary chunks skipped
@@ -367,7 +373,13 @@ object Multimodal {
         y += 1
       }
       (w, h, px)
-    } catch { case _: java.util.zip.DataFormatException => null }
+      // RuntimeException (not just DataFormatException): a malformed chunk
+      // layout can surface as IndexOutOfBounds/NegativeArraySize, and the
+      // contract is "null when structurally broken", never a task crash
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+      case _: RuntimeException => null
+    }
   }
 
   /** REAL PNG nearest-neighbor resize: decode, sample the source grid at

@@ -121,8 +121,10 @@ object Sampling {
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"pack_sequences: seqLen must be positive, got $seqLen")
     val tok = col(s"`$tokenCol`").cast("long")
-    graft.operators.ScaleWindows.runningSum(df, orderCol, tokenCol, "__cum")
-      .filter(tok > 0)
+    // filter BEFORE the prefix sum: a dropped zero/negative row must shift
+    // no later document's stream offset (docstring + oracle contract)
+    graft.operators.ScaleWindows.runningSum(df.filter(tok > 0), orderCol,
+      tokenCol, "__cum")
       .withColumn("__off", col("__cum").cast("long") - tok)
       .withColumn("seq_id", explode(sequence(
         floor(col("__off").cast("double") / seqLen).cast("long"),

@@ -509,6 +509,12 @@ object TextAnalysis {
     * both bounds become gate booleans; the exact probe counts are returned
     * for hash comparison. The sketch is a single aggregate row (bounded
     * collect); probes are evaluated driver-side against it.
+    *
+    * Gate caveat: `est_within_eps` is a PROBABILISTIC bound — it holds with
+    * probability ≥ `confidence` (0.99) per probe, not always. The oracle
+    * pins TRUE only because the sketch is deterministic for the fixed seed
+    * (42) on the frozen gate corpus; changing the data or the probe set can
+    * legitimately flip it with no code regression — re-pin, don't debug.
     */
   def tokenCmsGate(df: DataFrame, textCol: String, probes: Seq[String],
       eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {

@@ -841,4 +841,62 @@ class LlmSpec extends SparkSpec {
       Similarity.knnGraph(vecs, "id", "v", k = 2, method = "hnsw")
     }
   }
+
+  test("decodePng rejects hostile chunk layouts with null, never a hang or crash") {
+    import java.nio.ByteBuffer
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def withLen(len: Int): Array[Byte] = {
+      // signature + one IHDR chunk whose length field is attacker-chosen,
+      // padded past the 45-byte floor
+      val b = ByteBuffer.allocate(64)
+      b.put(sig).putInt(len).put("IHDR".getBytes("US-ASCII"))
+      b.array()
+    }
+    // len = -12 used to freeze the offset walk (infinite loop); other
+    // negatives hit idat.write out-of-bounds
+    for (len <- Seq(-12, -1, Int.MinValue, Int.MaxValue - 8, 1 << 30))
+      assert(Multimodal.pngFeaturesKernel(withLen(len)) == null)
+    // giant IHDR dims: w*3 / h*(1+stride) would overflow Int
+    val valid = Multimodal.synthPngKernel(1L, 4, 3)
+    def patched(at: Int, v: Int): Array[Byte] = {
+      val c = valid.clone()
+      ByteBuffer.wrap(c, at, 4).putInt(v); c
+    }
+    assert(Multimodal.pngFeaturesKernel(patched(16, 0x40000000)) == null) // w
+    assert(Multimodal.pngFeaturesKernel(patched(20, 0x40000000)) == null) // h
+    // nonzero IHDR compression / filter method bytes are unsupported
+    val badComp = valid.clone(); badComp(26) = 1
+    assert(Multimodal.pngFeaturesKernel(badComp) == null)
+    val badFilt = valid.clone(); badFilt(27) = 1
+    assert(Multimodal.pngFeaturesKernel(badFilt) == null)
+    // truncated mid-chunk
+    assert(Multimodal.pngFeaturesKernel(valid.take(50)) == null)
+    // and the untouched container still decodes
+    assert(Multimodal.pngFeaturesKernel(valid) != null)
+  }
+
+  test("groupSample survives values whose UTF-8 exceeds the writeUTF 64 KB limit") {
+    import spark.implicits._
+    // long document-sized strings + many partitions force the partial-agg
+    // buffer through serialize/deserialize on the shuffle boundary
+    val big = (0 until 8).map(i => (s"g${i % 2}", ("x" * 70000) + i))
+      .toDF("g", "v").repartition(4)
+    val out = operators.GroupedOps.groupSample(big, Seq("g"), "v", 2).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getString(2).length == 70001))
+  }
+
+  test("packSequences: zero/negative-token rows occupy no stream positions") {
+    import spark.implicits._
+    val docs = Seq((1L, 5), (2L, 0), (3L, -3), (4L, 7))
+      .toDF("ord", "ntok")
+    val out = Sampling.packSequences(docs, "ord", "ntok", seqLen = 4)
+      .orderBy("ord", "seq_id").collect()
+    // stream = doc1[0,5) ++ doc4[5,12): doc4 starts at offset 5, so its
+    // sequences are 1 and 2 — a leaked zero/negative row would shift it
+    assert(!out.exists(r => r.getLong(0) == 2L || r.getLong(0) == 3L))
+    val d4 = out.filter(_.getLong(0) == 4L)
+    assert(d4.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(d4.head.getLong(5) == 1L) // seq_off inside seq 1
+  }
 }
