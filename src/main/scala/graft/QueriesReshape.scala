@@ -77,13 +77,13 @@ object QueriesReshape {
     "pivot_wider" -> ((s, d) => orders(s, d)
       .pivotWider(index = Seq("o_custkey"), namesFrom = "o_orderstatus",
         valuesFrom = "o_totalprice", agg = "sum", knownValues = Seq("F", "O", "P"))
-      .transformColumns(Seq("F", "O", "P"), c => round(c, 4))),
+      .transformColumns(Seq("F", "O", "P"), c => round(c * 1e4).cast("long"))),
     "pivot_wider_glue" -> ((s, d) => orders(s, d)
       .pivotWider(index = Seq("o_custkey"), namesFrom = "o_orderstatus",
         valuesFrom = "o_totalprice", agg = "sum", knownValues = Seq("F", "O", "P"),
         namesGlue = "{_value}_{o_orderstatus}")
       .transformColumns(Seq("o_totalprice_F", "o_totalprice_O", "o_totalprice_P"),
-        c => round(c, 4))),
+        c => round(c * 1e4).cast("long"))),
     "pivot_wider_multi" -> ((s, d) => orders(s, d)
       .pivotWiderMulti(index = Seq("o_custkey"), namesFrom = "o_orderstatus",
         valuesFrom = Seq("o_totalprice", "o_orderkey"), agg = "max",
@@ -163,15 +163,15 @@ object QueriesReshape {
         |SELECT l_orderkey, l_linenumber, 'discount' AS kind, l_discount AS val FROM lineitem""".stripMargin,
     "pivot_wider" ->
       """SELECT o_custkey,
-        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
-        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
-        |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+        |CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 1e4) AS BIGINT) AS "F",
+        |CAST(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) * 1e4) AS BIGINT) AS "O",
+        |CAST(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) * 1e4) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "pivot_wider_glue" ->
       """SELECT o_custkey,
-        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS o_totalprice_F,
-        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_totalprice_O,
-        |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS o_totalprice_P
+        |CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 1e4) AS BIGINT) AS o_totalprice_F,
+        |CAST(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) * 1e4) AS BIGINT) AS o_totalprice_O,
+        |CAST(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) * 1e4) AS BIGINT) AS o_totalprice_P
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "pivot_wider_multi" ->
       """SELECT o_custkey,
