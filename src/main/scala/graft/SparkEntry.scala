@@ -36,12 +36,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.entries ++ QueriesReshape.entries ++ QueriesJoin.entries ++
-      QueriesLlm.entries ++ QueriesDomain.entries
+      QueriesLlm.entries ++ QueriesDomain.entries ++ QueriesStreaming.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     QueriesCore.oracles ++ QueriesReshape.oracles ++ QueriesJoin.oracles ++
-      QueriesLlm.oracles ++ QueriesDomain.oracles
+      QueriesLlm.oracles ++ QueriesDomain.oracles ++ QueriesStreaming.oracles
 }
