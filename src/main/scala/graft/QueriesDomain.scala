@@ -110,6 +110,48 @@ object QueriesDomain {
       IoOps.xlsxCells(s, writeNationXlsx(s, d))
         .select("coordinate", "row", "column", "data_type", "value")
     }),
+    // style parity (reference io.py:345 fill/font/border columns): a styled
+    // header row — Arial 14 bold red on solid yellow, thin/medium box — is
+    // written through the self-built writer and read back through the
+    // openpyxl-named structs (font.name/size/bold/color, fill.patternType/
+    // fgColor, border sides); every attribute is pinned per cell
+    "xlsx_cells_style" -> ((s, d) => {
+      val p = s"${tmpDir()}/nation_styled.xlsx"
+      val rows = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+        .map(r => Seq[Any](r.getInt(0).toLong, r.getString(1), r.getInt(2).toLong)).toSeq
+      graft.sources.Xlsx.Writer.write(p,
+        Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey")) ++ rows,
+        styledHeader = true)
+      IoOps.xlsxCells(s, p).select(col("coordinate"), col("value"),
+        col("font.name").as("font_name"), col("font.size").as("font_size"),
+        col("font.bold").as("font_bold"), col("font.color").as("font_color"),
+        col("fill.patternType").as("pattern_type"),
+        col("fill.fgColor").as("fg_color"),
+        col("border_sides.left").as("border_left"),
+        col("border_sides.top").as("border_top"))
+    }),
+    // dict-of-frames mode of read_csvs (separate_df=True): each file keyed
+    // by basename; the gate re-unions the map with its key as a column
+    "read_csvs_separate" -> ((s, d) => {
+      val dir = s"${tmpDir()}/read_csvs_sep"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val rows = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+      def csvOf(keep: Int => Boolean) =
+        "n_nationkey,n_name,n_regionkey\n" + rows.filter(r => keep(r.getInt(2)))
+          .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}")
+          .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/low.csv"), csvOf(_ < 2))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/high.csv"), csvOf(_ >= 2))
+      IoOps.readCsvsSeparate(s, s"$dir/*.csv",
+          schema = Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+        .toSeq.sortBy(_._1)
+        .map { case (name, df) => df.withColumn("src", lit(name)) }
+        .reduce(_ unionByName _)
+    }),
     "math_log" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .addColumn("v", round(MathFunctions.log_(col("l_extendedprice")) * 1e6).cast("long"))
@@ -207,6 +249,33 @@ object QueriesDomain {
         |  n_name FROM nation
         |UNION ALL SELECT 'C' || CAST(n_nationkey + 2 AS VARCHAR), n_nationkey + 2, 3, 'n',
         |  CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin,
+    // pinned replica of the styled-header fixture: row 1 carries xf 1
+    // (Arial 14 bold FFFF0000 on solid FFFFFF00, left thin / top medium),
+    // data rows carry xf 0 (Calibri 11, no fill, no border → NULL sides)
+    "xlsx_cells_style" ->
+      """WITH hdr AS (SELECT * FROM (VALUES
+        |    ('A1', 'n_nationkey'), ('B1', 'n_name'), ('C1', 'n_regionkey'))
+        |  t(coordinate, value)),
+        |h AS (SELECT coordinate, value, 'Arial' AS font_name, '14' AS font_size,
+        |    TRUE AS font_bold, 'FFFF0000' AS font_color, 'solid' AS pattern_type,
+        |    'FFFFFF00' AS fg_color, 'thin' AS border_left, 'medium' AS border_top
+        |  FROM hdr),
+        |d AS (
+        |  SELECT 'A' || CAST(n_nationkey + 2 AS VARCHAR) AS coordinate,
+        |    CAST(n_nationkey AS VARCHAR) AS value FROM nation
+        |  UNION ALL SELECT 'B' || CAST(n_nationkey + 2 AS VARCHAR), n_name FROM nation
+        |  UNION ALL SELECT 'C' || CAST(n_nationkey + 2 AS VARCHAR),
+        |    CAST(n_regionkey AS VARCHAR) FROM nation),
+        |dd AS (SELECT coordinate, value, 'Calibri' AS font_name, '11' AS font_size,
+        |    FALSE AS font_bold, '' AS font_color, 'none' AS pattern_type,
+        |    '' AS fg_color, CAST(NULL AS VARCHAR) AS border_left,
+        |    CAST(NULL AS VARCHAR) AS border_top
+        |  FROM d)
+        |SELECT * FROM h UNION ALL SELECT * FROM dd""".stripMargin,
+    "read_csvs_separate" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CASE WHEN n_regionkey < 2 THEN 'low.csv' ELSE 'high.csv' END AS src
+        |FROM nation""".stripMargin,
     "data_description" ->
       """SELECT 'l_orderkey' AS column_name, 'bigint' AS dtype, count(l_orderkey) AS count,
         |  count(*) - count(l_orderkey) AS null_count, CAST(NULL AS VARCHAR) AS description FROM lineitem

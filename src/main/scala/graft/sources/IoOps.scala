@@ -247,19 +247,44 @@ object IoOps {
       StructField("font_name", StringType), StructField("font_size", StringType),
       StructField("font_bold", BooleanType), StructField("font_italic", BooleanType),
       StructField("fill_pattern", StringType), StructField("fill_fg_color", StringType),
-      StructField("border", StringType)))
+      StructField("border", StringType),
+      // reference-parity structs (io.py:345 xlsx_cells fill/font/border
+      // columns): field names follow openpyxl's attribute naming —
+      // Font.name/size/bold/italic/color, PatternFill.patternType/fgColor,
+      // Border.left/right/top/bottom (side style names)
+      StructField("font", StructType(Seq(
+        StructField("name", StringType), StructField("size", StringType),
+        StructField("bold", BooleanType), StructField("italic", BooleanType),
+        StructField("color", StringType)))),
+      StructField("fill", StructType(Seq(
+        StructField("patternType", StringType),
+        StructField("fgColor", StringType)))),
+      StructField("border_sides", StructType(Seq(
+        StructField("left", StringType), StructField("right", StringType),
+        StructField("top", StringType), StructField("bottom", StringType))))))
   }
 
   private def cellToRow(c: Xlsx.Cell, styles: Xlsx.Styles): org.apache.spark.sql.Row = {
     val font = styles.fontOf(c.styleIdx)
     val fill = styles.fillOf(c.styleIdx)
+    val border = styles.borderOf(c.styleIdx)
+    val sides = border.map { b =>
+      val m = b.split(';').filter(_.nonEmpty)
+        .map(_.split(":", 2)).collect { case Array(k, v) => k -> v }.toMap
+      org.apache.spark.sql.Row(m.get("left").orNull, m.get("right").orNull,
+        m.get("top").orNull, m.get("bottom").orNull)
+    }
     org.apache.spark.sql.Row(c.value, c.internalValue, c.coordinate, c.row,
       c.column, c.dataType, c.isDate, c.numberFormat, c.sheet,
       font.map(_.name).orNull, font.map(_.size).orNull,
       font.map(f => Boolean.box(f.bold)).orNull,
       font.map(f => Boolean.box(f.italic)).orNull,
       fill.map(_.pattern).orNull, fill.map(_.fgColor).orNull,
-      styles.borderOf(c.styleIdx).orNull)
+      border.orNull,
+      font.map(f => org.apache.spark.sql.Row(f.name, f.size, f.bold,
+        f.italic, f.color)).orNull,
+      fill.map(f => org.apache.spark.sql.Row(f.pattern, f.fgColor)).orNull,
+      sides.orNull)
   }
 
   /** Cell-level Excel reader (reference: janitor/io.py:345 xlsx_cells): one

@@ -453,13 +453,37 @@ object Xlsx {
       * String / Long / Int / Double / Boolean / null.
       */
     def write(path: String, rows: Seq[Seq[Any]], sheetName: String = "Sheet1",
-        tableName: Option[String] = None, headerRowCount: Int = 1): Unit = {
-      val bytes = toBytes(rows, sheetName, tableName, headerRowCount)
+        tableName: Option[String] = None, headerRowCount: Int = 1,
+        styledHeader: Boolean = false): Unit = {
+      val bytes = toBytes(rows, sheetName, tableName, headerRowCount, styledHeader)
       java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
     }
 
+    /** styles.xml emitted when `styledHeader` is set: xf 0 = workbook default
+      * (Calibri 11, no fill, no border), xf 1 = the header style (Arial 14
+      * bold on solid yellow with a thin/medium box border) — the fixture the
+      * style-parity gate pins value-for-value.
+      */
+    private val headerStylesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<fonts count="2">""" +
+        """<font><sz val="11"/><name val="Calibri"/></font>""" +
+        """<font><b/><sz val="14"/><color rgb="FFFF0000"/><name val="Arial"/></font>""" +
+        """</fonts>""" +
+        """<fills count="3"><fill><patternFill patternType="none"/></fill>""" +
+        """<fill><patternFill patternType="gray125"/></fill>""" +
+        """<fill><patternFill patternType="solid"><fgColor rgb="FFFFFF00"/></patternFill></fill></fills>""" +
+        """<borders count="2"><border><left/><right/><top/><bottom/><diagonal/></border>""" +
+        """<border><left style="thin"/><right style="thin"/><top style="medium"/><bottom/><diagonal/></border></borders>""" +
+        """<cellXfs count="2">""" +
+        """<xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>""" +
+        """<xf numFmtId="0" fontId="1" fillId="2" borderId="1"/>""" +
+        """</cellXfs></styleSheet>"""
+
     def toBytes(rows: Seq[Seq[Any]], sheetName: String,
-        tableName: Option[String], headerRowCount: Int = 1): Array[Byte] = {
+        tableName: Option[String], headerRowCount: Int = 1,
+        styledHeader: Boolean = false): Array[Byte] = {
       val nCols = rows.map(_.length).maxOption.getOrElse(0)
       val ref = s"A1:${colLetters(math.max(nCols, 1))}${math.max(rows.length, 1)}"
 
@@ -468,16 +492,17 @@ object Xlsx {
       sheetSb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheetData>"""
       rows.zipWithIndex.foreach { case (cells, ri) =>
         sheetSb ++= s"""<row r="${ri + 1}">"""
+        val sAttr = if (styledHeader && ri < headerRowCount) """ s="1"""" else ""
         cells.zipWithIndex.foreach { case (cell, ci) =>
           val coord = s"${colLetters(ci + 1)}${ri + 1}"
           cell match {
             case null => ()
             case b: Boolean =>
-              sheetSb ++= s"""<c r="$coord" t="b"><v>${if (b) 1 else 0}</v></c>"""
+              sheetSb ++= s"""<c r="$coord"$sAttr t="b"><v>${if (b) 1 else 0}</v></c>"""
             case n @ (_: Long | _: Int | _: Double | _: Float | _: Short | _: Byte) =>
-              sheetSb ++= s"""<c r="$coord"><v>$n</v></c>"""
+              sheetSb ++= s"""<c r="$coord"$sAttr><v>$n</v></c>"""
             case s =>
-              sheetSb ++= s"""<c r="$coord" t="inlineStr"><is><t>${escape(s.toString)}</t></is></c>"""
+              sheetSb ++= s"""<c r="$coord"$sAttr t="inlineStr"><is><t>${escape(s.toString)}</t></is></c>"""
           }
         }
         sheetSb ++= "</row>"
@@ -498,6 +523,9 @@ object Xlsx {
             (if (tableName.isDefined)
               """<Override PartName="/xl/tables/table1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.table+xml"/>"""
             else "") +
+            (if (styledHeader)
+              """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>"""
+            else "") +
             "</Types>"),
         "_rels/.rels" ->
           ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -515,6 +543,8 @@ object Xlsx {
             """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
             "</Relationships>"),
         "xl/worksheets/sheet1.xml" -> sheetSb.toString)
+
+      if (styledHeader) parts += "xl/styles.xml" -> headerStylesXml
 
       tableName.foreach { tn =>
         parts += "xl/worksheets/_rels/sheet1.xml.rels" ->
