@@ -59,6 +59,15 @@ object Bench {
         size(filter(zip_with(col("toks"), col("toks"), (a, b) => a === b),
           b => b)).as("z")))
     } catch { case _: Throwable => () }
+    // 1-minute loadavg — every number this main emits carries its machine-
+    // load context, so a hot driver lane (r9: 468 s vs 111-156 s idle on the
+    // same commit) is diagnosable from the record instead of burning a
+    // round on a phantom regression (VERDICT r10 #8)
+    def load1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = load1()
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run (targeted perf iteration)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -74,6 +83,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "150").toInt
     val watchdog = new java.util.Timer("bench-watchdog", true)
     var i = 0
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
@@ -88,6 +98,7 @@ object Bench {
       cancel.cancel()
       spark.sparkContext.clearJobGroup()
       val dt = (System.nanoTime() - t0) / 1e9
+      loads(name) = load1()
       // per-query progress on stderr: if a run ever degrades (round 6's
       // official bench took 25x the in-round time on the same commit), the
       // log shows where the time went instead of one opaque total
@@ -117,13 +128,19 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (isReferenceRun) "/root/repo/bench_out.json"
       else "/root/repo/target/bench_scratch.json")
+    val loadEnd = load1()
+    val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +
+        s""""load_start":$loadStart,"load_end":$loadEnd,"load":$loadJson,""" +
+        s""""sf":"$sfDir"}\n""")
     catch { case _: Throwable => () }
     // compact stdout line (headline queries only) that survives tail capture
     val head = headline.flatMap(q => results.get(q).map(q -> _))
     val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""queries":${fmt(head)},"full":"$outPath","sf":"$sfDir"}"""
     println(line)
     spark.stop()
