@@ -217,6 +217,114 @@ object TimeseriesOps {
     }
   }
 
+  /** Skew-safe exact twin of [[rollingAgg]] for hot keys: the keyed-window
+    * form serializes each key on one task (AQE splits skewed joins, never
+    * window partitions — SkewProbe measured ~15× task skew at a 20%-hot
+    * key), and a banded self-join is worse still (it materializes
+    * Σ|window| rows — 334M at the sf1 probe — where the incremental frame
+    * touches each row once). This variant decomposes the trailing window
+    * `(t − W, t]` over time bands of width W: with b = floor(t/W), the
+    * window is exactly (band-b prefix up to t) + (band-(b−1) suffix after
+    * t − W). Both parts come from running aggregates over `(key, band)`
+    * partitions — a hot key spreads across its bands, so per-task work is
+    * bounded by band population, never by key population:
+    *
+    *   1. every event contributes a REAL row in its own band, and a
+    *      PHANTOM row at time t − W in the previous band;
+    *   2. one RANGE-inclusive running pass per (key, band) gives the real
+    *      row its within-band prefix, and the phantom its `≤ t − W`
+    *      prefix (suffix = band total − prefix for sums; an exclusive
+    *      reverse running pass gives min/max suffixes directly);
+    *   3. a final groupBy on the event id combines the two contributions.
+    *
+    * Supported aggregates: sum / count / min / max over a numeric column
+    * (avg = sum ÷ count) — the decomposition needs per-part combinability.
+    * Returns `(idCol, keyCol, outputs…)`; join back on `idCol` for the
+    * full row. O(n log n) total, two shuffles on (key, band) + one on id.
+    */
+  def rollingAggBanded(df: DataFrame, idCol: String, keyCol: String,
+      tsCol: String, windowSeconds: Long,
+      specs: Map[String, (String, String)]): DataFrame = {
+    require(windowSeconds > 0, "rolling_agg_banded: windowSeconds must be > 0")
+    require(specs.nonEmpty, "rolling_agg_banded: no aggregates given")
+    val bad = specs.values.map(_._2).filterNot(
+      Set("sum", "count", "min", "max")).toSeq
+    require(bad.isEmpty, s"rolling_agg_banded: unsupported agg(s) $bad " +
+      "(sum/count/min/max; avg = sum/count)")
+    import org.apache.spark.sql.expressions.Window
+    val L = windowSeconds * 1000000L
+    val sorted = specs.toSeq.sortBy(_._1)
+    val valueCols = sorted.map(_._2._1).distinct
+    val base = df.select(
+      (Seq(col(s"`$idCol`"), col(s"`$keyCol`"), col(s"`$tsCol`")) ++
+        valueCols.map(c => col(s"`$c`"))): _*)
+      .withColumn("__u", unix_micros(col(s"`$tsCol`")))
+      .withColumn("__b", floor(col("__u") / L))
+      .drop(tsCol)
+    val real = base.withColumn("__ph", lit(0))
+    val phantom = base
+      .withColumn("__b", col("__b") - 1)
+      .withColumn("__u", col("__u") - L)
+      .withColumn("__ph", lit(1))
+      // phantom rows carry no values — they only mark the t − W boundary
+      .select(real.columns.map {
+        case c if valueCols.contains(c) => lit(null).cast(base.schema(c).dataType).as(c)
+        case c => col(s"`$c`")
+      }: _*)
+    val un = real.unionByName(phantom)
+    val part = Window.partitionBy(col("__k_"), col("__b"))
+    // inclusive forward prefix: RANGE to current value includes all ties at
+    // __u, so a phantom at t − W counts every event with u ≤ t − W (those
+    // are exactly the ones OUTSIDE the strict u > t − W window)
+    val fwd = part.orderBy(col("__u"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    // exclusive reverse pass for min/max suffixes: on negated micros,
+    // RANGE to -1 means u ≥ phantom's u + 1, i.e. strictly inside the window
+    val rev = part.orderBy(col("__negu"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val keyed = un
+      .withColumnRenamed(keyCol, "__k_")
+      .withColumn("__negu", -col("__u"))
+    val contrib = sorted.foldLeft(keyed) { case (acc, (out, (vc, fn))) =>
+      val v = when(col("__ph") === 0, col(s"`$vc`"))
+      val one = when(col("__ph") === 0, lit(1L))
+      fn match {
+        case "sum" | "count" =>
+          val x = if (fn == "count") one else v
+          val prefix = sum(x).over(fwd)
+          val total = sum(x).over(part)
+          // an empty ≤ t−W prefix is null, but the suffix is then the whole
+          // band: total − coalesce(prefix, 0), never total − null
+          acc.withColumn(s"__c_$out",
+            when(col("__ph") === 0, prefix)
+              .otherwise(total - coalesce(prefix, lit(0))))
+        case "min" =>
+          acc.withColumn(s"__c_$out",
+            when(col("__ph") === 0, min(v).over(fwd))
+              .otherwise(min(v).over(rev)))
+        case "max" =>
+          acc.withColumn(s"__c_$out",
+            when(col("__ph") === 0, max(v).over(fwd))
+              .otherwise(max(v).over(rev)))
+      }
+    }
+    contrib.groupBy(col(s"`$idCol`"), col("__k_").as(keyCol))
+      .agg(
+        {
+          val (out, (_, fn)) = sorted.head
+          combine(fn, s"__c_$out").as(out)
+        },
+        sorted.tail.map { case (out, (_, fn)) =>
+          combine(fn, s"__c_$out").as(out)
+        }: _*)
+  }
+
+  private def combine(fn: String, c: String): Column = fn match {
+    case "min" => min(col(s"`$c`"))
+    case "max" => max(col(s"`$c`"))
+    case _ => sum(col(s"`$c`")) // sum/count: parts add; null part = empty band
+  }
+
   /** Per-session aggregate over [[sessionize]] output: one row per
     * (key, session) with start/end, event count, and duration seconds —
     * the table a funnel/engagement query actually consumes. One extra

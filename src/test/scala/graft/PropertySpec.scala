@@ -347,6 +347,25 @@ class PropertySpec extends SparkSpec {
         assert(roll(id)._2 == inWin.size.toLong, s"rolling count id=$id w=$w")
         assert(math.abs(roll(id)._1 - inWin.map(_._4).sum) < 1e-9, s"rolling sum id=$id")
       }
+      // the skew-safe band-decomposed twin agrees with the keyed-window
+      // form on every (id, key, agg) — same semantics, skew-split plan
+      val banded = TimeseriesOps.rollingAggBanded(df, "id", "user", "ts", w,
+        Map("rs" -> ("v", "sum"), "rn" -> ("v", "count"),
+          "rmin" -> ("v", "min"), "rmax" -> ("v", "max")))
+        .collect().map(r => r.getLong(0) -> // cols: id, user, rmax, rmin, rn, rs
+          ((r.getDouble(5), r.getLong(4), r.getDouble(3), r.getDouble(2))))
+        .toMap
+      assert(banded.keySet == roll.keySet, s"banded row set round $round")
+      events.foreach { case (id, user, ts, _) =>
+        val inWin = events.filter(e => e._2 == user &&
+          e._3.getTime > ts.getTime - w * 1000L && e._3.getTime <= ts.getTime)
+          .map(_._4)
+        val (bs, bn, bmin, bmax) = banded(id)
+        assert(bn == inWin.size.toLong, s"banded count id=$id w=$w")
+        assert(math.abs(bs - inWin.sum) < 1e-9, s"banded sum id=$id")
+        assert(bmin == inWin.min, s"banded min id=$id")
+        assert(bmax == inWin.max, s"banded max id=$id")
+      }
     }
   }
 
