@@ -411,6 +411,17 @@ object QueriesCore {
           "roll_n" -> count(lit(1)),
           "roll_sum_cents" -> sum(round(col("value") * 100).cast("long")),
           "roll_max_cents" -> max(round(col("value") * 100).cast("long"))))
+        .select("event_id", "user_id", "roll_n", "roll_sum_cents", "roll_max_cents")),
+    // the skew-safe band-decomposed twin held to the SAME oracle: identical
+    // window semantics from a completely different plan (SF1_SMOKE.md r11)
+    "rolling_agg_banded" -> ((s, d) =>
+      operators.TimeseriesOps.rollingAggBanded(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_id", "user_id", "ts", 21600L,
+        Map("roll_n" -> ("cents", "count"),
+          "roll_sum_cents" -> ("cents", "sum"),
+          "roll_max_cents" -> ("cents", "max")))
         .select("event_id", "user_id", "roll_n", "roll_sum_cents", "roll_max_cents"))
   )
 
@@ -787,6 +798,18 @@ object QueriesCore {
     // BIGINT microseconds is version-proof, and integer-cents outputs are
     // canonicalizer-proof (VERDICT r10 #1). Fine at gate scale (10k events).
     "rolling_agg" ->
+      """SELECT a.event_id, a.user_id,
+        |  count(*) AS roll_n,
+        |  sum(CAST(round(b.value * 100) AS BIGINT)) AS roll_sum_cents,
+        |  max(CAST(round(b.value * 100) AS BIGINT)) AS roll_max_cents
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id
+        |  AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 21599999999
+        |                         AND epoch_us(a.ts)
+        |GROUP BY a.event_id, a.user_id""".stripMargin,
+    // same oracle text as rolling_agg: the banded operator must reproduce
+    // the keyed-window semantics exactly from its (key, band) plan
+    "rolling_agg_banded" ->
       """SELECT a.event_id, a.user_id,
         |  count(*) AS roll_n,
         |  sum(CAST(round(b.value * 100) AS BIGINT)) AS roll_sum_cents,
