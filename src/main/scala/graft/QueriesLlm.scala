@@ -607,7 +607,7 @@ object QueriesLlm {
   /** Winnowing CTE prefix (word 3-grams, window 4, md5-derived 48-bit
     * hashes) — replicates [[Dedup.winnowFingerprints]] defaults exactly.
     */
-  private val winnowSql: String =
+  private[graft] val winnowSql: String =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
       |grams AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
       |    i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 12)) AS BIGINT)) AS hs FROM w),

@@ -111,6 +111,52 @@ object QueriesStreaming {
         .select(col("event_type"),
           date_format(col("window.start"), TsFmt).as("window_start"),
           col("sum_cents"))),
+    // stream-static as-of enrichment: view events arrive as a stream, the
+    // click table is static (compiled once to validity intervals); the
+    // stateless left join is held to the same ASOF semantics as the batch
+    // asof_join gate. Integer-cents + ts-string projection per the policy.
+    "asof_enrich_stream" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val static = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      val stream = eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      runToCompletion(
+        StreamingOps.asofEnrich(stream, static, on = "ts", by = Seq("user_id")),
+        "gr_asof_enrich_stream", "append")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts_str"),
+          round(col("click_value") * 100).cast("long").as("click_cents"))
+    }),
+    // per-window crawl-ingest health report: documents get a synthetic
+    // event time (one per hour from a fixed epoch — replicated in SQL) and
+    // a 1-day tumbling window; the HLL-backed dup-rate columns are the one
+    // documented batch/stream difference, so the gate pins every EXACT
+    // column and leaves the sketch columns to the batch corpus_report gate
+    "corpus_report_stream" -> ((s, d) => {
+      val docs = documentsStream(s, d).withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 3600000000L))
+      runToCompletion(
+        StreamingOps.corpusReportStream(docs, "ts", "1 day", "1 day", "text"),
+        "gr_corpus_report_stream", "complete")
+        .select(date_format(col("window.start"), TsFmt).as("window_start"),
+          col("n_docs"), col("n_tokens"), col("n_chars"),
+          round(col("avg_tokens") * 1e6).cast("long").as("avg_tokens"),
+          round(col("mean_quality") * 1e6).cast("long").as("mean_quality"))
+    }),
+    // stream-vs-benchmark contamination flags: the winnow fingerprint index
+    // of doc_id < 20 is built once (static), every arriving document's
+    // fingerprints probe it; docs sharing >= 3 fingerprints are flagged
+    "contamination_flags_stream" -> ((s, d) => {
+      val ref = graft.llm.Dedup.winnowFingerprints(
+        Tables.documents(s, d).filter(col("doc_id") < 20), "doc_id", "text")
+      runToCompletion(
+        StreamingOps.contaminationFlags(
+          documentsStream(s, d).select("doc_id", "text"),
+          "doc_id", "text", ref, minShared = 3),
+        "gr_contamination_flags_stream", "complete")
+    }),
     // cross-batch C4 line dedup: which duplicate survives dropDuplicates is
     // batch-order-dependent, but the SET of normalized kept long lines (and
     // the short-line pass-through count) is deterministic — gate those
@@ -133,6 +179,39 @@ object QueriesStreaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_enrich_stream" ->
+      s"""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+         |r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+         |      WHERE event_type = 'click' GROUP BY user_id, ts)
+         |SELECT l.event_id, l.user_id, strftime(l.ts, '$TsFmtSql') AS ts_str,
+         |  CAST(round(r.click_value * 100) AS BIGINT) AS click_cents
+         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "corpus_report_stream" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    (epoch_us(make_timestamp(1700000000000000 + doc_id * 3600000000))
+         |      // 86400000000) * 86400000000 AS ws FROM documents),
+         |q AS (SELECT ws,
+         |  len(string_split_regex(text, '\\s+')) AS nt, length(text) AS nc,
+         |  CAST(round(round(
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+         |    (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) >= 3
+         |          AND CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) <= 10
+         |     THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.2 +
+         |    (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.1,
+         |    6) * 1e6) AS BIGINT) AS q6
+         |  FROM d)
+         |SELECT strftime(make_timestamp(ws), '$TsFmtSql') AS window_start,
+         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(round(round(CAST(sum(nt) AS DOUBLE) / count(*), 6) * 1e6) AS BIGINT) AS avg_tokens,
+         |  CAST(round(round(CAST(sum(q6) AS DOUBLE) / count(*) / 1e6, 6) * 1e6) AS BIGINT) AS mean_quality
+         |FROM q GROUP BY ws""".stripMargin,
+    "contamination_flags_stream" -> (QueriesLlm.winnowSql +
+      """, ref AS (SELECT DISTINCT unnest(fps) AS fp FROM wins WHERE doc_id < 20),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+        |SELECT f.doc_id, count(*) AS n_shared FROM f JOIN ref USING (fp)
+        |GROUP BY f.doc_id HAVING count(*) >= 3""".stripMargin),
     // session_window semantics: windows [ts, ts+gap) merge on overlap, so a
     // gap of EXACTLY 6h starts a new session (>=); end = last event + gap.
     // Microsecond-precision event times make exact ties measure-zero anyway.
