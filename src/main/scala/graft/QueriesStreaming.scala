@@ -23,13 +23,15 @@ object QueriesStreaming {
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val TsFmtSql = "%Y-%m-%d %H:%M:%S.%f"
 
-  /** The file stream source requires a DIRECTORY; the testdata tables are
-    * single parquet files. Expose each as a one-file directory of symlinks
-    * (no data copy) under the JVM temp dir — created once per (dir, table).
+  /** The file stream source requires a DIRECTORY. Multi-file tables
+    * (ScaleGen's sf1 lane) already are one — stream them directly; the
+    * driver testdata tables are single parquet FILES, so expose those as a
+    * one-file directory of symlinks (no data copy) under the JVM temp dir.
     */
   private def streamDirFor(dir: String, table: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, s"$table.parquet")
+    if (Files.isDirectory(src)) return src.toString
     val d = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-stream-${Integer.toHexString(dir.hashCode)}-$table")
     if (!Files.isDirectory(d)) Files.createDirectories(d)
