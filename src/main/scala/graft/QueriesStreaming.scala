@@ -61,15 +61,20 @@ object QueriesStreaming {
     s.readStream.schema(schema).parquet(streamDirFor(dir, "documents"))
   }
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Drive a bounded streaming query to completion into a memory sink and
-    * return the sink table as a batch frame.
+    * return the sink table as a batch frame. Sink names get a per-process
+    * sequence suffix so the same gate can run more than once in one
+    * session (restricted re-verification, bench + verify in one JVM).
     */
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
+    val qn = s"${name}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(qn)
       .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+    df.sparkSession.table(qn)
   }
 
   private def cents(c: org.apache.spark.sql.Column) =

@@ -173,6 +173,29 @@ class EdgeCaseSpec extends SparkSpec {
       Seq(("a", "x"), ("a", "y")).toDF("g", "v"), Seq("g"), "v", 10).count() == 2)
   }
 
+  test("rollingAggBanded: degenerate inputs and contract checks") {
+    import graft.operators.TimeseriesOps
+    import org.apache.spark.sql.functions._
+    val emptyEv = Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+      .toDF("id", "user", "ts", "v")
+    assert(TimeseriesOps.rollingAggBanded(emptyEv, "id", "user", "ts", 3600L,
+      Map("rs" -> ("v", "sum"))).count() == 0)
+    val one = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.5))
+      .toDF("id", "user", "ts", "v")
+    val row = TimeseriesOps.rollingAggBanded(one, "id", "user", "ts", 3600L,
+      Map("rs" -> ("v", "sum"), "rn" -> ("v", "count"))).collect()(0)
+    assert(row.getLong(2) == 1L && row.getDouble(3) == 2.5) // rn, rs
+    intercept[IllegalArgumentException] {
+      TimeseriesOps.rollingAggBanded(one, "id", "user", "ts", 3600L,
+        Map("bad" -> ("v", "avg")))
+    }
+    // the plan must stay a window+aggregate pipeline — no nested-loop join
+    // is ever acceptable here (the rejected self-join mitigation was one)
+    val plan = TimeseriesOps.rollingAggBanded(one, "id", "user", "ts", 3600L,
+      Map("rs" -> ("v", "sum"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("rollingAgg: trailing range window is exclusive-open at the tail, per key") {
     import graft.operators.TimeseriesOps
     def t(s: String) = java.sql.Timestamp.valueOf(s)
