@@ -110,6 +110,13 @@ object QueriesDomain {
       IoOps.xlsxCells(s, writeNationXlsx(s, d))
         .select("coordinate", "row", "column", "data_type", "value")
     }),
+    // start_point/end_point kwargs (reference io.py xlsx_cells bounds): the
+    // B2:C10 sub-rectangle of the nation sheet, value+coordinate pinned
+    "xlsx_cells_bounded" -> ((s, d) => {
+      IoOps.xlsxCells(s, writeNationXlsx(s, d),
+          startPoint = Some("B2"), endPoint = Some("C10"))
+        .select("coordinate", "row", "column", "data_type", "value")
+    }),
     // style parity (reference io.py:345 fill/font/border columns): a styled
     // header row — Arial 14 bold red on solid yellow, thin/medium box — is
     // written through the self-built writer and read back through the
@@ -249,6 +256,14 @@ object QueriesDomain {
         |  n_name FROM nation
         |UNION ALL SELECT 'C' || CAST(n_nationkey + 2 AS VARCHAR), n_nationkey + 2, 3, 'n',
         |  CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin,
+    "xlsx_cells_bounded" ->
+      """SELECT 'B' || CAST(n_nationkey + 2 AS VARCHAR) AS coordinate,
+        |  n_nationkey + 2 AS row, 2 AS column, 's' AS data_type,
+        |  n_name AS value FROM nation WHERE n_nationkey + 2 BETWEEN 2 AND 10
+        |UNION ALL
+        |SELECT 'C' || CAST(n_nationkey + 2 AS VARCHAR), n_nationkey + 2, 3, 'n',
+        |  CAST(n_regionkey AS VARCHAR) FROM nation
+        |WHERE n_nationkey + 2 BETWEEN 2 AND 10""".stripMargin,
     // pinned replica of the styled-header fixture: row 1 carries xf 1
     // (Arial 14 bold FFFF0000 on solid FFFFFF00, left thin / top medium),
     // data rows carry xf 0 (Calibri 11, no fill, no border → NULL sides)
