@@ -35,7 +35,7 @@ object SkewProbe {
     })
 
     val natural = Tables.events(spark, sfDir)
-      .select("event_id", "user_id", "ts", "value")
+      .select("event_id", "user_id", "ts", "value", "event_type")
     // 20% of events on one hot user; everything else untouched
     val skewed = natural.withColumn("user_id",
       when(col("event_id") % 5 === 0, lit(-1L)).otherwise(col("user_id")))
@@ -78,6 +78,16 @@ object SkewProbe {
           "event_id", "user_id", "ts", 21600L,
           Map("roll_n" -> ("cents", "count"),
             "roll_sum_cents" -> ("cents", "sum"))))
+      // as-of join keyed forms: default keyed window vs the built-in
+      // skewSafe bucketed runningLastKeyed path
+      val left = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val right = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      for (safe <- Seq(false, true))
+        run(s"asof_join_${if (safe) "skewsafe" else "default"}_$tag",
+          operators.JoinOps.asofJoin(left, right, on = "ts",
+            by = Seq("user_id"), skewSafe = safe))
     }
     spark.stop()
   }
