@@ -113,8 +113,12 @@ object Bench {
       if (i % 25 == 0) System.gc() // let ContextCleaner drop dead broadcasts
       name -> dt
     }
+    // JSON numbers must be locale-independent: the f-interpolator uses the
+    // JVM default locale, which renders 0.42 as "0,42" under e.g. de_DE
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def fmt(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // full-precision complete record (the committed regression reference)
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -129,7 +133,7 @@ object Bench {
       if (isReferenceRun) "/root/repo/bench_out.json"
       else "/root/repo/target/bench_scratch.json")
     val loadEnd = load1()
-    val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
@@ -139,7 +143,7 @@ object Bench {
     catch { case _: Throwable => () }
     // compact stdout line (headline queries only) that survives tail capture
     val head = headline.flatMap(q => results.get(q).map(q -> _))
-    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},""" +
+    val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""queries":${fmt(head)},"full":"$outPath","sf":"$sfDir"}"""
     println(line)

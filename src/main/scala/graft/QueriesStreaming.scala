@@ -27,16 +27,23 @@ object QueriesStreaming {
     * (ScaleGen's sf1 lane) already are one — stream them directly; the
     * driver testdata tables are single parquet FILES, so expose those as a
     * one-file directory of symlinks (no data copy) under the JVM temp dir.
+    * Keyed by the full sanitized source path (no hashCode collisions);
+    * creation races and dangling links from a removed target are absorbed
+    * (NOFOLLOW existence check + catch on the create).
     */
   private def streamDirFor(dir: String, table: String): String = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, s"$table.parquet")
+    import java.nio.file.{Files, LinkOption, Paths}
+    val src = Paths.get(dir, s"$table.parquet").toAbsolutePath.normalize()
     if (Files.isDirectory(src)) return src.toString
-    val d = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-stream-${Integer.toHexString(dir.hashCode)}-$table")
-    if (!Files.isDirectory(d)) Files.createDirectories(d)
+    val key = src.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    val d = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-stream-$key")
+    Files.createDirectories(d)
     val link = d.resolve(s"$table.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) && !Files.exists(link))
+      Files.delete(link) // dangling link to a regenerated table
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      try Files.createSymbolicLink(link, src)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     d.toString
   }
 
@@ -62,19 +69,43 @@ object QueriesStreaming {
   }
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  // previous sink table per gate, dropped on the next run of the same gate
+  // so repeated runs in one JVM (bench + verify) don't pin every result set
+  // in driver memory forever
+  private val lastSink =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drive a bounded streaming query to completion into a memory sink and
     * return the sink table as a batch frame. Sink names get a per-process
     * sequence suffix so the same gate can run more than once in one
-    * session (restricted re-verification, bench + verify in one JVM).
+    * session; the wait is BOUNDED (SPARK_GRAFT_STREAM_TIMEOUT seconds,
+    * default 300) because Bench's per-query job-group watchdog cannot reach
+    * micro-batch jobs — they run under MicroBatchExecution's own group — so
+    * an unbounded processAllAvailable would hang the whole lane.
     */
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): DataFrame = {
+    val spark = df.sparkSession
+    Option(lastSink.get(name)).foreach(spark.catalog.dropTempView(_))
     val qn = s"${name}_${runSeq.incrementAndGet()}"
+    lastSink.put(name, qn)
     val q = df.writeStream.format("memory").queryName(qn)
       .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(qn)
+    val timeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT", "300").toLong * 1000L
+    val waiter = new Thread(() => try q.processAllAvailable()
+      catch { case _: Throwable => () })
+    waiter.setDaemon(true)
+    waiter.start()
+    waiter.join(timeoutMs)
+    if (waiter.isAlive)
+      System.err.println(s"[stream-gate] TIMEOUT ${timeoutMs / 1000}s — stopping $qn")
+    q.stop()
+    waiter.join(10000L)
+    // a stream that died must surface as a query failure, not as an
+    // empty-table hash mismatch downstream
+    q.exception.foreach(e => throw e)
+    spark.table(qn)
   }
 
   private def cents(c: org.apache.spark.sql.Column) =
@@ -177,7 +208,7 @@ object QueriesStreaming {
         .select(lower(trim(col("line"))).as("norm_line"))
         .distinct()
         .agg(count(lit(1)).as("n"),
-          md5(concat_ws("", sort_array(collect_list("norm_line")))
+          md5(concat_ws("\u0001", sort_array(collect_list("norm_line")))
             .cast("binary")).as("set_md5"))
       val short = kept.filter(length(trim(col("line"))) < 10)
         .agg(count(lit(1)).as("n_short"))

@@ -7,8 +7,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, StructType, ArrayType,
   * double/float column. The driver's hash canonicalizer has diverged on
   * raw-double projections three rounds running (VERDICT r8-r10) even when
   * local DuckDB compares value-exact — so gated outputs should be
-  * integer-scaled. This audit enumerates the remaining offenders; schemas
-  * only (no jobs run).
+  * integer-scaled. This audit enumerates the remaining offenders. Mostly
+  * schema-only; a few fixture-building gates (xlsx/csv) do small driver
+  * writes, and the streaming gates are skipped entirely (their builders
+  * RUN the stream) — those are integer/string-projected by construction.
   */
 object SchemaAudit {
   private def floatLeaves(dt: DataType, path: String): Seq[String] = dt match {
@@ -27,7 +29,12 @@ object SchemaAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val gated = SparkEntry.oracleSql.keySet
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // streaming gates EXECUTE a full streaming query inside their builder
+    // (runToCompletion), so "read the schema" would run jobs — list their
+    // float columns by hand-audit instead (QueriesStreaming is integer/
+    // string-projected by construction; see its scaladoc)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.endsWith("_stream")).foreach { case (name, fn) =>
       try {
         val schema = fn(spark, dir).schema
         val floats = schema.fields.flatMap(f => floatLeaves(f.dataType, f.name))

@@ -541,6 +541,11 @@ object Xlsx {
           ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
             """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
             """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+            // conformant consumers locate the stylesheet via this rel, not
+            // by the hardcoded part name our own parser uses
+            (if (styledHeader)
+              """<Relationship Id="rId100" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
+            else "") +
             "</Relationships>"),
         "xl/worksheets/sheet1.xml" -> sheetSb.toString)
 
