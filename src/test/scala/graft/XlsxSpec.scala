@@ -186,6 +186,38 @@ class XlsxSpec extends SparkSpec {
     assert(cell("B2").getString(df.columns.indexOf("font_name")) == "Arial")
   }
 
+  test("styled writer round-trips through the openpyxl-named style structs") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxstyled").toFile
+    dir.deleteOnExit()
+    val p = s"$dir/styled_writer.xlsx"
+    graft.sources.Xlsx.Writer.write(p,
+      Seq(Seq[Any]("h1", "h2"), Seq[Any](1L, "x"), Seq[Any](2L, "y")),
+      styledHeader = true)
+    val df = IoOps.xlsxCells(spark, p)
+    def cell(coord: String) = df.filter($"coordinate" === coord).collect()(0)
+    val hdr = cell("A1")
+    val font = hdr.getStruct(df.columns.indexOf("font"))
+    assert(font.getString(0) == "Arial" && font.getString(1) == "14")
+    assert(font.getBoolean(2) && !font.getBoolean(3)) // bold, not italic
+    assert(font.getString(4) == "FFFF0000")
+    val fill = hdr.getStruct(df.columns.indexOf("fill"))
+    assert(fill.getString(0) == "solid" && fill.getString(1) == "FFFFFF00")
+    val sides = hdr.getStruct(df.columns.indexOf("border_sides"))
+    assert(sides.getString(0) == "thin" && sides.getString(2) == "medium")
+    assert(sides.isNullAt(3)) // no bottom style
+    val data = cell("A2")
+    assert(data.getStruct(df.columns.indexOf("font")).getString(0) == "Calibri")
+    assert(data.getStruct(df.columns.indexOf("fill")).getString(0) == "none")
+    // the styles part is reachable via the workbook relationships, not just
+    // by hardcoded part name (conformant-consumer contract)
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val rels = new String(zf.getInputStream(
+        zf.getEntry("xl/_rels/workbook.xml.rels")).readAllBytes(), "UTF-8")
+      assert(rels.contains("relationships/styles") && rels.contains("styles.xml"))
+    } finally zf.close()
+  }
+
   test("readCsvsSeparate returns one frame per file keyed by basename") {
     val dir = java.nio.file.Files.createTempDirectory("csvsep").toFile
     dir.deleteOnExit()
