@@ -173,6 +173,27 @@ class EdgeCaseSpec extends SparkSpec {
       Seq(("a", "x"), ("a", "y")).toDF("g", "v"), Seq("g"), "v", 10).count() == 2)
   }
 
+  test("rolling windows: events exactly W apart are OUTSIDE each other's window (both forms)") {
+    import graft.operators.TimeseriesOps
+    import org.apache.spark.sql.functions._
+    // t, t+W, t+2W on one key: the trailing (t−W, t] window is strict at
+    // the far boundary, so every event sees only itself — and t+W sits
+    // exactly on a band boundary, the banded decomposition's edge case
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val W = 3600L
+    val ev = (0 to 2).map(i =>
+      (i.toLong, "u", new java.sql.Timestamp(t0.getTime + i * W * 1000L), 1.0))
+      .toDF("id", "user", "ts", "v")
+    val keyed = TimeseriesOps.rollingAgg(ev, "user", "ts", W,
+      Map("rn" -> count(lit(1)))).select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val banded = TimeseriesOps.rollingAggBanded(ev, "id", "user", "ts", W,
+      Map("rn" -> ("v", "count"))).select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyed == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    assert(banded == keyed)
+  }
+
   test("rollingAggBanded: degenerate inputs and contract checks") {
     import graft.operators.TimeseriesOps
     import org.apache.spark.sql.functions._
