@@ -61,6 +61,14 @@ object StreamingOps {
     * bridges; watermark bounds state). The streaming twin of
     * [[graft.operators.TimeseriesOps.sessionStats]] — same (start, end,
     * count, duration) per session, emitted when the watermark closes it.
+    *
+    * Boundary caveat: events EXACTLY `gap` apart differ between the two
+    * forms. Batch `sessionize` breaks on `diff > gap` (exact-gap pair =
+    * same session, the pandas convention); `session_window` merges on
+    * window overlap, and `[t, t+gap)` does not contain `t+gap`, so an
+    * exact-gap pair starts a NEW session here. Microsecond event times
+    * make ties measure-zero on real data; the oracle gates encode each
+    * form's own convention (`>` vs `>=`).
     */
   def sessionWindowStats(stream: DataFrame, tsCol: String, watermark: String,
       gap: String, keyCols: Seq[String]): DataFrame =
