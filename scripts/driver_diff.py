@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Triage the driver's CORRECTNESS_rN.json against the local stand-in.
+
+The driver's hash gate has diverged from scripts/check.py on float
+canonicalization for three rounds (VERDICT r8-r10; see COVERAGE.md
+"Driver-hash float policy"). This tool makes the first move of a round
+mechanical: for every non-green driver row, say whether the local gate
+agrees (a real defect) or disagrees (driver-only divergence — suspect the
+projection types, not the operator).
+
+Usage:
+  python3 scripts/driver_diff.py CORRECTNESS_r11.json [sfDir verifyOutDir]
+
+With sfDir/verifyOutDir the local check is (re)run for the failing queries
+only; without, it just classifies the driver file.
+"""
+import json, os, subprocess, sys
+
+
+def main():
+    driver_file = sys.argv[1]
+    d = json.load(open(driver_file))
+    fails, rows_only, passes = [], [], 0
+    for name, r in sorted(d.items()):
+        if r.get("err") == "no_oracle":
+            rows_only.append(name)
+        elif all(r.get(k) for k in ("rows_match", "schema_match", "hash_match")):
+            passes += 1
+        else:
+            fails.append((name, r))
+    print(f"driver: {passes} pass, {len(fails)} fail, {len(rows_only)} rows-only "
+          f"of {len(d)} rows ({driver_file})")
+    for name in rows_only:
+        print(f"  rows-only: {name}")
+    if not fails:
+        print("no driver failures — nothing to triage")
+        return
+    for name, r in fails:
+        kind = ("rows" if not r.get("rows_match")
+                else "schema" if not r.get("schema_match") else "hash")
+        print(f"  FAIL[{kind}] {name}: spark_rows={r.get('spark_rows')} "
+              f"oracle_rows={r.get('oracle_rows')} err={r.get('err')}")
+    if len(sys.argv) < 4:
+        print("\n(no sfDir/outDir given — run with them to cross-check locally)")
+        return
+    sf_dir, out_dir = sys.argv[2], sys.argv[3]
+    names = ",".join(n for n, _ in fails)
+    print(f"\nre-running the {len(fails)} failing queries locally...")
+    env = dict(os.environ, SPARK_GRAFT_QUERIES=names)
+    subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+                   env=env, check=True, capture_output=True)
+    chk = subprocess.run([sys.executable, "scripts/check.py", sf_dir, out_dir],
+                         capture_output=True, text=True)
+    local = {}
+    for line in chk.stdout.splitlines():
+        parts = line.split("\t")
+        if len(parts) >= 2 and parts[0] in ("PASS", "FAIL"):
+            local[parts[1]] = parts[0]
+    print(chk.stdout)
+    for name, _ in fails:
+        verdict = local.get(name, "?")
+        if verdict == "PASS":
+            print(f"  {name}: DRIVER-ONLY divergence (local exact) — suspect "
+                  "double-typed output columns / oracle version drift, NOT the operator")
+        elif verdict == "FAIL":
+            print(f"  {name}: REAL defect (local agrees it fails) — fix the operator/oracle")
+        else:
+            print(f"  {name}: local verdict unavailable")
+
+
+if __name__ == "__main__":
+    main()
