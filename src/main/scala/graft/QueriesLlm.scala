@@ -109,6 +109,16 @@ object QueriesLlm {
     // at sim >= 0.99 the per-pair miss probability is ~7e-9
     "similarity_lsh_dup_pairs" -> ((s, d) => microCols(Similarity.lshCosineDupPairs(
       vecCorpus(s, d), "vec_id", "embedding", threshold = 0.99), "sim")),
+    // embedding twin of dedup_cross_corpus: the planted exact copies are the
+    // probe, the raw table the reference; LSH-bucketed join held to the
+    // exhaustive cross oracle
+    "similarity_cross_corpus" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val probe = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      microCols(Similarity.crossCorpusCosineDupPairs(probe, e,
+        "vec_id", "embedding", threshold = 0.99), "sim")
+    }),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),
@@ -768,6 +778,17 @@ object QueriesLlm {
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
          |    round($dotSql / (${normSql("qv")} * ${normSql("nv")}), 6) AS sim
          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
+         |)
+         |SELECT id1, id2, CAST(round(sim * 1e6) AS BIGINT) AS sim
+         |FROM s WHERE sim >= 0.99""".stripMargin,
+    "similarity_cross_corpus" ->
+      s"""WITH p AS (SELECT vec_id + 100000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id < 10),
+         |s AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    round($dotSql / (${normSql("qv")} * ${normSql("nv")}), 6) AS sim
+         |  FROM p a CROSS JOIN embeddings b
          |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
          |)
          |SELECT id1, id2, CAST(round(sim * 1e6) AS BIGINT) AS sim

@@ -130,6 +130,40 @@ object Similarity {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Cross-corpus embedding near-dup: which PROBE vectors (a new crawl
+    * shard, a candidate eval set) already live in the REFERENCE corpus at
+    * cosine ≥ threshold — the embedding twin of
+    * [[Dedup.crossCorpusDupPairs]], completing the dedup matrix
+    * (text self / text cross / embedding self / embedding cross). Both
+    * sides bucket through the SAME deterministic hyperplane tables, so
+    * candidates come from an equi-join on (table, bucket) — probe × ref is
+    * never materialized — and every candidate is verified with the exact
+    * codegen dot. At near-dup thresholds the per-pair LSH miss probability
+    * is the same vanishing bound as [[lshCosineDupPairs]]; the gate holds
+    * this path to an exhaustive DuckDB oracle. Emits (id1 = probe,
+    * id2 = ref, sim), deduped per pair.
+    */
+  def crossCorpusCosineDupPairs(probe: DataFrame, ref: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, numPlanes: Int = 8,
+      numTables: Int = 16, roundTo: Int = 6): DataFrame = {
+    val empty = probe.limit(0).select(col(idCol).as("id1"),
+      col(idCol).as("id2"), lit(0.0d).as("sim"))
+    val dim = probeDim(probe, vecCol).getOrElse(return empty)
+    if (!probeDim(ref, vecCol).contains(dim)) return empty
+    val par = probe.sparkSession.sparkContext.defaultParallelism
+    def bucketed(df: DataFrame, side: String) =
+      df.repartition(par).select(col(idCol).as(s"id_$side"),
+        col(vecCol).as(s"v_$side"), norm(col(vecCol)).as(s"n_$side"),
+        posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim))
+          .as(Seq("tbl", "bucket")))
+    bucketed(probe, "p").join(bucketed(ref, "r"), Seq("tbl", "bucket"))
+      .withColumn("sim", round(
+        dot(col("v_p"), col("v_r")) / (col("n_p") * col("n_r")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("id_p").as("id1"), col("id_r").as("id2"), col("sim"))
+      .dropDuplicates("id1", "id2")
+  }
+
   /** splitmix64 — deterministic driver-side PRNG for plane components. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

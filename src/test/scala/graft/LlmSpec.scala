@@ -842,6 +842,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("crossCorpusCosineDupPairs flags probe vectors already in the reference") {
+    import spark.implicits._
+    val mk = (seed: Int) => Array.tabulate(8)(d => math.sin(seed * 0.7 * (d + 1)).toFloat)
+    val ref = (0 until 30).map(i => (i.toLong, mk(i))).toDF("id", "v")
+    // probe: two exact copies of ref vectors + one novel vector
+    val probe = Seq((1000L, mk(3)), (1001L, mk(17)), (1002L, mk(999)))
+      .toDF("id", "v")
+    val hits = Similarity.crossCorpusCosineDupPairs(probe, ref, "id", "v",
+      threshold = 0.99).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(hits.contains(1000L -> 3L) && hits.contains(1001L -> 17L))
+    assert(!hits.exists(_._1 == 1002L))
+    // empty probe and dimension mismatch both yield empty, never a crash
+    assert(Similarity.crossCorpusCosineDupPairs(probe.limit(0), ref, "id", "v",
+      0.99).count() == 0)
+    val ref4 = (0 until 5).map(i => (i.toLong, Array.fill(4)(1.0f))).toDF("id", "v")
+    assert(Similarity.crossCorpusCosineDupPairs(probe, ref4, "id", "v",
+      0.99).count() == 0)
+  }
+
   test("decodePng rejects hostile chunk layouts with null, never a hang or crash") {
     import java.nio.ByteBuffer
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
