@@ -119,6 +119,15 @@ object QueriesLlm {
       microCols(Similarity.crossCorpusCosineDupPairs(probe, e,
         "vec_id", "embedding", threshold = 0.99), "sim")
     }),
+    // semantic decontamination: vec_id < 8 is the "benchmark"; the drop
+    // removes those rows themselves (self-similarity 1.0) plus any other
+    // vector cosine-near them — id projection, exhaustively oracled
+    "semantic_decontaminate" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      Similarity.semDecontaminate(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), threshold = 0.99)
+        .select("vec_id")
+    }),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
       "vec_id", "embedding", k = 5)),
@@ -793,6 +802,15 @@ object QueriesLlm {
          |)
          |SELECT id1, id2, CAST(round(sim * 1e6) AS BIGINT) AS sim
          |FROM s WHERE sim >= 0.99""".stripMargin,
+    "semantic_decontaminate" ->
+      s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         |flagged AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM embeddings a CROSS JOIN b
+         |  CROSS JOIN LATERAL (SELECT a.embedding AS qv, b.embedding AS nv) l
+         |  WHERE round($dotSql / (${normSql("qv")} * ${normSql("nv")}), 6) >= 0.99)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM flagged)""".stripMargin,
     "collocations" ->
       """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
         |uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),

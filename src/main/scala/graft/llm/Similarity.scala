@@ -164,6 +164,23 @@ object Similarity {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Semantic decontamination: drop training rows whose embedding sits at
+    * cosine ≥ `threshold` to ANY benchmark embedding — the embedding twin
+    * of [[Dedup.decontaminate]] (winnow n-gram overlap), for the
+    * paraphrased-contamination case exact substrings miss. Candidates via
+    * [[crossCorpusCosineDupPairs]] (shared hyperplane buckets, exact-dot
+    * verify), then one left_anti join; train × benchmark is never
+    * materialized and the benchmark side is the small one by construction.
+    */
+  def semDecontaminate(train: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, threshold: Double, numPlanes: Int = 8,
+      numTables: Int = 16): DataFrame = {
+    val flagged = crossCorpusCosineDupPairs(train, benchmark, idCol, vecCol,
+      threshold, numPlanes, numTables)
+      .select(col("id1").as(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** splitmix64 — deterministic driver-side PRNG for plane components. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

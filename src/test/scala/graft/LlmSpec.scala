@@ -860,6 +860,11 @@ class LlmSpec extends SparkSpec {
     val ref4 = (0 until 5).map(i => (i.toLong, Array.fill(4)(1.0f))).toDF("id", "v")
     assert(Similarity.crossCorpusCosineDupPairs(probe, ref4, "id", "v",
       0.99).count() == 0)
+    // semantic decontamination drops the near-benchmark probes, keeps the rest
+    val kept = Similarity.semDecontaminate(probe, "id", "v",
+      ref.filter($"id" === 3L || $"id" === 17L), threshold = 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1002L))
   }
 
   test("decodePng rejects hostile chunk layouts with null, never a hang or crash") {
