@@ -68,6 +68,11 @@ object QueriesStreaming {
     s.readStream.schema(schema).parquet(streamDirFor(dir, "documents"))
   }
 
+  private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream.schema(schema).parquet(streamDirFor(dir, "embeddings"))
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   // previous sink table per gate, dropped on the next run of the same gate
   // so repeated runs in one JVM (bench + verify) don't pin every result set
@@ -195,6 +200,20 @@ object QueriesStreaming {
           "doc_id", "text", ref, minShared = 3),
         "gr_contamination_flags_stream", "complete")
     }),
+    // streaming embedding near-dup flags vs a static reference: at 0.99 the
+    // LSH miss probability is vanishing, so the gate holds the bucketed
+    // stream path to the exhaustive best-match oracle
+    "embedding_flags_stream" -> ((s, d) => {
+      val ref = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 8).select("vec_id", "embedding")
+      runToCompletion(
+        StreamingOps.embeddingNearDupFlags(
+          embeddingsStream(s, d).select("vec_id", "embedding"),
+          "vec_id", "embedding", ref, threshold = 0.99),
+        "gr_embedding_flags_stream", "complete")
+        .select(col("vec_id"), col("ref_id"),
+          round(col("sim") * 1e6).cast("long").as("sim"))
+    }),
     // cross-batch C4 line dedup: which duplicate survives dropDuplicates is
     // batch-order-dependent, but the SET of normalized kept long lines (and
     // the short-line pass-through count) is deterministic — gate those
@@ -245,6 +264,24 @@ object QueriesStreaming {
          |  CAST(round(round(CAST(sum(nt) AS DOUBLE) / count(*), 6) * 1e6) AS BIGINT) AS avg_tokens,
          |  CAST(round(round(CAST(sum(q6) AS DOUBLE) / count(*) / 1e6, 6) * 1e6) AS BIGINT) AS mean_quality
          |FROM q GROUP BY ws""".stripMargin,
+    // best match per flagged id = argmax (raw sim, then ref_id) — the same
+    // struct-max comparator the update aggregation applies
+    "embedding_flags_stream" ->
+      """WITH b AS (SELECT vec_id AS ref_id, embedding AS bv FROM embeddings
+        |  WHERE vec_id < 8),
+        |s AS (
+        |  SELECT a.vec_id, b.ref_id,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.bv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings a CROSS JOIN b)
+        |SELECT vec_id, ref_id, CAST(round(round(sim, 6) * 1e6) AS BIGINT) AS sim
+        |FROM (SELECT vec_id, ref_id, sim,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY sim DESC, ref_id DESC) AS rn
+        |      FROM s WHERE sim >= 0.99)
+        |WHERE rn = 1""".stripMargin,
     "contamination_flags_stream" -> (QueriesLlm.winnowSql +
       """, ref AS (SELECT DISTINCT unnest(fps) AS fp FROM wins WHERE doc_id < 20),
         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wins)

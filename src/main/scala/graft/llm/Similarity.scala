@@ -105,7 +105,7 @@ object Similarity {
   /** Vector dimension probe: one 1-row job; None when the frame is empty
     * (so callers can return an empty result instead of throwing).
     */
-  private def probeDim(df: DataFrame, vecCol: String): Option[Int] =
+  private[graft] def probeDim(df: DataFrame, vecCol: String): Option[Int] =
     df.select(size(col(vecCol)).as("d")).head(1).headOption.map(_.getInt(0))
 
   def lshCosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
@@ -222,7 +222,7 @@ object Similarity {
     * plan, the same plan-size wall the IVF centroids hit; bucket ids are
     * bit-identical.
     */
-  private def lshTableBuckets(vec: Column, numPlanes: Int, numTables: Int,
+  private[graft] def lshTableBuckets(vec: Column, numPlanes: Int, numTables: Int,
       dim: Int): Column = {
     val planes = Array.tabulate(numTables, numPlanes)((t, p) =>
       planeOf(t, p, dim).map(_.toFloat))
