@@ -348,6 +348,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head._3 >= 0.8)
   }
 
+  test("embeddingNearDupFlags flags streamed vectors near a static reference") {
+    implicit val sq = spark.sqlContext
+    val mk = (seed: Int) => Array.tabulate(8)(d => math.sin(seed * 0.7 * (d + 1)).toFloat)
+    val ref = Seq((100L, mk(3)), (101L, mk(17))).toDF("vid", "v")
+    val in = MemoryStream[(Long, Array[Float])]
+    in.addData((1L, mk(3)), (2L, mk(999))) // copy of ref 100; unrelated
+    val out = runToCompletion(
+      StreamingOps.embeddingNearDupFlags(in.toDF().toDF("vid", "v"),
+        "vid", "v", ref, threshold = 0.99),
+      "embflags_out", mode = "update")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((1L, 100L)))
+    assert(rows.head._3 >= 0.999999)
+    intercept[IllegalArgumentException] {
+      StreamingOps.embeddingNearDupFlags(in.toDF().toDF("vid", "v"),
+        "vid", "v", ref.limit(0), threshold = 0.99)
+    }
+  }
+
   test("contaminationFlags joins streamed fingerprints against a static benchmark index") {
     implicit val sq = spark.sqlContext
     val bench = (1 to 30).map(i => s"secret$i").mkString(" ")
