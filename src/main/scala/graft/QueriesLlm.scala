@@ -546,6 +546,27 @@ object QueriesLlm {
           minMatchTokens = 8)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
           col("n_tokens_kept"), col("n_tokens_removed"))),
+    // END-TO-END training-data pipeline as ONE composed lazy plan — the
+    // shape a real 100 TB prep job runs: exact dedup (keep min id per
+    // text) → winnow decontamination vs the doc_id<20 "benchmark" →
+    // Gopher quality filter → 64/48 chunking → 4096-token shard packing.
+    // Every stage is individually oracled elsewhere; this gate pins the
+    // COMPOSITION (stage order, column plumbing, filter interactions)
+    "training_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val kept = docs.join(
+        Dedup.exactDedup(docs, "doc_id", "text").select("doc_id"), Seq("doc_id"))
+      val clean = Dedup.decontaminate(kept, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "doc_id", "text", minShared = 3)
+      val quality = clean
+        .withColumn("__g", TextAnalysis.gopherQualityFlags(col("text")))
+        .filter(col("__g.keep")).drop("__g")
+      val chunks = quality.chunkDocuments("doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .withColumn("ord", col("id") * 10000 + col("chunk_id"))
+      graft.llm.Sampling.shardByTokenBudget(chunks, "ord", "n_tokens", 4096L)
+        .select("id", "chunk_id", "n_tokens", "shard")
+    }),
     "corpus_report" -> ((s, d) =>
       microCols(graft.llm.TextAnalysis.corpusReport(documents(s, d), "text",
         byCol = Some("source")),
@@ -739,6 +760,37 @@ object QueriesLlm {
     "dedup_simhash" -> simhashOracle,
     "winnow_fingerprints" -> (winnowSql + "SELECT doc_id AS id, unnest(fps) AS fp FROM wins"),
     "decontaminate" -> decontaminateSql,
+    // stage-by-stage replica of the composed pipeline; each CTE reuses the
+    // per-stage oracle's exact arithmetic
+    "training_pipeline" -> (winnowSql +
+      """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        |bfp AS (SELECT DISTINCT fp FROM f WHERE doc_id < 20),
+        |contaminated AS (SELECT f.doc_id FROM f JOIN bfp USING (fp)
+        |  GROUP BY f.doc_id HAVING count(*) >= 3),
+        |dedup AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |gm AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS gw FROM kept),
+        |gq AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, len(gw) AS ntok,
+        |    CASE WHEN len(gw) > 0 THEN CAST(coalesce(list_sum(list_transform(gw, x -> length(x))), 0) AS DOUBLE) / len(gw) ELSE 0.0 END AS meanlen,
+        |    len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1 AS symbols,
+        |    len(list_filter(gw, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |    len(list_intersect(list_distinct(gw),
+        |      ['the','a','and','of','to','in','is','it','that','for'])) AS stops
+        |  FROM gm)
+        |  WHERE ntok >= 50 AND ntok <= 100000 AND meanlen >= 3.0 AND meanlen <= 10.0
+        |    AND CAST(symbols AS DOUBLE) / ntok <= 0.1
+        |    AND CAST(alpha AS DOUBLE) / ntok >= 0.8 AND stops >= 2),
+        |ct AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM gq),
+        |cx AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, len(toks) - 1, 48)) AS start FROM ct),
+        |ch AS (SELECT doc_id AS id, CAST(start // 48 AS INT) AS chunk_id,
+        |  len(toks[start + 1 : start + 64]) AS n_tokens FROM cx)
+        |SELECT id, chunk_id, n_tokens,
+        |  CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY id * 10000 + chunk_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 4096) AS INT) AS shard
+        |FROM ch""".stripMargin),
     // the Bloom prefilter must be invisible in the result: same oracle
     "decontaminate_bloom" -> decontaminateSql,
     "contamination_pairs" -> (winnowSql +
