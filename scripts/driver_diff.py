@@ -44,23 +44,32 @@ def main():
         print("\n(no sfDir/outDir given — run with them to cross-check locally)")
         return
     sf_dir, out_dir = sys.argv[2], sys.argv[3]
+    print(f"\nre-running the {len(fails)} failing queries locally into {out_dir}")
+    print("(note: the restricted Verify rewrites <outDir>/oracle_sql.json "
+          "filtered to these queries — use a scratch dir, not a full-run dir)")
     names = ",".join(n for n, _ in fails)
-    print(f"\nre-running the {len(fails)} failing queries locally...")
     env = dict(os.environ, SPARK_GRAFT_QUERIES=names)
-    subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
-                   env=env, check=True, capture_output=True)
+    try:
+        subprocess.run(["sbt", "-batch",
+                        f"runMain graft.Verify {sf_dir} {out_dir}"],
+                       env=env, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        print("local Verify failed; sbt output follows:")
+        print(e.stdout or "", e.stderr or "")
+        raise
     chk = subprocess.run([sys.executable, "scripts/check.py", sf_dir, out_dir],
                          capture_output=True, text=True)
     local = {}
     for line in chk.stdout.splitlines():
         parts = line.split("\t")
-        if len(parts) >= 2 and parts[0] in ("PASS", "FAIL"):
+        if len(parts) >= 2 and parts[0] in ("PASS", "FAIL", "APPROX"):
             local[parts[1]] = parts[0]
     print(chk.stdout)
     for name, _ in fails:
         verdict = local.get(name, "?")
-        if verdict == "PASS":
-            print(f"  {name}: DRIVER-ONLY divergence (local exact) — suspect "
+        if verdict in ("PASS", "APPROX"):
+            qual = "value-exact" if verdict == "PASS" else "within rtol only"
+            print(f"  {name}: DRIVER-ONLY divergence (local {qual}) — suspect "
                   "double-typed output columns / oracle version drift, NOT the operator")
         elif verdict == "FAIL":
             print(f"  {name}: REAL defect (local agrees it fails) — fix the operator/oracle")

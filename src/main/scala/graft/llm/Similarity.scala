@@ -108,6 +108,19 @@ object Similarity {
   private[graft] def probeDim(df: DataFrame, vecCol: String): Option[Int] =
     df.select(size(col(vecCol)).as("d")).head(1).headOption.map(_.getInt(0))
 
+  /** Shared LSH staging: (id_<side>, v_<side>, n_<side>, tbl, bucket) rows,
+    * one per (vector, table) — the single place the bucketing contract
+    * (plane seeding, explode shape, vectors outside `dim` dropped) lives
+    * for the self-pair, cross-corpus, and streaming-flag operators.
+    */
+  private[graft] def lshStaged(df: DataFrame, idCol: String, vecCol: String,
+      side: String, numPlanes: Int, numTables: Int, dim: Int): DataFrame =
+    df.filter(size(col(s"`$vecCol`")) === dim)
+      .select(col(s"`$idCol`").as(s"id_$side"), col(s"`$vecCol`").as(s"v_$side"),
+        norm(col(s"`$vecCol`")).as(s"n_$side"),
+        posexplode(lshTableBuckets(col(s"`$vecCol`"), numPlanes, numTables, dim))
+          .as(Seq("tbl", "bucket")))
+
   def lshCosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 8, numTables: Int = 16,
       roundTo: Int = 6): DataFrame = {
@@ -151,12 +164,9 @@ object Similarity {
     val dim = probeDim(probe, vecCol).getOrElse(return empty)
     if (!probeDim(ref, vecCol).contains(dim)) return empty
     val par = probe.sparkSession.sparkContext.defaultParallelism
-    def bucketed(df: DataFrame, side: String) =
-      df.repartition(par).select(col(idCol).as(s"id_$side"),
-        col(vecCol).as(s"v_$side"), norm(col(vecCol)).as(s"n_$side"),
-        posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim))
-          .as(Seq("tbl", "bucket")))
-    bucketed(probe, "p").join(bucketed(ref, "r"), Seq("tbl", "bucket"))
+    lshStaged(probe.repartition(par), idCol, vecCol, "p", numPlanes, numTables, dim)
+      .join(lshStaged(ref.repartition(par), idCol, vecCol, "r",
+        numPlanes, numTables, dim), Seq("tbl", "bucket"))
       .withColumn("sim", round(
         dot(col("v_p"), col("v_r")) / (col("n_p") * col("n_r")), roundTo))
       .filter(col("sim") >= threshold)
@@ -175,6 +185,15 @@ object Similarity {
   def semDecontaminate(train: DataFrame, idCol: String, vecCol: String,
       benchmark: DataFrame, threshold: Double, numPlanes: Int = 8,
       numTables: Int = 16): DataFrame = {
+    // a silent keep-everything on misconfiguration would ship contaminated
+    // training data: an empty benchmark is a legal no-op, but a DIMENSION
+    // mismatch (wrong embedding model on one side) must fail loudly
+    (probeDim(benchmark, vecCol), probeDim(train, vecCol)) match {
+      case (None, _) | (_, None) => return train
+      case (Some(b), Some(t)) => require(b == t,
+        s"semantic_decontaminate: benchmark dim $b != train dim $t — " +
+          "the two sides must come from the same embedding model")
+    }
     val flagged = crossCorpusCosineDupPairs(train, benchmark, idCol, vecCol,
       threshold, numPlanes, numTables)
       .select(col("id1").as(idCol)).distinct()

@@ -229,38 +229,6 @@ object StreamingOps {
     * stream-side band explode carries the shingle array (x numBands) — fine
     * at micro-batch size; the static side is precomputed once.
     */
-  /** Streaming EMBEDDING near-dup flags against a static reference corpus —
-    * the vector twin of [[nearDupFlags]]: arriving embeddings bucket
-    * through the same deterministic hyperplane tables as the (precomputed)
-    * static side, candidates come from the stream-static equi-join on
-    * (table, bucket), and the exact codegen dot verifies each; update-mode
-    * max aggregation keeps one best (sim, ref_id) row per flagged id.
-    * Dimension is probed on the STATIC side (an action on the stream would
-    * be illegal); a dimension-mismatched stream row simply never verifies.
-    */
-  def embeddingNearDupFlags(stream: DataFrame, idCol: String, vecCol: String,
-      refVecs: DataFrame, threshold: Double, numPlanes: Int = 8,
-      numTables: Int = 16): DataFrame = {
-    import graft.llm.Similarity
-    val dim = Similarity.probeDim(refVecs, vecCol).getOrElse(
-      throw new IllegalArgumentException(
-        "embeddingNearDupFlags: empty reference corpus"))
-    def bucketed(d: DataFrame, side: String) =
-      d.select(col(idCol).as(s"id_$side"), col(vecCol).as(s"v_$side"),
-        Similarity.norm(col(vecCol)).as(s"n_$side"),
-        posexplode(Similarity.lshTableBuckets(col(vecCol), numPlanes,
-          numTables, dim)).as(Seq("tbl", "bucket")))
-    val ref = bucketed(refVecs, "r")
-    bucketed(stream, "s").join(ref, Seq("tbl", "bucket"))
-      .withColumn("__sim",
-        Similarity.dot(col("v_s"), col("v_r")) / (col("n_s") * col("n_r")))
-      .filter(col("__sim") >= threshold)
-      .groupBy(col("id_s").as(idCol))
-      .agg(max(struct(col("__sim").as("s"), col("id_r").as("r"))).as("__best"))
-      .select(col(s"`$idCol`"), col("__best.r").as("ref_id"),
-        round(col("__best.s"), 6).as("sim"))
-  }
-
   def nearDupFlags(stream: DataFrame, idCol: String, textCol: String,
       refDocs: DataFrame, threshold: Double, numBands: Int = 32,
       rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
@@ -288,6 +256,37 @@ object StreamingOps {
       .agg(max(struct(col("__j").as("j"), col("ref_id").as("r"))).as("__best"))
       .select(col("id"), col("__best.r").as("ref_id"),
         round(col("__best.j"), 6).as("jaccard"))
+  }
+
+  /** Streaming EMBEDDING near-dup flags against a static reference corpus —
+    * the vector twin of [[nearDupFlags]]: arriving embeddings bucket
+    * through the same deterministic hyperplane tables as the (precomputed)
+    * static side, candidates come from the stream-static equi-join on
+    * (table, bucket), and the exact codegen dot verifies each; update-mode
+    * max aggregation keeps one best (sim, ref_id) row per flagged id.
+    * Dimension is probed on the STATIC side (an action on the stream would
+    * be illegal); stream rows whose vector length differs are DROPPED by
+    * the staging filter (the dot kernel would otherwise truncate to the
+    * shorter side and could spuriously verify).
+    */
+  def embeddingNearDupFlags(stream: DataFrame, idCol: String, vecCol: String,
+      refVecs: DataFrame, threshold: Double, numPlanes: Int = 8,
+      numTables: Int = 16): DataFrame = {
+    import graft.llm.Similarity
+    val dim = Similarity.probeDim(refVecs, vecCol).getOrElse(
+      throw new IllegalArgumentException(
+        "embeddingNearDupFlags: empty reference corpus"))
+    val ref = Similarity.lshStaged(refVecs, idCol, vecCol, "r",
+      numPlanes, numTables, dim)
+    Similarity.lshStaged(stream, idCol, vecCol, "s", numPlanes, numTables, dim)
+      .join(ref, Seq("tbl", "bucket"))
+      .withColumn("__sim",
+        Similarity.dot(col("v_s"), col("v_r")) / (col("n_s") * col("n_r")))
+      .filter(col("__sim") >= threshold)
+      .groupBy(col("id_s").as(idCol))
+      .agg(max(struct(col("__sim").as("s"), col("id_r").as("r"))).as("__best"))
+      .select(col(s"`$idCol`"), col("__best.r").as("ref_id"),
+        round(col("__best.s"), 6).as("sim"))
   }
 
   /** Stream-static fuzzy (edit-distance) matching: each arriving string is
