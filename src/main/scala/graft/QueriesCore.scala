@@ -122,6 +122,14 @@ object QueriesCore {
     "count_cumulative_unique" -> ((s, d) => events(s, d)
       .select("event_id", "user_id")
       .countCumulativeUnique("user_id", "event_id", "cum_unique")),
+    // case_sensitive=False kwarg mode (count_cumulative_unique.py:17): mixed
+    // case is synthesized so the fold actually matters
+    "count_cumulative_unique_ci" -> ((s, d) => events(s, d)
+      .select(col("event_id"),
+        when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("etype"))
+      .countCumulativeUnique("etype", "event_id", "cum_unique",
+        caseSensitive = false)),
     "shuffle" -> ((s, d) => events(s, d)
       .select("event_id", "user_id", "value").shuffleRows(seed = 7L)),
     "sort_naturally" -> ((s, d) => part(s, d)
@@ -505,6 +513,15 @@ object QueriesCore {
         |FROM (SELECT event_id, user_id,
         |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1 THEN 1 ELSE 0 END AS f
         |  FROM events)""".stripMargin,
+    "count_cumulative_unique_ci" ->
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END AS etype
+        |  FROM events)
+        |SELECT event_id, etype,
+        |CAST(sum(f) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_unique
+        |FROM (SELECT event_id, etype,
+        |  CASE WHEN row_number() OVER (PARTITION BY lower(etype) ORDER BY event_id) = 1 THEN 1 ELSE 0 END AS f
+        |  FROM e)""".stripMargin,
     "shuffle" ->
       """SELECT event_id, user_id, value FROM events""",
     "sort_naturally" ->
