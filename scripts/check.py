@@ -56,6 +56,21 @@ def main():
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+            continue
+        # dtype-parity gate (VERDICT r11 #1/#2): an uncast DuckDB integer
+        # sum() returns HUGEINT -> pandas float64, which the driver's
+        # dtype-aware hash diverges on ("3.0" vs "3") while a value-only
+        # compare is blind. Flag any integral-vs-float kind mismatch.
+        dt_bad = []
+        for c in a.columns:
+            ka = a[c].dtype.kind  # i/u int, f float, O object, M datetime, b bool
+            kb = b[c].dtype.kind
+            if ka != kb and {ka, kb} & {"i", "u", "f"} and not (
+                    {ka, kb} <= {"i", "u"}):
+                dt_bad.append(f"{c}: spark={a[c].dtype} duck={b[c].dtype}")
+        if dt_bad:
+            results[name] = ("DTYPE-MISMATCH (driver hash WILL diverge; cast "
+                             "the oracle projection) " + "; ".join(dt_bad))
         elif len(a) != len(b):
             results[name] = f"ROWCOUNT spark={len(a)} duck={len(b)}"
         else:

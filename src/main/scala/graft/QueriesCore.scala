@@ -817,7 +817,7 @@ object QueriesCore {
     "rolling_agg" ->
       """SELECT a.event_id, a.user_id,
         |  count(*) AS roll_n,
-        |  sum(CAST(round(b.value * 100) AS BIGINT)) AS roll_sum_cents,
+        |  CAST(sum(CAST(round(b.value * 100) AS BIGINT)) AS BIGINT) AS roll_sum_cents,
         |  max(CAST(round(b.value * 100) AS BIGINT)) AS roll_max_cents
         |FROM events a JOIN events b
         |  ON b.user_id = a.user_id
@@ -829,7 +829,7 @@ object QueriesCore {
     "rolling_agg_banded" ->
       """SELECT a.event_id, a.user_id,
         |  count(*) AS roll_n,
-        |  sum(CAST(round(b.value * 100) AS BIGINT)) AS roll_sum_cents,
+        |  CAST(sum(CAST(round(b.value * 100) AS BIGINT)) AS BIGINT) AS roll_sum_cents,
         |  max(CAST(round(b.value * 100) AS BIGINT)) AS roll_max_cents
         |FROM events a JOIN events b
         |  ON b.user_id = a.user_id

@@ -1062,7 +1062,7 @@ object QueriesLlm {
         |  FROM m WHERE s > 0
         |  UNION ALL SELECT vec_id, s, list_transform(v, x -> 0) FROM m WHERE s <= 0)
         |SELECT vec_id, CAST(round(s * 1e6) AS BIGINT) AS scale_micro,
-        |  coalesce(list_sum(q), 0) AS q_sum,
+        |  CAST(coalesce(list_sum(q), 0) AS BIGINT) AS q_sum,
         |  q[1] AS q1, q[2] AS q2, q[3] AS q3 FROM q""".stripMargin,
     "build_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token

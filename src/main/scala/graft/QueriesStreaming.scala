@@ -35,12 +35,18 @@ object QueriesStreaming {
     import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(dir, s"$table.parquet").toAbsolutePath.normalize()
     if (Files.isDirectory(src)) return src.toString
-    val key = src.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    // sanitizing alone can collide (/data/a/x vs /data_a/x) — suffix with a
+    // hash of the RAW path so distinct sources never share a directory
+    val key = src.toString.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "-" + java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(src.toString))
     val d = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-stream-$key")
     Files.createDirectories(d)
     val link = d.resolve(s"$table.parquet")
-    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) && !Files.exists(link))
-      Files.delete(link) // dangling link to a regenerated table
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
+        (!Files.exists(link) ||
+          (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != src)))
+      Files.delete(link) // dangling, or pointing at a different source
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       try Files.createSymbolicLink(link, src)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
@@ -103,13 +109,19 @@ object QueriesStreaming {
     waiter.setDaemon(true)
     waiter.start()
     waiter.join(timeoutMs)
-    if (waiter.isAlive)
+    val timedOut = waiter.isAlive
+    if (timedOut)
       System.err.println(s"[stream-gate] TIMEOUT ${timeoutMs / 1000}s — stopping $qn")
     q.stop()
     waiter.join(10000L)
     // a stream that died must surface as a query failure, not as an
     // empty-table hash mismatch downstream
     q.exception.foreach(e => throw e)
+    // a stream that HUNG (no exception) must surface too: the memory sink
+    // holds a partial table at this point, and returning it would fail the
+    // gate later as an opaque hash/row mismatch instead of a clear timeout
+    if (timedOut) throw new java.util.concurrent.TimeoutException(
+      s"streaming gate $name did not complete within ${timeoutMs / 1000}s")
     spark.table(qn)
   }
 
@@ -232,7 +244,35 @@ object QueriesStreaming {
       val short = kept.filter(length(trim(col("line"))) < 10)
         .agg(count(lit(1)).as("n_short"))
       long.crossJoin(short)
-    })
+    }),
+    // streaming count_cumulative_unique (flatMapGroupsWithState, one
+    // Set per key): per-row cum_unique is processing-order-dependent, but
+    // the FINAL state per key (max = distinct count), the row count, and
+    // the first increment (min = 1) are order-invariant — gate those
+    "count_unique_stream" -> ((s, d) =>
+      runToCompletion(
+        StreamingOps.countCumulativeUnique(
+          eventsStream(s, d).select("user_id", "event_type"),
+          "user_id", "event_type"),
+        "gr_count_unique_stream", "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("cum_unique")).as("final_unique"),
+          min(col("cum_unique")).as("first_unique"))),
+    // streaming flag_jumps (per-key previous-value state): events.parquet
+    // is globally ts-sorted with no (user_id, ts) ties and arrives as one
+    // file-source split, so per-key processing order == event-time order
+    // and the per-row flags are held to the batch lag-window oracle.
+    // Integer-cents projection per the driver-hash policy.
+    "flag_jumps_stream" -> ((s, d) =>
+      runToCompletion(
+        StreamingOps.flagJumps(
+          eventsStream(s, d).select("user_id", "value"),
+          "user_id", "value", threshold = 10.0),
+        "gr_flag_jumps_stream", "append")
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("jump")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,13 +354,13 @@ object QueriesStreaming {
          |SELECT user_id,
          |  strftime(make_timestamp(ws), '$TsFmtSql') AS window_start,
          |  strftime(make_timestamp(ws + 21600000000), '$TsFmtSql') AS window_end,
-         |  sum(cents) AS sum_cents
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
          |FROM w GROUP BY user_id, ws""".stripMargin,
     "windowed_agg_stream" ->
       s"""SELECT event_type,
          |  strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
          |    '$TsFmtSql') AS window_start,
-         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_lines_stream" ->
       """WITH l AS (SELECT unnest(string_split(text, ' a ')) AS line FROM documents),
@@ -330,6 +370,18 @@ object QueriesStreaming {
         |    md5(string_agg(norm_line, chr(1) ORDER BY norm_line)) AS set_md5
         |  FROM k),
         |s AS (SELECT count(*) AS n_short FROM l WHERE length(trim(line)) < 10)
-        |SELECT n, set_md5, n_short FROM agg, s""".stripMargin
+        |SELECT n, set_md5, n_short FROM agg, s""".stripMargin,
+    "count_unique_stream" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS final_unique,
+        |  CAST(1 AS BIGINT) AS first_unique
+        |FROM events GROUP BY user_id""".stripMargin,
+    "flag_jumps_stream" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CASE WHEN abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) > 10
+        |    THEN 1 ELSE 0 END AS jump
+        |FROM events""".stripMargin
   )
 }

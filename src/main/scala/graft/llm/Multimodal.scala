@@ -373,12 +373,14 @@ object Multimodal {
         y += 1
       }
       (w, h, px)
-      // RuntimeException (not just DataFormatException): a malformed chunk
-      // layout can surface as IndexOutOfBounds/NegativeArraySize, and the
-      // contract is "null when structurally broken", never a task crash
+      // only the failures a malformed chunk layout can actually produce —
+      // a blanket RuntimeException catch would mask real decoder defects
+      // as "structurally broken input"
     } catch {
       case _: java.util.zip.DataFormatException => null
-      case _: RuntimeException => null
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+      case _: IllegalArgumentException => null
     }
   }
 

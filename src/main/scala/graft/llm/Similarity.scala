@@ -161,8 +161,16 @@ object Similarity {
       numTables: Int = 16, roundTo: Int = 6): DataFrame = {
     val empty = probe.limit(0).select(col(idCol).as("id1"),
       col(idCol).as("id2"), lit(0.0d).as("sim"))
+    // an empty side is a legal no-op, but a dimension MISMATCH means the two
+    // corpora came from different embedding models — "no duplicates found"
+    // on that input would silently keep every near-dup, so fail loudly
     val dim = probeDim(probe, vecCol).getOrElse(return empty)
-    if (!probeDim(ref, vecCol).contains(dim)) return empty
+    probeDim(ref, vecCol) match {
+      case None => return empty
+      case Some(refDim) => require(refDim == dim,
+        s"cross_corpus_dup_pairs: ref dim $refDim != probe dim $dim — " +
+          "the two sides must come from the same embedding model")
+    }
     val par = probe.sparkSession.sparkContext.defaultParallelism
     lshStaged(probe.repartition(par), idCol, vecCol, "p", numPlanes, numTables, dim)
       .join(lshStaged(ref.repartition(par), idCol, vecCol, "r",

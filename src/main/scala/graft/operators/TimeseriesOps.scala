@@ -251,6 +251,14 @@ object TimeseriesOps {
       Set("sum", "count", "min", "max")).toSeq
     require(bad.isEmpty, s"rolling_agg_banded: unsupported agg(s) $bad " +
       "(sum/count/min/max; avg = sum/count)")
+    // phantom rows null value columns BY NAME — aggregating the id/key/ts
+    // column itself would null the grouping key on phantoms and split the
+    // out-of-band contribution into a spurious null-keyed row
+    specs.values.map(_._1).find(Set(idCol, keyCol, tsCol)).foreach { c =>
+      throw new IllegalArgumentException(
+        s"rolling_agg_banded: cannot aggregate structural column '$c' " +
+          "(id/key/ts) — alias it to a separate column first")
+    }
     import org.apache.spark.sql.expressions.Window
     val L = windowSeconds * 1000000L
     val sorted = specs.toSeq.sortBy(_._1)

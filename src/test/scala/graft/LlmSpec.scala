@@ -854,12 +854,16 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(hits.contains(1000L -> 3L) && hits.contains(1001L -> 17L))
     assert(!hits.exists(_._1 == 1002L))
-    // empty probe and dimension mismatch both yield empty, never a crash
+    // an empty side is a legal no-op; a DIMENSION mismatch (wrong embedding
+    // model on one side) must fail loudly — "no duplicates" there would
+    // silently keep every near-dup
     assert(Similarity.crossCorpusCosineDupPairs(probe.limit(0), ref, "id", "v",
       0.99).count() == 0)
     val ref4 = (0 until 5).map(i => (i.toLong, Array.fill(4)(1.0f))).toDF("id", "v")
-    assert(Similarity.crossCorpusCosineDupPairs(probe, ref4, "id", "v",
-      0.99).count() == 0)
+    val dimEx = intercept[IllegalArgumentException] {
+      Similarity.crossCorpusCosineDupPairs(probe, ref4, "id", "v", 0.99)
+    }
+    assert(dimEx.getMessage.contains("same embedding model"))
     // semantic decontamination drops the near-benchmark probes, keeps the rest
     val kept = Similarity.semDecontaminate(probe, "id", "v",
       ref.filter($"id" === 3L || $"id" === 17L), threshold = 0.99)
