@@ -123,11 +123,38 @@ object Similarity {
 
   def lshCosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 8, numTables: Int = 16,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, shuffleVectors: Boolean = true): DataFrame = {
     val dim = probeDim(df, vecCol).getOrElse(
       return df.limit(0).select(col(idCol).as("id1"), col(idCol).as("id2"),
         lit(0.0d).as("sim")))
     val par = df.sparkSession.sparkContext.defaultParallelism
+    if (!shuffleVectors) {
+      // signature-only staging: only (id, tbl, bucket) — ~16 bytes/row —
+      // rides the ×numTables (tbl,bucket) exchange; candidate pairs are
+      // deduped FIRST and the two vector fetches shuffle the corpus ONCE
+      // per side keyed by id. At wide dims / many tables this cuts exchange
+      // bytes by ~numTables×; at gate scale the two extra joins dominate —
+      // measured in SF1_SMOKE.md (round 12), default stays full-vector.
+      val base = df.repartition(par).filter(size(col(s"`$vecCol`")) === dim)
+        .select(col(s"`$idCol`").as("id"), col(s"`$vecCol`").as("v"),
+          norm(col(s"`$vecCol`")).as("n"))
+      val sig = base.select(col("id"),
+        posexplode(lshTableBuckets(col("v"), numPlanes, numTables, dim))
+          .as(Seq("tbl", "bucket")))
+      val cand = sig.as("a").join(sig.as("b"), Seq("tbl", "bucket"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .dropDuplicates("id1", "id2")
+      return cand
+        .join(base.select(col("id").as("id1"), col("v").as("v1"),
+          col("n").as("n1")), Seq("id1"))
+        .join(base.select(col("id").as("id2"), col("v").as("v2"),
+          col("n").as("n2")), Seq("id2"))
+        .withColumn("sim", round(
+          dot(col("v1"), col("v2")) / (col("n1") * col("n2")), roundTo))
+        .filter(col("sim") >= threshold)
+        .select(col("id1"), col("id2"), col("sim"))
+    }
     val e = df.repartition(par).select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"),
       posexplode(lshTableBuckets(col(vecCol), numPlanes, numTables, dim))
@@ -158,7 +185,8 @@ object Similarity {
     */
   def crossCorpusCosineDupPairs(probe: DataFrame, ref: DataFrame,
       idCol: String, vecCol: String, threshold: Double, numPlanes: Int = 8,
-      numTables: Int = 16, roundTo: Int = 6): DataFrame = {
+      numTables: Int = 16, roundTo: Int = 6,
+      shuffleVectors: Boolean = true): DataFrame = {
     val empty = probe.limit(0).select(col(idCol).as("id1"),
       col(idCol).as("id2"), lit(0.0d).as("sim"))
     // an empty side is a legal no-op, but a dimension MISMATCH means the two
@@ -172,6 +200,30 @@ object Similarity {
           "the two sides must come from the same embedding model")
     }
     val par = probe.sparkSession.sparkContext.defaultParallelism
+    if (!shuffleVectors) {
+      // signature-only staging (see lshCosineDupPairs): dedup candidate
+      // (probe, ref) id pairs first, then fetch each side's vectors with
+      // one id-keyed join per side instead of riding them ×numTables
+      // through the (tbl,bucket) exchange
+      def side(d: DataFrame, tag: String): (DataFrame, DataFrame) = {
+        val base = d.repartition(par).filter(size(col(s"`$vecCol`")) === dim)
+          .select(col(s"`$idCol`").as(s"id_$tag"), col(s"`$vecCol`").as(s"v_$tag"),
+            norm(col(s"`$vecCol`")).as(s"n_$tag"))
+        val sig = base.select(col(s"id_$tag"),
+          posexplode(lshTableBuckets(col(s"v_$tag"), numPlanes, numTables, dim))
+            .as(Seq("tbl", "bucket")))
+        (base, sig)
+      }
+      val (pBase, pSig) = side(probe, "p")
+      val (rBase, rSig) = side(ref, "r")
+      return pSig.join(rSig, Seq("tbl", "bucket"))
+        .select(col("id_p"), col("id_r")).dropDuplicates("id_p", "id_r")
+        .join(pBase, Seq("id_p")).join(rBase, Seq("id_r"))
+        .withColumn("sim", round(
+          dot(col("v_p"), col("v_r")) / (col("n_p") * col("n_r")), roundTo))
+        .filter(col("sim") >= threshold)
+        .select(col("id_p").as("id1"), col("id_r").as("id2"), col("sim"))
+    }
     lshStaged(probe.repartition(par), idCol, vecCol, "p", numPlanes, numTables, dim)
       .join(lshStaged(ref.repartition(par), idCol, vecCol, "r",
         numPlanes, numTables, dim), Seq("tbl", "bucket"))

@@ -842,6 +842,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sig-only staging matches full-vector for self and cross dup pairs") {
+    import spark.implicits._
+    val mk = (seed: Int) => Array.tabulate(8)(d => math.sin(seed * 0.7 * (d + 1)).toFloat)
+    // 40 base vectors + 10 planted exact copies => real dup structure
+    // (seeds start at 1: mk(0) is the all-zero vector, norm 0)
+    val corpus = ((1 to 40).map(i => (i.toLong, mk(i))) ++
+      (1 to 10).map(i => (100L + i, mk(i * 3)))).toDF("id", "v")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = key(Similarity.lshCosineDupPairs(corpus, "id", "v", 0.99))
+    val sig = key(Similarity.lshCosineDupPairs(corpus, "id", "v", 0.99,
+      shuffleVectors = false))
+    assert(full == sig && full.nonEmpty)
+    val probe = corpus.filter($"id" >= 100L)
+      .select(($"id" + 1000L).as("id"), $"v")
+    val fullX = key(Similarity.crossCorpusCosineDupPairs(probe, corpus, "id", "v", 0.99))
+    val sigX = key(Similarity.crossCorpusCosineDupPairs(probe, corpus, "id", "v", 0.99,
+      shuffleVectors = false))
+    assert(fullX == sigX && fullX.nonEmpty)
+  }
+
   test("crossCorpusCosineDupPairs flags probe vectors already in the reference") {
     import spark.implicits._
     val mk = (seed: Int) => Array.tabulate(8)(d => math.sin(seed * 0.7 * (d + 1)).toFloat)
