@@ -68,6 +68,12 @@ def main():
             if ka != kb and {ka, kb} & {"i", "u", "f"} and not (
                     {ka, kb} <= {"i", "u"}):
                 dt_bad.append(f"{c}: spark={a[c].dtype} duck={b[c].dtype}")
+            elif ka == kb == "f" and a[c].dtype.itemsize != b[c].dtype.itemsize:
+                # f4 vs f8 shortest-repr rendering differs for values not
+                # exactly representable (1/3 -> '0.33333334' vs
+                # '0.3333333333333333') -- same divergence class
+                dt_bad.append(f"{c}: spark={a[c].dtype} duck={b[c].dtype}"
+                              " (float width)")
         if dt_bad:
             results[name] = ("DTYPE-MISMATCH (driver hash WILL diverge; cast "
                              "the oracle projection) " + "; ".join(dt_bad))

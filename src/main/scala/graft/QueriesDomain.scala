@@ -175,9 +175,18 @@ object QueriesDomain {
     "data_description" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_quantity", "l_returnflag")
       .dataDescription()),
+    // per-ROW invariants of the seeded noise (VERDICT r11 #8): clip bounds
+    // hold deterministically; |jit − qty| ≤ |z| (clip moves toward qty) and
+    // P(|z| > 6.5) ≈ 8e-11, so the 6.5 bound over 60k rows only trips on a
+    // real bug. This makes the main row hash-comparable; the distributional
+    // mean test lives in jitter_gate.
     "jitter" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .jitter("l_quantity", "qty_jit", scale = 1.0d, clip = Some((0d, 60d)))),
+      .jitter("l_quantity", "qty_jit", scale = 1.0d, clip = Some((0d, 60d)))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+        (col("qty_jit") >= 0d && col("qty_jit") <= 60d).as("in_clip"),
+        (abs(col("qty_jit") - col("l_quantity")) <= 6.5d).as("noise_bounded"))),
     // seeded randn can't be replayed in DuckDB; pin the properties instead,
     // like the ANN recall gates: row count, clip bounds, unbiased noise
     // (|mean shift| over 60k N(0,1) draws is ~0.004 — the 0.05 bound only
@@ -335,6 +344,11 @@ object QueriesDomain {
         |              l_discount + 0.01 AS p FROM lineitem))""".stripMargin,
     "jitter_gate" ->
       """SELECT count(*) AS n, TRUE AS clip_lo, TRUE AS clip_hi, TRUE AS unbiased
+        |FROM lineitem""".stripMargin,
+    "jitter" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+        |  TRUE AS in_clip, TRUE AS noise_bounded
         |FROM lineitem""".stripMargin
   )
 }

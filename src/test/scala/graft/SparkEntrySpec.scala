@@ -7,18 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("every oracle key has a query; rows-only residue is the documented trio") {
+  test("every oracle key has a query; rows-only residue is the documented duo") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).mkString(", ")}")
-    // queries without an oracle are rows-only: exactly the three approximate/
-    // seeded paths, each of which has an exact companion gate
-    assert((q -- o) == Set("jitter", "similarity_ivf_topk", "similarity_lsh_topk"),
+    // queries without an oracle are rows-only: exactly the two approximate
+    // ANN paths, each held by an exact recall companion gate (jitter joined
+    // the hash-compared set in round 12 via per-row invariant projections)
+    assert((q -- o) == Set("similarity_ivf_topk", "similarity_lsh_topk"),
       s"undocumented rows-only queries: ${(q -- o).mkString(", ")}")
   }
 
   test("gate size only grows (ratchet)") {
-    // round-8 closing size; bump intentionally when adding queries
-    assert(SparkEntry.queries.size >= 171, s"gate shrank: ${SparkEntry.queries.size}")
+    // round-12 closing size; bump intentionally when adding queries
+    assert(SparkEntry.queries.size >= 239, s"gate shrank: ${SparkEntry.queries.size}")
   }
 }
