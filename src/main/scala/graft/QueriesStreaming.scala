@@ -31,7 +31,7 @@ object QueriesStreaming {
     * creation races and dangling links from a removed target are absorbed
     * (NOFOLLOW existence check + catch on the create).
     */
-  private def streamDirFor(dir: String, table: String): String = {
+  private[graft] def streamDirFor(dir: String, table: String): String = {
     import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(dir, s"$table.parquet").toAbsolutePath.normalize()
     if (Files.isDirectory(src)) return src.toString

@@ -210,6 +210,16 @@ class EdgeCaseSpec extends SparkSpec {
       TimeseriesOps.rollingAggBanded(one, "id", "user", "ts", 3600L,
         Map("bad" -> ("v", "avg")))
     }
+    // aggregating a structural column must fail loudly: phantom rows null
+    // value columns by name, so count over the key would split a spurious
+    // null-keyed row (ADVICE r11)
+    for (structural <- Seq("id", "user", "ts")) {
+      val ex = intercept[IllegalArgumentException] {
+        TimeseriesOps.rollingAggBanded(one, "id", "user", "ts", 3600L,
+          Map("n" -> (structural, "count")))
+      }
+      assert(ex.getMessage.contains("structural column"))
+    }
     // the plan must stay a window+aggregate pipeline — no nested-loop join
     // is ever acceptable here (the rejected self-join mitigation was one)
     val plan = TimeseriesOps.rollingAggBanded(one, "id", "user", "ts", 3600L,

@@ -403,4 +403,28 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.keySet == Set(2L))
     assert(flagged(2L) >= 3L)
   }
+
+  test("streamDirFor: sanitized-path collisions get distinct dirs; stale links repoint") {
+    import java.nio.file.{Files, Paths}
+    // two distinct source paths whose SANITIZED forms collide ("/" and "_"
+    // both map to "_") must not share a symlink directory
+    val root = Files.createTempDirectory("graft-sdf").toString
+    val a = Files.createDirectories(Paths.get(root, "data", "a"))
+    val b = Files.createDirectories(Paths.get(root, "data_a"))
+    Files.write(a.resolve("events.parquet"), Array[Byte](1))
+    Files.write(b.resolve("events.parquet"), Array[Byte](2))
+    val dirA = QueriesStreaming.streamDirFor(a.toString, "events")
+    val dirB = QueriesStreaming.streamDirFor(b.toString, "events")
+    assert(dirA != dirB, s"collision: $dirA")
+    assert(Files.readAllBytes(Paths.get(dirA, "events.parquet")).head == 1)
+    assert(Files.readAllBytes(Paths.get(dirB, "events.parquet")).head == 2)
+    // a pre-existing link pointing at a DIFFERENT target is repointed, not
+    // silently reused
+    val link = Paths.get(dirA, "events.parquet")
+    Files.delete(link)
+    Files.createSymbolicLink(link, b.resolve("events.parquet"))
+    val dirA2 = QueriesStreaming.streamDirFor(a.toString, "events")
+    assert(dirA2 == dirA)
+    assert(Files.readAllBytes(Paths.get(dirA2, "events.parquet")).head == 1)
+  }
 }
