@@ -272,7 +272,22 @@ object QueriesStreaming {
         "gr_flag_jumps_stream", "append")
         .select(col("user_id"),
           round(col("value") * 100).cast("long").as("cents"),
-          col("jump")))
+          col("jump"))),
+    // the ingest form of the training pipeline: Gopher keep → benchmark
+    // decontamination (one-row broadcast fingerprint set, per-row
+    // ≥minShared intersect — same rule as batch decontaminate) → hash
+    // split, as ONE append-mode zero-state streaming plan. Benchmark =
+    // doc_id < 20, like the batch training_pipeline gate.
+    "training_pipeline_stream" -> ((s, d) =>
+      runToCompletion(
+        StreamingOps.prepareCorpusStream(
+          documentsStream(s, d).select("doc_id", "text"),
+          "doc_id", "text",
+          benchmark = Tables.documents(s, d).filter(col("doc_id") < 20)
+            .select("doc_id", "text"),
+          minShared = 3),
+        "gr_training_pipeline_stream", "append")
+        .select(col("doc_id"), col("n_tokens"), col("split")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +397,34 @@ object QueriesStreaming {
         |  CAST(round(value * 100) AS BIGINT) AS cents,
         |  CASE WHEN abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) > 10
         |    THEN 1 ELSE 0 END AS jump
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // Gopher keep + >=3-shared-winnow-fingerprint decontamination (benchmark
+    // = doc_id < 20) + md5-uniform 0.9/0.05/0.05 split — the same fragments
+    // as the batch training_pipeline oracle, minus its corpus-global
+    // dedup/chunk/shard stages (batch passes by nature)
+    "training_pipeline_stream" -> (QueriesLlm.winnowSql +
+      """, f AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        |bfp AS (SELECT DISTINCT fp FROM f WHERE doc_id < 20),
+        |contaminated AS (SELECT f.doc_id FROM f JOIN bfp USING (fp)
+        |  GROUP BY f.doc_id HAVING count(*) >= 3),
+        |gm AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS gw FROM documents),
+        |gq AS (SELECT doc_id, ntok FROM (
+        |  SELECT doc_id, len(gw) AS ntok,
+        |    CASE WHEN len(gw) > 0 THEN CAST(coalesce(list_sum(list_transform(gw, x -> length(x))), 0) AS DOUBLE) / len(gw) ELSE 0.0 END AS meanlen,
+        |    len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1 AS symbols,
+        |    len(list_filter(gw, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |    len(list_intersect(list_distinct(gw),
+        |      ['the','a','and','of','to','in','is','it','that','for'])) AS stops
+        |  FROM gm)
+        |  WHERE ntok >= 50 AND ntok <= 100000 AND meanlen >= 3.0 AND meanlen <= 10.0
+        |    AND CAST(symbols AS DOUBLE) / ntok <= 0.1
+        |    AND CAST(alpha AS DOUBLE) / ntok >= 0.8 AND stops >= 2)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CASE WHEN u < 0.9 THEN 'train'
+        |       WHEN u < 0.9 + 0.05 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, ntok,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS u FROM gq
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin)
   )
 }

@@ -410,6 +410,18 @@ object Dedup {
     * a distributed inverted index. Short docs (< shingleN + window - 1
     * tokens) yield no fingerprints, mirroring the empty-shingle contract.
     */
+  /** Per-document winnowing fingerprint SET as a single array column — the
+    * two codegen kernels (gram hashing + O(n) monotonic-deque window
+    * minima) without the explode, for callers that flag per row instead of
+    * building an inverted index (the streaming corpus-prep pipeline).
+    */
+  def winnowFpArray(text: Column, shingleN: Int = 3,
+      window: Int = 4): Column = {
+    val hashes = graft.functions.vector.gram_hash48(
+      coalesce(tokens(text), array().cast("array<string>")), shingleN)
+    array_distinct(graft.functions.vector.window_min(hashes, window))
+  }
+
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, window: Int = 4): DataFrame = {
     // the whole per-document pipeline is two codegen kernels: gram hashing
@@ -418,9 +430,7 @@ object Dedup {
     // Small parquet inputs arrive as one partition; the hashing is the
     // dominant narrow cost — spread it.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val hashes = graft.functions.vector.gram_hash48(
-      coalesce(tokens(col(textCol)), array().cast("array<string>")), shingleN)
-    val fps = array_distinct(graft.functions.vector.window_min(hashes, window))
+    val fps = winnowFpArray(col(textCol), shingleN, window)
     // streaming frames keep their micro-batch partitioning (the narrow
     // kernel pipeline runs as-is on a stream — see StreamingOps)
     val spread = if (df.isStreaming) df else df.repartition(par)

@@ -416,6 +416,54 @@ object StreamingOps {
       .drop((by.map(c => s"__by_$c") :+ "__t_end"): _*)
   }
 
+  /** Streaming corpus-prep pipeline — the ingest form of
+    * [[graft.llm.Pipeline.prepareCorpus]]: the per-document filter chain a
+    * crawl shard passes through as it ARRIVES, before any corpus-global
+    * batch pass. One append-mode plan with ZERO streaming state:
+    *
+    *   Gopher quality keep (narrow codegen flags)
+    *   → benchmark decontamination: the benchmark's winnow-fingerprint SET
+    *     is folded to ONE static row (collect_set) and broadcast-joined on
+    *     a constant key, so the per-doc test is
+    *     `size(array_intersect(doc_fps, bench_fps)) < minShared` — exactly
+    *     [[graft.llm.Dedup.decontaminate]]'s ≥minShared-shared-fingerprints
+    *     rule, per row, no aggregation, no state
+    *   → deterministic content-hash train/val/test split
+    *
+    * Corpus-GLOBAL passes (exact/near dedup election, line dedup,
+    * ExactSubstr) stay batch by nature — their streaming twins
+    * ([[dedupStream]], [[dedupLinesStream]], [[nearDupFlags]]) are separate
+    * verbs with their own state contracts. Per-batch cost is O(batch);
+    * the broadcast benchmark set is the curated (small) side by
+    * construction, same contract as [[contaminationFlags]]. The clean
+    * stage (strip HTML / normalize URLs / scrub PII) is a stateless narrow
+    * projection — compose it upstream with the batch verbs, which run
+    * unchanged on streams. Emits (idCol, textCol, n_tokens, split).
+    */
+  def prepareCorpusStream(stream: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, minShared: Int = 3,
+      splitWeights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: Long = 42L): DataFrame = {
+    import graft.llm.{Dedup, Sampling, TextAnalysis}
+    // one static row: the benchmark's full distinct fingerprint set
+    val benchFps = Dedup.winnowFingerprints(benchmark, idCol, textCol)
+      .agg(collect_set(col("fp")).as("__bench_fps"))
+      .withColumn("__one", lit(1))
+    val kept = stream
+      .withColumn("__g", TextAnalysis.gopherQualityFlags(col(s"`$textCol`")))
+      .filter(col("__g.keep")).drop("__g")
+      .withColumn("__one", lit(1))
+      .join(broadcast(benchFps), Seq("__one"))
+      .filter(size(array_intersect(
+        Dedup.winnowFpArray(col(s"`$textCol`")),
+        col("__bench_fps"))) < minShared)
+      .drop("__one", "__bench_fps")
+      .withColumn("n_tokens",
+        size(Dedup.tokens(col(s"`$textCol`"))).cast("long"))
+    Sampling.hashSplit(kept, idCol, splitWeights, "split", seed)
+  }
+
   /** Per-key jump flag against the previous value — streaming flag_jumps
     * (batch form: lag window, SURVEY §2.12). Processing-order within a key;
     * pair with event-time sorting upstream for strict event order.

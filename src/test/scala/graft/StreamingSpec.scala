@@ -404,6 +404,43 @@ class StreamingSpec extends SparkSpec {
     assert(flagged(2L) >= 3L)
   }
 
+  test("prepareCorpusStream: gopher keep + decontaminate + split, zero state, batch parity") {
+    implicit val sq = spark.sqlContext
+    // a "good" doc: >=50 alpha tokens, >=2 distinct stopwords, mean token
+    // length inside the Gopher band
+    val good = (1 to 60).map(i => s"the quick word$i and").mkString(" ")
+    // varied shingles so the benchmark yields many distinct fingerprints
+    val bench = (1 to 40).map(i => s"benchmark of passage unit$i the").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, good),                       // survives
+      (2L, "short junk"),               // gopher-dropped (< 50 tokens)
+      (3L, bench + " " + good))         // contaminated (shares bench fps)
+    val benchmark = Seq((100L, bench)).toDF("doc_id", "text")
+    val outDf = StreamingOps.prepareCorpusStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", benchmark)
+    val out = runToCompletion(outDf, "prep_corpus_out")
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getString(3))).toMap
+    assert(byId.keySet == Set(1L))
+    assert(byId(1L)._1 == 240L) // 60 units x 4 tokens
+    assert(Set("train", "val", "test").contains(byId(1L)._2))
+    // zero streaming state: the executed plan must carry no stateful op
+    val q = outDf.writeStream.format("memory").queryName("prep_corpus_plan")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val lastProg = q.lastProgress
+    q.stop()
+    assert(lastProg.stateOperators.isEmpty,
+      s"expected stateless plan, got ${lastProg.stateOperators.length} state ops")
+    // batch parity on the same rows
+    val batch = Seq((1L, good), (2L, "short junk"), (3L, bench + good))
+      .toDF("doc_id", "text")
+    val batchOut = StreamingOps.prepareCorpusStream(batch, "doc_id", "text",
+      benchmark).collect().map(r => r.getLong(0)).toSet
+    assert(batchOut == Set(1L))
+  }
+
   test("streamDirFor: sanitized-path collisions get distinct dirs; stale links repoint") {
     import java.nio.file.{Files, Paths}
     // two distinct source paths whose SANITIZED forms collide ("/" and "_"
