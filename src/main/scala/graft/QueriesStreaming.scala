@@ -259,16 +259,18 @@ object QueriesStreaming {
         .agg(count(lit(1)).as("n_rows"),
           max(col("cum_unique")).as("final_unique"),
           min(col("cum_unique")).as("first_unique"))),
-    // streaming flag_jumps (per-key previous-value state): events.parquet
-    // is globally ts-sorted with no (user_id, ts) ties and arrives as one
-    // file-source split, so per-key processing order == event-time order
-    // and the per-row flags are held to the batch lag-window oracle.
+    // streaming flag_jumps (per-key previous-value state): the epoch-micros
+    // order column sorts each batch's rows per key by EVENT time before
+    // folding, so the per-row flags match the batch lag-window oracle
+    // regardless of how many source splits the shuffle merges ((user_id,
+    // ts) is unique in the generator, so the order is total).
     // Integer-cents projection per the driver-hash policy.
     "flag_jumps_stream" -> ((s, d) =>
       runToCompletion(
         StreamingOps.flagJumps(
-          eventsStream(s, d).select("user_id", "value"),
-          "user_id", "value", threshold = 10.0),
+          eventsStream(s, d).select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us")),
+          "user_id", "value", threshold = 10.0, orderCol = Some("ts_us")),
         "gr_flag_jumps_stream", "append")
         .select(col("user_id"),
           round(col("value") * 100).cast("long").as("cents"),

@@ -344,7 +344,11 @@ object Multimodal {
       var filled = 0
       while (filled < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, filled, raw.length - filled)
-        if (n == 0 && inflater.needsInput()) return null // truncated stream
+        // truncated stream, OR a zlib header demanding a preset dictionary
+        // (FDICT) we'll never supply — inflate() then returns 0 forever
+        // without throwing, so bailing here is what prevents a task hang
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return null
         filled += n
       }
       inflater.end()

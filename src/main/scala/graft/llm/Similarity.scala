@@ -135,7 +135,9 @@ object Similarity {
       // per side keyed by id. At wide dims / many tables this cuts exchange
       // bytes by ~numTables×; at gate scale the two extra joins dominate —
       // measured in SF1_SMOKE.md (round 12), default stays full-vector.
-      val base = df.repartition(par).filter(size(col(s"`$vecCol`")) === dim)
+      // no size filter: the full-vector self path stages every vector, so
+      // the opt-in path must see the same rows to return the same pairs
+      val base = df.repartition(par)
         .select(col(s"`$idCol`").as("id"), col(s"`$vecCol`").as("v"),
           norm(col(s"`$vecCol`")).as("n"))
       val sig = base.select(col("id"),
@@ -154,6 +156,9 @@ object Similarity {
           dot(col("v1"), col("v2")) / (col("n1") * col("n2")), roundTo))
         .filter(col("sim") >= threshold)
         .select(col("id1"), col("id2"), col("sim"))
+        // duplicated ids fan candidate pairs back out through the fetch
+        // joins — re-dedup so both modes return the same row set
+        .dropDuplicates("id1", "id2")
     }
     val e = df.repartition(par).select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"),
@@ -223,6 +228,9 @@ object Similarity {
           dot(col("v_p"), col("v_r")) / (col("n_p") * col("n_r")), roundTo))
         .filter(col("sim") >= threshold)
         .select(col("id_p").as("id1"), col("id_r").as("id2"), col("sim"))
+        // duplicated ids fan candidate pairs back out through the fetch
+        // joins — re-dedup so both modes return the same row set
+        .dropDuplicates("id1", "id2")
     }
     lshStaged(probe.repartition(par), idCol, vecCol, "p", numPlanes, numTables, dim)
       .join(lshStaged(ref.repartition(par), idCol, vecCol, "r",

@@ -446,47 +446,63 @@ object StreamingOps {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       seed: Long = 42L): DataFrame = {
     import graft.llm.{Dedup, Sampling, TextAnalysis}
-    // one static row: the benchmark's full distinct fingerprint set
-    val benchFps = Dedup.winnowFingerprints(benchmark, idCol, textCol)
-      .agg(collect_set(col("fp")).as("__bench_fps"))
-      .withColumn("__one", lit(1))
+    // collect the benchmark's distinct fingerprint set ONCE, at plan-build
+    // time, into a literal — a stream-static join against the aggregate
+    // would re-winnow the whole benchmark on EVERY micro-batch (static
+    // sides of stream-static joins re-evaluate per batch); as a literal
+    // the set ships once with the plan, same contract as the Bloom filter
+    // in contaminationFlagsBloom
+    val benchFps: Array[Long] = Dedup
+      .winnowFingerprints(benchmark, idCol, textCol)
+      .select(col("fp")).distinct()
+      .collect().map(_.getLong(0))
     val kept = stream
       .withColumn("__g", TextAnalysis.gopherQualityFlags(col(s"`$textCol`")))
       .filter(col("__g.keep")).drop("__g")
-      .withColumn("__one", lit(1))
-      .join(broadcast(benchFps), Seq("__one"))
       .filter(size(array_intersect(
         Dedup.winnowFpArray(col(s"`$textCol`")),
-        col("__bench_fps"))) < minShared)
-      .drop("__one", "__bench_fps")
+        typedLit(benchFps))) < minShared)
       .withColumn("n_tokens",
         size(Dedup.tokens(col(s"`$textCol`"))).cast("long"))
     Sampling.hashSplit(kept, idCol, splitWeights, "split", seed)
   }
 
   /** Per-key jump flag against the previous value — streaming flag_jumps
-    * (batch form: lag window, SURVEY §2.12). Processing-order within a key;
-    * pair with event-time sorting upstream for strict event order.
+    * (batch form: lag window, SURVEY §2.12). With `orderCol` (an
+    * event-time/sequence column) each micro-batch's rows are sorted per key
+    * BEFORE folding, so the flags follow event order regardless of shuffle
+    * arrival order — the multi-split/multi-file case where processing order
+    * is nondeterministic; across batches the state carries the last seen
+    * value (standard streaming-lag semantics). Without it, pure
+    * processing order.
     */
   def flagJumps(stream: DataFrame, keyCol: String, valueCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, orderCol: Option[String] = None): DataFrame = {
     implicit val stateEnc: Encoder[Double] = Encoders.scalaDouble
     implicit val outEnc: Encoder[(String, Double, Int)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaDouble, Encoders.scalaInt)
-    implicit val rowEnc: Encoder[(String, Double)] =
-      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
-    stream.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
-      .as[(String, Double)]
+    implicit val rowEnc: Encoder[(String, Long, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
+    // (a constant when no order is asked — monotonically_increasing_id is
+    // rejected on streaming plans, and the no-order path never sorts)
+    val ord = orderCol.map(c => col(s"`$c`").cast("long")).getOrElse(lit(0L))
+    stream.select(col(s"`$keyCol`").cast("string"), ord.as("__ord"),
+        col(s"`$valueCol`").cast("double"))
+      .as[(String, Long, Double)]
       .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[Double, (String, Double, Int)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[Double]) =>
           var prev = state.getOption
-          val out = rows.map { case (_, v) =>
+          // buffering is per (key, batch) — the same footprint the output
+          // list already has; sort only when an explicit order was asked
+          val seq = if (orderCol.isDefined) rows.toSeq.sortBy(_._2)
+            else rows.toSeq
+          val out = seq.map { case (_, _, v) =>
             val jump = prev.exists(p => math.abs(v - p) > threshold)
             prev = Some(v)
             (key, v, if (jump) 1 else 0)
-          }.toList
+          }
           prev.foreach(state.update)
           out.iterator
       }

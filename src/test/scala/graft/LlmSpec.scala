@@ -846,11 +846,14 @@ class LlmSpec extends SparkSpec {
     import spark.implicits._
     val mk = (seed: Int) => Array.tabulate(8)(d => math.sin(seed * 0.7 * (d + 1)).toFloat)
     // 40 base vectors + 10 planted exact copies => real dup structure
-    // (seeds start at 1: mk(0) is the all-zero vector, norm 0)
+    // (seeds start at 1: mk(0) is the all-zero vector, norm 0); id 5 is
+    // DUPLICATED — dup ids fan candidate pairs out through the sig-only
+    // fetch joins, so the compare must be a multiset, not a set
     val corpus = ((1 to 40).map(i => (i.toLong, mk(i))) ++
-      (1 to 10).map(i => (100L + i, mk(i * 3)))).toDF("id", "v")
+      (1 to 10).map(i => (100L + i, mk(i * 3))) :+ (5L, mk(5))).toDF("id", "v")
     def key(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(identity).map { case (k, vs) => k -> vs.length }
     val full = key(Similarity.lshCosineDupPairs(corpus, "id", "v", 0.99))
     val sig = key(Similarity.lshCosineDupPairs(corpus, "id", "v", 0.99,
       shuffleVectors = false))
@@ -921,6 +924,15 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.pngFeaturesKernel(badFilt) == null)
     // truncated mid-chunk
     assert(Multimodal.pngFeaturesKernel(valid.take(50)) == null)
+    // zlib FDICT header (0x78 0x20 passes the %31 check with the
+    // preset-dictionary bit set): inflate() returns 0 forever WITHOUT
+    // throwing — must return null, not spin the task
+    val idatAt = valid.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    assert(idatAt > 0)
+    val fdict = valid.clone()
+    fdict(idatAt + 4) = 0x78.toByte
+    fdict(idatAt + 5) = 0x20.toByte
+    assert(Multimodal.pngFeaturesKernel(fdict) == null)
     // and the untouched container still decodes
     assert(Multimodal.pngFeaturesKernel(valid) != null)
   }

@@ -219,6 +219,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("k") === "j").collect().map(_.getInt(2)).toSeq == Seq(0))
   }
 
+  test("flagJumps with orderCol follows event order, not arrival order") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    // arrival order scrambled: event order by seq is 1.0 -> 2.0 -> 50.0,
+    // so exactly one jump (2.0 -> 50.0); arrival order 50.0 -> 1.0 -> 2.0
+    // would flag 50.0 -> 1.0 instead
+    in.addData(("k", 3L, 50.0), ("k", 1L, 1.0), ("k", 2L, 2.0))
+    val out = runToCompletion(
+      StreamingOps.flagJumps(in.toDF().toDF("k", "seq", "v"), "k", "v",
+        threshold = 10.0, orderCol = Some("seq")),
+      "jumps_ord_out")
+    val byV = out.collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(byV == Map(1.0 -> 0, 2.0 -> 0, 50.0 -> 1))
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
