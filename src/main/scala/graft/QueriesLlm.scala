@@ -567,6 +567,30 @@ object QueriesLlm {
       graft.llm.Sampling.shardByTokenBudget(chunks, "ord", "n_tokens", 4096L)
         .select("id", "chunk_id", "n_tokens", "shard")
     }),
+    // incremental corpus growth with per-row audit verdicts: a synthetic
+    // shard plants one row per reject class (exact copies of the corpus,
+    // near copies, within-shard exact twins, within-shard near pairs built
+    // from 30-token prefixes so they are NOT near the corpus) plus novel
+    // rows; every status decision is held to the exhaustive oracle
+    "add_shard" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val w = split(col("text"), "\\s+")
+      val prefix30 = concat_ws(" ", slice(w, 1, 30))
+      def part(lo: Int, hi: Int, off: Long, t: org.apache.spark.sql.Column) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select((col("doc_id") + off).as("doc_id"), t.as("text"))
+      val longEnough = docs.filter(size(w) >= 40)
+      def partLong(lo: Int, hi: Int, off: Long, t: org.apache.spark.sql.Column) =
+        longEnough.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select((col("doc_id") + off).as("doc_id"), t.as("text"))
+      val shard = part(0, 10, 200000L, col("text"))
+        .unionAll(part(10, 20, 210000L, concat(col("text"), lit(" extraword"))))
+        .unionAll(part(20, 25, 220000L, concat(col("text"), lit(" zzuniq"))))
+        .unionAll(part(20, 25, 230000L, concat(col("text"), lit(" zzuniq"))))
+        .unionAll(partLong(25, 30, 240000L, prefix30))
+        .unionAll(partLong(25, 30, 250000L, concat(prefix30, lit(" tailword"))))
+      graft.llm.Pipeline.addShard(docs, shard, "doc_id", "text", threshold = 0.8)
+    }),
     "corpus_report" -> ((s, d) =>
       microCols(graft.llm.TextAnalysis.corpusReport(documents(s, d), "text",
         byCol = Some("source")),
@@ -737,6 +761,58 @@ object QueriesLlm {
          |FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
          |GROUP BY c.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> wrapJ(jaccardPairsBoundedSql),
+    "add_shard" ->
+      """WITH RECURSIVE
+        |docs AS (SELECT doc_id, text FROM documents),
+        |dw AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM docs),
+        |shard AS (
+        |  SELECT doc_id + 200000 AS id, text FROM docs WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 210000, text || ' extraword' FROM docs
+        |    WHERE doc_id >= 10 AND doc_id < 20
+        |  UNION ALL SELECT doc_id + 220000, text || ' zzuniq' FROM docs
+        |    WHERE doc_id >= 20 AND doc_id < 25
+        |  UNION ALL SELECT doc_id + 230000, text || ' zzuniq' FROM docs
+        |    WHERE doc_id >= 20 AND doc_id < 25
+        |  UNION ALL SELECT doc_id + 240000, array_to_string(w[1:30], ' ') FROM dw
+        |    WHERE doc_id >= 25 AND doc_id < 30 AND len(w) >= 40
+        |  UNION ALL SELECT doc_id + 250000, array_to_string(w[1:30], ' ') || ' tailword' FROM dw
+        |    WHERE doc_id >= 25 AND doc_id < 30 AND len(w) >= 40),
+        |e1 AS (SELECT id, md5(text) AS h,
+        |  min(id) OVER (PARTITION BY md5(text)) AS minid FROM shard),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM docs),
+        |flags12 AS (SELECT e1.id, (e1.id != e1.minid) AS exact_shard,
+        |  (ch.h IS NOT NULL) AS exact_corpus FROM e1 LEFT JOIN ch USING (h)),
+        |surv12 AS (SELECT s.id, s.text FROM shard s JOIN flags12 f ON s.id = f.id
+        |  WHERE NOT f.exact_shard AND NOT f.exact_corpus),
+        |ssh AS (SELECT id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT id, string_split_regex(lower(text), '\s+') AS w FROM surv12)),
+        |pairs AS (SELECT a.id AS id1, b.id AS id2 FROM ssh a JOIN ssh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clusters AS (SELECT s.id, least(s.id, coalesce(min(r.b), s.id)) AS cluster
+        |  FROM surv12 s LEFT JOIN reach r ON r.a = s.id GROUP BY s.id),
+        |kept3 AS (SELECT id FROM clusters WHERE id = cluster),
+        |csh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM docs)),
+        |near4 AS (SELECT DISTINCT a.id FROM ssh a JOIN kept3 USING (id) CROSS JOIN csh c
+        |  WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))) >= 0.8)
+        |SELECT s.id AS doc_id, CASE
+        |  WHEN f.exact_shard THEN 'dup_exact_shard'
+        |  WHEN f.exact_corpus THEN 'dup_exact_corpus'
+        |  WHEN k.id IS NULL THEN 'dup_near_shard'
+        |  WHEN n.id IS NOT NULL THEN 'dup_near_corpus'
+        |  ELSE 'accepted' END AS status
+        |FROM shard s JOIN flags12 f ON s.id = f.id
+        |LEFT JOIN kept3 k ON s.id = k.id
+        |LEFT JOIN near4 n ON s.id = n.id""".stripMargin,
     "dedup_near" ->
       s"""WITH RECURSIVE corpus AS (
          |  $corpusSql

@@ -74,4 +74,63 @@ object Pipeline {
       else decontaminated
     Sampling.hashSplit(bucketed, idCol, splitWeights, "split", seed)
   }
+
+  /** Incremental corpus growth — the continuous-crawl maintenance loop:
+    * which rows of a NEW shard may be appended to an existing deduped
+    * corpus, and why each rejected row was rejected. Every shard row gets
+    * a `status` verdict, first-applicable in pipeline order:
+    *
+    *   `dup_exact_shard`  — another shard row with a smaller id has
+    *                         byte-identical text (within-shard election)
+    *   `dup_exact_corpus` — the text already exists in the corpus
+    *   `dup_near_shard`   — non-canonical member of a within-shard
+    *                         near-dup cluster ([[Dedup.dedupNear]]
+    *                         min-reachable-id election, MinHash-LSH)
+    *   `dup_near_corpus`  — near-duplicate (Jaccard ≥ `threshold`) of a
+    *                         corpus row ([[Dedup.crossCorpusDupPairs]]
+    *                         banded probe⋈ref join)
+    *   `accepted`         — novel; safe to append
+    *
+    * The audit column is the point: silent row loss is the classic
+    * corpus-maintenance failure, and each stage reuses the corresponding
+    * individually-gated operator, so the composition inherits their
+    * bucketed 100 TB shapes (hash groupBys, anti-joins, band joins —
+    * nothing corpus-quadratic). Emits one row per input shard row:
+    * (idCol, status).
+    */
+  def addShard(corpus: DataFrame, shard: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8): DataFrame = {
+    val hashed = shard.select(col(s"`$idCol`").as("__id"),
+        col(s"`$textCol`").as("__text"))
+      .withColumn("__h", md5(col("__text").cast("binary")))
+    val minIds = hashed.groupBy("__h").agg(min(col("__id")).as("__minid"))
+    val corpusH = corpus
+      .select(md5(col(s"`$textCol`").cast("binary")).as("__h"))
+      .distinct().withColumn("__in_corpus", lit(true))
+    val staged = hashed.join(minIds, Seq("__h"))
+      .withColumn("__exact_shard", col("__id") =!= col("__minid"))
+      .join(corpusH, Seq("__h"), "left")
+    val surv12 = staged
+      .filter(!col("__exact_shard") && col("__in_corpus").isNull)
+      .select(col("__id").as(idCol), col("__text").as(textCol))
+    // canonical election within the shard (keeps cluster canonicals)
+    val kept3 = Dedup.dedupNear(surv12, idCol, textCol, threshold)
+      .select(col(s"`$idCol`").as("__id")).withColumn("__near_keep", lit(true))
+    val kept3Rows = surv12.select(col(s"`$idCol`").as("__id"),
+        col(s"`$textCol`").as("__text"))
+      .join(kept3.select("__id"), Seq("__id"), "left_semi")
+    val flagged4 = Dedup.crossCorpusDupPairs(
+        kept3Rows.select(col("__id").as(idCol), col("__text").as(textCol)),
+        idCol, textCol, corpus, idCol, textCol, threshold)
+      .select(col("id1").as("__id")).distinct()
+      .withColumn("__near_corpus", lit(true))
+    staged.join(kept3, Seq("__id"), "left")
+      .join(flagged4, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        when(col("__exact_shard"), "dup_exact_shard")
+          .when(col("__in_corpus"), "dup_exact_corpus")
+          .when(col("__near_keep").isNull, "dup_near_shard")
+          .when(col("__near_corpus"), "dup_near_corpus")
+          .otherwise("accepted").as("status"))
+  }
 }
