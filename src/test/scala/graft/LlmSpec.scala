@@ -132,6 +132,35 @@ class LlmSpec extends SparkSpec {
     assert(sub.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("addShard: verdicts partition the shard; appending accepted rows closes the loop") {
+    import graft.llm.Pipeline
+    val mkDoc = (seed: Int) => (1 to 50)
+      .map(i => s"tok${seed}x$i the and of").mkString(" ")
+    val corpus = (1 to 8).map(i => (i.toLong, mkDoc(i))).toDF("id", "text")
+    val shard = Seq(
+      (101L, mkDoc(1)),                   // exact copy of corpus 1
+      (102L, mkDoc(2) + " extraword"),    // near corpus 2
+      (103L, mkDoc(50)), (104L, mkDoc(50)),          // within-shard twins
+      (105L, mkDoc(60)), (106L, mkDoc(60) + " tail") // within-shard near pair
+    ).toDF("id", "text")
+    val verdicts = Pipeline.addShard(corpus, shard, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts == Map(
+      101L -> "dup_exact_corpus", 102L -> "dup_near_corpus",
+      103L -> "accepted", 104L -> "dup_exact_shard",
+      105L -> "accepted", 106L -> "dup_near_shard"))
+    // closing the loop: append the accepted rows, re-offer the same shard
+    // (new ids) — nothing may be accepted twice
+    val accepted = shard.join(
+      Pipeline.addShard(corpus, shard, "id", "text")
+        .filter(col("status") === "accepted").select("id"), Seq("id"))
+    val corpus2 = corpus.unionAll(accepted)
+    val reoffer = shard.select((col("id") + 1000L).as("id"), col("text"))
+    val second = Pipeline.addShard(corpus2, reoffer, "id", "text")
+      .collect().map(_.getString(1)).toSet
+    assert(!second.contains("accepted"))
+  }
+
   test("LLM verbs chain through the syntax surface") {
     import graft.syntax._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
