@@ -777,9 +777,9 @@ object QueriesLlm {
         |    WHERE doc_id >= 25 AND doc_id < 30 AND len(w) >= 40
         |  UNION ALL SELECT doc_id + 250000, array_to_string(w[1:30], ' ') || ' tailword' FROM dw
         |    WHERE doc_id >= 25 AND doc_id < 30 AND len(w) >= 40),
-        |e1 AS (SELECT id, md5(text) AS h,
-        |  min(id) OVER (PARTITION BY md5(text)) AS minid FROM shard),
-        |ch AS (SELECT DISTINCT md5(text) AS h FROM docs),
+        |e1 AS (SELECT id, coalesce(md5(text), '__gr_null_text__') AS h,
+        |  min(id) OVER (PARTITION BY coalesce(md5(text), '__gr_null_text__')) AS minid FROM shard),
+        |ch AS (SELECT DISTINCT coalesce(md5(text), '__gr_null_text__') AS h FROM docs),
         |flags12 AS (SELECT e1.id, (e1.id != e1.minid) AS exact_shard,
         |  (ch.h IS NOT NULL) AS exact_corpus FROM e1 LEFT JOIN ch USING (h)),
         |surv12 AS (SELECT s.id, s.text FROM shard s JOIN flags12 f ON s.id = f.id

@@ -259,27 +259,28 @@ object QueriesStreaming {
         .agg(count(lit(1)).as("n_rows"),
           max(col("cum_unique")).as("final_unique"),
           min(col("cum_unique")).as("first_unique"))),
-    // streaming flag_jumps (per-key previous-value state): the epoch-micros
-    // order column sorts each batch's rows per key by EVENT time before
-    // folding, so the per-row flags match the batch lag-window oracle
-    // regardless of how many source splits the shuffle merges ((user_id,
-    // ts) is unique in the generator, so the order is total).
-    // Integer-cents projection per the driver-hash policy.
+    // streaming flag_jumps (per-key previous-value state): ordered by
+    // event_id, which the generator assigns in strict ts order and which is
+    // UNIQUE — a total order at any timestamp resolution (ordering by ts
+    // itself would tie on the nanos-as-long variant after the micros
+    // normalization and fall back to shuffle-arrival order). The oracle
+    // orders by the same column. Integer-cents projection per the
+    // driver-hash policy.
     "flag_jumps_stream" -> ((s, d) =>
       runToCompletion(
         StreamingOps.flagJumps(
-          eventsStream(s, d).select(col("user_id"), col("value"),
-            unix_micros(col("ts")).as("ts_us")),
-          "user_id", "value", threshold = 10.0, orderCol = Some("ts_us")),
+          eventsStream(s, d).select(col("user_id"), col("value"), col("event_id")),
+          "user_id", "value", threshold = 10.0, orderCol = Some("event_id")),
         "gr_flag_jumps_stream", "append")
         .select(col("user_id"),
           round(col("value") * 100).cast("long").as("cents"),
           col("jump"))),
     // the ingest form of the training pipeline: Gopher keep → benchmark
-    // decontamination (one-row broadcast fingerprint set, per-row
-    // ≥minShared intersect — same rule as batch decontaminate) → hash
-    // split, as ONE append-mode zero-state streaming plan. Benchmark =
-    // doc_id < 20, like the batch training_pipeline gate.
+    // decontamination (the benchmark's fingerprint set collected once at
+    // plan-build time into a literal; per-row ≥minShared intersect — same
+    // rule as batch decontaminate) → hash split, as ONE append-mode
+    // zero-state streaming plan. Benchmark = doc_id < 20, like the batch
+    // training_pipeline gate.
     "training_pipeline_stream" -> ((s, d) =>
       runToCompletion(
         StreamingOps.prepareCorpusStream(
@@ -397,7 +398,7 @@ object QueriesStreaming {
     "flag_jumps_stream" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id,
         |  CAST(round(value * 100) AS BIGINT) AS cents,
-        |  CASE WHEN abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) > 10
+        |  CASE WHEN abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id)) > 10
         |    THEN 1 ELSE 0 END AS jump
         |FROM events""".stripMargin,
     // Gopher keep + >=3-shared-winnow-fingerprint decontamination (benchmark

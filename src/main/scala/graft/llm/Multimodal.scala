@@ -342,16 +342,20 @@ object Multimodal {
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(idat.toByteArray)
       var filled = 0
-      while (filled < raw.length && !inflater.finished()) {
-        val n = inflater.inflate(raw, filled, raw.length - filled)
-        // truncated stream, OR a zlib header demanding a preset dictionary
-        // (FDICT) we'll never supply — inflate() then returns 0 forever
-        // without throwing, so bailing here is what prevents a task hang
-        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
-          return null
-        filled += n
-      }
-      inflater.end()
+      // end() in finally: this is a per-row kernel, and every early return
+      // (malformed stream) would otherwise leak the native zlib buffers
+      // until finalization — real memory pressure on a hostile corpus scan
+      try {
+        while (filled < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, filled, raw.length - filled)
+          // truncated stream, OR a zlib header demanding a preset dictionary
+          // (FDICT) we'll never supply — inflate() then returns 0 forever
+          // without throwing, so bailing here is what prevents a task hang
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+            return null
+          filled += n
+        }
+      } finally inflater.end()
       if (filled < raw.length) return null
       val px = new Array[Int](h * stride)
       var y = 0

@@ -100,27 +100,38 @@ object Pipeline {
     */
   def addShard(corpus: DataFrame, shard: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8): DataFrame = {
+    // null-safe content hash: md5(null) is null and null join keys never
+    // match, which would silently DROP null-text shard rows from the audit
+    // — the exact row loss this operator exists to prevent. Null text
+    // hashes to a sentinel, so null-text rows elect a representative among
+    // themselves and match null-text corpus rows.
+    def contentHash(c: Column): Column =
+      coalesce(md5(c.cast("binary")), lit("__gr_null_text__"))
+    // staged/surv12 feed 4 downstream consumers (election, cross pairs,
+    // final verdict join) — pin them like the sibling dedup operators do
     val hashed = shard.select(col(s"`$idCol`").as("__id"),
         col(s"`$textCol`").as("__text"))
-      .withColumn("__h", md5(col("__text").cast("binary")))
+      .withColumn("__h", contentHash(col("__text")))
     val minIds = hashed.groupBy("__h").agg(min(col("__id")).as("__minid"))
     val corpusH = corpus
-      .select(md5(col(s"`$textCol`").cast("binary")).as("__h"))
+      .select(contentHash(col(s"`$textCol`")).as("__h"))
       .distinct().withColumn("__in_corpus", lit(true))
     val staged = hashed.join(minIds, Seq("__h"))
       .withColumn("__exact_shard", col("__id") =!= col("__minid"))
       .join(corpusH, Seq("__h"), "left")
+      .localCheckpoint(eager = false)
     val surv12 = staged
       .filter(!col("__exact_shard") && col("__in_corpus").isNull)
       .select(col("__id").as(idCol), col("__text").as(textCol))
-    // canonical election within the shard (keeps cluster canonicals)
-    val kept3 = Dedup.dedupNear(surv12, idCol, textCol, threshold)
-      .select(col(s"`$idCol`").as("__id")).withColumn("__near_keep", lit(true))
-    val kept3Rows = surv12.select(col(s"`$idCol`").as("__id"),
-        col(s"`$textCol`").as("__text"))
-      .join(kept3.select("__id"), Seq("__id"), "left_semi")
+      .localCheckpoint(eager = false)
+    // canonical election within the shard: dedupNear returns the kept rows
+    // WITH their text — bind once and reuse for both the flag and the
+    // cross-corpus probe instead of re-deriving via an extra join
+    val kept3Df = Dedup.dedupNear(surv12, idCol, textCol, threshold)
+    val kept3 = kept3Df.select(col(s"`$idCol`").as("__id"))
+      .withColumn("__near_keep", lit(true))
     val flagged4 = Dedup.crossCorpusDupPairs(
-        kept3Rows.select(col("__id").as(idCol), col("__text").as(textCol)),
+        kept3Df.select(col(s"`$idCol`"), col(s"`$textCol`")),
         idCol, textCol, corpus, idCol, textCol, threshold)
       .select(col("id1").as("__id")).distinct()
       .withColumn("__near_corpus", lit(true))

@@ -484,8 +484,16 @@ object StreamingOps {
     implicit val rowEnc: Encoder[(String, Long, Double)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
     // (a constant when no order is asked — monotonically_increasing_id is
-    // rejected on streaming plans, and the no-order path never sorts)
-    val ord = orderCol.map(c => col(s"`$c`").cast("long")).getOrElse(lit(0L))
+    // rejected on streaming plans, and the no-order path never sorts).
+    // Timestamps convert via unix_micros: a bare cast('long') would
+    // truncate to whole SECONDS, re-introducing the tie-order bug the
+    // parameter exists to fix.
+    val ord = orderCol.map { c =>
+      stream.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(s"`$c`"))
+        case _ => col(s"`$c`").cast("long")
+      }
+    }.getOrElse(lit(0L))
     stream.select(col(s"`$keyCol`").cast("string"), ord.as("__ord"),
         col(s"`$valueCol`").cast("double"))
       .as[(String, Long, Double)]

@@ -141,14 +141,17 @@ class LlmSpec extends SparkSpec {
       (101L, mkDoc(1)),                   // exact copy of corpus 1
       (102L, mkDoc(2) + " extraword"),    // near corpus 2
       (103L, mkDoc(50)), (104L, mkDoc(50)),          // within-shard twins
-      (105L, mkDoc(60)), (106L, mkDoc(60) + " tail") // within-shard near pair
+      (105L, mkDoc(60)), (106L, mkDoc(60) + " tail"), // within-shard near pair
+      (107L, null.asInstanceOf[String]),             // null text: must NOT
+      (108L, null.asInstanceOf[String])              // silently vanish
     ).toDF("id", "text")
     val verdicts = Pipeline.addShard(corpus, shard, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(verdicts == Map(
       101L -> "dup_exact_corpus", 102L -> "dup_near_corpus",
       103L -> "accepted", 104L -> "dup_exact_shard",
-      105L -> "accepted", 106L -> "dup_near_shard"))
+      105L -> "accepted", 106L -> "dup_near_shard",
+      107L -> "accepted", 108L -> "dup_exact_shard"))
     // closing the loop: append the accepted rows, re-offer the same shard
     // (new ids) — nothing may be accepted twice
     val accepted = shard.join(
