@@ -595,6 +595,15 @@ object QueriesLlm {
       microCols(graft.llm.TextAnalysis.corpusReport(documents(s, d), "text",
         byCol = Some("source")),
         "avg_tokens", "dup_text_frac", "mean_quality")),
+    // distribution-shift monitor between two snapshots (even vs odd doc_id
+    // — a scale-invariant split): JS divergence over top-200 unigram
+    // distributions, top-vocab Jaccard, per-side size/length stats
+    "corpus_drift" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      graft.llm.TextAnalysis.corpusDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", topK = 200)
+    }),
     // "how much of the probe corpus is already in the reference corpus":
     // the planted near-dup docs make containment_a strictly positive
     "corpus_overlap" -> ((s, d) =>
@@ -761,6 +770,41 @@ object QueriesLlm {
          |FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
          |GROUP BY c.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> wrapJ(jaccardPairsBoundedSql),
+    "corpus_drift" ->
+      """WITH ta AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT token, count(*) AS ca FROM ta WHERE len(token) > 0 GROUP BY token),
+        |cb AS (SELECT token, count(*) AS cb FROM tb WHERE len(token) > 0 GROUP BY token),
+        |tpa AS (SELECT token FROM ca ORDER BY ca DESC, token LIMIT 200),
+        |tpb AS (SELECT token FROM cb ORDER BY cb DESC, token LIMIT 200),
+        |tu AS (SELECT coalesce(a.token, b.token) AS token,
+        |    (a.token IS NOT NULL) AS ina, (b.token IS NOT NULL) AS inb
+        |  FROM tpa a FULL JOIN tpb b ON a.token = b.token),
+        |j AS (SELECT t.token, t.ina, t.inb,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM tu t LEFT JOIN ca USING (token) LEFT JOIN cb USING (token)),
+        |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS sa, CAST(sum(cb) AS DOUBLE) AS sb,
+        |    CAST(count(*) AS DOUBLE) AS usz,
+        |    sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS inter FROM j),
+        |terms AS (SELECT (j.ca + 1) / (tot.sa + tot.usz) AS p,
+        |    (j.cb + 1) / (tot.sb + tot.usz) AS q FROM j, tot),
+        |js AS (SELECT sum(0.5 * p * log10(p / ((p + q) / 2.0))
+        |    + 0.5 * q * log10(q / ((p + q) / 2.0))) AS js FROM terms),
+        |sa AS (SELECT count(*) AS n_docs_a,
+        |    avg(len(string_split_regex(lower(text), '\s+'))) AS mt
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |sb AS (SELECT count(*) AS n_docs_b,
+        |    avg(len(string_split_regex(lower(text), '\s+'))) AS mt
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT CAST(sa.n_docs_a AS BIGINT) AS n_docs_a,
+        |  CAST(sb.n_docs_b AS BIGINT) AS n_docs_b,
+        |  CAST(round(round(sa.mt, 6) * 1e6) AS BIGINT) AS mean_tokens_a_micro,
+        |  CAST(round(round(sb.mt, 6) * 1e6) AS BIGINT) AS mean_tokens_b_micro,
+        |  CAST(round(round(tot.inter / tot.usz, 6) * 1e6) AS BIGINT) AS vocab_jaccard_micro,
+        |  CAST(round(round(js.js, 6) * 1e6) AS BIGINT) AS js_micro
+        |FROM sa, sb, tot, js""".stripMargin,
     "add_shard" ->
       """WITH RECURSIVE
         |docs AS (SELECT doc_id, text FROM documents),

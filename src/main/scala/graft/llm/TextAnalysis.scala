@@ -616,6 +616,59 @@ object TextAnalysis {
           .as("mean_quality"))
   }
 
+  /** Corpus drift report — the distribution-shift monitor an ingest
+    * pipeline runs between two corpus snapshots (last week's crawl vs this
+    * week's, corpus vs candidate shard): Jensen-Shannon divergence (base
+    * 10) between the two unigram distributions over the union of each
+    * side's top-`topK` tokens (add-one smoothing over the union support,
+    * so absent tokens contribute finitely), top-vocab Jaccard overlap, and
+    * per-corpus size/length stats. One token-count aggregation per side
+    * (map-side combined), a top-K each, and a K-sized join — linear in the
+    * corpora, constant-size beyond the counts. Doubles ride the
+    * round-then-integer-scale policy, so the row is driver-hash exact.
+    * Emits ONE row: (n_docs_a, n_docs_b, mean_tokens_a_micro,
+    * mean_tokens_b_micro, vocab_jaccard_micro, js_micro).
+    */
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 200): DataFrame = {
+    def counts(df: DataFrame) =
+      df.select(explode(Dedup.tokens(col(s"`$textCol`"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ca = counts(a).localCheckpoint(eager = false)
+    val cb = counts(b).localCheckpoint(eager = false)
+    def top(c: DataFrame) =
+      c.orderBy(col("cnt").desc, col("token")).limit(topK).select("token")
+    val tu = top(ca).withColumn("ina", lit(1))
+      .join(top(cb).withColumn("inb", lit(1)), Seq("token"), "full")
+    val joined = tu
+      .join(ca.withColumnRenamed("cnt", "ca"), Seq("token"), "left")
+      .join(cb.withColumnRenamed("cnt", "cb"), Seq("token"), "left")
+      .select(col("token"), col("ina"), col("inb"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(eager = false)
+    val totals = joined.agg(
+      sum(col("ca")).cast("double").as("sa"),
+      sum(col("cb")).cast("double").as("sb"),
+      count(lit(1)).cast("double").as("usz"),
+      sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+        .otherwise(0L)).as("inter"))
+    val p = (col("ca") + 1).cast("double") / (col("sa") + col("usz"))
+    val q = (col("cb") + 1).cast("double") / (col("sb") + col("usz"))
+    val m = (p + q) / 2.0d
+    val drift = joined.crossJoin(broadcast(totals)).agg(
+      round(round(sum(lit(0.5d) * p * log10(p / m) +
+        lit(0.5d) * q * log10(q / m)), 6) * 1e6d).cast("long").as("js_micro"),
+      round(round(max(col("inter")).cast("double") / max(col("usz")), 6) * 1e6d)
+        .cast("long").as("vocab_jaccard_micro"))
+    def stats(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as(s"n_docs_$tag"),
+      round(round(avg(size(Dedup.tokens(col(s"`$textCol`")))), 6) * 1e6d)
+        .cast("long").as(s"mean_tokens_${tag}_micro"))
+    stats(a, "a").crossJoin(stats(b, "b")).crossJoin(drift)
+  }
+
   /** Convenience: annotate a documents table with all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))

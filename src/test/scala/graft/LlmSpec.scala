@@ -132,6 +132,21 @@ class LlmSpec extends SparkSpec {
     assert(sub.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("corpusDrift: zero divergence on identical corpora, positive on disjoint") {
+    import graft.llm.TextAnalysis
+    val a = (1 to 20).map(i => (i.toLong, s"alpha beta gamma tok$i")).toDF("id", "text")
+    val same = TextAnalysis.corpusDrift(a, a, "text").collect()(0)
+    assert(same.getAs[Long]("js_micro") == 0L)
+    assert(same.getAs[Long]("vocab_jaccard_micro") == 1000000L)
+    assert(same.getAs[Long]("n_docs_a") == 20L &&
+      same.getAs[Long]("n_docs_b") == 20L)
+    assert(same.getAs[Long]("mean_tokens_a_micro") == 4000000L)
+    val b = (1 to 20).map(i => (i.toLong, s"delta epsilon zeta oth$i")).toDF("id", "text")
+    val diff = TextAnalysis.corpusDrift(a, b, "text").collect()(0)
+    assert(diff.getAs[Long]("js_micro") > 0L)
+    assert(diff.getAs[Long]("vocab_jaccard_micro") == 0L)
+  }
+
   test("addShard: verdicts partition the shard; appending accepted rows closes the loop") {
     import graft.llm.Pipeline
     val mkDoc = (seed: Int) => (1 to 50)
