@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Triage the driver's CORRECTNESS_rN.json against the local stand-in.
 
-The driver's hash gate has diverged from scripts/check.py on float
-canonicalization for three rounds (VERDICT r8-r10; see COVERAGE.md
-"Driver-hash float policy"). This tool makes the first move of a round
-mechanical: for every non-green driver row, say whether the local gate
-agrees (a real defect) or disagrees (driver-only divergence — suspect the
-projection types, not the operator).
+Rounds 8-11's driver-only hash divergences were ONE defect class: uncast
+integer sums in DuckDB oracles return HUGEINT, which pandas renders as
+float64 ("3.0" vs Spark's int64 "3") — value-blind compares never saw it
+(VERDICT r11; COVERAGE.md "Driver-hash integer-sum (HUGEINT) policy").
+check.py is now dtype-strict (DTYPE-MISMATCH), so a driver-only red with a
+green local line should be rare; when one appears, suspect the oracle's
+RESULT TYPE first (run the oracle in DuckDB and inspect .df().dtypes).
+This tool makes the first move of a round mechanical: for every non-green
+driver row, say whether the local gate agrees (a real defect) or disagrees
+(driver-only divergence — suspect the projection types, not the operator).
 
 Usage:
   python3 scripts/driver_diff.py CORRECTNESS_r11.json [sfDir verifyOutDir]
