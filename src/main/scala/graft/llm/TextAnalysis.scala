@@ -622,9 +622,10 @@ object TextAnalysis {
     * 10) between the two unigram distributions over the union of each
     * side's top-`topK` tokens (add-one smoothing over the union support,
     * so absent tokens contribute finitely), top-vocab Jaccard overlap, and
-    * per-corpus size/length stats. One token-count aggregation per side
-    * (map-side combined), a top-K each, and a K-sized join — linear in the
-    * corpora, constant-size beyond the counts. Doubles ride the
+    * per-corpus size/length stats. Two linear passes per side
+    * (a map-side-combined token-count aggregation, and a doc-level
+    * size/length aggregation), a top-K each, and a K-sized join — linear
+    * in the corpora, constant-size beyond those aggregates. Doubles ride the
     * round-then-integer-scale policy, so the row is driver-hash exact.
     * Emits ONE row: (n_docs_a, n_docs_b, mean_tokens_a_micro,
     * mean_tokens_b_micro, vocab_jaccard_micro, js_micro).
@@ -667,6 +668,8 @@ object TextAnalysis {
       round(round(avg(size(Dedup.tokens(col(s"`$textCol`")))), 6) * 1e6d)
         .cast("long").as(s"mean_tokens_${tag}_micro"))
     stats(a, "a").crossJoin(stats(b, "b")).crossJoin(drift)
+      .select("n_docs_a", "n_docs_b", "mean_tokens_a_micro",
+        "mean_tokens_b_micro", "vocab_jaccard_micro", "js_micro")
   }
 
   /** Convenience: annotate a documents table with all analysis columns. */

@@ -485,13 +485,22 @@ object StreamingOps {
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
     // (a constant when no order is asked — monotonically_increasing_id is
     // rejected on streaming plans, and the no-order path never sorts).
-    // Timestamps convert via unix_micros: a bare cast('long') would
-    // truncate to whole SECONDS, re-introducing the tie-order bug the
-    // parameter exists to fix.
+    // Timestamps (both TZ forms) convert via unix_micros — a bare
+    // cast('long') truncates to whole SECONDS — and any other
+    // non-integral type is REJECTED rather than silently truncated:
+    // 12.3 and 12.9 collapsing to the same ord re-introduces the
+    // tie-order bug this parameter exists to fix. Resolution goes through
+    // the analyzer (select), so name lookup stays case-insensitive.
+    import org.apache.spark.sql.types._
     val ord = orderCol.map { c =>
-      stream.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampType => unix_micros(col(s"`$c`"))
-        case _ => col(s"`$c`").cast("long")
+      stream.select(col(s"`$c`")).schema.head.dataType match {
+        case TimestampType | TimestampNTZType =>
+          unix_micros(col(s"`$c`").cast(TimestampType))
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(s"`$c`").cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"flag_jumps: orderCol '$c' has non-integral type $dt — " +
+            "pass a timestamp or integer sequence column")
       }
     }.getOrElse(lit(0L))
     stream.select(col(s"`$keyCol`").cast("string"), ord.as("__ord"),
