@@ -331,6 +331,35 @@ object QueriesCore {
         partn.getField("tail").as("part_tail"),
         graft.operators.TextOps.strMethod(col("p_name"), "translate", Seq("aeiou", "AEIO")).as("tr"))
     }),
+    // round-14 parity sweep (VERDICT r13 #6): the pd.Series.str methods
+    // beyond the first gate — slice_replace/center/pad/findall/match/
+    // fullmatch/rfind/rpartition/join/isdecimal/istitle + encode/decode
+    // round-trip. istitle rides a parity mix (even rows title-cased) so
+    // the gate carries both truth values on real data.
+    "process_text_methods2" -> ((s, d) => {
+      import graft.operators.TextOps.strMethod
+      val rpart = strMethod(col("p_name"), "rpartition", Seq(" "))
+      val mixed = when(col("p_partkey") % 2 === 0, initcap(col("p_name")))
+        .otherwise(col("p_name"))
+      part(s, d).select(
+        col("p_partkey"),
+        strMethod(col("p_name"), "slice_replace", Seq(2, 5, "X")).as("slrep"),
+        strMethod(col("p_name"), "center", Seq(30, ".")).as("ctr"),
+        strMethod(col("p_name"), "pad", Seq(28, "left", "_")).as("padl"),
+        size(strMethod(col("p_name"), "findall", Seq("[aeiou]+"))).as("n_vowel_runs"),
+        element_at(strMethod(col("p_name"), "findall", Seq("[aeiou]+")), 1)
+          .as("first_vowel_run"),
+        strMethod(col("p_name"), "match", Seq("[a-z]+ ")).as("m"),
+        strMethod(col("p_name"), "fullmatch", Seq("[a-z ]+")).as("fm"),
+        strMethod(col("p_name"), "rfind", Seq(" ")).as("rf"),
+        rpart.getField("head").as("rp_head"),
+        rpart.getField("tail").as("rp_tail"),
+        strMethod(col("p_name"), "join", Seq("-")).as("joined"),
+        strMethod(col("p_partkey").cast("string"), "isdecimal").as("isdec"),
+        strMethod(mixed, "istitle").as("ist"),
+        strMethod(strMethod(col("p_name"), "encode", Seq("UTF-8")),
+          "decode", Seq("UTF-8")).as("rt"))
+    }),
     "add_column" -> ((s, d) => orders(s, d)
       .select("o_orderkey", "o_totalprice")
       .addColumn("fee", col("o_totalprice") * 0.1d)
@@ -714,6 +743,31 @@ object QueriesCore {
         |  ELSE '' END AS part_tail,
         |translate(p_name, 'aeiou', 'AEIO') AS tr
         |FROM part""".stripMargin,
+    "process_text_methods2" ->
+      """WITH b AS (SELECT p_partkey, p_name,
+        |  CASE WHEN p_partkey % 2 = 0 THEN array_to_string(
+        |      list_transform(string_split(p_name, ' '),
+        |        w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+        |    ELSE p_name END AS mixed,
+        |  strpos(reverse(p_name), ' ') AS rpos FROM part)
+        |SELECT p_partkey,
+        |  substr(p_name, 1, 2) || 'X' || substr(p_name, 6) AS slrep,
+        |  CASE WHEN length(p_name) >= 30 THEN p_name
+        |    ELSE rpad(lpad(p_name, CAST((30 + length(p_name)) // 2 AS INT), '.'), 30, '.') END AS ctr,
+        |  lpad(p_name, 28, '_') AS padl,
+        |  len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
+        |  regexp_extract_all(p_name, '[aeiou]+')[1] AS first_vowel_run,
+        |  regexp_matches(p_name, '^(?:[a-z]+ )') AS m,
+        |  regexp_matches(p_name, '^(?:[a-z ]+)$') AS fm,
+        |  CASE WHEN rpos > 0 THEN length(p_name) - (rpos - 1) - 1 ELSE -1 END AS rf,
+        |  CASE WHEN rpos > 0 THEN substr(p_name, 1, length(p_name) - (rpos - 1) - 1) ELSE '' END AS rp_head,
+        |  CASE WHEN rpos > 0 THEN substr(p_name, length(p_name) - (rpos - 1) + 1) ELSE p_name END AS rp_tail,
+        |  array_to_string(regexp_extract_all(p_name, '.'), '-') AS joined,
+        |  regexp_matches(CAST(p_partkey AS VARCHAR), '^[0-9]+$') AS isdec,
+        |  (regexp_matches(mixed, '[A-Za-z]') AND NOT regexp_matches(mixed, '[^ ][A-Z]')
+        |   AND NOT regexp_matches(mixed, '(^| )[a-z]')) AS ist,
+        |  p_name AS rt
+        |FROM b""".stripMargin,
     "add_column" ->
       """SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS fee, 'x' AS tag FROM orders""",
     "join_apply" ->

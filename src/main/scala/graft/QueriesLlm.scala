@@ -128,12 +128,23 @@ object QueriesLlm {
         e.filter(col("vec_id") < 8), threshold = 0.99)
         .select("vec_id")
     }),
-    "similarity_ivf_topk" -> ((s, d) => Similarity.ivfCosineTopK(
+    // ANN top-k plumbing held hash-exact (VERDICT r13 #4: these two rows
+    // were err:no_oracle through r13 — per-query recall of an approximate
+    // candidate set is not DuckDB-derivable, so the raw approximate lists
+    // cannot be oracled). The gates now run the SAME code path end to end
+    // (centroid training, cell/bucket assignment, candidate equi-join,
+    // rounded ranking, tie rules) at the one setting whose candidate set is
+    // provably complete — IVF probing every cell, LSH at the single-bucket
+    // degenerate — which makes the output equal the exhaustive ranking and
+    // therefore fully hash-comparable. The production approximate settings
+    // (nProbe=8 / 4 planes × 16 tables) keep their driver-side recall
+    // floors in similarity_ivf_recall / similarity_lsh_recall.
+    "similarity_ivf_topk" -> ((s, d) => microCols(Similarity.ivfCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
-      "vec_id", "embedding", k = 5)),
-    "similarity_lsh_topk" -> ((s, d) => Similarity.lshCosineTopK(
+      "vec_id", "embedding", k = 5, nCells = 16, nProbe = 16), "sim")),
+    "similarity_lsh_topk" -> ((s, d) => microCols(Similarity.lshCosineTopK(
       embeddings(s, d).filter(col("vec_id") < 10), embeddings(s, d),
-      "vec_id", "embedding", k = 5)),
+      "vec_id", "embedding", k = 5, numPlanes = 0, numTables = 1), "sim")),
     // whole-corpus kNN graph: the brute method IS the exact definition, so
     // the gate is hash-exact; the lsh scale path gets a recall companion
     "knn_graph" -> ((s, d) => microCols(Similarity.knnGraph(
@@ -616,7 +627,7 @@ object QueriesLlm {
     * vec_id order — float values, so the double round-trip is lossless
     * and DuckDB sees bit-identical centroids.
     */
-  private def pinnedCodebooks(emb: DataFrame, m: Int,
+  private[graft] def pinnedCodebooks(emb: DataFrame, m: Int,
       dsub: Int): Array[Array[Array[Double]]] = {
     val rows = emb.filter(col("vec_id") < 8).orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -627,7 +638,7 @@ object QueriesLlm {
     * slices of vec_id < 8), their double norms, and every vector's 1-based
     * per-subspace code under the L2-argmin-as-argmax rule with first-tie.
     */
-  private lazy val pqCodesSql =
+  private[graft] lazy val pqCodesSql =
     s"""WITH cb AS (
        |  SELECT sp.s, vec_id AS j, embedding[sp.s*16+1 : sp.s*16+16] AS cvec
        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sp
@@ -699,6 +710,26 @@ object QueriesLlm {
        |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
        |SELECT doc_id AS id, $recomb AS simhash FROM b""".stripMargin
   }
+
+  /** Exhaustive cosine top-5 for queries vec_id < 10 — shared by the brute
+    * gate and the complete-candidate IVF/LSH gates ([[entries]] comment):
+    * with every cell probed (IVF) or a single degenerate bucket (LSH), the
+    * candidate set is the whole corpus, so the approximate operators' rounded
+    * ranking equals this exhaustive ranking row for row. Also the oracle of
+    * the streaming IVF gate (QueriesStreaming), which runs the same query
+    * subset against the same corpus.
+    */
+  private[graft] lazy val exactCosineTopk5Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |s AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |    round($dotSql / (${normSql("qv")} * ${normSql("c.embedding")}), 6) AS sim
+       |  FROM q JOIN embeddings c ON q.qid <> c.vec_id
+       |  CROSS JOIN LATERAL (SELECT c.embedding AS nv) l
+       |)
+       |SELECT qid, nid, CAST(round(sim * 1e6) AS BIGINT) AS sim FROM (
+       |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+       |WHERE rn <= 5""".stripMargin
 
   private val dotSql =
     "list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))"
@@ -924,17 +955,11 @@ object QueriesLlm {
         |  SELECT id1, id2, round(CAST(m AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
         |  FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2)
         |WHERE containment >= 0.5""".stripMargin),
-    "similarity_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |s AS (
-         |  SELECT q.qid, c.vec_id AS nid,
-         |    round($dotSql / (${normSql("qv")} * ${normSql("c.embedding")}), 6) AS sim
-         |  FROM q JOIN embeddings c ON q.qid <> c.vec_id
-         |  CROSS JOIN LATERAL (SELECT c.embedding AS nv) l
-         |)
-         |SELECT qid, nid, CAST(round(sim * 1e6) AS BIGINT) AS sim FROM (
-         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
-         |WHERE rn <= 5""".stripMargin,
+    "similarity_topk" -> exactCosineTopk5Sql,
+    // complete-candidate configs (nProbe = nCells / single LSH bucket)
+    // rank identically to the exhaustive oracle — see the gate comment
+    "similarity_ivf_topk" -> exactCosineTopk5Sql,
+    "similarity_lsh_topk" -> exactCosineTopk5Sql,
     "similarity_dup_pairs" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -79,6 +79,11 @@ object QueriesStreaming {
     s.readStream.schema(schema).parquet(streamDirFor(dir, "embeddings"))
   }
 
+  private def customerStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/customer.parquet").schema
+    s.readStream.schema(schema).parquet(streamDirFor(dir, "customer"))
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   // previous sink table per gate, dropped on the next run of the same gate
   // so repeated runs in one JVM (bench + verify) don't pin every result set
@@ -290,8 +295,98 @@ object QueriesStreaming {
             .select("doc_id", "text"),
           minShared = 3),
         "gr_training_pipeline_stream", "append")
-        .select(col("doc_id"), col("n_tokens"), col("split")))
+        .select(col("doc_id"), col("n_tokens"), col("split"))),
+    // [[contamination_flags_stream]]'s Bloom-prefiltered twin: the exact
+    // verify behind the probe keeps flags bit-identical (operator contract),
+    // so both gates share one oracle — a divergence between the two rows
+    // localizes a fault to the Bloom path itself
+    "contamination_flags_bloom_stream" -> ((s, d) => {
+      val ref = graft.llm.Dedup.winnowFingerprints(
+        Tables.documents(s, d).filter(col("doc_id") < 20), "doc_id", "text")
+      runToCompletion(
+        StreamingOps.contaminationFlagsBloom(
+          documentsStream(s, d).select("doc_id", "text"),
+          "doc_id", "text", ref, minShared = 3),
+        "gr_contamination_flags_bloom_stream", "complete")
+    }),
+    // streaming text near-dup flags vs a static reference (doc_id < 20,
+    // which includes each reference doc's own stream arrival — the
+    // self-match at j=1.0 is part of the contract, not excluded). At
+    // threshold 0.8 with 32×4 banding, P(candidate miss | j >= 0.8) ≈ 5e-8
+    // — same exhaustive-oracle footing as the batch dedup_minhash gates;
+    // exact-Jaccard verify makes everything downstream of candidates exact
+    "near_dup_flags_stream" -> ((s, d) => {
+      val ref = Tables.documents(s, d).filter(col("doc_id") < 20)
+        .select("doc_id", "text")
+      runToCompletion(
+        StreamingOps.nearDupFlags(
+          documentsStream(s, d).select("doc_id", "text"),
+          "doc_id", "text", ref, threshold = 0.8),
+        "gr_near_dup_flags_stream", "complete")
+        .select(col("id"), col("ref_id"),
+          round(col("jaccard") * 1e6).cast("long").as("jaccard"))
+    }),
+    // stream-static fuzzy matching: every 100th customer name arrives as a
+    // stream and resolves against the disjoint static rest at edit
+    // distance <= 1. FastSS deletion neighborhoods are exhaustive for
+    // dist <= maxDist, so the oracle is the exact levenshtein cross join
+    "fuzzy_match_flags_stream" -> ((s, d) => {
+      val ref = Tables.customer(s, d).filter(col("c_custkey") % 100 =!= 0)
+        .select("c_custkey", "c_name")
+      runToCompletion(
+        StreamingOps.fuzzyMatchFlags(
+          customerStream(s, d).filter(col("c_custkey") % 100 === 0)
+            .select("c_custkey", "c_name"),
+          "c_custkey", "c_name", ref, "c_custkey", "c_name", maxDist = 1),
+        "gr_fuzzy_match_flags_stream", "complete")
+        .select(col("id"), col("ref_id"), col("dist").cast("long").as("dist"))
+    }),
+    // streaming IVF ANN at the complete-candidate setting (nProbe = nCells
+    // — every cell probed), so the stream-static machinery (probe-cell
+    // explode, cell equi-join, collect_list top-k in complete mode) is held
+    // to the exhaustive cosine oracle; the approximate nProbe=8 quality is
+    // pinned batch-side by similarity_ivf_recall (identical kernels)
+    "ivf_topk_stream" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = graft.llm.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nCells = 16, kmeansIters = 3)
+      runToCompletion(
+        StreamingOps.ivfTopKStream(
+          embeddingsStream(s, d).filter(col("vec_id") < 10)
+            .select("vec_id", "embedding"),
+          emb, "vec_id", "embedding", k = 5, cents, nProbe = 16),
+        "gr_ivf_topk_stream", "complete")
+        .select(col("qid"), col("nid"),
+          round(col("sim") * 1e6).cast("long").as("sim"))
+    }),
+    // streaming IVF-PQ with the PINNED codebooks of the batch pq gates
+    // (subspace slices of vec_id < 8 — DuckDB-replicable) and the complete
+    // probe, so the ADC ranking in the compressed domain is itself
+    // hash-exact; the trained-codebook quality path keeps pq_recall
+    "ivf_pq_topk_stream" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cbs = QueriesLlm.pinnedCodebooks(emb, m = 4, dsub = 16)
+      val cents = graft.llm.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nCells = 16, kmeansIters = 3)
+      runToCompletion(
+        StreamingOps.ivfPqTopKStream(
+          embeddingsStream(s, d).filter(col("vec_id") < 10)
+            .select("vec_id", "embedding"),
+          emb, "vec_id", "embedding", k = 10, cents, cbs, nProbe = 16),
+        "gr_ivf_pq_topk_stream", "complete")
+        .select(col("qid"), col("nid"),
+          round(col("score") * 1e6).cast("long").as("score"))
+    })
   )
+
+  /** >= 3 shared winnow fingerprints with the doc_id < 20 reference —
+    * shared by the plain and Bloom-prefiltered contamination gates.
+    */
+  private lazy val contaminationFlagsSql: String = QueriesLlm.winnowSql +
+    """, ref AS (SELECT DISTINCT unnest(fps) AS fp FROM wins WHERE doc_id < 20),
+      |f AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+      |SELECT f.doc_id, count(*) AS n_shared FROM f JOIN ref USING (fp)
+      |GROUP BY f.doc_id HAVING count(*) >= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "asof_enrich_stream" ->
@@ -340,11 +435,65 @@ object QueriesStreaming {
         |          ORDER BY sim DESC, ref_id DESC) AS rn
         |      FROM s WHERE sim >= 0.99)
         |WHERE rn = 1""".stripMargin,
-    "contamination_flags_stream" -> (QueriesLlm.winnowSql +
-      """, ref AS (SELECT DISTINCT unnest(fps) AS fp FROM wins WHERE doc_id < 20),
-        |f AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
-        |SELECT f.doc_id, count(*) AS n_shared FROM f JOIN ref USING (fp)
-        |GROUP BY f.doc_id HAVING count(*) >= 3""".stripMargin),
+    "contamination_flags_stream" -> contaminationFlagsSql,
+    // bit-identical to the non-Bloom path by operator contract (exact
+    // verify behind the probe) — one oracle for both rows
+    "contamination_flags_bloom_stream" -> contaminationFlagsSql,
+    // best static match per stream doc: raw-jaccard argmax, ties to the
+    // HIGHEST ref_id (the operator's max(struct(j, ref_id))); round after
+    // the argmax, exactly as the operator rounds the winner
+    "near_dup_flags_stream" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+        |p AS (SELECT a.doc_id AS id, b.doc_id AS ref_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b ON b.doc_id < 20
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT id, ref_id, CAST(round(round(j, 6) * 1e6) AS BIGINT) AS jaccard
+        |FROM (SELECT id, ref_id, j,
+        |        row_number() OVER (PARTITION BY id ORDER BY j DESC, ref_id DESC) AS rn
+        |      FROM p WHERE j >= 0.8)
+        |WHERE rn = 1""".stripMargin,
+    // best match per stream row: min distance, ties to the LOWEST ref id
+    // (the operator's min(struct(d, ref_id)))
+    "fuzzy_match_flags_stream" ->
+      """WITH q AS (SELECT c_custkey AS id, c_name AS qn FROM customer
+        |  WHERE c_custkey % 100 = 0),
+        |r AS (SELECT c_custkey AS ref_id, c_name AS rn FROM customer
+        |  WHERE c_custkey % 100 <> 0),
+        |p AS (SELECT id, ref_id, levenshtein(qn, rn) AS dist
+        |  FROM q CROSS JOIN r)
+        |SELECT id, ref_id, CAST(dist AS BIGINT) AS dist
+        |FROM (SELECT id, ref_id, dist,
+        |        row_number() OVER (PARTITION BY id ORDER BY dist ASC, ref_id ASC) AS n
+        |      FROM p WHERE dist <= 1)
+        |WHERE n = 1""".stripMargin,
+    // complete-candidate probe == exhaustive ranking (same oracle as the
+    // batch brute/IVF/LSH top-k gates)
+    "ivf_topk_stream" -> QueriesLlm.exactCosineTopk5Sql,
+    // pinned-codebook ADC ranking over ALL cells: codes/tables from the
+    // shared pqCodesSql prefix; rank by the ROUNDED adc (the operator
+    // rounds before its collect_list sort), ties to the lowest nid
+    "ivf_pq_topk_stream" -> (QueriesLlm.pqCodesSql +
+      """, cl AS (SELECT vec_id, list(code ORDER BY s) AS code FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |tb AS (SELECT q.qid, b.s, b.j,
+        |    (list_sum(list_transform(generate_series(1, 16),
+        |       i -> CAST(q.qe[b.s*16 + i] AS DOUBLE) * CAST(b.cvec[i] AS DOUBLE))) / b.cn) * b.cn AS t
+        |  FROM q CROSS JOIN cbn b),
+        |qt AS (SELECT qid, list(t ORDER BY s, j) AS tt FROM tb GROUP BY qid),
+        |pairs AS (SELECT qt.qid, c.vec_id AS nid,
+        |    round(list_sum(list_transform(generate_series(1, 4),
+        |      s -> tt[(s-1)*8 + code[s]])), 6) AS adc
+        |  FROM qt CROSS JOIN cl c WHERE c.vec_id <> qt.qid)
+        |SELECT qid, nid, CAST(round(adc * 1e6) AS BIGINT) AS score FROM (
+        |  SELECT qid, nid, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rn
+        |  FROM pairs) WHERE rn <= 10""".stripMargin),
     // session_window semantics: windows [ts, ts+gap) merge on overlap, so a
     // gap of EXACTLY 6h starts a new session (>=); end = last event + gap.
     // Microsecond-precision event times make exact ties measure-zero anyway.

@@ -98,8 +98,14 @@ object Pipeline {
     * nothing corpus-quadratic). Emits one row per input shard row:
     * (idCol, status).
     */
+  /** `pin = false` disables the two lazy localCheckpoint pins — for
+    * memory-tight deployments that prefer recomputation over caching the
+    * staged shard, and for the A/B probe (CheckpointProbe) that verifies
+    * the pins actually suppress stage re-execution.
+    */
   def addShard(corpus: DataFrame, shard: DataFrame, idCol: String,
-      textCol: String, threshold: Double = 0.8): DataFrame = {
+      textCol: String, threshold: Double = 0.8,
+      pin: Boolean = true): DataFrame = {
     // null-safe content hash: md5(null) is null and null join keys never
     // match, which would silently DROP null-text shard rows from the audit
     // — the exact row loss this operator exists to prevent. Null text
@@ -116,14 +122,14 @@ object Pipeline {
     val corpusH = corpus
       .select(contentHash(col(s"`$textCol`")).as("__h"))
       .distinct().withColumn("__in_corpus", lit(true))
-    val staged = hashed.join(minIds, Seq("__h"))
+    def pinned(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint(eager = false) else df
+    val staged = pinned(hashed.join(minIds, Seq("__h"))
       .withColumn("__exact_shard", col("__id") =!= col("__minid"))
-      .join(corpusH, Seq("__h"), "left")
-      .localCheckpoint(eager = false)
-    val surv12 = staged
+      .join(corpusH, Seq("__h"), "left"))
+    val surv12 = pinned(staged
       .filter(!col("__exact_shard") && col("__in_corpus").isNull)
-      .select(col("__id").as(idCol), col("__text").as(textCol))
-      .localCheckpoint(eager = false)
+      .select(col("__id").as(idCol), col("__text").as(textCol)))
     // canonical election within the shard: dedupNear returns the kept rows
     // WITH their text — bind once and reuse for both the flag and the
     // cross-corpus probe instead of re-deriving via an extra join

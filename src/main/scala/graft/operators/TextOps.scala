@@ -86,6 +86,60 @@ object TextOps {
           ch => when(ch =!= lower(ch), lower(ch))
             .when(ch =!= upper(ch), upper(ch))
             .otherwise(ch)))
+      case "slice_replace" => // [start, stop) replaced; non-negative bounds
+        concat(substring(c, 1, i(0)), lit(s(2)), c.substr(lit(i(1) + 1), length(c)))
+      case "center" =>
+        val width = i(0)
+        val fill = lit(if (args.length > 1) s(1) else " ")
+        // python str.center: left pad gets floor((width-len)/2), i.e. the
+        // intermediate lpad target is floor((width+len)/2)
+        val mid = call_function("lpad", c,
+          floor((lit(width) + length(c)).cast("double") / 2).cast("int"), fill)
+        when(length(c) >= width, c)
+          .otherwise(call_function("rpad", mid, lit(width), fill))
+      case "pad" => // kwargs order (width, side, fillchar), side default left
+        val side = if (args.length > 1) s(1) else "left"
+        val fill = if (args.length > 2) s(2) else " "
+        side match {
+          case "left" => strMethod(c, "rjust", Seq(args.head, fill))
+          case "right" => strMethod(c, "ljust", Seq(args.head, fill))
+          case "both" => strMethod(c, "center", Seq(args.head, fill))
+          case o => throw new IllegalArgumentException(s"pad: bad side $o")
+        }
+      case "encode" => encode(c, s(0))
+      case "decode" => decode(c.cast("binary"), s(0))
+      case "findall" => // group 0 (whole match) unless an index is passed
+        regexp_extract_all(c, lit(s(0)), lit(if (args.length > 1) i(1) else 0))
+      case "match" => c.rlike(s"^(?:${s(0)})")
+      case "fullmatch" => c.rlike(s"^(?:${s(0)})$$")
+      case "index" => strMethod(c, "find", args) // row-wise: -1, not raise
+      case "rfind" | "rindex" =>
+        val sep = s(0)
+        val pos = instr(reverse(c), sep.reverse) // 1-based in the reversal
+        when(pos > 0, length(c) - (pos - 1) - sep.length).otherwise(lit(-1))
+      case "rpartition" =>
+        val sep = s(0)
+        val pos = instr(reverse(c), sep.reverse)
+        val start0 = length(c) - (pos - 1) - sep.length // 0-based sep start
+        struct(
+          when(pos > 0, c.substr(lit(1), start0)).otherwise(lit("")).as("head"),
+          when(pos > 0, lit(sep)).otherwise(lit("")).as("sep"),
+          when(pos > 0, c.substr(start0 + sep.length + 1, length(c)))
+            .otherwise(c).as("tail"))
+      case "rsplit" => split(c, s(0)) // full split == split; no maxsplit
+      case "join" => // element-wise over the string's chars
+        array_join(filter(split(c, ""), ch => ch =!= ""), s(0))
+      case "isdecimal" => c.rlike("^\\p{Nd}+$")
+      case "isnumeric" => c.rlike("^\\p{N}+$")
+      // space-delimited titlecase (initcap's word model); python's istitle
+      // also breaks words at punctuation — document, don't pretend
+      case "istitle" => c.rlike("\\p{L}") && (c === initcap(c))
+      // the reference's own contract: pd.Series.str methods whose outcome
+      // is a DataFrame are rejected (process_text.py:110-115 ValueError)
+      case "extractall" | "get_dummies" =>
+        throw new IllegalArgumentException(
+          s"process_text: $method produces a DataFrame — rejected by the " +
+            "reference contract (use extract / encode_categorical instead)")
       case other => throw new IllegalArgumentException(s"process_text: unknown str method $other")
     }
   }

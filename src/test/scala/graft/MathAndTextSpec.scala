@@ -107,6 +107,53 @@ class MathAndTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("normalize", Seq("BAD")))
   }
 
+  test("processText dispatch: round-14 parity methods vs python semantics") {
+    val c = col("s")
+    val d = Seq("one two three").toDF("s")
+    def run(m: String, args: Seq[Any] = Nil) =
+      d.select(TextOps.strMethod(c, m, args)).collect()(0)
+    // python: "one two three"[0:3] -> "one"; slice_replace(0,3,"X") -> "X two three"
+    assert(run("slice_replace", Seq(0, 3, "X")).getString(0) == "X two three")
+    // python "ab".center(5, ".") == ".ab.."  (left pad gets the floor)
+    assert(Seq("ab").toDF("s").select(TextOps.strMethod(c, "center", Seq(5, ".")))
+      .collect()(0).getString(0) == ".ab..")
+    assert(run("center", Seq(5)).getString(0) == "one two three") // len >= width
+    assert(run("pad", Seq(15, "left", "_")).getString(0) == "__one two three")
+    assert(run("pad", Seq(15, "right", "_")).getString(0) == "one two three__")
+    assert(run("findall", Seq("[a-z]+")).getSeq[String](0) ==
+      Seq("one", "two", "three"))
+    assert(run("match", Seq("one")).getBoolean(0))
+    assert(!run("match", Seq("two")).getBoolean(0)) // anchored at start
+    assert(run("fullmatch", Seq("[a-z ]+")).getBoolean(0))
+    assert(!run("fullmatch", Seq("one")).getBoolean(0)) // must span the whole
+    // python "one two three".rfind(" ") == 7; rfind of absent -> -1
+    assert(run("rfind", Seq(" ")).getInt(0) == 7)
+    assert(run("rfind", Seq("|")).getInt(0) == -1)
+    assert(run("rindex", Seq(" ")).getInt(0) == 7)
+    val rp = run("rpartition", Seq(" ")).getStruct(0)
+    assert((rp.getString(0), rp.getString(1), rp.getString(2)) ==
+      ("one two", " ", "three"))
+    val rpAbsent = run("rpartition", Seq("|")).getStruct(0)
+    assert((rpAbsent.getString(0), rpAbsent.getString(1), rpAbsent.getString(2)) ==
+      ("", "", "one two three")) // python: ('', '', whole) from the right
+    assert(Seq("abc").toDF("s").select(TextOps.strMethod(c, "join", Seq("-")))
+      .collect()(0).getString(0) == "a-b-c")
+    assert(Seq("42").toDF("s").select(TextOps.strMethod(c, "isdecimal"))
+      .collect()(0).getBoolean(0))
+    assert(!run("isdecimal").getBoolean(0))
+    assert(Seq("One Two").toDF("s").select(TextOps.strMethod(c, "istitle"))
+      .collect()(0).getBoolean(0))
+    assert(!run("istitle").getBoolean(0))
+    // encode -> binary -> decode round-trips
+    assert(d.select(TextOps.strMethod(
+        TextOps.strMethod(c, "encode", Seq("UTF-8")), "decode", Seq("UTF-8")))
+      .collect()(0).getString(0) == "one two three")
+    // DataFrame-producing methods rejected, mirroring the reference's
+    // ValueError (process_text.py:110-115)
+    intercept[IllegalArgumentException](run("extractall", Seq("(a)")))
+    intercept[IllegalArgumentException](run("get_dummies"))
+  }
+
   test("convertStock resolves tickers case-insensitively") {
     import graft.operators.DomainOps
     val d = Seq((1, "aapl"), (2, "MSFT"), (3, "zzzz")).toDF("id", "tick")

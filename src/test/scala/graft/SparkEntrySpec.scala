@@ -7,19 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("every oracle key has a query; rows-only residue is the documented duo") {
+  test("query/oracle mapping is total in both directions") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).mkString(", ")}")
-    // queries without an oracle are rows-only: exactly the two approximate
-    // ANN paths, each held by an exact recall companion gate (jitter joined
-    // the hash-compared set in round 12 via per-row invariant projections)
-    assert((q -- o) == Set("similarity_ivf_topk", "similarity_lsh_topk"),
-      s"undocumented rows-only queries: ${(q -- o).mkString(", ")}")
+    // zero rows-only queries since round 14: the two approximate ANN paths
+    // (the last no_oracle residue) now run complete-candidate configs whose
+    // output equals the exhaustive ranking, so every query is hash-compared
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).mkString(", ")}")
   }
 
   test("gate size only grows (ratchet)") {
-    // round-12 closing size; bump intentionally when adding queries
-    assert(SparkEntry.queries.size >= 242, s"gate shrank: ${SparkEntry.queries.size}")
+    // round-14 closing size; bump intentionally when adding queries
+    assert(SparkEntry.queries.size >= 248, s"gate shrank: ${SparkEntry.queries.size}")
   }
 }
