@@ -67,10 +67,14 @@ object CheckpointProbe {
 
     def run(pin: Boolean): Unit = {
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      val out = graft.llm.Pipeline.addShard(docs, gateShard(docs),
-        "doc_id", "text", threshold = 0.8, pin = pin)
+      // window opens BEFORE the plan is built: under AQE, localCheckpoint's
+      // .rdd materializes the checkpointed subtree's shuffle stages at
+      // plan-build time, so counters reset after addShard() would miss the
+      // pinned variant's heavy jobs entirely (first probe draft did)
       jobs.set(0); stages.set(0); inputRecords.set(0L); inputBytes.set(0L)
       val t0 = System.nanoTime()
+      val out = graft.llm.Pipeline.addShard(docs, gateShard(docs),
+        "doc_id", "text", threshold = 0.8, pin = pin)
       val n = out.count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"add_shard_pin","pin":$pin,"rows":$n,""" +
