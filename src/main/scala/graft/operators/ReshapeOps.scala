@@ -23,7 +23,7 @@ object ReshapeOps {
   def pivotLonger(
       df: DataFrame,
       index: Seq[String],
-      namesTo: Seq[String] = Seq("name"),
+      namesTo: Seq[String] = Seq("variable"),
       valuesTo: String = "value",
       namesSep: Option[String] = None,
       namesPattern: Option[String] = None,

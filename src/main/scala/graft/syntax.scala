@@ -177,7 +177,7 @@ object syntax {
       TextOps.expandColumn(df, column, sep, concatDf)
 
     // §2.6 reshape
-    def pivotLonger(index: Seq[String], namesTo: Seq[String] = Seq("name"),
+    def pivotLonger(index: Seq[String], namesTo: Seq[String] = Seq("variable"),
         valuesTo: String = "value", namesSep: Option[String] = None,
         namesPattern: Option[String] = None, columnNames: Seq[String] = Nil,
         dropna: Boolean = false, namesTransform: Map[String, String] = Map.empty): DataFrame =
