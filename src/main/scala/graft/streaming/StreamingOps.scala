@@ -226,8 +226,14 @@ object StreamingOps {
     * sorted-intersect kernel against the reference shingle sets. Emits one
     * row per flagged doc: (id, ref_id of the best match, jaccard), update
     * output mode (max aggregation collapses multi-band collisions). The
-    * stream-side band explode carries the shingle array (x numBands) — fine
-    * at micro-batch size; the static side is precomputed once.
+    * reference index is broadcast (the small curated side by contract,
+    * same as [[contaminationFlags]]); the stream-side band explode carries
+    * the raw TEXT, not the shingle array — shingles re-derive on candidate
+    * rows only, after the join. Carrying the sorted shingle array (a
+    * multi-KB array of strings, x numBands generated rows per doc) through
+    * the explode+join was measured 19 s at sf0.1 vs 1.5 s for this shape:
+    * the per-generated-row unsafe copy of the array dominated everything
+    * else in the plan.
     */
   def nearDupFlags(stream: DataFrame, idCol: String, textCol: String,
       refDocs: DataFrame, threshold: Double, numBands: Int = 32,
@@ -243,10 +249,11 @@ object StreamingOps {
       posexplode(Dedup.bandHashes(col("__sig"), numBands, rowsPerBand))
         .as(Seq("band", "bandhash")))
     val s = withSig(stream).select(col(idCol).as("id"),
-      array_sort(Dedup.shingles(col(textCol), shingleN)).as("__sh"),
+      col(textCol).as("__stext"),
       posexplode(Dedup.bandHashes(col("__sig"), numBands, rowsPerBand))
         .as(Seq("band", "bandhash")))
-    val verified = s.join(ref, Seq("band", "bandhash"))
+    val verified = s.join(broadcast(ref), Seq("band", "bandhash"))
+      .withColumn("__sh", array_sort(Dedup.shingles(col("__stext"), shingleN)))
       .withColumn("__inter",
         graft.functions.vector.sorted_intersect_count(col("__sh"), col("__rsh")))
       .withColumn("__j", col("__inter").cast("double") /
