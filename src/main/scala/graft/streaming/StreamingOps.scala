@@ -331,7 +331,8 @@ object StreamingOps {
     * joins the cell-bucketed corpus (stream-static equi-join on the cell
     * id — candidates per query are corpus/nCells × nProbe, not the corpus),
     * and ranks with a sort_array(collect_list) top-k aggregation (update
-    * output mode; streaming forbids rank windows). At 100 TB the static
+    * or complete output mode — the gate runs complete; streaming forbids
+    * rank windows). At 100 TB the static
     * side is the big one, and it is scanned pre-bucketed — the stream never
     * triggers a full-corpus pass.
     */
@@ -362,7 +363,7 @@ object StreamingOps {
     * cell-assigned and PQ-encoded ONCE at setup (batch, narrow); each
     * arriving query computes its probe cells and its m×k ADC lookup table
     * statelessly, joins the pre-bucketed code table on the cell id, and
-    * ranks by the ADC score (collect_list top-k, update mode; exact rerank
+    * ranks by the ADC score (collect_list top-k, update/complete mode; exact rerank
     * is a batch follow-up — the stream never touches corpus vectors).
     */
   def ivfPqTopKStream(stream: DataFrame, corpus: DataFrame, idCol: String,
