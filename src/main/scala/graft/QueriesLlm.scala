@@ -336,6 +336,16 @@ object QueriesLlm {
     "token_cms_gate" -> ((s, d) =>
       TextAnalysis.tokenCmsGate(documents(s, d), "text",
         Seq("table", "hash", "scan", "value", "zzz_absent"))),
+    // Misra-Gries heavy hitters at no-eviction capacity (vocab << 4096) —
+    // the sketch equals the exact frequency table, hash-exact top-20
+    "heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(documents(s, d), "text",
+        capacity = 4096, k = 20)),
+    // evicting capacity (8 < the 31-token vocab): counts are order-
+    // dependent, the MG bound booleans are not (token_cms_gate precedent)
+    "heavy_hitters_bound" -> ((s, d) =>
+      TextAnalysis.heavyHittersBoundGate(documents(s, d), "text",
+        Seq("table", "hash", "scan", "value", "zzz_absent"), capacity = 8)),
     "collocations" -> ((s, d) =>
       microCols(TextAnalysis.collocations(documents(s, d), "text",
         minCount = 20, k = 30), "pmi")),
@@ -1033,6 +1043,23 @@ object QueriesLlm {
         |  GROUP BY token)
         |SELECT p.token, CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
         |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+        |FROM (VALUES ('table'), ('hash'), ('scan'), ('value'), ('zzz_absent')) p(token)
+        |LEFT JOIN e USING (token)""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS est FROM tok GROUP BY token)
+        |SELECT token, CAST(est AS BIGINT) AS est FROM (
+        |  SELECT token, est, row_number() OVER (ORDER BY est DESC, token ASC) AS rn
+        |  FROM c) WHERE rn <= 20""".stripMargin,
+    "heavy_hitters_bound" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |e AS (SELECT token, count(*) AS n_exact FROM tok
+        |  WHERE token IN ('table', 'hash', 'scan', 'value', 'zzz_absent')
+        |  GROUP BY token)
+        |SELECT p.token, CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+        |  TRUE AS est_le_exact, TRUE AS est_within_err
         |FROM (VALUES ('table'), ('hash'), ('scan'), ('value'), ('zzz_absent')) p(token)
         |LEFT JOIN e USING (token)""".stripMargin,
     "similarity_lsh_recall" ->

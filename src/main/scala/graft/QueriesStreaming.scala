@@ -359,6 +359,17 @@ object QueriesStreaming {
         .select(col("qid"), col("nid"),
           round(col("sim") * 1e6).cast("long").as("sim"))
     }),
+    // streaming heavy hitters at no-eviction capacity (vocab 31 << 4096):
+    // the MG state equals the exact frequency table, so the running top-20
+    // is hash-exact under the batch oracle
+    "heavy_hitters_stream" -> ((s, d) =>
+      runToCompletion(
+        StreamingOps.heavyHittersStream(
+          documentsStream(s, d).select("text"), "text", capacity = 4096),
+        "gr_heavy_hitters_stream", "complete")
+        .select(posexplode(col("sketch")).as(Seq("__pos", "__hh")))
+        .filter(col("__pos") < 20)
+        .select(col("__hh.token").as("token"), col("__hh.est").as("est"))),
     // streaming IVF-PQ with the PINNED codebooks of the batch pq gates
     // (subspace slices of vec_id < 8 — DuckDB-replicable) and the complete
     // probe, so the ADC ranking in the compressed domain is itself
@@ -475,6 +486,14 @@ object QueriesStreaming {
     // complete-candidate probe == exhaustive ranking (same oracle as the
     // batch brute/IVF/LSH top-k gates)
     "ivf_topk_stream" -> QueriesLlm.exactCosineTopk5Sql,
+    // no-eviction capacity: the running sketch is the exact count table
+    "heavy_hitters_stream" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS est FROM tok GROUP BY token)
+        |SELECT token, CAST(est AS BIGINT) AS est FROM (
+        |  SELECT token, est, row_number() OVER (ORDER BY est DESC, token ASC) AS rn
+        |  FROM c) WHERE rn <= 20""".stripMargin,
     // pinned-codebook ADC ranking over ALL cells: codes/tables from the
     // shared pqCodesSql prefix; rank by the ROUNDED adc (the operator
     // rounds before its collect_list sort), ties to the lowest nid

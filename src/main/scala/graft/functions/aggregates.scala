@@ -130,10 +130,144 @@ object aggregates {
         cs: IndexedSeq[Expression]): BottomKByHash = copy(child = cs.head)
   }
 
+  /** Misra-Gries heavy-hitters sketch over a TOKEN-ARRAY column (MG'82;
+    * merge rule from Agarwal et al., "Mergeable Summaries", PODS'12) —
+    * the frequent-items member of the sketch family (HLL distinct, CMS
+    * point counts, exact-at-gate quantiles). Per-partition buffers hold at
+    * most `capacity` (token, count) pairs; the exchange carries ONE buffer
+    * per (partition, group) — at 100 TB the vocabulary never shuffles.
+    *
+    * Guarantees (any processing/merge order, N = total tokens seen):
+    *   est(t) <= true(t)  and  est(t) >= true(t) - N/(capacity+1)
+    * (absent tokens read est = 0, which satisfies both), so every token
+    * with true count > N/(capacity+1) is present in the sketch. With
+    * capacity >= distinct-token count no eviction ever fires and the
+    * sketch IS the exact count table — the deterministic gate setting;
+    * at small capacity the surviving counts are processing-order-
+    * dependent, so gates project only the order-invariant bound booleans
+    * (token_cms_gate precedent).
+    *
+    * Returns array<struct<token, est>> sorted by (est desc, token asc).
+    */
+  case class MisraGries(child: Expression, capacity: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+    require(capacity >= 1, s"misra_gries: capacity must be >= 1, got $capacity")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("est",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+
+    override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+      mutable.HashMap.empty[String, Long]
+
+    private def offer(buf: mutable.HashMap[String, Long], t: String): Unit = {
+      buf.get(t) match {
+        case Some(c) => buf.update(t, c + 1)
+        case None if buf.size < capacity => buf.update(t, 1L)
+        case None =>
+          // classic MG eviction: decrement every counter, drop zeros —
+          // O(capacity), amortized O(1) per increment it cancels
+          val dead = mutable.ArrayBuffer.empty[String]
+          buf.keysIterator.foreach { k =>
+            val c = buf(k) - 1
+            if (c == 0L) dead += k else buf.update(k, c)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+
+    override def update(buf: mutable.HashMap[String, Long],
+        input: InternalRow): mutable.HashMap[String, Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i)) offer(buf, arr.getUTF8String(i).toString)
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+      if (a.size > capacity) {
+        // mergeable-summaries rule: subtract the (capacity+1)-th largest
+        // count from every counter and drop the non-positive — keeps <=
+        // capacity entries and preserves the N/(capacity+1) error bound
+        val counts = a.values.toArray
+        java.util.Arrays.sort(counts)
+        val threshold = counts(counts.length - capacity - 1)
+        val dead = mutable.ArrayBuffer.empty[String]
+        a.keysIterator.foreach { k =>
+          val c = a(k) - threshold
+          if (c <= 0L) dead += k else a.update(k, c)
+        }
+        dead.foreach(a.remove)
+      }
+      a
+    }
+
+    override def eval(buf: mutable.HashMap[String, Long]): Any = {
+      val sorted = buf.toArray.sortBy { case (t, c) => (-c, t) }
+      new GenericArrayData(sorted.map { case (t, c) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(t), c))
+      }.toArray[Any])
+    }
+
+    override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { case (t, c) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b); out.writeLong(c)
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+          in.readLong())
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): MisraGries =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MisraGries =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): MisraGries = copy(child = cs.head)
+  }
+
   import org.apache.spark.sql.graftx.Bridge
 
   /** Column form of [[BottomKByHash]] (input is cast to string). */
   def bottom_k_by_hash(v: Column, k: Int): Column =
     Bridge.column(BottomKByHash(Bridge.expression(v.cast("string")), k)
+      .toAggregateExpression())
+
+  /** Column form of [[MisraGries]] (input: array<string> of tokens). */
+  def misra_gries(tokens: Column, capacity: Int): Column =
+    Bridge.column(MisraGries(Bridge.expression(tokens), capacity)
       .toAggregateExpression())
 }

@@ -540,6 +540,55 @@ object TextAnalysis {
     }.toDF("token", "n_exact", "est_ge_exact", "est_within_eps")
   }
 
+  /** Misra-Gries heavy hitters — the frequent-items member of the sketch
+    * family (HLL distinct / CMS point counts / percentile_approx):
+    * top-k most frequent tokens via the bounded mergeable sketch
+    * ([[graft.functions.aggregates.MisraGries]]). ONE narrow pass over
+    * token arrays (no explode), one single-buffer-per-partition exchange
+    * — the vocabulary never shuffles, the 100 TB shape. With capacity >=
+    * the distinct-token count no eviction fires and the sketch IS the
+    * exact frequency table (the deterministic gate setting); production
+    * uses capacity << vocab and inherits the documented
+    * `true - N/(capacity+1) <= est <= true` guarantee.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, capacity: Int,
+      k: Int): DataFrame =
+    df.agg(graft.functions.aggregates.misra_gries(
+        Dedup.tokens(col(s"`$textCol`")), capacity).as("__sk"))
+      .select(posexplode(col("__sk")).as(Seq("__pos", "__hh")))
+      .filter(col("__pos") < k)
+      .select(col("__hh.token").as("token"), col("__hh.est").as("est"))
+
+  /** Order-invariant bound gate for the SMALL-capacity (evicting) sketch,
+    * token_cms_gate precedent: surviving counts are processing-order-
+    * dependent, but `est <= true` and `est >= true - N/(capacity+1)` hold
+    * for ANY order (absent probes read est = 0), so the gate projects the
+    * exact count plus the two bound booleans per probe token.
+    */
+  def heavyHittersBoundGate(df: DataFrame, textCol: String,
+      probes: Seq[String], capacity: Int): DataFrame = {
+    require(probes.nonEmpty, "heavy_hitters_bound: empty probe set")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(Dedup.tokens(col(s"`$textCol`")).as("toks"))
+    val row = toks.agg(
+      graft.functions.aggregates.misra_gries(col("toks"), capacity).as("sk"),
+      sum(size(col("toks")).cast("long")).as("n")).head()
+    val est = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = row.getLong(1)
+    val err = n / (capacity + 1)
+    val exact = df.select(explode(Dedup.tokens(col(s"`$textCol`"))).as("token"))
+      .filter(col("token").isin(probes: _*))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.map { p =>
+      val ex = exact.getOrElse(p, 0L)
+      val e = est.getOrElse(p, 0L)
+      (p, ex, e <= ex, e >= ex - err)
+    }.toDF("token", "n_exact", "est_le_exact", "est_within_err")
+  }
+
   /** Canary-string scan — the exact-substring sweep for benchmark canary
     * GUIDs (BIG-bench-style canaries, eval-set sentinel strings) that runs
     * before any training dump ships: one row per (document, canary) hit.

@@ -475,6 +475,25 @@ object StreamingOps {
     Sampling.hashSplit(kept, idCol, splitWeights, "split", seed)
   }
 
+  /** Streaming Misra-Gries heavy hitters — running top tokens over an
+    * ingest stream ([[graft.llm.TextAnalysis.heavyHitters]]'s stateful
+    * twin): the MG buffer is the aggregation state, so state size is
+    * EXACTLY `capacity` (token, count) pairs per group regardless of
+    * stream length — the constant-state answer to "what are the dominant
+    * tokens in today's crawl" that an exact streaming groupBy(token)
+    * cannot give (its state grows with the vocabulary). Complete/update
+    * output; optional event-time window + watermark via `by` columns
+    * composed upstream. Returns the sketch array; explode + slice for
+    * top-k.
+    */
+  def heavyHittersStream(stream: DataFrame, textCol: String,
+      capacity: Int, by: Seq[String] = Nil): DataFrame = {
+    val sk = graft.functions.aggregates.misra_gries(
+      graft.llm.Dedup.tokens(col(s"`$textCol`")), capacity).as("sketch")
+    if (by.isEmpty) stream.agg(sk)
+    else stream.groupBy(by.map(c => col(s"`$c`")): _*).agg(sk)
+  }
+
   /** Per-key jump flag against the previous value — streaming flag_jumps
     * (batch form: lag window, SURVEY §2.12). With `orderCol` (an
     * event-time/sequence column) each micro-batch's rows are sorted per key

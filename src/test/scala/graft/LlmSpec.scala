@@ -1008,4 +1008,39 @@ class LlmSpec extends SparkSpec {
     assert(d4.map(_.getLong(2)).toSeq == Seq(1L, 2L))
     assert(d4.head.getLong(5) == 1L) // seq_off inside seq 1
   }
+
+  test("heavyHitters: exact at capacity >= vocab, MG bounds at evicting capacity") {
+    import spark.implicits._
+    // deterministic skewed corpus: token t_i appears (i+1)*7 times, split
+    // across docs so partial buffers genuinely merge
+    val words = (0 until 12).flatMap(i => Seq.fill((i + 1) * 7)(s"t$i"))
+    val docs = words.grouped(9).map(_.mkString(" ")).toSeq.toDF("text")
+      .repartition(7) // shuffle the doc order
+    val exact = (0 until 12).map(i => s"t$i" -> ((i + 1) * 7).toLong).toMap
+    val n = words.size.toLong
+
+    // capacity >= vocab: the sketch IS the exact table, top-k deterministic
+    val top = TextAnalysis.heavyHitters(docs, "text", capacity = 64, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == (11 to 7 by -1).map(i => (s"t$i", exact(s"t$i"))))
+
+    // evicting capacity: every surviving estimate obeys
+    // true - N/(c+1) <= est <= true, under several partitionings
+    for (parts <- Seq(1, 3, 13)) {
+      val cap = 4
+      val sk = docs.repartition(parts)
+        .agg(graft.functions.aggregates.misra_gries(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), cap).as("sk"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= cap)
+      val err = n / (cap + 1)
+      exact.foreach { case (t, ex) =>
+        val est = sk.getOrElse(t, 0L)
+        assert(est <= ex, s"$t est=$est > exact=$ex (parts=$parts)")
+        assert(est >= ex - err, s"$t est=$est < $ex - $err (parts=$parts)")
+      }
+    }
+  }
 }

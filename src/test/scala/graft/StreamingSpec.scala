@@ -479,4 +479,22 @@ class StreamingSpec extends SparkSpec {
     assert(dirA2 == dirA)
     assert(Files.readAllBytes(Paths.get(dirA2, "events.parquet")).head == 1)
   }
+
+  test("heavyHittersStream accumulates MG state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = graft.streaming.StreamingOps
+      .heavyHittersStream(in.toDF().toDF("text"), "text", capacity = 64)
+      .writeStream.format("memory").queryName("hh_stream").outputMode("complete")
+      .start()
+    in.addData("a a a b", "b c")
+    q.processAllAvailable()
+    in.addData("a c c d") // second batch must ADD to the first's counts
+    q.processAllAvailable()
+    q.stop()
+    val sk = spark.table("hh_stream").select(explode(col("sketch")).as("hh"))
+      .select("hh.token", "hh.est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk == Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+  }
 }
