@@ -328,6 +328,8 @@ object syntax {
       Dedup.dedupSubstrings(df, idCol, textCol, minMatchTokens)
     def corpusReport(textCol: String, byCol: Option[String] = None): DataFrame =
       TextAnalysis.corpusReport(df, textCol, byCol)
+    def heavyHitters(textCol: String, capacity: Int, k: Int): DataFrame =
+      TextAnalysis.heavyHitters(df, textCol, capacity, k)
     def corpusOverlapWith(other: DataFrame, idCol: String,
         textCol: String): DataFrame =
       Dedup.corpusOverlap(df, other, idCol, textCol)
