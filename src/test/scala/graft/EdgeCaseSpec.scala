@@ -447,4 +447,31 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(enc == Seq("a", "b", Bpe.Eow))
   }
+
+  test("round-14 verbs on empty/degenerate inputs") {
+    import graft.llm.TextAnalysis
+    import graft.streaming.StreamingOps
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    // heavyHitters on an empty corpus: one empty sketch row -> zero output
+    assert(TextAnalysis.heavyHitters(empty, "text", 16, 5).count() == 0)
+    // null texts contribute no tokens and don't crash the MG update
+    val withNulls = Seq((1L, "a a b"), (2L, null)).toDF("doc_id", "text")
+    val hh = TextAnalysis.heavyHitters(withNulls, "text", 16, 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a" -> 2L, "b" -> 1L))
+    // fuzzyMatchFlags with an empty reference: no matches, schema intact
+    val q = Seq((1L, "abc")).toDF("id", "s")
+    val out = StreamingOps.fuzzyMatchFlags(q, "id", "s",
+      empty.select(col("doc_id"), col("text")), "doc_id", "text", maxDist = 1)
+    assert(out.columns.toSeq == Seq("id", "ref_id", "dist") && out.count() == 0)
+    // nearDupFlags with an empty reference: empty, no crash
+    assert(StreamingOps.nearDupFlags(withNulls, "doc_id", "text",
+      empty, threshold = 0.8).count() == 0)
+  }
 }
