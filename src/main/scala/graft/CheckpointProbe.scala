@@ -46,23 +46,17 @@ object CheckpointProbe {
         }
     })
 
-    def gateShard(docs: DataFrame): DataFrame = {
-      // the add_shard gate's planted shard, verbatim (QueriesLlm)
-      val w = split(col("text"), "\\s+")
-      val prefix30 = concat_ws(" ", slice(w, 1, 30))
-      def part(lo: Int, hi: Int, off: Long, t: Column) =
-        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .select((col("doc_id") + off).as("doc_id"), t.as("text"))
-      val longEnough = docs.filter(size(w) >= 40)
-      def partLong(lo: Int, hi: Int, off: Long, t: Column) =
-        longEnough.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .select((col("doc_id") + off).as("doc_id"), t.as("text"))
-      part(0, 10, 200000L, col("text"))
-        .unionAll(part(10, 20, 210000L, concat(col("text"), lit(" extraword"))))
-        .unionAll(part(20, 25, 220000L, concat(col("text"), lit(" zzuniq"))))
-        .unionAll(part(20, 25, 230000L, concat(col("text"), lit(" zzuniq"))))
-        .unionAll(partLong(25, 30, 240000L, prefix30))
-        .unionAll(partLong(25, 30, 250000L, concat(prefix30, lit(" tailword"))))
+    // the listener bus is ASYNC: trailing events from one action can land
+    // after the next variant resets the counters. Quiesce = wait until all
+    // three counters are stable for `stableMs` before reading or resetting.
+    def quiesce(stableMs: Long = 500L): Unit = {
+      var last = (-1L, -1L, -1L)
+      var stableSince = System.nanoTime()
+      while ((System.nanoTime() - stableSince) / 1e6 < stableMs) {
+        val cur = (jobs.get.toLong, stages.get.toLong, inputRecords.get)
+        if (cur != last) { last = cur; stableSince = System.nanoTime() }
+        Thread.sleep(50L)
+      }
     }
 
     def run(pin: Boolean): Unit = {
@@ -71,12 +65,16 @@ object CheckpointProbe {
       // .rdd materializes the checkpointed subtree's shuffle stages at
       // plan-build time, so counters reset after addShard() would miss the
       // pinned variant's heavy jobs entirely (first probe draft did)
+      quiesce()
       jobs.set(0); stages.set(0); inputRecords.set(0L); inputBytes.set(0L)
       val t0 = System.nanoTime()
-      val out = graft.llm.Pipeline.addShard(docs, gateShard(docs),
+      // the gate's planted shard, by construction (shared builder)
+      val out = graft.llm.Pipeline.addShard(docs,
+        QueriesLlm.addShardGateShard(docs),
         "doc_id", "text", threshold = 0.8, pin = pin)
       val n = out.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      quiesce()
       println(f"""{"probe":"add_shard_pin","pin":$pin,"rows":$n,""" +
         f""""wall_s":$wall%.2f,"jobs":${jobs.get},"stages":${stages.get},""" +
         f""""input_records":${inputRecords.get},"input_mb":${inputBytes.get / 1e6}%.1f}""")

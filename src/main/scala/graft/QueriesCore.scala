@@ -730,7 +730,8 @@ object QueriesCore {
         |length(p_name) AS n,
         |contains(p_name, 'gre') AS has_gre,
         |regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
-        |lpad(p_name, 30, '0') AS z,
+        |CASE WHEN length(p_name) >= 30 THEN p_name
+        |  ELSE lpad(p_name, 30, '0') END AS z,
         |CASE WHEN starts_with(p_name, 'a') THEN substr(p_name, 2) ELSE p_name END AS noprefix,
         |substr(p_name, 3, 3) AS sl,
         |len(string_split(p_name, ' ')) - 1 AS nsp,
@@ -754,7 +755,8 @@ object QueriesCore {
         |  substr(p_name, 1, 2) || 'X' || substr(p_name, 6) AS slrep,
         |  CASE WHEN length(p_name) >= 30 THEN p_name
         |    ELSE rpad(lpad(p_name, CAST((30 + length(p_name)) // 2 AS INT), '.'), 30, '.') END AS ctr,
-        |  lpad(p_name, 28, '_') AS padl,
+        |  CASE WHEN length(p_name) >= 28 THEN p_name
+        |    ELSE lpad(p_name, 28, '_') END AS padl,
         |  len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
         |  regexp_extract_all(p_name, '[aeiou]+')[1] AS first_vowel_run,
         |  regexp_matches(p_name, '^(?:[a-z]+ )') AS m,

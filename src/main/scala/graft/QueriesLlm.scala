@@ -595,22 +595,8 @@ object QueriesLlm {
     // rows; every status decision is held to the exhaustive oracle
     "add_shard" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val w = split(col("text"), "\\s+")
-      val prefix30 = concat_ws(" ", slice(w, 1, 30))
-      def part(lo: Int, hi: Int, off: Long, t: org.apache.spark.sql.Column) =
-        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .select((col("doc_id") + off).as("doc_id"), t.as("text"))
-      val longEnough = docs.filter(size(w) >= 40)
-      def partLong(lo: Int, hi: Int, off: Long, t: org.apache.spark.sql.Column) =
-        longEnough.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .select((col("doc_id") + off).as("doc_id"), t.as("text"))
-      val shard = part(0, 10, 200000L, col("text"))
-        .unionAll(part(10, 20, 210000L, concat(col("text"), lit(" extraword"))))
-        .unionAll(part(20, 25, 220000L, concat(col("text"), lit(" zzuniq"))))
-        .unionAll(part(20, 25, 230000L, concat(col("text"), lit(" zzuniq"))))
-        .unionAll(partLong(25, 30, 240000L, prefix30))
-        .unionAll(partLong(25, 30, 250000L, concat(prefix30, lit(" tailword"))))
-      graft.llm.Pipeline.addShard(docs, shard, "doc_id", "text", threshold = 0.8)
+      graft.llm.Pipeline.addShard(docs, addShardGateShard(docs),
+        "doc_id", "text", threshold = 0.8)
     }),
     "corpus_report" -> ((s, d) =>
       microCols(graft.llm.TextAnalysis.corpusReport(documents(s, d), "text",
@@ -720,6 +706,42 @@ object QueriesLlm {
        |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
        |SELECT doc_id AS id, $recomb AS simhash FROM b""".stripMargin
   }
+
+  /** The add_shard gate's planted shard: exact copies (0-10), perturbed
+    * copies (10-20), a within-shard duplicated family (20-25 twice), and
+    * prefix/prefix+tail near-dups of long docs (25-30). ONE definition,
+    * shared by the gate and CheckpointProbe, so the probe's "same shard as
+    * the gate" claim is structural, not a comment.
+    */
+  private[graft] def addShardGateShard(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), "\\s+")
+    val prefix30 = concat_ws(" ", slice(w, 1, 30))
+    def part(lo: Int, hi: Int, off: Long, t: org.apache.spark.sql.Column) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select((col("doc_id") + off).as("doc_id"), t.as("text"))
+    val longEnough = docs.filter(size(w) >= 40)
+    def partLong(lo: Int, hi: Int, off: Long, t: org.apache.spark.sql.Column) =
+      longEnough.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select((col("doc_id") + off).as("doc_id"), t.as("text"))
+    part(0, 10, 200000L, col("text"))
+      .unionAll(part(10, 20, 210000L, concat(col("text"), lit(" extraword"))))
+      .unionAll(part(20, 25, 220000L, concat(col("text"), lit(" zzuniq"))))
+      .unionAll(part(20, 25, 230000L, concat(col("text"), lit(" zzuniq"))))
+      .unionAll(partLong(25, 30, 240000L, prefix30))
+      .unionAll(partLong(25, 30, 250000L, concat(prefix30, lit(" tailword"))))
+  }
+
+  /** Exact top-20 tokens by (count desc, token asc) — shared by the batch
+    * and streaming heavy-hitters gates (both run the no-eviction capacity,
+    * where the MG sketch equals the exact frequency table).
+    */
+  private[graft] lazy val heavyHittersTop20Sql: String =
+    """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS est FROM tok GROUP BY token)
+      |SELECT token, CAST(est AS BIGINT) AS est FROM (
+      |  SELECT token, est, row_number() OVER (ORDER BY est DESC, token ASC) AS rn
+      |  FROM c) WHERE rn <= 20""".stripMargin
 
   /** Exhaustive cosine top-5 for queries vec_id < 10 — shared by the brute
     * gate and the complete-candidate IVF/LSH gates ([[entries]] comment):
@@ -1045,13 +1067,7 @@ object QueriesLlm {
         |  TRUE AS est_ge_exact, TRUE AS est_within_eps
         |FROM (VALUES ('table'), ('hash'), ('scan'), ('value'), ('zzz_absent')) p(token)
         |LEFT JOIN e USING (token)""".stripMargin,
-    "heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
-        |  FROM documents),
-        |c AS (SELECT token, count(*) AS est FROM tok GROUP BY token)
-        |SELECT token, CAST(est AS BIGINT) AS est FROM (
-        |  SELECT token, est, row_number() OVER (ORDER BY est DESC, token ASC) AS rn
-        |  FROM c) WHERE rn <= 20""".stripMargin,
+    "heavy_hitters" -> heavyHittersTop20Sql,
     "heavy_hitters_bound" ->
       """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
         |  FROM documents),

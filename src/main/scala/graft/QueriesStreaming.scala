@@ -498,13 +498,7 @@ object QueriesStreaming {
     // batch brute/IVF/LSH top-k gates)
     "ivf_topk_stream" -> QueriesLlm.exactCosineTopk5Sql,
     // no-eviction capacity: the running sketch is the exact count table
-    "heavy_hitters_stream" ->
-      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
-        |  FROM documents),
-        |c AS (SELECT token, count(*) AS est FROM tok GROUP BY token)
-        |SELECT token, CAST(est AS BIGINT) AS est FROM (
-        |  SELECT token, est, row_number() OVER (ORDER BY est DESC, token ASC) AS rn
-        |  FROM c) WHERE rn <= 20""".stripMargin,
+    "heavy_hitters_stream" -> QueriesLlm.heavyHittersTop20Sql,
     // pinned-codebook ADC ranking over ALL cells: codes/tables from the
     // shared pqCodesSql prefix; rank by the ROUNDED adc (the operator
     // rounds before its collect_list sort), ties to the lowest nid

@@ -97,8 +97,8 @@ object Pipeline {
     * bucketed 100 TB shapes (hash groupBys, anti-joins, band joins —
     * nothing corpus-quadratic). Emits one row per input shard row:
     * (idCol, status).
-    */
-  /** `pin = false` disables the two lazy localCheckpoint pins — for
+    *
+    * `pin = false` disables the two lazy localCheckpoint pins — for
     * memory-tight deployments that prefer recomputation over caching the
     * staged shard, and for the A/B probe (CheckpointProbe) that verifies
     * the pins actually suppress stage re-execution.

@@ -34,9 +34,14 @@ object TextOps {
       case "replace" => regexp_replace(c, s(0), s(1))
       case "extract" => regexp_extract(c, s(0), if (args.length > 1) i(1) else 1)
       case "split" => split(c, s(0))
+      // python pad family NEVER truncates (lpad/rpad do) — strings already
+      // at/over width pass through unchanged
       case "pad_left" | "rjust" | "zfill" =>
-        lpad(c, i(0), if (args.length > 1) s(1) else if (method == "zfill") "0" else " ")
-      case "pad_right" | "ljust" => rpad(c, i(0), if (args.length > 1) s(1) else " ")
+        val fill = if (args.length > 1) s(1) else if (method == "zfill") "0" else " "
+        when(length(c) >= i(0), c).otherwise(lpad(c, i(0), fill))
+      case "pad_right" | "ljust" =>
+        val fill = if (args.length > 1) s(1) else " "
+        when(length(c) >= i(0), c).otherwise(rpad(c, i(0), fill))
       case "count" => size(split(c, s(0))) - 1
       case "repeat" => repeat(c, i(0))
       case "reverse" => reverse(c)
@@ -91,10 +96,14 @@ object TextOps {
       case "center" =>
         val width = i(0)
         val fill = lit(if (args.length > 1) s(1) else " ")
-        // python str.center: left pad gets floor((width-len)/2), i.e. the
-        // intermediate lpad target is floor((width+len)/2)
-        val mid = call_function("lpad", c,
-          floor((lit(width) + length(c)).cast("double") / 2).cast("int"), fill)
+        // CPython str.center: marg = width - len; left = marg//2 +
+        // (marg & width & 1) — the extra pad goes LEFT when both the
+        // margin and the width are odd ('ab'.center(5) == '..ab.'),
+        // not plain floor division
+        val marg = lit(width) - length(c)
+        val left = floor(marg.cast("double") / 2).cast("int") +
+          marg.bitwiseAND(lit(width)).bitwiseAND(lit(1))
+        val mid = call_function("lpad", c, length(c) + left, fill)
         when(length(c) >= width, c)
           .otherwise(call_function("rpad", mid, lit(width), fill))
       case "pad" => // kwargs order (width, side, fillchar), side default left

@@ -114,12 +114,21 @@ class MathAndTextSpec extends SparkSpec {
       d.select(TextOps.strMethod(c, m, args)).collect()(0)
     // python: "one two three"[0:3] -> "one"; slice_replace(0,3,"X") -> "X two three"
     assert(run("slice_replace", Seq(0, 3, "X")).getString(0) == "X two three")
-    // python "ab".center(5, ".") == ".ab.."  (left pad gets the floor)
+    // CPython: "ab".center(5, ".") == "..ab." — the extra pad goes LEFT
+    // when margin and width are both odd; ".abc.." / ".ab." otherwise
     assert(Seq("ab").toDF("s").select(TextOps.strMethod(c, "center", Seq(5, ".")))
-      .collect()(0).getString(0) == ".ab..")
+      .collect()(0).getString(0) == "..ab.")
+    assert(Seq("abc").toDF("s").select(TextOps.strMethod(c, "center", Seq(6, ".")))
+      .collect()(0).getString(0) == ".abc..")
+    assert(Seq("ab").toDF("s").select(TextOps.strMethod(c, "center", Seq(4, ".")))
+      .collect()(0).getString(0) == ".ab.")
     assert(run("center", Seq(5)).getString(0) == "one two three") // len >= width
     assert(run("pad", Seq(15, "left", "_")).getString(0) == "__one two three")
     assert(run("pad", Seq(15, "right", "_")).getString(0) == "one two three__")
+    // python pad/zfill never truncate (lpad/rpad do)
+    assert(run("pad", Seq(3, "left", "_")).getString(0) == "one two three")
+    assert(run("zfill", Seq(3)).getString(0) == "one two three")
+    assert(run("ljust", Seq(3)).getString(0) == "one two three")
     assert(run("findall", Seq("[a-z]+")).getSeq[String](0) ==
       Seq("one", "two", "three"))
     assert(run("match", Seq("one")).getBoolean(0))
