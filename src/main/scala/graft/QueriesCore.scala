@@ -463,8 +463,10 @@ object QueriesCore {
   )
 
   val oracles: Map[String, String] = Map(
+    // reference-default semantics: strip_underscores=None leaves the outer
+    // underscore that '?' / ')' normalization produces (utils.py:757-774)
     "clean_names" ->
-      """SELECT l_orderkey, l_quantity AS quantity_units, l_returnflag AS return_flag FROM lineitem""",
+      """SELECT l_orderkey AS l_orderkey_, l_quantity AS quantity_units_, l_returnflag AS return_flag FROM lineitem""",
     "rename_column" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem""",
     "rename_columns" ->

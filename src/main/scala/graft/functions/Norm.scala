@@ -31,13 +31,17 @@ object Norm {
     b.toLowerCase
   }
 
-  /** Full clean_names label pipeline (clean_names.py:172-201). */
+  /** Full clean_names label pipeline (clean_names.py:172-201). The
+    * reference default is NO underscore stripping (utils.py:757-774:
+    * strip_underscores=None returns the label unchanged) and an invalid
+    * value raises — both mirrored here since round 14.
+    */
   def cleanName(
       name: String,
       caseType: String = "lower",
       removeSpecial: Boolean = false,
       stripAccentsFlag: Boolean = false,
-      stripUnderscores: Option[String] = Some("both"),
+      stripUnderscores: Option[String] = None,
       truncateLimit: Int = 0): String = {
     var s = caseType.toLowerCase match {
       case "preserve" => name
@@ -58,7 +62,10 @@ object Norm {
       case Some("left") | Some("l")  => s.replaceAll("^_+", "")
       case Some("right") | Some("r") => s.replaceAll("_+$", "")
       case Some("both") | Some("true") => s.replaceAll("^_+", "").replaceAll("_+$", "")
-      case _ => s
+      case None => s
+      case Some(other) => throw new IllegalArgumentException(
+        "strip_underscores must be one of: None, left, right, both, l, r, " +
+          s"true — got $other (utils.py:762-766 JanitorError)")
     }
     if (truncateLimit > 0) s.take(truncateLimit) else s
   }

@@ -19,7 +19,7 @@ object NameOps {
       caseType: String = "lower",
       removeSpecial: Boolean = false,
       stripAccents: Boolean = false,
-      stripUnderscores: Option[String] = Some("both"),
+      stripUnderscores: Option[String] = None,
       truncateLimit: Int = 0): DataFrame = {
     val cleaned = df.columns.map(c =>
       Norm.cleanName(c, caseType, removeSpecial, stripAccents, stripUnderscores, truncateLimit))
@@ -42,7 +42,8 @@ object NameOps {
       columns: Seq[String],
       caseType: String = "lower",
       removeSpecial: Boolean = false,
-      stripAccentsFlag: Boolean = false): DataFrame = {
+      stripAccentsFlag: Boolean = false,
+      stripUnderscores: Option[String] = None): DataFrame = {
     val colsSet = columns.toSet
     val projected = df.columns.map { c =>
       if (!colsSet.contains(c)) col(c)
@@ -58,7 +59,15 @@ object NameOps {
         if (removeSpecial) e = regexp_replace(e, "[^A-Za-z_\\d]", "")
         if (stripAccentsFlag) e = gx.strip_accents(e)
         e = regexp_replace(e, "_+", "_")
-        e = regexp_replace(regexp_replace(e, "^_+", ""), "_+$", "")
+        e = stripUnderscores match {
+          case Some("left") | Some("l") => regexp_replace(e, "^_+", "")
+          case Some("right") | Some("r") => regexp_replace(e, "_+$", "")
+          case Some("both") | Some("true") =>
+            regexp_replace(regexp_replace(e, "^_+", ""), "_+$", "")
+          case None => e
+          case Some(other) => throw new IllegalArgumentException(
+            s"strip_underscores must be one of: None, left, right, both, l, r, true — got $other")
+        }
         e.as(c)
       }
     }

@@ -16,12 +16,14 @@ object syntax {
 
     // §2.1 name hygiene
     def cleanNames(caseType: String = "lower", removeSpecial: Boolean = false,
-        stripAccents: Boolean = false, stripUnderscores: Option[String] = Some("both"),
+        stripAccents: Boolean = false, stripUnderscores: Option[String] = None,
         truncateLimit: Int = 0): DataFrame =
       NameOps.cleanNames(df, caseType, removeSpecial, stripAccents, stripUnderscores, truncateLimit)
     def cleanNamesValues(columns: Seq[String], caseType: String = "lower",
-        removeSpecial: Boolean = false, stripAccents: Boolean = false): DataFrame =
-      NameOps.cleanNamesValues(df, columns, caseType, removeSpecial, stripAccents)
+        removeSpecial: Boolean = false, stripAccents: Boolean = false,
+        stripUnderscores: Option[String] = None): DataFrame =
+      NameOps.cleanNamesValues(df, columns, caseType, removeSpecial,
+        stripAccents, stripUnderscores)
     def renameColumn(old: String, newName: String): DataFrame = NameOps.renameColumn(df, old, newName)
     def renameColumns(mapping: Map[String, String] = Map.empty, fn: Option[String => String] = None): DataFrame =
       NameOps.renameColumns(df, mapping, fn)

@@ -26,6 +26,63 @@ class NameOpsSpec extends SparkSpec {
     assert(Norm.cleanName("keep", caseType = "upper") == "KEEP")
   }
 
+  test("clean_names: the reference test file ported case by case") {
+    // tests/functions/test_clean_names.py over the conftest dirty frame
+    val dirty = Seq((1, 1.23, 1, "rabbit", "Cambridge"))
+      .toDF("a", "Bell__Chart", "decorated-elephant", "animals@#$%^", "cities")
+    // method chain, default args (strip_underscores=None — reference default)
+    assert(dirty.cleanNames().columns.toSet ==
+      Set("a", "bell_chart", "decorated_elephant", "animals@#$%^", "cities"))
+    // remove_special
+    assert(dirty.cleanNames(removeSpecial = true).columns.toSet ==
+      Set("a", "bell_chart", "decorated_elephant", "animals", "cities"))
+    // case_type = upper
+    assert(dirty.cleanNames(caseType = "upper", removeSpecial = true).columns.toSet ==
+      Set("A", "BELL_CHART", "DECORATED_ELEPHANT", "ANIMALS", "CITIES"))
+    // strip_underscores parametrize: both/true/right/r/left/l
+    def renamed(f: String => String) =
+      dirty.select(dirty.columns.map(c => col(s"`$c`").as(f(c))).toIndexedSeq: _*)
+    for (su <- Seq("both", "true")) {
+      assert(renamed(c => s"_${c}_").cleanNames(removeSpecial = true,
+        stripUnderscores = Some(su)).columns.toSet ==
+        Set("a", "bell_chart", "decorated_elephant", "animals", "cities"))
+    }
+    for (su <- Seq("right", "r")) {
+      assert(renamed(c => s"${c}_").cleanNames(removeSpecial = true,
+        stripUnderscores = Some(su)).columns.toSet ==
+        Set("a", "bell_chart", "decorated_elephant", "animals", "cities"))
+    }
+    for (su <- Seq("left", "l")) {
+      assert(renamed(c => s"_$c").cleanNames(removeSpecial = true,
+        stripUnderscores = Some(su)).columns.toSet ==
+        Set("a", "bell_chart", "decorated_elephant", "animals", "cities"))
+    }
+    // strip_accents: João / Лука́ся / Käfer
+    val accented = Seq((1, 1, 1)).toDF("João", "Лука́ся", "Käfer")
+    assert(accented.cleanNames(stripAccents = true).columns.toSet ==
+      Set("joao", "лукася", "kafer"))
+    // invalid strip_underscores raises (reference JanitorError)
+    intercept[IllegalArgumentException](
+      dirty.cleanNames(stripUnderscores = Some("hello")).columns)
+    // case_type = preserve
+    assert(dirty.cleanNames(caseType = "preserve").columns.toSet ==
+      Set("a", "Bell_Chart", "decorated_elephant", "animals@#$%^", "cities"))
+    // camelCase -> snake (single and multi)
+    assert(Seq(1).toDF("AColumnName").cleanNames(caseType = "snake")
+      .columns.toSeq == Seq("a_column_name"))
+    assert(Seq((1, 2, 3)).toDF("snakesOnAPlane", "SnakesOnAPlane2", "snakes_on_a_plane3")
+      .cleanNames(caseType = "snake", stripUnderscores = Some("true"),
+        removeSpecial = true).columns.toSeq ==
+      Seq("snakes_on_a_plane", "snakes_on_a_plane2", "snakes_on_a_plane3"))
+    // truncate_limit
+    assert(dirty.cleanNames(truncateLimit = 7).columns.toSet ==
+      Set("a", "bell_ch", "decorat", "animals", "cities"))
+    // test_charac: % survives default cleaning, parens/spaces -> _
+    assert(Seq(1).toDF(raw"Current accountbalance(in % of GDP)")
+      .cleanNames(stripUnderscores = Some("true")).columns.toSeq ==
+      Seq("current_accountbalance_in_%_of_gdp"))
+  }
+
   test("cleanNames dedupes colliding labels like the dup-column fixture") {
     // reference: tests/conftest.py:124-135 (a, A, a* collide after cleaning)
     val df = Seq((1, 2, 3)).toDF("a", "A", "a*")
