@@ -97,6 +97,16 @@ object QueriesReshape {
     "complete" -> ((s, d) => events(s, d)
       .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
       .complete(Seq("user_id", "event_type"), fillValue = Map("n" -> 0L))),
+    // tidyr-nesting groups (reference test_complete.py:407 "multiple
+    // groupings"): OBSERVED (returnflag, linestatus) combinations — fewer
+    // than their full cross — crossed against the tax-bucket universe
+    "complete_nesting" -> ((s, d) => lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_tax") * 100).cast("long").as("tax_cents"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("tax_cents"))
+      .agg(count(lit(1)).as("n"))
+      .completeNested(Seq(Seq("l_returnflag", "l_linestatus"), Seq("tax_cents")),
+        fillValue = Map("n" -> 0L))),
     "concatenate_columns" -> ((s, d) => nation(s, d)
       .concatenateColumns(Seq("n_name", "n_regionkey"), "combined", sep = "-")),
     "deconcatenate_column" -> ((s, d) => part(s, d)
@@ -198,6 +208,15 @@ object QueriesReshape {
         |FROM (SELECT DISTINCT user_id FROM c) u
         |CROSS JOIN (SELECT DISTINCT event_type FROM c) t
         |LEFT JOIN c USING (user_id, event_type)""".stripMargin,
+    "complete_nesting" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_cents, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT g.l_returnflag, g.l_linestatus, m.tax_cents,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM c) g
+        |CROSS JOIN (SELECT DISTINCT tax_cents FROM c) m
+        |LEFT JOIN c USING (l_returnflag, l_linestatus, tax_cents)""".stripMargin,
     "concatenate_columns" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |n_name || '-' || CAST(n_regionkey AS VARCHAR) AS combined FROM nation""".stripMargin,

@@ -385,6 +385,22 @@ object ReshapeOps {
     columns.map(c => df.select((by :+ c).map(n => col(s"`$n`")): _*).distinct())
       .reduce((a, b) => a.join(b, by))
 
+  /** tidyr-`nesting()` expand: each inner Seq is a NESTED column group —
+    * only its OBSERVED distinct combinations appear — and the groups are
+    * crossed against each other (reference: complete.py/expand accept
+    * lists/tuples/DataFrames as grouped specs; tests/functions/
+    * test_complete.py:407-436 "multiple groupings"). The flat [[expand]]
+    * is the all-singleton special case. Each group is one distinct()
+    * aggregation; the cross join multiplies group-combination counts, not
+    * raw rows.
+    */
+  def expandNested(df: DataFrame, groups: Seq[Seq[String]]): DataFrame = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty),
+      "expand: empty group spec")
+    groups.map(g => df.select(g.map(c => col(s"`$c`")): _*).distinct())
+      .reduce(_.crossJoin(_))
+  }
+
   /** Expose implicit-missing rows: expand the key universe, left-join the
     * data back, fill (reference: janitor/functions/complete.py:13-342).
     * fillValue fills only the value columns; explicitOnlyNew=true (reference
@@ -393,8 +409,18 @@ object ReshapeOps {
     */
   def complete(df: DataFrame, columns: Seq[String],
       fillValue: Map[String, Any] = Map.empty,
+      explicitOnlyNew: Boolean = false): DataFrame =
+    completeNested(df, columns.map(Seq(_)), fillValue, explicitOnlyNew)
+
+  /** [[complete]] with tidyr-nesting groups: the universe is
+    * [[expandNested]] (observed combinations within each group, crossed
+    * between groups) instead of the full per-column cross.
+    */
+  def completeNested(df: DataFrame, groups: Seq[Seq[String]],
+      fillValue: Map[String, Any] = Map.empty,
       explicitOnlyNew: Boolean = false): DataFrame = {
-    val universe = expand(df, columns)
+    val columns = groups.flatten
+    val universe = expandNested(df, groups)
     val marked = df.withColumn("__present", lit(1))
     val joined = universe.join(marked, columns, "left")
     val valueCols = df.columns.filterNot(columns.contains(_))

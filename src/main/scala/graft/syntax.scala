@@ -217,6 +217,12 @@ object syntax {
     def complete(columns: Seq[String], fillValue: Map[String, Any] = Map.empty,
         explicitOnlyNew: Boolean = false): DataFrame =
       ReshapeOps.complete(df, columns, fillValue, explicitOnlyNew)
+    def expandNested(groups: Seq[Seq[String]]): DataFrame =
+      ReshapeOps.expandNested(df, groups)
+    def completeNested(groups: Seq[Seq[String]],
+        fillValue: Map[String, Any] = Map.empty,
+        explicitOnlyNew: Boolean = false): DataFrame =
+      ReshapeOps.completeNested(df, groups, fillValue, explicitOnlyNew)
 
     // §2.4 joins
     def conditionalJoin(right: DataFrame, conditions: Seq[operators.JoinOps.Cond],

@@ -138,6 +138,48 @@ class ReshapeAndJoinSpec extends SparkSpec {
     assert(got == Set(("a", 1, null), ("a", 2, 0.0), ("b", 1, 0.0), ("b", 2, 5.0)))
   }
 
+  test("completeNested: the reference 'multiple groupings' case, verbatim") {
+    // tests/functions/test_complete.py:407-436 (tidyr nesting semantics):
+    // observed (meta, domain1) pairs crossed with observed
+    // (project_id, question_count) pairs; tag_count fills with 0
+    val df3 = Seq(
+      (1, "A", "d", 3, 2), (1, "A", "e", 3, 1), (1, "B", "h", 3, 3),
+      (1, "B", "i", 3, 2), (2, "A", "d", 2, 1), (2, "B", "i", 2, 1),
+      (2, "C", "k", 2, 2))
+      .toDF("project_id", "meta", "domain1", "question_count", "tag_count")
+    val out = ReshapeOps.completeNested(df3,
+      Seq(Seq("meta", "domain1"), Seq("project_id", "question_count")),
+      fillValue = Map("tag_count" -> 0))
+      .select("project_id", "meta", "domain1", "question_count", "tag_count")
+    val expected = Set(
+      (1, "A", "d", 3, 2), (2, "A", "d", 2, 1), (1, "A", "e", 3, 1),
+      (2, "A", "e", 2, 0), (1, "B", "h", 3, 3), (2, "B", "h", 2, 0),
+      (1, "B", "i", 3, 2), (2, "B", "i", 2, 1), (1, "C", "k", 3, 0),
+      (2, "C", "k", 2, 2))
+    val got = out.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got == expected)
+    // flat complete is the all-singleton special case: 3 metas x 5 domains
+    // x 2 projects x 2 counts = 60 rows (vs nesting's 10)
+    assert(ReshapeOps.complete(df3,
+      Seq("meta", "domain1", "project_id", "question_count")).count() == 60)
+  }
+
+  test("caseWhen: the reference first-match-wins doctest (string-typed)") {
+    // tests/functions/test_case_when.py:13-39 with the object columns held
+    // as strings (Spark columns are uniformly typed)
+    val d = Seq(("0", "0", "6"), ("0", "3", "7"), ("1", "4", "8"),
+      ("2", "5", "9"), ("hi", "bye", "wait"))
+      .toDF("a", "b", "c")
+    val out = graft.operators.TransformOps.caseWhen(d, "value",
+      Seq(
+        ((col("a") === "0" && col("b") =!= "0") || col("c") === "wait", col("a")),
+        (col("b") === "0" && col("a") === "0", lit("x"))),
+      default = col("c"))
+    assert(out.select("value").collect().map(_.getString(0)).toSeq ==
+      Seq("x", "0", "8", "9", "hi"))
+  }
+
   test("expandGrid builds typed cartesian products") {
     val out = ReshapeOps.expandGrid(spark, Seq("i" -> Seq(1, 2), "s" -> Seq("a")))
     assert(out.count() == 2 && out.columns.toSeq == Seq("i", "s"))
