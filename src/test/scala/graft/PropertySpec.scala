@@ -53,6 +53,51 @@ class PropertySpec extends SparkSpec {
     assert(sorted(got) == sorted(naive))
   }
 
+  test("conditionalJoin == crossJoin + filter across the reference's condition-shape matrix") {
+    // the distinctive shapes of tests/functions/test_conditional_join.py:
+    // single !=, eq+ne, ne+eq, gt_lt_ne chains, multiple eqs + le, dual
+    // ranges — each held to the brute cross+filter oracle, inner AND
+    // left/right outer forms
+    val rng = new Random(97)
+    val l = (1 to 35).map(i =>
+      (i, rng.nextInt(6), rng.nextInt(6), rng.nextDouble() * 10)).toDF("lid", "la", "lb", "lx")
+    val r = (1 to 30).map(i =>
+      (i, rng.nextInt(6), rng.nextInt(6), rng.nextDouble() * 10)).toDF("rid", "ra", "rb", "rx")
+    def cc(op: String, a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = op match {
+      case "==" => a === b
+      case "!=" => a =!= b
+      case "<" => a < b
+      case "<=" => a <= b
+      case ">" => a > b
+      case ">=" => a >= b
+    }
+    val shapes: Seq[Seq[JoinOps.Cond]] = Seq(
+      Seq(("la", "ra", "!=")),
+      Seq(("la", "ra", "=="), ("lb", "rb", "!=")),
+      Seq(("la", "ra", "!="), ("lb", "rb", "==")),
+      Seq(("lx", "rx", ">"), ("la", "ra", "<"), ("lb", "rb", "!=")),
+      Seq(("la", "ra", "=="), ("lb", "rb", "=="), ("lx", "rx", "<=")),
+      Seq(("lx", "rx", ">="), ("la", "ra", "<=")))
+    for (conds <- shapes) {
+      val pred = conds.map { case (a, b, op) => cc(op, col(a), col(b)) }.reduce(_ && _)
+      val naiveInner = l.crossJoin(r).filter(pred)
+      assert(sorted(JoinOps.conditionalJoin(l, r, conds).select("lid", "rid")) ==
+        sorted(naiveInner.select("lid", "rid")), s"inner $conds")
+      // left join: unmatched left rows appear once with null right id
+      val matchedL = naiveInner.select("lid").distinct()
+      val naiveLeft = naiveInner.select("lid", "rid").unionByName(
+        l.select("lid").except(matchedL).withColumn("rid", lit(null).cast("int")))
+      assert(sorted(JoinOps.conditionalJoin(l, r, conds, how = "left")
+          .select("lid", "rid")) == sorted(naiveLeft), s"left $conds")
+      val matchedR = naiveInner.select("rid").distinct()
+      val naiveRight = naiveInner.select("lid", "rid").unionByName(
+        r.select("rid").except(matchedR).select(
+          lit(null).cast("int").as("lid"), col("rid")))
+      assert(sorted(JoinOps.conditionalJoin(l, r, conds, how = "right")
+          .select("lid", "rid")) == sorted(naiveRight), s"right $conds")
+    }
+  }
+
   test("asofJoin == brute-force nearest-preceding/following scan (random frames)") {
     val rng = new Random(31)
     (1 to 3).foreach { round =>
