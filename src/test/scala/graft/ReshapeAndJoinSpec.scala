@@ -180,6 +180,29 @@ class ReshapeAndJoinSpec extends SparkSpec {
       Seq("x", "0", "8", "9", "hi"))
   }
 
+  test("pivot roundtrips: long->wide->long and wide->long->wide (reference cases)") {
+    // tests/functions/test_pivot_wider.py:182-246
+    val dfIn = Seq((1, 2, "ben", 22, 5, 13), (1, 2, "dave", 23, 4, 11))
+      .toDF("a", "b", "name", "points", "marks", "sets")
+    val wide = ReshapeOps.pivotWiderMulti(dfIn, index = Seq("a", "b"),
+      namesFrom = "name", valuesFrom = Seq("points", "marks", "sets"))
+    assert(wide.columns.toSet == Set("a", "b",
+      "points_ben", "points_dave", "marks_ben", "marks_dave", "sets_ben", "sets_dave"))
+    val backToLong = wide.pivotLonger(index = Seq("a", "b"),
+      namesTo = Seq(".value", "name"), namesSep = Some("_"))
+      .select("a", "b", "name", "points", "marks", "sets")
+    assert(sorted(backToLong) == sorted(dfIn))
+
+    val df2 = Seq(("Wilbur", 67, 56), ("Petunia", 80, 90), ("Gregory", 64, 50))
+      .toDF("name", "a", "b")
+    val long2 = df2.pivotLonger(index = Seq("name"), namesTo = Seq("drug"),
+      valuesTo = "heartrate")
+    val wide2 = ReshapeOps.pivotWider(long2, index = Seq("name"),
+      namesFrom = "drug", valuesFrom = "heartrate")
+      .select("name", "a", "b")
+    assert(sorted(wide2) == sorted(df2))
+  }
+
   test("expandGrid builds typed cartesian products") {
     val out = ReshapeOps.expandGrid(spark, Seq("i" -> Seq(1, 2), "s" -> Seq("a")))
     assert(out.count() == 2 && out.columns.toSeq == Seq("i", "s"))
