@@ -151,11 +151,21 @@ object TimeseriesOps {
       val cur = col(s"`$c`").cast("double")
       val prev = col(s"`${c}__prev`").cast("double")
       val diff = cur - prev
-      val pct = cur / prev - 1.0
+      // pandas pct_change at a zero previous value is IEEE ±inf (0/0 is
+      // NaN); Spark 4's ANSI division THROWS on /0, so the zero case is
+      // branched explicitly. NaN guard: Spark orders NaN above every
+      // number (abs(NaN) > t would flag a 0 -> 0 row), pandas' NaN
+      // comparison is false — mask it.
+      val pct = when(prev === 0.0d,
+          when(cur > 0.0d, lit(Double.PositiveInfinity))
+            .when(cur < 0.0d, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+        .otherwise(cur / prev - 1.0d)
+      val pctExceeds = !isnan(pct) && (abs(pct) > crit.threshold)
       val cond = (crit.scale, crit.direction) match {
-        case ("percentage", "increasing") => (diff > 0) && (abs(pct) > crit.threshold)
-        case ("percentage", "decreasing") => (diff < 0) && (abs(pct) > crit.threshold)
-        case ("percentage", _) => abs(pct) > crit.threshold
+        case ("percentage", "increasing") => (diff > 0) && pctExceeds
+        case ("percentage", "decreasing") => (diff < 0) && pctExceeds
+        case ("percentage", _) => pctExceeds
         case ("absolute", "increasing") => diff > crit.threshold
         case ("absolute", "decreasing") => (diff < 0) && (abs(diff) > crit.threshold)
         case ("absolute", _) => abs(diff) > crit.threshold
