@@ -231,13 +231,17 @@ object QueriesCore {
     "label_encode" -> ((s, d) => events(s, d)
       .select("event_id", "event_type")
       .labelEncode("event_type", "event_id")),
+    // accounting-style strings WITHOUT a currency sign: the reference's
+    // accounting branch only strips commas/parens, so "$1.23" would raise
+    // in pandas astype(float) (null here) — a faithful gate feeds it the
+    // strings it actually accepts
     "currency_column_to_numeric" -> ((s, d) => orders(s, d)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 2 === 1,
-          concat(lit("($"), round(col("o_totalprice"), 2).cast("string"), lit(")")))
-          .otherwise(concat(lit("$"), round(col("o_totalprice"), 2).cast("string")))
+          concat(lit(" ("), round(col("o_totalprice"), 2).cast("string"), lit(")")))
+          .otherwise(concat(round(col("o_totalprice"), 2).cast("string")))
           .as("amount"))
-      .currencyColumnToNumeric("amount")),
+      .currencyColumnToNumeric("amount", cleaningStyle = Some("accounting"))),
     "round_to_fraction" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .roundToFraction("l_extendedprice", 4d)),

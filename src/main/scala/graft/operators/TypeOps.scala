@@ -111,14 +111,60 @@ object TypeOps {
     * janitor/functions/currency_column_to_numeric.py:12). Accounting style:
     * strip currency symbols/commas, parentheses mean negative.
     */
+  /** Full reference surface (currency_column_to_numeric.py:95-176):
+    * cleaningStyle None = the DEFAULT style (extract [-.0-9], originally
+    * empty strings stay null even under fill, castNonNumeric maps exact
+    * strings, fillAllNonNumeric fills coerced-to-empty values,
+    * removeNonNumeric drops coerced rows but keeps originally-empty ones);
+    * Some("accounting") = strip/de-comma/parens-to-negative with the bare
+    * "-" meaning 0.0. Any other style raises, like the reference
+    * ValueError. One divergence by engine nature: values the accounting
+    * cast cannot parse become null (pandas astype(float) raises — a
+    * per-row raise has no lazy distributed analog).
+    */
   def currencyColumnToNumeric(df: DataFrame, column: String,
-      cleaningStyle: String = "accounting"): DataFrame = {
+      cleaningStyle: Option[String] = None,
+      castNonNumeric: Map[String, Double] = Map.empty,
+      fillAllNonNumeric: Option[Double] = None,
+      removeNonNumeric: Boolean = false): DataFrame = {
     val c = col(s"`$column`")
-    val stripped = regexp_replace(c, "[^0-9.()\\-]", "")
-    val isNeg = c.contains("(") && c.contains(")")
-    val numStr = regexp_replace(stripped, "[()]", "")
-    val parsed = numStr.try_cast("double")
-    df.withColumn(column, when(isNeg, -parsed).otherwise(parsed))
+    cleaningStyle match {
+      case Some("accounting") =>
+        val t = regexp_replace(trim(c), ",", "")
+        val repl = regexp_replace(regexp_replace(t, "\\)", ""), "\\(", "-")
+        df.withColumn(column,
+          when(repl === "-", lit(0.0d)).otherwise(repl.try_cast("double")))
+      case None =>
+        val isOrigEmpty = c === ""
+        val extracted = regexp_replace(c, "[^0-9.\\-]", "")
+        val inMap = castNonNumeric.keys.toSeq.sorted
+          .map(k => c === lit(k)).foldLeft(lit(false))(_ || _)
+        val mapped = castNonNumeric.toSeq.sortBy(_._1)
+          .foldLeft(Option.empty[Column]) {
+            case (None, (k, v)) => Some(when(c === lit(k), lit(v)))
+            case (Some(acc), (k, v)) => Some(acc.when(c === lit(k), lit(v)))
+          }.getOrElse(lit(null).cast("double"))
+        val coercedEmpty = !isOrigEmpty && !inMap && c.isNotNull &&
+          (extracted === "")
+        val cleaned = df.withColumn(column,
+          when(isOrigEmpty, lit(null).cast("double"))
+            .when(inMap, mapped)
+            .when(coercedEmpty,
+              fillAllNonNumeric.map(lit(_)).getOrElse(lit(null)).cast("double"))
+            .otherwise(extracted.try_cast("double")))
+        if (removeNonNumeric) {
+          // the reference drops rows whose value COERCED to empty — rows
+          // that were originally empty (the ORIGINAL_NA sentinel) stay
+          val keep = !(!(c === "") && !inMap && c.isNotNull && (regexp_replace(
+            c, "[^0-9.\\-]", "") === ""))
+          df.filter(keep).withColumn(column,
+            when(c === "", lit(null).cast("double"))
+              .when(inMap, mapped)
+              .otherwise(regexp_replace(c, "[^0-9.\\-]", "").try_cast("double")))
+        } else cleaned
+      case Some(other) => throw new IllegalArgumentException(
+        s"cleaning_style is expected to be one of ('accounting', None). Got '$other'")
+    }
   }
 
   /** Round to nearest 1/denominator (reference:

@@ -118,8 +118,13 @@ object syntax {
     def truncateDatetime(precision: String): DataFrame = TypeOps.truncateDatetime(df, precision)
     def factorizeColumns(column: String, orderCol: String, suffix: String = "_enc"): DataFrame =
       TypeOps.factorizeColumns(df, column, orderCol, suffix)
-    def currencyColumnToNumeric(column: String, cleaningStyle: String = "accounting"): DataFrame =
-      TypeOps.currencyColumnToNumeric(df, column, cleaningStyle)
+    def currencyColumnToNumeric(column: String,
+        cleaningStyle: Option[String] = None,
+        castNonNumeric: Map[String, Double] = Map.empty,
+        fillAllNonNumeric: Option[Double] = None,
+        removeNonNumeric: Boolean = false): DataFrame =
+      TypeOps.currencyColumnToNumeric(df, column, cleaningStyle,
+        castNonNumeric, fillAllNonNumeric, removeNonNumeric)
     def roundToFraction(column: String, denominator: Double, digits: Option[Int] = None): DataFrame =
       TypeOps.roundToFraction(df, column, denominator, digits)
     def binNumeric(column: String, newColumnName: String, lo: Double, hi: Double, bins: Int): DataFrame =

@@ -50,10 +50,43 @@ class FillAndTypeSpec extends SparkSpec {
     assert(filled == Seq(1, null, 3))
   }
 
-  test("currencyColumnToNumeric: accounting parens mean negative") {
-    val d = Seq("$1,234.50", "($99.00)", "12").toDF("amt")
-    val out = d.currencyColumnToNumeric("amt").collect().map(_.getDouble(0)).toSeq
-    assert(out == Seq(1234.50, -99.0, 12.0))
+  test("currencyColumnToNumeric: the reference doctest frame, both styles") {
+    // currency_column_to_numeric.py doctest + test file fixtures
+    val d = Seq((" 24.56", ""), ("-", "foo"), ("(12.12)", "1.23 dollars"),
+      ("1,000,000", "-1,000 yen")).toDF("a_col", "d_col")
+    // accounting: strip/de-comma, parens negative, bare "-" is 0.0
+    val acc = d.currencyColumnToNumeric("a_col", Some("accounting"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(acc == Seq(24.56, 0.0, -12.12, 1000000.0))
+    // default style: extract [-.0-9]; empty and non-numeric -> null
+    val dflt = d.currencyColumnToNumeric("d_col")
+      .collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(dflt == Seq(null, null, 1.23, -1000.0))
+    // cast_non_numeric maps exact strings; originally-empty stays null
+    val cast = d.currencyColumnToNumeric("d_col",
+        castNonNumeric = Map("foo" -> 999.0))
+      .collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(cast == Seq(null, 999.0, 1.23, -1000.0))
+    // fill_all_non_numeric fills coerced values but never originally-empty
+    val filled = d.currencyColumnToNumeric("d_col",
+        fillAllNonNumeric = Some(995.0))
+      .collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(filled == Seq(null, 995.0, 1.23, -1000.0))
+    // remove_non_numeric drops coerced rows, keeps originally-empty
+    val removed = d.currencyColumnToNumeric("d_col",
+        castNonNumeric = Map("zz" -> 10.0), removeNonNumeric = true)
+    assert(removed.count() == 3)
+    assert(removed.select("a_col").collect().map(_.getString(0)).toSet ==
+      Set(" 24.56", "(12.12)", "1,000,000"))
+    // invalid style raises like the reference ValueError
+    intercept[IllegalArgumentException](
+      d.currencyColumnToNumeric("a_col", Some("foobar")))
+    // faithful accounting: a currency sign the reference would raise on
+    // becomes null here (documented engine divergence), plain numbers parse
+    val legacy = Seq("$1,234.50", "(99.00)", "12").toDF("amt")
+      .currencyColumnToNumeric("amt", Some("accounting"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(legacy == Seq(null, -99.0, 12.0))
   }
 
   test("binNumeric clamps edges and preserves nulls") {
