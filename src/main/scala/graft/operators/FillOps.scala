@@ -78,8 +78,8 @@ object FillOps {
           case "mean" | "average" => avg(c)
           case "median" => expr(s"percentile(`$column`, 0.5)")
           case "mode" => expr(s"mode(`$column`)")
-          case "min" => min(c)
-          case "max" => max(c)
+          case "min" | "minimum" => min(c)
+          case "max" | "maximum" => max(c)
           case "sum" => sum(c)
           case other => throw new IllegalArgumentException(s"impute: bad statistic $other")
         }

@@ -172,6 +172,11 @@ object TypeOps {
     */
   def roundToFraction(df: DataFrame, column: String, denominator: Double,
       digits: Option[Int] = None): DataFrame = {
+    // reference raises for denominator <= 0 (test_round_to_fraction.py:30-38);
+    // rounding divergence note: np.round is banker's, Spark round is
+    // half-up — differs only for products landing exactly on .5
+    require(denominator > 0,
+      s"round_to_fraction: denominator must be > 0, got $denominator")
     val c = round(col(s"`$column`") * denominator) / denominator
     df.withColumn(column, digits.map(d => round(c, d)).getOrElse(c))
   }
