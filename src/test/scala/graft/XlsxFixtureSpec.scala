@@ -62,6 +62,31 @@ class XlsxFixtureSpec extends SparkSpec {
     assert(first.get(0).toString == "1" && first.getString(1) == "Sioux Radcoolinator")
   }
 
+  test("xlsx_cells inventories the tidyxl worked-examples fixture") {
+    // reference: tests/io/test_tidyxl.py over worked-examples.xlsx; counts
+    // and spot values from the independent raw-XML walk
+    val worked = "/root/reference/tests/test_data/worked-examples.xlsx"
+    val clean = IoOps.xlsxCells(spark, worked, sheetnames = Seq("clean"))
+    val idx = clean.columns.zipWithIndex.toMap
+    val rows = clean.orderBy("row", "column").collect()
+    assert(rows.length == 8)
+    assert(rows.head.getString(idx("coordinate")) == "A1" &&
+      rows.head.getString(idx("value")) == "Name")
+    assert(rows.map(_.getString(idx("value"))).toSeq ==
+      Seq("Name", "Age", "Matilda", "1", "Nicholas", "3", "Olivia", "5"))
+    // pivot-notes: 32 cells in the XML including explicitly-blank ones
+    val pn = IoOps.xlsxCells(spark, worked, sheetnames = Seq("pivot-notes"))
+    assert(pn.count() == 32)
+    assert(pn.filter(org.apache.spark.sql.functions.col("coordinate") === "G2")
+      .collect().head.getString(idx("value")) == "0 = absent")
+    val pnNoBlanks = IoOps.xlsxCells(spark, worked,
+      sheetnames = Seq("pivot-notes"), includeBlankCells = false)
+    assert(pnNoBlanks.count() < 32)
+    // sheet selection is exact: all 25 sheets when none named
+    val all = IoOps.xlsxCells(spark, worked)
+    assert(all.select("sheetname").distinct().count() == 25)
+  }
+
   test("multi-table and all-tables forms match the reference dict contract") {
     val some = IoOps.xlsxTables(spark, fixture, Seq("dSalesReps", "dSupplier"))
     assert(some.keySet == Set("dSalesReps", "dSupplier"))
