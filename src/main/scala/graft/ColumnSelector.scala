@@ -48,10 +48,20 @@ object ColumnSelector {
     case Exact(n) =>
       if (fields.exists(_.name == n)) Seq(n)
       else throw new IllegalArgumentException(s"Column '$n' not found. Columns: ${fields.map(_.name).mkString(", ")}")
+    // an unmatched glob/regex RAISES like the reference's KeyError
+    // (select.py:500-513 "No match was returned") — a silent empty
+    // selection hides typos in exactly the place users make them
     case Glob(p) =>
       val r = globToRegex(p)
-      fields.map(_.name).filter(n => r.pattern.matcher(n).matches)
-    case Rx(r) => fields.map(_.name).filter(n => r.findFirstIn(n).isDefined)
+      val hit = fields.map(_.name).filter(n => r.pattern.matcher(n).matches)
+      if (hit.isEmpty) throw new NoSuchElementException(
+        s"No match was returned for '$p'. Columns: ${fields.map(_.name).mkString(", ")}")
+      hit
+    case Rx(r) =>
+      val hit = fields.map(_.name).filter(n => r.findFirstIn(n).isDefined)
+      if (hit.isEmpty) throw new NoSuchElementException(
+        s"No match was returned for '$r'. Columns: ${fields.map(_.name).mkString(", ")}")
+      hit
     case Slice(from, to) =>
       val names = fields.map(_.name)
       val i = names.indexOf(from); val j = names.indexOf(to)
