@@ -59,6 +59,20 @@ class MathAndTextSpec extends SparkSpec {
   test("natural sort key orders digit runs numerically") {
     val d = Seq("f10", "f2", "f1").toDF("n").sortNaturally("n")
     assert(d.collect().map(_.getString(0)).toSeq == Seq("f1", "f2", "f10"))
+    // the reference's well-plate example (tests/functions/
+    // test_sort_naturally.py): natsorted order, data uncorrupted
+    val wells = Seq(("A21", 1), ("A3", 2), ("A21", 13), ("B2", 3),
+      ("B51", 4), ("B12", 7)).toDF("Well", "Value")
+    val sorted2 = wells.sortNaturally("Well").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(sorted2.map(_._1) == Seq("A3", "A21", "A21", "B2", "B12", "B51"))
+    assert(sorted2.toSet == Set(("A21", 1), ("A3", 2), ("A21", 13),
+      ("B2", 3), ("B51", 4), ("B12", 7)))
+    // take_first doctest (tests/functions/test_take_first.py)
+    val tf = Seq(("x", 0), ("x", 1), ("y", 2), ("y", 3)).toDF("a", "b")
+      .takeFirst(Seq("a"), "b").orderBy("a").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(tf == Seq(("x", 0), ("y", 2)))
   }
 
   test("strip_accents expression") {
