@@ -116,6 +116,25 @@ class FillAndTypeSpec extends SparkSpec {
     }
   }
 
+  test("truncateDatetime: the reference all-parts table, case-insensitive") {
+    // tests/functions/test_truncate_datetime.py: x = 2022-03-21 09:01:15.000666
+    val x = java.sql.Timestamp.valueOf("2022-03-21 09:01:15.000666")
+    val d = Seq(Tuple1(x)).toDF("dt")
+    def t(p: String) = d.truncateDatetime(p).collect()(0).getTimestamp(0).toString
+    assert(t("second") == "2022-03-21 09:01:15.0")
+    assert(t("minute") == "2022-03-21 09:01:00.0")
+    assert(t("HOUR") == "2022-03-21 09:00:00.0")
+    assert(t("Day") == "2022-03-21 00:00:00.0")
+    assert(t("month") == "2022-03-01 00:00:00.0")
+    assert(t("yeaR") == "2022-01-01 00:00:00.0")
+    intercept[IllegalArgumentException](d.truncateDatetime("INVALID"))
+    // no datetime columns: unchanged, no errors; NaT (null ts) preserved
+    val plain = Seq((1, "foo", 1.5, true)).toDF("a", "b", "c", "d")
+    assert(plain.truncateDatetime("year").collect()(0) == plain.collect()(0))
+    val withNull = Seq(Tuple1(Option.empty[java.sql.Timestamp])).toDF("dt")
+    assert(withNull.truncateDatetime("day").collect()(0).isNullAt(0))
+  }
+
   test("convert date family round-trips known anchors") {
     // Excel serial 25569 == 1970-01-01 (origin 1899-12-30)
     val d = Seq(25569L).toDF("serial").convertExcelDate("serial")
