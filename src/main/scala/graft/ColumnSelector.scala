@@ -45,9 +45,11 @@ object ColumnSelector {
 
   /** Names matched by one selector, in schema order (Exact keeps its own). */
   private def matchOne(fields: Seq[StructField], sel: ColumnSelector): Seq[String] = sel match {
+    // one exception type for every no-match condition, like the
+    // reference's single KeyError (select.py:510,566)
     case Exact(n) =>
       if (fields.exists(_.name == n)) Seq(n)
-      else throw new IllegalArgumentException(s"Column '$n' not found. Columns: ${fields.map(_.name).mkString(", ")}")
+      else throw new NoSuchElementException(s"Column '$n' not found. Columns: ${fields.map(_.name).mkString(", ")}")
     // an unmatched glob/regex RAISES like the reference's KeyError
     // (select.py:500-513 "No match was returned") — a silent empty
     // selection hides typos in exactly the place users make them
@@ -65,7 +67,7 @@ object ColumnSelector {
     case Slice(from, to) =>
       val names = fields.map(_.name)
       val i = names.indexOf(from); val j = names.indexOf(to)
-      if (i < 0 || j < 0) throw new IllegalArgumentException(s"Slice bounds $from..$to not in schema")
+      if (i < 0 || j < 0) throw new NoSuchElementException(s"Slice bounds $from..$to not in schema")
       if (i <= j) names.slice(i, j + 1) else names.slice(j, i + 1).reverse
     case Pred(f) => fields.filter(f).map(_.name)
     case Not(s) =>

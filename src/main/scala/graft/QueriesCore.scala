@@ -239,7 +239,7 @@ object QueriesCore {
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 2 === 1,
           concat(lit(" ("), round(col("o_totalprice"), 2).cast("string"), lit(")")))
-          .otherwise(concat(round(col("o_totalprice"), 2).cast("string")))
+          .otherwise(round(col("o_totalprice"), 2).cast("string"))
           .as("amount"))
       .currencyColumnToNumeric("amount", cleaningStyle = Some("accounting"))),
     "round_to_fraction" -> ((s, d) => lineitem(s, d)

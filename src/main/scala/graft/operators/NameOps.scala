@@ -52,7 +52,13 @@ object NameOps {
         e = caseType.toLowerCase match {
           case "upper" => upper(e)
           case "preserve" => e
-          case _ => lower(e)
+          case "lower" => lower(e)
+          case "snake" => // columnar twin of Norm.toSnake's two-pass regex
+            lower(regexp_replace(
+              regexp_replace(e, "(.)([A-Z][a-z]+)", "$1_$2"),
+              "([a-z0-9])([A-Z])", "$1_$2"))
+          case other => throw new IllegalArgumentException(
+            s"case_type must be one of preserve|upper|lower|snake, got $other")
         }
         e = regexp_replace(e, "[ /:,?()\\.-]", "_")
         e = regexp_replace(e, "['’]", "")

@@ -397,6 +397,10 @@ object ReshapeOps {
   def expandNested(df: DataFrame, groups: Seq[Seq[String]]): DataFrame = {
     require(groups.nonEmpty && groups.forall(_.nonEmpty),
       "expand: empty group spec")
+    val flat = groups.flatten
+    require(flat.distinct.length == flat.length,
+      s"expand: column(s) ${flat.diff(flat.distinct).distinct.mkString(", ")} " +
+        "appear in more than one group (the reference raises for duplicate specs)")
     groups.map(g => df.select(g.map(c => col(s"`$c`")): _*).distinct())
       .reduce(_.crossJoin(_))
   }

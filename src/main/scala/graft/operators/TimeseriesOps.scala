@@ -162,13 +162,17 @@ object TimeseriesOps {
             .otherwise(lit(Double.NaN)))
         .otherwise(cur / prev - 1.0d)
       val pctExceeds = !isnan(pct) && (abs(pct) > crit.threshold)
+      // the same NaN mask applies to the absolute branches: a NaN diff
+      // (NaN neighbor value) compares greater than any threshold in
+      // Spark's ordering, where pandas' NaN comparison is false
+      val diffOk = !isnan(diff)
       val cond = (crit.scale, crit.direction) match {
-        case ("percentage", "increasing") => (diff > 0) && pctExceeds
-        case ("percentage", "decreasing") => (diff < 0) && pctExceeds
+        case ("percentage", "increasing") => diffOk && (diff > 0) && pctExceeds
+        case ("percentage", "decreasing") => diffOk && (diff < 0) && pctExceeds
         case ("percentage", _) => pctExceeds
-        case ("absolute", "increasing") => diff > crit.threshold
-        case ("absolute", "decreasing") => (diff < 0) && (abs(diff) > crit.threshold)
-        case ("absolute", _) => abs(diff) > crit.threshold
+        case ("absolute", "increasing") => diffOk && (diff > crit.threshold)
+        case ("absolute", "decreasing") => diffOk && (diff < 0) && (abs(diff) > crit.threshold)
+        case ("absolute", _) => diffOk && (abs(diff) > crit.threshold)
       }
       acc.withColumn(s"${c}_jump_flag", when(cond, 1).otherwise(0))
     }

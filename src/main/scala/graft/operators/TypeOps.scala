@@ -146,22 +146,16 @@ object TypeOps {
           }.getOrElse(lit(null).cast("double"))
         val coercedEmpty = !isOrigEmpty && !inMap && c.isNotNull &&
           (extracted === "")
-        val cleaned = df.withColumn(column,
+        // the reference drops rows whose value COERCED to empty — rows
+        // that were originally empty (the ORIGINAL_NA sentinel) stay; the
+        // cleaning projection is shared so the two paths cannot drift
+        val base = if (removeNonNumeric) df.filter(!coercedEmpty) else df
+        base.withColumn(column,
           when(isOrigEmpty, lit(null).cast("double"))
             .when(inMap, mapped)
             .when(coercedEmpty,
               fillAllNonNumeric.map(lit(_)).getOrElse(lit(null)).cast("double"))
             .otherwise(extracted.try_cast("double")))
-        if (removeNonNumeric) {
-          // the reference drops rows whose value COERCED to empty — rows
-          // that were originally empty (the ORIGINAL_NA sentinel) stay
-          val keep = !(!(c === "") && !inMap && c.isNotNull && (regexp_replace(
-            c, "[^0-9.\\-]", "") === ""))
-          df.filter(keep).withColumn(column,
-            when(c === "", lit(null).cast("double"))
-              .when(inMap, mapped)
-              .otherwise(regexp_replace(c, "[^0-9.\\-]", "").try_cast("double")))
-        } else cleaned
       case Some(other) => throw new IllegalArgumentException(
         s"cleaning_style is expected to be one of ('accounting', None). Got '$other'")
     }

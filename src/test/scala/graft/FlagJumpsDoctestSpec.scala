@@ -86,6 +86,19 @@ class FlagJumpsDoctestSpec extends SparkSpec {
       Seq(0, 0, 0, 1, 0, 0, 0, 1, 0, 1))
   }
 
+  test("NaN neighbors never flag (pandas NaN-comparison-is-false semantics)") {
+    // Spark orders NaN above every number, so an unmasked abs(diff) >
+    // threshold would flag both rows adjacent to a NaN; pandas flags none
+    val d = Seq((0, 1.0), (1, Double.NaN), (2, 5.0), (3, 50.0))
+      .toDF("ord", "v")
+    def flags(crit: JumpCriteria) =
+      TimeseriesOps.flagJumps(d, "ord", default = crit)
+        .orderBy("ord").collect().map(_.getAs[Int]("v_jump_flag")).toSeq
+    assert(flags(JumpCriteria("absolute", "any", 10)) == Seq(0, 0, 0, 1))
+    assert(flags(JumpCriteria("absolute", "increasing", 10)) == Seq(0, 0, 0, 1))
+    assert(flags(JumpCriteria("percentage", "any", 10)) == Seq(0, 0, 0, 0))
+  }
+
   test("issue-711 use case: absolute increasing threshold 2 over four columns") {
     val rows = (0 until 25).map { i =>
       val j = i % 5

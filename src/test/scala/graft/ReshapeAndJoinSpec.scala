@@ -163,6 +163,9 @@ class ReshapeAndJoinSpec extends SparkSpec {
     // x 2 projects x 2 counts = 60 rows (vs nesting's 10)
     assert(ReshapeOps.complete(df3,
       Seq("meta", "domain1", "project_id", "question_count")).count() == 60)
+    // a column in two groups raises clearly (reference duplicate-spec error)
+    intercept[IllegalArgumentException](ReshapeOps.completeNested(df3,
+      Seq(Seq("meta", "domain1"), Seq("meta"))))
   }
 
   test("caseWhen: the reference first-match-wins doctest (string-typed)") {

@@ -20,9 +20,9 @@ class SelectorAndFilterSpec extends SparkSpec {
     assert(resolve(schema, Seq(Not(glob("val_*")))) == Seq("id_key", "flag"))
     assert(resolve(schema, Seq(Any(Seq(Exact("flag"), glob("id*"))))) == Seq("flag", "id_key"))
     assert(resolve(schema, Seq(glob("val_*")), invert = true) == Seq("id_key", "flag"))
-    intercept[IllegalArgumentException](resolve(schema, Seq(Exact("nope"))))
-    // unmatched glob/regex raise like the reference's KeyError
-    // (select.py "No match was returned"); predicates may select nothing
+    // every no-match raises the SAME exception type, like the reference's
+    // single KeyError; predicates may legitimately select nothing
+    intercept[NoSuchElementException](resolve(schema, Seq(Exact("nope"))))
     intercept[NoSuchElementException](resolve(schema, Seq(glob("zz*"))))
     intercept[NoSuchElementException](resolve(schema, Seq(rx("^zz"))))
     assert(resolve(schema, Seq(ofType(org.apache.spark.sql.types.DateType))).isEmpty)
