@@ -346,6 +346,12 @@ object QueriesLlm {
     "heavy_hitters_bound" -> ((s, d) =>
       TextAnalysis.heavyHittersBoundGate(documents(s, d), "text",
         Seq("table", "hash", "scan", "value", "zzz_absent"), capacity = 8)),
+    // per-group form: one capacity-bounded buffer PER SOURCE on the
+    // exchange — the per-domain vocabulary monitor; exact at no-eviction
+    // capacity, top-5 per source
+    "heavy_hitters_by_source" -> ((s, d) =>
+      TextAnalysis.heavyHitters(documents(s, d), "text",
+        capacity = 4096, k = 5, by = Seq("source"))),
     "collocations" -> ((s, d) =>
       microCols(TextAnalysis.collocations(documents(s, d), "text",
         minCount = 20, k = 30), "pmi")),
@@ -1068,6 +1074,15 @@ object QueriesLlm {
         |FROM (VALUES ('table'), ('hash'), ('scan'), ('value'), ('zzz_absent')) p(token)
         |LEFT JOIN e USING (token)""".stripMargin,
     "heavy_hitters" -> heavyHittersTop20Sql,
+    "heavy_hitters_by_source" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, count(*) AS est FROM tok GROUP BY 1, 2)
+        |SELECT source, token, CAST(est AS BIGINT) AS est FROM (
+        |  SELECT source, token, est,
+        |    row_number() OVER (PARTITION BY source ORDER BY est DESC, token ASC) AS rn
+        |  FROM c) WHERE rn <= 5""".stripMargin,
     "heavy_hitters_bound" ->
       """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
         |  FROM documents),

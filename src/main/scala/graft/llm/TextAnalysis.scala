@@ -552,12 +552,19 @@ object TextAnalysis {
     * `true - N/(capacity+1) <= est <= true` guarantee.
     */
   def heavyHitters(df: DataFrame, textCol: String, capacity: Int,
-      k: Int): DataFrame =
-    df.agg(graft.functions.aggregates.misra_gries(
-        Dedup.tokens(col(s"`$textCol`")), capacity).as("__sk"))
-      .select(posexplode(col("__sk")).as(Seq("__pos", "__hh")))
+      k: Int, by: Seq[String] = Nil): DataFrame = {
+    val sk = graft.functions.aggregates.misra_gries(
+      Dedup.tokens(col(s"`$textCol`")), capacity).as("__sk")
+    val agged =
+      if (by.isEmpty) df.agg(sk)
+      else df.groupBy(by.map(c => col(s"`$c`")): _*).agg(sk)
+    agged
+      .select(by.map(c => col(s"`$c`")) :+
+        posexplode(col("__sk")).as(Seq("__pos", "__hh")): _*)
       .filter(col("__pos") < k)
-      .select(col("__hh.token").as("token"), col("__hh.est").as("est"))
+      .select(by.map(c => col(s"`$c`")) ++ Seq(
+        col("__hh.token").as("token"), col("__hh.est").as("est")): _*)
+  }
 
   /** Order-invariant bound gate for the SMALL-capacity (evicting) sketch,
     * token_cms_gate precedent: surviving counts are processing-order-

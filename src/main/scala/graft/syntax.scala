@@ -341,8 +341,9 @@ object syntax {
       Dedup.dedupSubstrings(df, idCol, textCol, minMatchTokens)
     def corpusReport(textCol: String, byCol: Option[String] = None): DataFrame =
       TextAnalysis.corpusReport(df, textCol, byCol)
-    def heavyHitters(textCol: String, capacity: Int, k: Int): DataFrame =
-      TextAnalysis.heavyHitters(df, textCol, capacity, k)
+    def heavyHitters(textCol: String, capacity: Int, k: Int,
+        by: Seq[String] = Nil): DataFrame =
+      TextAnalysis.heavyHitters(df, textCol, capacity, k, by)
     def corpusOverlapWith(other: DataFrame, idCol: String,
         textCol: String): DataFrame =
       Dedup.corpusOverlap(df, other, idCol, textCol)
