@@ -42,9 +42,13 @@ object FilterOps {
       case org.apache.spark.sql.types.DateType => col(s"`$column`").cast("timestamp")
       case _ => format.map(f => to_timestamp(col(s"`$column`"), f)).getOrElse(to_timestamp(col(s"`$column`")))
     }
+    // `format` parses the start/end strings too (the reference feeds it to
+    // pd.to_datetime(start_date, format=format) — filter.py:271,275)
+    def parseBound(s: String): Column =
+      format.map(f => to_timestamp(lit(s), f)).getOrElse(to_timestamp(lit(s)))
     var conds = List.empty[Column]
-    startDate.foreach(s => conds ::= (ts >= to_timestamp(lit(s))))
-    endDate.foreach(e => conds ::= (ts <= to_timestamp(lit(e))))
+    startDate.foreach(s => conds ::= (ts >= parseBound(s)))
+    endDate.foreach(e => conds ::= (ts <= parseBound(e)))
     if (years.nonEmpty) conds ::= year(ts).isin(years.map(Integer.valueOf): _*)
     if (months.nonEmpty) conds ::= month(ts).isin(months.map(Integer.valueOf): _*)
     if (days.nonEmpty) conds ::= dayofmonth(ts).isin(days.map(Integer.valueOf): _*)

@@ -28,6 +28,48 @@ class SelectorAndFilterSpec extends SparkSpec {
     assert(resolve(schema, Seq(ofType(org.apache.spark.sql.types.DateType))).isEmpty)
   }
 
+  test("filterDate: the reference's 1000-day frame, all parameter forms") {
+    // tests/functions/test_filter_date.py over the contiguous 1000 days
+    // starting 2019-01-28 (janitor/testing_utils/date_data.py), dates as
+    // MM/dd/yy strings like the fixture
+    import graft.syntax._
+    val fmtOut = java.time.format.DateTimeFormatter.ofPattern("MM/dd/yy")
+    val d0 = java.time.LocalDate.of(2019, 1, 28)
+    val dates = (0 until 1000).map(i => d0.plusDays(i).format(fmtOut))
+    val df = dates.zipWithIndex.map { case (s, i) => (i, s) }.toDF("AMOUNT", "DATE")
+    val fmt = Some("MM/dd/yy")
+    def years(df2: org.apache.spark.sql.DataFrame) = df2
+      .select(org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.to_timestamp(col("DATE"), "MM/dd/yy")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(years(df.filterDate("DATE", years = Seq(2020), format = fmt)) == Set(2020))
+    assert(years(df.filterDate("DATE", years = Seq(2020, 2021), format = fmt)) ==
+      Set(2020, 2021))
+    // months 10-11 only
+    val m = df.filterDate("DATE", months = Seq(10, 11), format = fmt)
+      .select(org.apache.spark.sql.functions.month(
+        org.apache.spark.sql.functions.to_timestamp(col("DATE"), "MM/dd/yy")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(m == Set(10, 11))
+    // days 1-4 only
+    val dd = df.filterDate("DATE", days = (1 to 4), format = fmt)
+      .select(org.apache.spark.sql.functions.dayofmonth(
+        org.apache.spark.sql.functions.to_timestamp(col("DATE"), "MM/dd/yy")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(dd == Set(1, 2, 3, 4))
+    // start_date drops everything <= 01/31/19
+    assert(df.filterDate("DATE", startDate = Some("02/01/19"), format = fmt)
+      .count() == 1000 - 4)
+    // start+end inclusive window of two days
+    assert(df.filterDate("DATE", startDate = Some("02/01/19"),
+      endDate = Some("02/02/19"), format = fmt).count() == 2)
+    // a custom format parses both the column and the end bound
+    val weird = dates.map(_.replace("/", "@@@@")).zipWithIndex
+      .map { case (s, i) => (i, s) }.toDF("AMOUNT", "DATE")
+    assert(weird.filterDate("DATE", endDate = Some("01@@@@29@@@@19"),
+      format = Some("MM@@@@dd@@@@yy")).count() == 2)
+  }
+
   test("getIndexLabels returns matched names; getColumns groups a DSL projection") {
     assert(df.getIndexLabels(glob("val_*")) == Seq("val_a", "val_b"))
     val d = Seq(("a", 1.0, 2.0, "z"), ("a", 3.0, 4.0, "z")).toDF("g", "m_x", "m_y", "other")
