@@ -53,11 +53,21 @@ object TransformOps {
       destColumn: Option[String] = None): DataFrame =
     df.withColumn(destColumn.getOrElse(column), f(col(s"`$column`")))
 
+  /** `newColumnNames` maps source -> target like the reference's
+    * new_column_names dict (keys outside `columns` pass through silently —
+    * reference bug #1063 behavior); mutually exclusive with `suffix`,
+    * raising the reference's ValueError otherwise.
+    */
   def transformColumns(df: DataFrame, columns: Seq[String], f: Column => Column,
-      suffix: Option[String] = None): DataFrame =
+      suffix: Option[String] = None,
+      newColumnNames: Map[String, String] = Map.empty): DataFrame = {
+    require(suffix.isEmpty || newColumnNames.isEmpty,
+      "Only one of `suffix` or `new_column_names` should be specified")
     columns.foldLeft(df) { (acc, c) =>
-      acc.withColumn(c + suffix.getOrElse(""), f(col(s"`$c`")))
+      val target = newColumnNames.getOrElse(c, c + suffix.getOrElse(""))
+      acc.withColumn(target, f(col(s"`$c`")))
     }
+  }
 
   /** Add column from scalar/expression (reference:
     * janitor/functions/add_columns.py:18,146).

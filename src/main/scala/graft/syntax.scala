@@ -164,8 +164,10 @@ object syntax {
       TransformOps.findReplace(df, column, mapping, matchMode)
     def transformColumn(column: String, f: Column => Column, destColumn: Option[String] = None): DataFrame =
       TransformOps.transformColumn(df, column, f, destColumn)
-    def transformColumns(columns: Seq[String], f: Column => Column, suffix: Option[String] = None): DataFrame =
-      TransformOps.transformColumns(df, columns, f, suffix)
+    def transformColumns(columns: Seq[String], f: Column => Column,
+        suffix: Option[String] = None,
+        newColumnNames: Map[String, String] = Map.empty): DataFrame =
+      TransformOps.transformColumns(df, columns, f, suffix, newColumnNames)
     def addColumn(name: String, value: Column): DataFrame = TransformOps.addColumn(df, name, value)
     def addColumnIterable(name: String, values: Seq[Any], orderCol: String,
         fillRemaining: Boolean = false): DataFrame =

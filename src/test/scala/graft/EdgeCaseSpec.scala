@@ -448,6 +448,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(enc == Seq("a", "b", Bpe.Eow))
   }
 
+  test("transformColumns: the reference suffix/new_column_names contract") {
+    // tests/functions/test_transform_columns.py over log10(10)=1, log10(100)=2
+    import graft.operators.TransformOps
+    val d = Seq((10.0, 100.0)).toDF("another", "column")
+    val inPlace = TransformOps.transformColumns(d, Seq("another", "column"), log10)
+    assert(inPlace.collect()(0).getDouble(0) == 1.0 &&
+      inPlace.collect()(0).getDouble(1) == 2.0)
+    val suffixed = TransformOps.transformColumns(d, Seq("another", "column"),
+      log10, suffix = Some("_log"))
+    assert(suffixed.columns.toSet ==
+      Set("another", "column", "another_log", "column_log"))
+    val renamed = TransformOps.transformColumns(d, Seq("another", "column"),
+      log10, newColumnNames = Map("another" -> "hello", "column" -> "world"))
+    assert(renamed.columns.toSet == Set("another", "column", "hello", "world"))
+    // keys outside column_names pass through silently (reference bug #1063)
+    val partial = TransformOps.transformColumns(d, Seq("another", "column"),
+      log10, newColumnNames = Map("another" -> "hello", "fakecol" -> "world"))
+    assert(partial.columns.toSet ==
+      Set("another", "column", "hello")) // 'column' transformed in place
+    // both suffix and new_column_names raises
+    intercept[IllegalArgumentException](TransformOps.transformColumns(d,
+      Seq("another"), log10, suffix = Some("_log"),
+      newColumnNames = Map("another" -> "hello")))
+  }
+
   test("round-14 verbs on empty/degenerate inputs") {
     import graft.llm.TextAnalysis
     import graft.streaming.StreamingOps
