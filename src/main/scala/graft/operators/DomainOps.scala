@@ -31,7 +31,9 @@ object DomainOps {
       ("kg", "lb") -> (1.0d / 0.45359237d),
       ("lb", "kg") -> 0.45359237d,
       ("g", "kg") -> 0.001d,
-      ("kg", "g") -> 1000.0d)
+      ("kg", "g") -> 1000.0d,
+      ("cm", "m") -> 0.01d,
+      ("m", "cm") -> 100.0d)
     linear.map { case (k, f) => k -> (f, 0.0d) } ++ Map(
       ("C", "F") -> (1.8d, 32.0d),
       ("F", "C") -> (1.0d / 1.8d, -32.0d / 1.8d))
@@ -39,8 +41,11 @@ object DomainOps {
 
   def convertUnits(df: DataFrame, column: String, from: String, to: String,
       dest: Option[String] = None): DataFrame = {
-    val (factor, offset) = unitFactors.getOrElse((from, to),
-      throw new IllegalArgumentException(s"convert_units: no conversion $from -> $to"))
+    // same-unit conversion is the identity (reference test_no_conversion_equal)
+    val (factor, offset) =
+      if (from == to) (1.0d, 0.0d)
+      else unitFactors.getOrElse((from, to),
+        throw new IllegalArgumentException(s"convert_units: no conversion $from -> $to"))
     df.withColumn(dest.getOrElse(column), col(s"`$column`") * factor + offset)
   }
 
