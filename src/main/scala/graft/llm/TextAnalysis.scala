@@ -553,16 +553,19 @@ object TextAnalysis {
     */
   def heavyHitters(df: DataFrame, textCol: String, capacity: Int,
       k: Int, by: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("token", "est", "__sk", "__pos", "__hh")
+    require(!by.exists(reserved.contains), "heavy_hitters: by column(s) " +
+      s"${by.filter(reserved.contains).mkString(", ")} collide with the " +
+      "output/internal names (token, est, __sk, __pos, __hh) — rename first")
+    val byCols = by.map(c => col(s"`$c`"))
     val sk = graft.functions.aggregates.misra_gries(
       Dedup.tokens(col(s"`$textCol`")), capacity).as("__sk")
     val agged =
-      if (by.isEmpty) df.agg(sk)
-      else df.groupBy(by.map(c => col(s"`$c`")): _*).agg(sk)
+      if (by.isEmpty) df.agg(sk) else df.groupBy(byCols: _*).agg(sk)
     agged
-      .select(by.map(c => col(s"`$c`")) :+
-        posexplode(col("__sk")).as(Seq("__pos", "__hh")): _*)
+      .select(byCols :+ posexplode(col("__sk")).as(Seq("__pos", "__hh")): _*)
       .filter(col("__pos") < k)
-      .select(by.map(c => col(s"`$c`")) ++ Seq(
+      .select(byCols ++ Seq(
         col("__hh.token").as("token"), col("__hh.est").as("est")): _*)
   }
 

@@ -39,11 +39,16 @@ object DomainOps {
       ("F", "C") -> (1.0d / 1.8d, -32.0d / 1.8d))
   }
 
+  private lazy val knownUnits: Set[String] =
+    unitFactors.keys.flatMap { case (a, b) => Seq(a, b) }.toSet
+
   def convertUnits(df: DataFrame, column: String, from: String, to: String,
       dest: Option[String] = None): DataFrame = {
-    // same-unit conversion is the identity (reference test_no_conversion_equal)
+    // same-unit conversion is the identity (reference
+    // test_no_conversion_equal) — but only for KNOWN units: the pint-backed
+    // reference raises UndefinedUnitError for garbage even when from == to
     val (factor, offset) =
-      if (from == to) (1.0d, 0.0d)
+      if (from == to && knownUnits.contains(from)) (1.0d, 0.0d)
       else unitFactors.getOrElse((from, to),
         throw new IllegalArgumentException(s"convert_units: no conversion $from -> $to"))
     df.withColumn(dest.getOrElse(column), col(s"`$column`") * factor + offset)

@@ -63,10 +63,15 @@ object TransformOps {
       newColumnNames: Map[String, String] = Map.empty): DataFrame = {
     require(suffix.isEmpty || newColumnNames.isEmpty,
       "Only one of `suffix` or `new_column_names` should be specified")
-    columns.foldLeft(df) { (acc, c) =>
-      val target = newColumnNames.getOrElse(c, c + suffix.getOrElse(""))
-      acc.withColumn(target, f(col(s"`$c`")))
-    }
+    // ONE projection evaluated against the ORIGINAL frame, matching the
+    // reference's dict/assign semantics: a rename target colliding with a
+    // later source must read that source's pre-transform values, which a
+    // sequential withColumn fold would double-transform
+    val targets = columns.map(c =>
+      newColumnNames.getOrElse(c, c + suffix.getOrElse("")) -> f(col(s"`$c`")))
+    require(targets.map(_._1).distinct.length == targets.length,
+      s"transform_columns: duplicate target names ${targets.map(_._1).mkString(", ")}")
+    df.withColumns(targets.toMap)
   }
 
   /** Add column from scalar/expression (reference:

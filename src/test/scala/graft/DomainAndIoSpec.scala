@@ -14,6 +14,16 @@ class DomainAndIoSpec extends SparkSpec {
     val lb = DomainOps.convertUnits(d, "v", "kg", "lb").collect()(0).getDouble(0)
     assert(math.abs(lb - 220.462262) < 1e-4)
     intercept[IllegalArgumentException](DomainOps.convertUnits(d, "v", "kg", "C"))
+    // reference value cases: cm -> m, same-unit identity, unknown units
+    // raise even when from == to (pint UndefinedUnitError)
+    val m = DomainOps.convertUnits(d, "v", "cm", "m", Some("v_m"))
+      .collect()(0).getDouble(1)
+    assert(math.abs(m - 1.0) < 1e-12)
+    val same = DomainOps.convertUnits(d, "v", "cm", "cm", Some("v_cm"))
+      .collect()(0)
+    assert(same.getDouble(0) == same.getDouble(1))
+    intercept[IllegalArgumentException](
+      DomainOps.convertUnits(d, "v", "furlong", "furlong"))
   }
 
   test("inflateCurrency multiplies by the CPI ratio") {
