@@ -61,7 +61,7 @@ object QueriesCore {
       .filterOn("l_quantity > 30 AND l_discount < 0.05")),
     "filter_date" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_shipdate")
-      .filterDate("l_shipdate", years = Seq(1994), months = Seq(1, 2, 3))),
+      .filterDate("l_shipdate", years = Seq(1997), months = Seq(1, 2, 3))),
     "filter_date_range" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_shipdate")
       .filterDate("l_shipdate",
@@ -497,7 +497,7 @@ object QueriesCore {
       """SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05""",
     "filter_date" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
-        |WHERE year(l_shipdate) = 1994 AND month(l_shipdate) IN (1,2,3)""".stripMargin,
+        |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (1,2,3)""".stripMargin,
     "filter_column_isin" ->
       """SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')""",
     "dropnotnull" ->

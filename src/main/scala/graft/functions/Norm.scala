@@ -34,13 +34,14 @@ object Norm {
   /** Full clean_names label pipeline (clean_names.py:172-201). The
     * reference default is NO underscore stripping (utils.py:757-774:
     * strip_underscores=None returns the label unchanged) and an invalid
-    * value raises — both mirrored here since round 14.
+    * value raises — both mirrored here since round 14. strip_accents
+    * defaults TRUE like the reference (clean_names.py:26) since round 15.
     */
   def cleanName(
       name: String,
       caseType: String = "lower",
       removeSpecial: Boolean = false,
-      stripAccentsFlag: Boolean = false,
+      stripAccentsFlag: Boolean = true,
       stripUnderscores: Option[String] = None,
       truncateLimit: Int = 0): String = {
     var s = caseType.toLowerCase match {

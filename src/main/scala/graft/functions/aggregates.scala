@@ -172,13 +172,11 @@ object aggregates {
         case None if buf.size < capacity => buf.update(t, 1L)
         case None =>
           // classic MG eviction: decrement every counter, drop zeros —
-          // O(capacity), amortized O(1) per increment it cancels
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.keysIterator.foreach { k =>
-            val c = buf(k) - 1
-            if (c == 0L) dead += k else buf.update(k, c)
-          }
-          dead.foreach(buf.remove)
+          // O(capacity), amortized O(1) per increment it cancels; the
+          // in-place bulk ops are the documented-safe mutation-during-
+          // traversal API (keysIterator + update is not)
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c != 0L)
       }
     }
 
@@ -207,12 +205,8 @@ object aggregates {
         val counts = a.values.toArray
         java.util.Arrays.sort(counts)
         val threshold = counts(counts.length - capacity - 1)
-        val dead = mutable.ArrayBuffer.empty[String]
-        a.keysIterator.foreach { k =>
-          val c = a(k) - threshold
-          if (c <= 0L) dead += k else a.update(k, c)
-        }
-        dead.foreach(a.remove)
+        a.mapValuesInPlace((_, c) => c - threshold)
+        a.filterInPlace((_, c) => c > 0L)
       }
       a
     }

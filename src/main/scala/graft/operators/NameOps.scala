@@ -18,7 +18,7 @@ object NameOps {
       df: DataFrame,
       caseType: String = "lower",
       removeSpecial: Boolean = false,
-      stripAccents: Boolean = false,
+      stripAccents: Boolean = true,
       stripUnderscores: Option[String] = None,
       truncateLimit: Int = 0): DataFrame = {
     val cleaned = df.columns.map(c =>
@@ -42,7 +42,7 @@ object NameOps {
       columns: Seq[String],
       caseType: String = "lower",
       removeSpecial: Boolean = false,
-      stripAccentsFlag: Boolean = false,
+      stripAccentsFlag: Boolean = true,
       stripUnderscores: Option[String] = None): DataFrame = {
     val colsSet = columns.toSet
     val projected = df.columns.map { c =>

@@ -117,8 +117,21 @@ object TextOps {
         }
       case "encode" => encode(c, s(0))
       case "decode" => decode(c.cast("binary"), s(0))
-      case "findall" => // group 0 (whole match) unless an index is passed
-        regexp_extract_all(c, lit(s(0)), lit(if (args.length > 1) i(1) else 0))
+      case "findall" =>
+        // Python re.findall rule: 0 capture groups -> whole match; exactly
+        // 1 -> that group's text; >=2 returns TUPLES, which a flat
+        // array<string> cannot carry — require an explicit group index
+        // there rather than silently diverging
+        val groups = java.util.regex.Pattern.compile(s(0)).matcher("").groupCount()
+        val idx =
+          if (args.length > 1) i(1)
+          else if (groups == 1) 1
+          else if (groups >= 2) throw new IllegalArgumentException(
+            s"findall: pattern '${s(0)}' has $groups capture groups; Python " +
+              "returns tuples there — pass an explicit group index as the " +
+              "second argument")
+          else 0
+        regexp_extract_all(c, lit(s(0)), lit(idx))
       case "match" => c.rlike(s"^(?:${s(0)})")
       case "fullmatch" => c.rlike(s"^(?:${s(0)})$$")
       case "index" => strMethod(c, "find", args) // row-wise: -1, not raise

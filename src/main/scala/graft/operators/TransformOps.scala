@@ -64,14 +64,22 @@ object TransformOps {
     require(suffix.isEmpty || newColumnNames.isEmpty,
       "Only one of `suffix` or `new_column_names` should be specified")
     // ONE projection evaluated against the ORIGINAL frame, matching the
-    // reference's dict/assign semantics: a rename target colliding with a
-    // later source must read that source's pre-transform values, which a
-    // sequential withColumn fold would double-transform
+    // reference's dict/assign semantics
     val targets = columns.map(c =>
       newColumnNames.getOrElse(c, c + suffix.getOrElse("")) -> f(col(s"`$c`")))
     require(targets.map(_._1).distinct.length == targets.length,
       s"transform_columns: duplicate target names ${targets.map(_._1).mkString(", ")}")
-    df.withColumns(targets.toMap)
+    // the reference check_column(df, new_col, present=False): renaming onto
+    // a column that already exists in the frame raises, it never overwrites
+    val collisions = newColumnNames.collect {
+      case (src, dst) if dst != src && df.columns.contains(dst) => dst
+    }
+    require(collisions.isEmpty,
+      s"transform_columns: new_column_names target(s) already present in " +
+        s"dataframe: ${collisions.mkString(", ")}")
+    // ListMap keeps spec order so appended columns land deterministically
+    // (withColumns iterates the map; an unordered HashMap scrambles >4 keys)
+    df.withColumns(scala.collection.immutable.ListMap(targets: _*))
   }
 
   /** Add column from scalar/expression (reference:

@@ -16,11 +16,11 @@ object syntax {
 
     // §2.1 name hygiene
     def cleanNames(caseType: String = "lower", removeSpecial: Boolean = false,
-        stripAccents: Boolean = false, stripUnderscores: Option[String] = None,
+        stripAccents: Boolean = true, stripUnderscores: Option[String] = None,
         truncateLimit: Int = 0): DataFrame =
       NameOps.cleanNames(df, caseType, removeSpecial, stripAccents, stripUnderscores, truncateLimit)
     def cleanNamesValues(columns: Seq[String], caseType: String = "lower",
-        removeSpecial: Boolean = false, stripAccents: Boolean = false,
+        removeSpecial: Boolean = false, stripAccents: Boolean = true,
         stripUnderscores: Option[String] = None): DataFrame =
       NameOps.cleanNamesValues(df, columns, caseType, removeSpecial,
         stripAccents, stripUnderscores)

@@ -471,15 +471,13 @@ class EdgeCaseSpec extends SparkSpec {
     intercept[IllegalArgumentException](TransformOps.transformColumns(d,
       Seq("another"), log10, suffix = Some("_log"),
       newColumnNames = Map("another" -> "hello")))
-    // a rename target colliding with a later SOURCE reads the source's
-    // pre-transform values (one projection over the original frame, the
-    // reference's dict/assign semantics — not a sequential fold)
-    val collide = TransformOps.transformColumns(d, Seq("another", "column"),
-      log10, newColumnNames = Map("another" -> "column", "column" -> "c2"))
-      .collect()(0)
-    // column (the target of another's rename) = log10(10) = 1;
-    // c2 = log10 of the ORIGINAL column value 100 = 2, not log10(1)
-    assert(collide.getDouble(1) == 1.0 && collide.getDouble(2) == 2.0)
+    // a rename target that already exists in the frame raises — the
+    // reference's check_column(df, new_col, present=False) fires for every
+    // old != new even when the colliding column is itself being renamed
+    // away (transform_columns.py:230-232)
+    intercept[IllegalArgumentException](TransformOps.transformColumns(d,
+      Seq("another", "column"), log10,
+      newColumnNames = Map("another" -> "column", "column" -> "c2")))
   }
 
   test("round-14 verbs on empty/degenerate inputs") {
