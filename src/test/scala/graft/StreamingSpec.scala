@@ -345,6 +345,30 @@ class StreamingSpec extends SparkSpec {
     assert(!m.contains(4L))
   }
 
+  test("fuzzyMatchFlags pinned index equals unpinned across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val ref = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma")).toDF("rid", "name")
+    def runPin(pin: Boolean): Map[Long, (Long, Int)] = {
+      val in = MemoryStream[(Long, String)]
+      // two explicit batches: the pinned variant must serve batch 2 from
+      // the cached index with the same results as a fresh derivation
+      in.addData((1L, "alpah"), (2L, "betas"))
+      in.addData((3L, "gamm"), (4L, "nomatch"))
+      runToCompletion(
+        graft.streaming.StreamingOps.fuzzyMatchFlags(
+          in.toDF().toDF("id", "s"), "id", "s", ref, "rid", "name",
+          maxDist = 2, pin = pin),
+        s"fuzzy_pin_${pin}_out", mode = "complete")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    }
+    val pinned = runPin(true)
+    val unpinned = runPin(false)
+    assert(pinned == unpinned)
+    assert(pinned(3L) == ((12L, 1)))
+    assert(!pinned.contains(4L))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("nearDupFlags verifies streamed docs against a static corpus by exact Jaccard") {
     implicit val sq = spark.sqlContext
     val base = (1 to 60).map(i => s"corp$i").mkString(" ")
