@@ -109,6 +109,10 @@ object Bench {
       // into GC pressure.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
+      // clearCache() drops the cache registration but not the fuzzy-pin
+      // memo; release both together or a later query silently reuses a
+      // memoized-but-no-longer-cached index plan
+      graft.streaming.StreamingOps.unpinFuzzyIndexes()
       i += 1
       if (i % 25 == 0) System.gc() // let ContextCleaner drop dead broadcasts
       name -> dt

@@ -91,15 +91,23 @@ object FuzzyIndexProbe {
         ms.addData(slice.toIndexedSeq)
         q.processAllAvailable() // one explicit micro-batch per slice
       }
+      // pinned-index footprint while the stream is still live (the pin's
+      // steady-state cost): memory+disk bytes across all persisted blocks
+      val storage = spark.sparkContext.getRDDStorageInfo
+      val cachedMem = storage.map(_.memSize).sum
+      val cachedDisk = storage.map(_.diskSize).sum
       q.stop()
       val n = spark.table(qn).count()
       val wall = (System.nanoTime() - t0) / 1e9
       quiesce()
       println(f"""{"probe":"fuzzy_index_pin","pin":$pin,"batches":${batchSlices.length},""" +
         f""""matched":$n,"wall_s":$wall%.2f,"jobs":${jobs.get},"stages":${stages.get},""" +
-        f""""input_records":${inputRecords.get},"input_mb":${inputBytes.get / 1e6}%.1f}""")
+        f""""input_records":${inputRecords.get},"input_mb":${inputBytes.get / 1e6}%.1f,""" +
+        f""""cached_mem_mb":${cachedMem / 1e6}%.1f,"cached_disk_mb":${cachedDisk / 1e6}%.1f}""")
       spark.catalog.dropTempView(qn)
-      // variants must not share cache: drop the pinned index before the next run
+      // variants must not share cache: release the pinned index (memo +
+      // cache registration) before the next run so each pass re-materializes
+      graft.streaming.StreamingOps.unpinFuzzyIndexes()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 

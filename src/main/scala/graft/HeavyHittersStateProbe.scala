@@ -43,8 +43,12 @@ object HeavyHittersStateProbe {
     val vocab = docs.select(explode(graft.llm.Dedup.tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t"))).head.getLong(0)
 
-    // one-time 8-file split so maxFilesPerTrigger=1 yields 8 micro-batches
-    val splitDir = "target/probe_docs_split"
+    // one-time 8-file split so maxFilesPerTrigger=1 yields 8 micro-batches.
+    // The split path embeds the source sfDir: a _SUCCESS-only gate silently
+    // reused the PREVIOUS scale's split when the probe was re-run with a
+    // different sfDir (sf0.1 vs sf1) and reported wrong measurements.
+    val splitDir = "target/probe_docs_split_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     if (!new java.io.File(s"$splitDir/_SUCCESS").exists())
       docs.repartition(8).write.mode("overwrite").parquet(splitDir)
 

@@ -65,13 +65,16 @@ object TransformOps {
       "Only one of `suffix` or `new_column_names` should be specified")
     // ONE projection evaluated against the ORIGINAL frame, matching the
     // reference's dict/assign semantics
-    val targets = columns.map(c =>
-      newColumnNames.getOrElse(c, c + suffix.getOrElse("")) -> f(col(s"`$c`")))
+    val destNames = columns.map(c =>
+      c -> newColumnNames.getOrElse(c, c + suffix.getOrElse("")))
+    val targets = destNames.map { case (src, dst) => dst -> f(col(s"`$src`")) }
     require(targets.map(_._1).distinct.length == targets.length,
       s"transform_columns: duplicate target names ${targets.map(_._1).mkString(", ")}")
-    // the reference check_column(df, new_col, present=False): renaming onto
-    // a column that already exists in the frame raises, it never overwrites
-    val collisions = newColumnNames.collect {
+    // the reference check_column(df, new_col, present=False) fires for EVERY
+    // destination != source — suffix-derived ones included — while dict keys
+    // outside `columns` never participate (transform_columns.py:223-233);
+    // renaming onto an existing column raises, it never overwrites
+    val collisions = destNames.collect {
       case (src, dst) if dst != src && df.columns.contains(dst) => dst
     }
     require(collisions.isEmpty,

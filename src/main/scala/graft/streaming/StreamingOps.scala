@@ -317,9 +317,21 @@ object StreamingOps {
     * report unknown partitioning and re-shuffle the index every batch. The
     * first micro-batch pays the one materialization, so a single-batch
     * bounded run (the driver gate's shape) sees no benefit — the payback is
-    * per batch after the first. Bench/driver sessions unpersist between
-    * queries (Bench.scala); at 100 TB the same index would be a bucketed
+    * per batch after the first. At 100 TB the same index would be a bucketed
     * table on `__vh`, written once per reference snapshot.
+    *
+    * '''Cache lifecycle.''' The pinned index is persist-forever by design —
+    * right for a stream that outlives any batch — so releasing it is the
+    * caller's responsibility. Pinned indexes are memoized per
+    * (reference plan, id/str columns, maxDist): constructing the same query
+    * twice (or many queries over the same reference) reuses ONE cache entry
+    * instead of stacking MEMORY_AND_DISK copies. Call [[unpinFuzzyIndexes]]
+    * when the queries using a reference snapshot have stopped (e.g. from a
+    * `StreamingQueryListener.onQueryTerminated` hook, or between bench
+    * queries as Bench.scala does with unpersist-all). When the reference
+    * snapshot changes, the new plan is a new memo key: unpin the old set,
+    * restart the stream against the new snapshot — the stale entry does NOT
+    * age out on its own.
     */
   def fuzzyMatchFlags(stream: DataFrame, idCol: String, strCol: String,
       ref: DataFrame, refIdCol: String, refStrCol: String,
@@ -329,8 +341,10 @@ object StreamingOps {
         col(s"`$refStrCol`").as("__rs"))
       .withColumn("__vh", explode(JoinOps.variantHashes(col("__rs"), maxDist)))
     val refK = if (pin)
-      refRaw.repartition(col("__vh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinnedFuzzyIndexes.computeIfAbsent(
+        refRaw.queryExecution.analyzed.canonicalized,
+        _ => refRaw.repartition(col("__vh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else refRaw
     val sK = stream.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("__s"))
       .withColumn("__vh", explode(JoinOps.variantHashes(col("__s"), maxDist)))
@@ -340,6 +354,28 @@ object StreamingOps {
       .groupBy(col("id"))
       .agg(min(struct(col("__d").as("d"), col("ref_id").as("r"))).as("__best"))
       .select(col("id"), col("__best.r").as("ref_id"), col("__best.d").as("dist"))
+  }
+
+  /** Memo of pinned FastSS variant indexes, keyed by the canonicalized
+    * analyzed plan of the projected+exploded reference (which folds in the
+    * id/str columns and maxDist) — plan equality, not object identity, so
+    * re-built DataFrames over the same source share an entry.
+    */
+  private val pinnedFuzzyIndexes = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  /** How many distinct fuzzy variant indexes are currently pinned. */
+  def pinnedFuzzyIndexCount: Int = pinnedFuzzyIndexes.size()
+
+  /** Unpersist every pinned fuzzy variant index and clear the memo; returns
+    * the number released. Call after the streams using them terminate —
+    * see the [[fuzzyMatchFlags]] cache-lifecycle contract.
+    */
+  def unpinFuzzyIndexes(blocking: Boolean = false): Int = {
+    val n = pinnedFuzzyIndexes.size()
+    pinnedFuzzyIndexes.values.forEach(df => { df.unpersist(blocking); () })
+    pinnedFuzzyIndexes.clear()
+    n
   }
 
   /** Streaming approximate nearest neighbors: each arriving query vector is

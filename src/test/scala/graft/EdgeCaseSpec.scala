@@ -478,6 +478,17 @@ class EdgeCaseSpec extends SparkSpec {
     intercept[IllegalArgumentException](TransformOps.transformColumns(d,
       Seq("another", "column"), log10,
       newColumnNames = Map("another" -> "column", "column" -> "c2")))
+    // suffix-derived destinations collide too: transform_columns.py builds
+    // dest_column_names from the suffix path through the SAME old != new
+    // check, so suffix="_log" onto a frame that already has another_log raises
+    val withLog = d.withColumn("another_log", lit(0.0))
+    intercept[IllegalArgumentException](TransformOps.transformColumns(withLog,
+      Seq("another"), log10, suffix = Some("_log")))
+    // ...but an UNUSED dict key colliding with an existing column does NOT
+    // raise — dest names derive only from column_names (the #1063 passthrough)
+    val unusedCollision = TransformOps.transformColumns(d, Seq("another"),
+      log10, newColumnNames = Map("another" -> "hello", "fake" -> "column"))
+    assert(unusedCollision.columns.toSet == Set("another", "column", "hello"))
   }
 
   test("round-14 verbs on empty/degenerate inputs") {

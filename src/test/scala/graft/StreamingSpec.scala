@@ -361,12 +361,22 @@ class StreamingSpec extends SparkSpec {
         s"fuzzy_pin_${pin}_out", mode = "complete")
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     }
+    graft.streaming.StreamingOps.unpinFuzzyIndexes() // isolate from other specs
     val pinned = runPin(true)
+    // memoization: same reference + columns + maxDist = ONE pinned entry,
+    // even across two query constructions
+    assert(graft.streaming.StreamingOps.pinnedFuzzyIndexCount == 1)
+    val pinnedAgain = runPin(true)
+    assert(graft.streaming.StreamingOps.pinnedFuzzyIndexCount == 1)
+    assert(pinnedAgain == pinned)
     val unpinned = runPin(false)
+    assert(graft.streaming.StreamingOps.pinnedFuzzyIndexCount == 1) // pin=false adds none
     assert(pinned == unpinned)
     assert(pinned(3L) == ((12L, 1)))
     assert(!pinned.contains(4L))
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // release contract: unpin reports the count and empties the memo
+    assert(graft.streaming.StreamingOps.unpinFuzzyIndexes() == 1)
+    assert(graft.streaming.StreamingOps.pinnedFuzzyIndexCount == 0)
   }
 
   test("nearDupFlags verifies streamed docs against a static corpus by exact Jaccard") {
