@@ -38,6 +38,17 @@ object QueriesCore {
     // ----- §2.2 selection -----
     "select_columns" -> ((s, d) => lineitem(s, d)
       .selectColumns(ColumnSelector.glob("*key"))),
+    "select_rows_labels" -> ((s, d) => nation(s, d)
+      .selectRows("n_nationkey", RowSelector.Labels(Seq(1, 5, 10)))),
+    "select_rows_invert" -> ((s, d) => nation(s, d)
+      .selectRows("n_nationkey", RowSelector.Labels(Seq(1, 5, 10)), invert = true)),
+    "select_rows_slice_step" -> ((s, d) => customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .selectRows("c_custkey",
+        RowSelector.LabelSlice(Some(1), Some(120), step = 3))),
+    "select_rows_date_prefix" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .selectRows("l_shipdate", RowSelector.DateStr("1996-03"))),
     "remove_columns" -> ((s, d) => lineitem(s, d)
       .removeColumns("l_tax", "l_returnflag", "l_linestatus")),
     "reorder_columns" -> ((s, d) => lineitem(s, d)
@@ -481,6 +492,19 @@ object QueriesCore {
       """SELECT value AS m_v, user_id AS m_u, event_id FROM events""",
     "select_columns" ->
       """SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem""",
+    "select_rows_labels" ->
+      """SELECT * FROM nation WHERE n_nationkey IN (1, 5, 10)""",
+    "select_rows_invert" ->
+      """SELECT * FROM nation WHERE n_nationkey NOT IN (1, 5, 10)""",
+    "select_rows_slice_step" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |         row_number() OVER (ORDER BY c_custkey) AS rn
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 120) t
+        |WHERE (rn - 1) % 3 = 0""".stripMargin,
+    "select_rows_date_prefix" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'""".stripMargin,
     "remove_columns" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_shipdate FROM lineitem""",
     "reorder_columns" ->

@@ -1,8 +1,9 @@
 package graft.operators
 
-import graft.ColumnSelector
+import graft.{ColumnSelector, RowSelector}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Projection / selection verbs (SURVEY §2.2). All compile to one `select`. */
 object SelectOps {
@@ -11,6 +12,126 @@ object SelectOps {
   def selectColumns(df: DataFrame, sels: Seq[ColumnSelector], invert: Boolean = false): DataFrame = {
     val names = ColumnSelector.resolve(df.schema, sels, invert)
     df.select(names.map(n => col(s"`$n`")): _*)
+  }
+
+  /** Row selection against an explicit index column (reference:
+    * janitor/functions/select.py:860-899 select_rows via _select_index;
+    * semantics per [[graft.RowSelector]]). Every predicate form is one
+    * pushdown-friendly `filter`; positional forms (slice step, boolean
+    * masks) rank rows in index order with
+    * [[ScaleWindows.runningSum]] — no single-partition window. `invert`
+    * drops the matched rows (test_invert_num), applied AFTER the
+    * existence checks, exactly like pandas raising before inverting.
+    */
+  def selectRows(df: DataFrame, indexCol: String, sel: RowSelector,
+      invert: Boolean = false): DataFrame = {
+    import RowSelector._
+    val idx = col(s"`$indexCol`")
+    def dtype = df.schema(indexCol).dataType
+    def isTemporal = dtype match {
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    // pandas partial-string indexing: prefix -> [period start, next period)
+    def periodBounds(s: String): (String, String) = s match {
+      case y if y.matches("""\d{4}""") =>
+        (s"$y-01-01", f"${y.toInt + 1}%04d-01-01")
+      case ym if ym.matches("""\d{4}-\d{2}""") =>
+        val d = java.time.LocalDate.parse(s"$ym-01").plusMonths(1)
+        (s"$ym-01", d.toString)
+      case ymd if ymd.matches("""\d{4}-\d{2}-\d{2}""") =>
+        (ymd, java.time.LocalDate.parse(ymd).plusDays(1).toString)
+      case other => throw new IllegalArgumentException(
+        s"select_rows: unsupported partial date string '$other'")
+    }
+    def periodPred(s: String): Column = {
+      val (lo, hi) = periodBounds(s)
+      idx >= lit(lo).cast(dtype) && idx < lit(hi).cast(dtype)
+    }
+    // the reference raises eagerly when labels don't exist; one bounded
+    // job (distinct over the candidate labels — result <= |labels|)
+    def requireSomeMatch(pred: Column, arg: Any): Column = {
+      // an un-castable label (ANSI cast failure: "2.5" against an int
+      // index) is a no-match, like select.py:566's `except ... raise
+      // KeyError` around get_loc
+      val empty = try df.filter(pred).isEmpty
+        catch { case _: org.apache.spark.SparkException |
+                     _: NumberFormatException |
+                     _: java.time.DateTimeException => true }
+      if (empty) throw new NoSuchElementException(
+        s"No match was returned for '$arg'")
+      pred
+    }
+    def requireAllLabels(values: Seq[Any], labelOf: Column = idx): Column = {
+      val pred = labelOf.isin(values: _*)
+      val found = df.select(labelOf.cast("string")).filter(pred)
+        .distinct().collect().map(_.getString(0)).toSet
+      val missing = values.filterNot(v => found.contains(String.valueOf(v)))
+      if (missing.length == values.length) throw new NoSuchElementException(
+        s"No match was returned for any of the labels in ${values.mkString("[", ", ", "]")}")
+      if (missing.nonEmpty) throw new NoSuchElementException(
+        s"No match was returned for these labels: ${missing.mkString(", ")}")
+      pred
+    }
+    def ranked(flagged: DataFrame, inCol: String): DataFrame =
+      ScaleWindows.runningSum(flagged, indexCol, inCol, "__rank")
+    val keep: Either[Column, DataFrame] = sel match {
+      case Label(v: String) if isTemporal =>
+        // on a datetime index a bare string IS partial-string indexing;
+        // a full timestamp string falls back to exact equality
+        val pred = try periodPred(v)
+          catch { case _: IllegalArgumentException => idx === lit(v).cast(dtype) }
+        Left(requireSomeMatch(pred, v))
+      case Label(v) => Left(requireSomeMatch(idx === lit(v), v))
+      case Labels(vs) => Left(requireAllLabels(vs))
+      case Rx(r) =>
+        // pandas' index.str accessor fails on non-string indexes and
+        // select.py:513 wraps that failure in the same KeyError — regex row
+        // selection is defined on string labels only
+        if (dtype != org.apache.spark.sql.types.StringType)
+          throw new NoSuchElementException(
+            s"No match was returned for '$r' (regex row selection needs a " +
+              s"string index; '$indexCol' is $dtype)")
+        Left(requireSomeMatch(idx.rlike(r.toString), r))
+      case DateStr(p) => Left(requireSomeMatch(periodPred(p), p))
+      case Where(f) => Left(f(df))
+      case Levels(levels) =>
+        Left(levels.map { case (lvl, vs) =>
+          requireAllLabels(vs, col(s"`$lvl`"))
+        }.reduce(_ && _))
+      case LabelSlice(start, stop, step) =>
+        require(step > 0, s"select_rows: slice step must be positive, got $step")
+        def bound(b: Any, isStop: Boolean): Column = b match {
+          case s: String if isTemporal =>
+            val (lo, hi) = periodBounds(s)
+            if (isStop) idx < lit(hi).cast(dtype) else idx >= lit(lo).cast(dtype)
+          case v => if (isStop) idx <= lit(v) else idx >= lit(v)
+        }
+        val bounds = (start.map(bound(_, isStop = false)) ++
+          stop.map(bound(_, isStop = true))).reduceOption(_ && _).getOrElse(lit(true))
+        if (step == 1) Left(bounds)
+        else { // rank within the sliced region, keep every step-th
+          val flagged = df.withColumn("__in", when(bounds, 1L).otherwise(0L))
+          Right(ranked(flagged, "__in")
+            .withColumn("__keep",
+              col("__in") === 1L && (col("__rank") - 1) % step === 0))
+        }
+      case BoolMask(mask) =>
+        val n = df.count()
+        if (n != mask.length) throw new IllegalArgumentException(
+          "The length of the list of booleans does not match " +
+            s"the number of rows in the DataFrame (${mask.length} vs $n)")
+        val flagged = df.withColumn("__in", lit(1L))
+        Right(ranked(flagged, "__in")
+          .withColumn("__keep",
+            element_at(array(mask.map(lit): _*), col("__rank").cast("int"))))
+    }
+    keep match {
+      case Left(pred) => df.filter(if (invert) !pred else pred)
+      case Right(withKeep) =>
+        withKeep.filter(if (invert) !col("__keep") else col("__keep"))
+          .drop("__in", "__rank", "__keep")
+    }
   }
 
   /** Matched labels themselves, not a projection (reference:

@@ -41,6 +41,8 @@ object syntax {
     // §2.2 selection
     def selectColumns(sels: ColumnSelector*): DataFrame = SelectOps.selectColumns(df, sels)
     def selectColumnsInvert(sels: ColumnSelector*): DataFrame = SelectOps.selectColumns(df, sels, invert = true)
+    def selectRows(indexCol: String, sel: RowSelector, invert: Boolean = false): DataFrame =
+      SelectOps.selectRows(df, indexCol, sel, invert)
     def removeColumns(names: String*): DataFrame = SelectOps.removeColumns(df, names)
     def reorderColumns(first: String*): DataFrame = SelectOps.reorderColumns(df, first)
     def moveColumn(source: String, target: String, position: String = "before"): DataFrame =
@@ -60,8 +62,8 @@ object syntax {
       FilterOps.filterOn(df, criteria, complement)
     def filterDate(column: String, startDate: Option[String] = None, endDate: Option[String] = None,
         years: Seq[Int] = Nil, months: Seq[Int] = Nil, days: Seq[Int] = Nil,
-        format: Option[String] = None): DataFrame =
-      FilterOps.filterDate(df, column, startDate, endDate, years, months, days, format)
+        format: Option[String] = None, columnFormats: Seq[String] = Nil): DataFrame =
+      FilterOps.filterDate(df, column, startDate, endDate, years, months, days, format, columnFormats)
     def filterColumnIsin(column: String, values: Seq[Any], complement: Boolean = false): DataFrame =
       FilterOps.filterColumnIsin(df, column, values, complement)
     def dropNotNull(column: String): DataFrame = FilterOps.dropNotNull(df, column)
