@@ -62,6 +62,11 @@ object QueriesDomain {
     "inflate_currency" -> ((s, d) => DomainOps.inflateCurrency(
       orders(s, d).select("o_orderkey", "o_totalprice"),
       "o_totalprice", "USA", 2010, 2020)),
+    // full-name resolution through wb_country_dict + make_new_column
+    // (finance.py:330-338,684-690)
+    "inflate_currency_name" -> ((s, d) => DomainOps.inflateCurrency(
+      orders(s, d).select("o_orderkey", "o_totalprice"),
+      "o_totalprice", "Germany", 2005, 2015, makeNewColumn = true)),
     "get_symbol" -> ((s, d) => DomainOps.getSymbol(s,
       customer(s, d).select(col("c_custkey"),
         element_at(array(lit("AAPL"), lit("MSFT"), lit("GOOG"), lit("AMZN")),
@@ -217,6 +222,9 @@ object QueriesDomain {
         |l_quantity * (1.0 / 0.45359237) + 0.0 AS qty_lb FROM lineitem""".stripMargin,
     "inflate_currency" ->
       s"""SELECT o_orderkey, o_totalprice * ${DomainOps.inflationFactor("USA", 2010, 2020)} AS o_totalprice FROM orders""",
+    "inflate_currency_name" ->
+      s"""SELECT o_orderkey, o_totalprice,
+         |o_totalprice * ${DomainOps.inflationFactor("Germany", 2005, 2015)} AS o_totalprice_2015 FROM orders""".stripMargin,
     "get_symbol" ->
       """SELECT c_custkey,
         |CASE c_custkey % 4 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' WHEN 2 THEN 'GOOG' ELSE 'AMZN' END AS tick,

@@ -32,18 +32,30 @@ object FilterOps {
   def filterOn(df: DataFrame, criteria: String, complement: Boolean = false): DataFrame =
     df.filter(if (complement) !expr(criteria) else expr(criteria))
 
-  /** (reference: janitor/functions/filter.py:186-293) */
+  /** (reference: janitor/functions/filter.py:186-293). `format` parses ONLY
+    * the start/end bound strings (filter.py:271,275 feeds it to
+    * pd.to_datetime(start_date, format=format) — "This only affects the
+    * format of the start_date and end_date parameters", filter.py:234-238);
+    * the COLUMN parse is governed separately by `columnFormats`, the
+    * column_date_options analog (filter.py:264-266): candidate Java
+    * datetime patterns tried in order, first successful parse wins
+    * (`try_to_timestamp` coalesce — pandas' dayfirst=True hint is
+    * Seq("dd/MM/yy", "MM/dd/yy")). A string column with no `columnFormats`
+    * parses as ISO; Spark has no dateutil-style format inference, so
+    * non-ISO columns must name their pattern(s).
+    */
   def filterDate(df: DataFrame, column: String,
       startDate: Option[String] = None, endDate: Option[String] = None,
       years: Seq[Int] = Nil, months: Seq[Int] = Nil, days: Seq[Int] = Nil,
-      format: Option[String] = None): DataFrame = {
+      format: Option[String] = None, columnFormats: Seq[String] = Nil): DataFrame = {
     val ts: Column = df.schema(column).dataType match {
       case org.apache.spark.sql.types.TimestampType => col(s"`$column`")
       case org.apache.spark.sql.types.DateType => col(s"`$column`").cast("timestamp")
-      case _ => format.map(f => to_timestamp(col(s"`$column`"), f)).getOrElse(to_timestamp(col(s"`$column`")))
+      case _ if columnFormats.nonEmpty =>
+        coalesce(columnFormats.map(f =>
+          try_to_timestamp(col(s"`$column`"), lit(f))): _*)
+      case _ => to_timestamp(col(s"`$column`"))
     }
-    // `format` parses the start/end strings too (the reference feeds it to
-    // pd.to_datetime(start_date, format=format) — filter.py:271,275)
     def parseBound(s: String): Column =
       format.map(f => to_timestamp(lit(s), f)).getOrElse(to_timestamp(lit(s)))
     var conds = List.empty[Column]

@@ -32,6 +32,58 @@ class DomainAndIoSpec extends SparkSpec {
     assert(math.abs(out - 100.0 * math.pow(1.021, 10)) < 1e-9)
   }
 
+  test("inflateCurrency: the reference's full error + naming contract") {
+    // golden port of tests/finance/test_inflate_currency.py against the
+    // static CPI snapshot (the WB API stand-in)
+    val d = Seq(100.0).toDF("a")
+    // same-year inflator is exactly 1; make_new_column appends a_2018
+    val same = DomainOps.inflateCurrency(d, "a", "USA", 2018, 2018,
+      makeNewColumn = true)
+    assert(same.columns.toSeq == Seq("a", "a_2018"))
+    val r = same.collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1))
+    // full country name resolves through wb_country_dict
+    // (test_expected_result_with_full_country_name)
+    assert(DomainOps.inflationFactor("United States", 2018, 2015) ==
+      DomainOps.inflationFactor("USA", 2018, 2015))
+    // invalid country (test_wb_country_check)
+    intercept[IllegalArgumentException](
+      DomainOps.inflateCurrency(d, "a", "INVALID-COUNTRY", 2018, 2018))
+    // year floor (test_year_check: currency_year=1950)
+    intercept[IllegalArgumentException](
+      DomainOps.inflateCurrency(d, "a", "USA", 1950, 2018))
+    // years past the snapshot (test_api_result_check: 2030/2050)
+    intercept[IllegalArgumentException](
+      DomainOps.inflateCurrency(d, "a", "USA", 2030, 2050))
+    // per-country series coverage: GHA's CPI starts 1964, so 1962 raises on
+    // either side (test_to_year_available / test_currency_year_available)
+    intercept[IllegalArgumentException](
+      DomainOps.inflationFactor("GHA", 2010, 1962))
+    intercept[IllegalArgumentException](
+      DomainOps.inflationFactor("GHA", 1962, 2010))
+    assert(DomainOps.inflationFactor("Ghana", 1964, 2010) > 0)
+    // abbreviation-only labels (no full name) still validate
+    assert(DomainOps.inflationFactor("EMU", 2000, 2001) > 0)
+  }
+
+  test("checkCurrency enforces the reference currency whitelist") {
+    DomainOps.checkCurrency("USD")
+    DomainOps.checkCurrency("ZAR")
+    assert(DomainOps.currencySet.size == 33) // the reference's exact set
+    intercept[IllegalArgumentException](DomainOps.checkCurrency("XYZ"))
+    intercept[IllegalArgumentException](DomainOps.checkCurrency("usd"))
+  }
+
+  test("wbCountryDict carries the reference's full World Bank whitelist") {
+    assert(DomainOps.wbCountryDict.size == 264)
+    assert(DomainOps.wbCountryDict("United States") == "USA")
+    assert(DomainOps.wbCountryDict("Korea, Rep.") == "KOR")
+    assert(DomainOps.checkWbCountry("CHE") == "CHE")
+    assert(DomainOps.checkWbCountry("Switzerland") == "CHE")
+    intercept[IllegalArgumentException](DomainOps.checkWbCountry("Atlantis"))
+    intercept[IllegalArgumentException](DomainOps.checkWbYears(1959))
+  }
+
   test("convertCurrency raises like the deprecated reference stub") {
     intercept[UnsupportedOperationException](DomainOps.convertCurrency())
   }

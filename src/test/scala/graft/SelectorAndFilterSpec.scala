@@ -38,36 +38,43 @@ class SelectorAndFilterSpec extends SparkSpec {
     val dates = (0 until 1000).map(i => d0.plusDays(i).format(fmtOut))
     val df = dates.zipWithIndex.map { case (s, i) => (i, s) }.toDF("AMOUNT", "DATE")
     val fmt = Some("MM/dd/yy")
+    val colFmt = Seq("MM/dd/yy") // the column_date_options analog
     def years(df2: org.apache.spark.sql.DataFrame) = df2
       .select(org.apache.spark.sql.functions.year(
         org.apache.spark.sql.functions.to_timestamp(col("DATE"), "MM/dd/yy")))
       .distinct().collect().map(_.getInt(0)).toSet
-    assert(years(df.filterDate("DATE", years = Seq(2020), format = fmt)) == Set(2020))
-    assert(years(df.filterDate("DATE", years = Seq(2020, 2021), format = fmt)) ==
-      Set(2020, 2021))
+    assert(years(df.filterDate("DATE", years = Seq(2020),
+      columnFormats = colFmt)) == Set(2020))
+    assert(years(df.filterDate("DATE", years = Seq(2020, 2021),
+      columnFormats = colFmt)) == Set(2020, 2021))
     // months 10-11 only
-    val m = df.filterDate("DATE", months = Seq(10, 11), format = fmt)
+    val m = df.filterDate("DATE", months = Seq(10, 11), columnFormats = colFmt)
       .select(org.apache.spark.sql.functions.month(
         org.apache.spark.sql.functions.to_timestamp(col("DATE"), "MM/dd/yy")))
       .distinct().collect().map(_.getInt(0)).toSet
     assert(m == Set(10, 11))
     // days 1-4 only
-    val dd = df.filterDate("DATE", days = (1 to 4), format = fmt)
+    val dd = df.filterDate("DATE", days = (1 to 4), columnFormats = colFmt)
       .select(org.apache.spark.sql.functions.dayofmonth(
         org.apache.spark.sql.functions.to_timestamp(col("DATE"), "MM/dd/yy")))
       .distinct().collect().map(_.getInt(0)).toSet
     assert(dd == Set(1, 2, 3, 4))
     // start_date drops everything <= 01/31/19
-    assert(df.filterDate("DATE", startDate = Some("02/01/19"), format = fmt)
-      .count() == 1000 - 4)
+    assert(df.filterDate("DATE", startDate = Some("02/01/19"), format = fmt,
+      columnFormats = colFmt).count() == 1000 - 4)
     // start+end inclusive window of two days
     assert(df.filterDate("DATE", startDate = Some("02/01/19"),
-      endDate = Some("02/02/19"), format = fmt).count() == 2)
-    // a custom format parses both the column and the end bound
-    val weird = dates.map(_.replace("/", "@@@@")).zipWithIndex
-      .map { case (s, i) => (i, s) }.toDF("AMOUNT", "DATE")
-    assert(weird.filterDate("DATE", endDate = Some("01@@@@29@@@@19"),
-      format = Some("MM@@@@dd@@@@yy")).count() == 2)
+      endDate = Some("02/02/19"), format = fmt, columnFormats = colFmt)
+      .count() == 2)
+    // test_filter_different_date_format: `format` parses ONLY the end bound
+    // (filter.py:234-238); the column keeps its own MM/dd/yy parse
+    assert(df.filterDate("DATE", endDate = Some("01@@@@29@@@@19"),
+      format = Some("MM@@@@dd@@@@yy"), columnFormats = colFmt).count() == 2)
+    // test_column_date_options: dayfirst=True is a per-value HINT — values
+    // whose day-first read is invalid (month > 12) fall back; the reference
+    // expects exactly 13 rows <= 01/29/19 under that misreading
+    assert(df.filterDate("DATE", endDate = Some("01/29/19"), format = fmt,
+      columnFormats = Seq("dd/MM/yy", "MM/dd/yy")).count() == 13)
   }
 
   test("getIndexLabels returns matched names; getColumns groups a DSL projection") {
