@@ -68,10 +68,22 @@ object ReshapeOps {
           (labels, target, src)
         }
         val targets = rows.map(_._2).distinct
-        rows.groupBy(_._1).toSeq.sortBy(g => rows.indexWhere(_._1 == g._1)).map {
-          case (labels, group) =>
-            val srcByTarget = group.map(r => r._2 -> r._3).toMap
-            LongSpecRow(labels, targets.map(t => t -> srcByTarget.get(t)).toMap)
+        // when several sources collapse to the SAME (labels, target) pair —
+        // e.g. names_to=[".value"] with pattern "(.)." mapping x1 AND x2 to
+        // "x" — each occurrence is its own long row, stacked (the polars
+        // dot_value_only cum_count over ".value",
+        // polars/pivot_longer.py:508-510; pandas stacks identically)
+        val occ = scala.collection.mutable.Map[(Seq[String], String), Int]()
+        val rowsOcc = rows.map { case (labels, target, src) =>
+          val k = (labels, target)
+          val o = occ.getOrElse(k, 0); occ(k) = o + 1
+          (labels, o, target, src)
+        }
+        rowsOcc.map(r => (r._1, r._2)).distinct.map { case (labels, o) =>
+          val srcByTarget = rowsOcc.collect {
+            case (`labels`, `o`, t, src) => t -> src
+          }.toMap
+          LongSpecRow(labels, targets.map(t => t -> srcByTarget.get(t)).toMap)
         }
       }
 
@@ -224,6 +236,22 @@ object ReshapeOps {
     */
   def pivotLongerSpec(df: DataFrame, index: Seq[String],
       spec: Seq[(String, String, Map[String, String])]): DataFrame = {
+    // the polars backend's spec validation (polars/pivot_longer.py and
+    // tests/polars/functions/test_pivot_longer_spec_polars.py): `.name`
+    // labels must be unique, must exist in the frame, and the spec's extra
+    // label columns must not collide with existing frame columns
+    val dupNames = spec.map(_._1).diff(spec.map(_._1).distinct).distinct
+    require(dupNames.isEmpty,
+      s"pivot_longer_spec: the labels in the `.name` column should be " +
+        s"unique: ${dupNames.mkString(", ")}")
+    val missingSrc = spec.map(_._1).filterNot(df.columns.contains)
+    require(missingSrc.isEmpty,
+      s"pivot_longer_spec: `.name` labels not in the dataframe: " +
+        missingSrc.mkString(", "))
+    val collide = spec.flatMap(_._3.keys).distinct.filter(df.columns.contains)
+    require(collide.isEmpty,
+      s"pivot_longer_spec: labels (${collide.mkString(", ")}) in the spec " +
+        "dataframe already exist as column labels in the source dataframe")
     val labelNames = spec.flatMap(_._3.keys).distinct
     val targets = spec.map(_._2).distinct
     val combos = spec.groupBy(_._3).toSeq

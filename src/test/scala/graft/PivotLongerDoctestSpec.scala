@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.ReshapeOps
 import graft.syntax._
+import org.apache.spark.sql.functions.col
 
 /** The reference's pivot_longer doctest matrix, ported case by case as
   * golden tests (reference: janitor/functions/pivot.py:60-315 — SURVEY
@@ -177,5 +178,77 @@ class PivotLongerDoctestSpec extends SparkSpec {
     assert(sorted(out.select("City", "State", "Fruit", "Drink", "Pounds", "Ounces")) ==
       sorted(fruitExpected
         .toDF("City", "State", "Fruit", "Drink", "Pounds", "Ounces")))
+  }
+
+  // ---- polars backend golden cases (janitor/polars/pivot_longer.py and
+  // tests/polars/functions/test_pivot_longer{,_spec}_polars.py) — the one
+  // reference surface with independent reshape semantics ----
+
+  private lazy val singleVal =
+    Seq((1, 4, 5), (2, 5, 6), (3, 6, 7)).toDF("id", "x1", "x2")
+
+  test("polars: names_to='.value' only stacks same-target sources (cum_count path)") {
+    // test_names_pattern_single_column: x1 AND x2 both map to ".value"="x";
+    // occurrences stack instead of last-wins
+    val out = singleVal.pivotLonger(index = Seq("id"),
+      namesTo = Seq(".value"), namesPattern = Some("(.)."))
+    assert(out.columns.toSeq == Seq("id", "x"))
+    assert(sorted(out) == sorted(Seq(
+      (1, 4), (2, 5), (3, 6), (1, 5), (2, 6), (3, 7)).toDF("id", "x")))
+  }
+
+  test("polars: names_to=('.value','.value') concatenates back to the identity") {
+    // test_multiple_dot_value2: pattern "(.)(.)" re-assembles x1/x2 — the
+    // reshape is the identity frame
+    val out = singleVal.pivotLonger(index = Seq("id"),
+      namesTo = Seq(".value", ".value"), namesPattern = Some("(.)(.)"))
+    assert(out.columns.toSeq == Seq("id", "x1", "x2"))
+    assert(sorted(out) == sorted(singleVal))
+  }
+
+  test("polars: nulls in data flow through .value reshapes (test_names_pattern_nulls_in_data)") {
+    val dfNull = Seq(
+      (1, "1998-11-26", "2000-01-29", Some(1.0), Some(2.0)),
+      (2, "1996-06-22", null, Some(2.0), None),
+      (3, "2002-07-11", "2004-04-05", Some(2.0), Some(2.0)),
+      (4, "2004-10-10", "2009-08-27", Some(1.0), Some(1.0)),
+      (5, "2000-12-05", "2005-02-28", Some(2.0), Some(1.0)))
+      .toDF("family", "dob_child1", "dob_child2", "gender_child1", "gender_child2")
+    val out = dfNull.pivotLonger(index = Seq("family"),
+      namesTo = Seq(".value", "child"), namesPattern = Some("(.+)_(.+)"))
+      .select("family", "child", "dob", "gender")
+    assert(out.count() == 10)
+    val r2 = out.filter(col("family") === 2 && col("child") === "child2").collect()(0)
+    assert(r2.isNullAt(2) && r2.isNullAt(3)) // nulls preserved, not dropped
+  }
+
+  test("polars: pivot_longer_spec golden value case and error contracts") {
+    val dfChecks = Seq(
+      (1, 1, 2.8, 3.4), (1, 2, 2.9, 3.8), (1, 3, 2.2, 2.9),
+      (2, 1, 2.0, 3.2), (2, 2, 1.8, 2.8), (2, 3, 1.9, 2.4),
+      (3, 1, 2.2, 3.3), (3, 2, 2.3, 3.4), (3, 3, 2.1, 2.9))
+      .toDF("famid", "birth", "ht1", "ht2")
+    val spec = Seq(
+      ("ht1", "ht", Map("age" -> "1")),
+      ("ht2", "ht", Map("age" -> "2")))
+    val out = ReshapeOps.pivotLongerSpec(dfChecks, Seq("famid", "birth"), spec)
+      .select("famid", "birth", "age", "ht")
+    assert(out.count() == 18)
+    assert(out.filter(col("famid") === 1 && col("birth") === 1 &&
+      col("age") === "1").collect()(0).getDouble(3) == 2.8)
+    assert(out.filter(col("famid") === 3 && col("birth") === 3 &&
+      col("age") === "2").collect()(0).getDouble(3) == 2.9)
+    // test_spec_columns_dot_name_unique
+    intercept[IllegalArgumentException](ReshapeOps.pivotLongerSpec(dfChecks,
+      Seq("famid", "birth"),
+      Seq(("ht2", "ht", Map("age" -> "1")), ("ht2", "ht", Map("age" -> "2")))))
+    // test_spec_columns_index: spec label col collides with a frame column
+    intercept[IllegalArgumentException](ReshapeOps.pivotLongerSpec(dfChecks,
+      Seq("famid"),
+      Seq(("ht1", "ht", Map("birth" -> "1")), ("ht2", "ht", Map("birth" -> "2")))))
+    // a .name label missing from the frame raises eagerly
+    intercept[IllegalArgumentException](ReshapeOps.pivotLongerSpec(dfChecks,
+      Seq("famid", "birth"),
+      Seq(("ht9", "ht", Map("age" -> "1")))))
   }
 }
