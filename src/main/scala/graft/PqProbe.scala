@@ -36,6 +36,19 @@ object PqProbe {
       val r = Similarity.recallAtK(adc, exact).agg(avg("recall")).head.getDouble(0)
       println(f"[pqprobe] adc   refine=$refine%-3d              recall=$r%.3f")
     }
+    // OPQ vs PQ at the same (m, k): refine=1 is the discriminating config
+    // (pure compressed-domain ranking, no exact-rerank rescue)
+    val opq = Similarity.opqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, kmeansIters = 3)
+    for (refine <- Seq(1, 4, 16)) {
+      val pqA = Similarity.pqAdcTopK(qs, emb, "vec_id", "embedding", 10, cbs,
+        refine = refine)
+      val opqA = Similarity.opqAdcTopK(qs, emb, "vec_id", "embedding", 10, opq,
+        refine = refine)
+      val rPq = Similarity.recallAtK(pqA, exact).agg(avg("recall")).head.getDouble(0)
+      val rOpq = Similarity.recallAtK(opqA, exact).agg(avg("recall")).head.getDouble(0)
+      println(f"[pqprobe] A/B   refine=$refine%-3d pq=$rPq%.3f opq=$rOpq%.3f")
+    }
     spark.stop()
   }
 }

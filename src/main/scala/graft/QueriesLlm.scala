@@ -520,6 +520,23 @@ object QueriesLlm {
       val exact = Similarity.dotTopK(qs, emb, "vec_id", "embedding", k = 10)
       Similarity.recallGate(approx, exact, floor = 0.65)
     }),
+    // OPQ (Ge et al. CVPR'13, parametric): PCA rotation + eigenvalue
+    // allocation before the PQ codebooks, same recall protocol as
+    // pq_recall. The synthetic embeddings are near-isotropic (per-dim var
+    // ratio 1.31, top-8 eigenvalue share 20.5%), so OPQ measures AT PARITY
+    // with PQ here by theory (PqProbe: refine=16 opq 0.93 vs pq 0.92); the
+    // anisotropic case where OPQ must WIN is pinned by LlmSpec's
+    // constructed-corpus A/B. Floor 0.65 = the pq_recall margin.
+    "opq_recall" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 10)
+      val model = Similarity.opqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16, kmeansIters = 3)
+      val approx = Similarity.opqAdcTopK(qs, emb, "vec_id", "embedding",
+        k = 10, model, refine = 16)
+      val exact = Similarity.dotTopK(qs, emb, "vec_id", "embedding", k = 10)
+      Similarity.recallGate(approx, exact, floor = 0.65)
+    }),
     "chunk_documents" -> ((s, d) => documents(s, d)
       .chunkDocuments("doc_id", "text", chunkTokens = 64, stride = 48)),
     // drop training docs sharing >= 3 winnow fingerprints with the
@@ -1526,6 +1543,8 @@ object QueriesLlm {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
         |  FROM rer) WHERE rn <= 10""".stripMargin),
     "pq_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, 0.65 AS recall_floor, TRUE AS meets_floor",
+    "opq_recall" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, 0.65 AS recall_floor, TRUE AS meets_floor",
     // pinned-matrix projection replicated value-for-value: same exactly-
     // float-representable W/mu (multiples of 2^-6/2^-7), same ascending-

@@ -118,16 +118,37 @@ object vector {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** array<double> input variant (rotated vectors — e.g. OPQ — carry
+    * doubles); same ascending-index summation contract.
+    */
+  def centroidSimsKernelD(v: ArrayData, cents: Array[Array[Float]],
+      norms: Array[Double]): ArrayData = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0.0d; var i = 0
+      val n = math.min(v.numElements(), cv.length)
+      while (i < n) { s += v.getDouble(i) * cv(i).toDouble; i += 1 }
+      out(c) = s / norms(c)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   case class CentroidSims(child: Expression, centroids: Array[Array[Float]],
       norms: Array[Double]) extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private lazy val floats = isFloat(child.dataType)
     override def nullSafeEval(a: Any): Any =
-      centroidSimsKernel(a.asInstanceOf[ArrayData], centroids, norms)
+      if (floats) centroidSimsKernel(a.asInstanceOf[ArrayData], centroids, norms)
+      else centroidSimsKernelD(a.asInstanceOf[ArrayData], centroids, norms)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
       val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+      val kernel = if (floats) "centroidSimsKernel" else "centroidSimsKernelD"
       defineCodeGen(ctx, ev, a =>
-        s"graft.functions.vector.centroidSimsKernel($a, $cRef, $nRef)")
+        s"graft.functions.vector.$kernel($a, $cRef, $nRef)")
     }
     override protected def withNewChildInternal(c: Expression): CentroidSims =
       copy(child = c)

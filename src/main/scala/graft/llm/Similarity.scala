@@ -392,7 +392,11 @@ object Similarity {
       .limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .collect()
-      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+      // float corpora and double corpora (rotated/OPQ vectors) both train
+      .map(r => r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
     require(seed.nonEmpty, "trainCentroids: empty centroid sample")
     // Lloyd steps run on a deterministic hash-sampled projection of ≈
     // trainTarget rows, checkpointed once — each iteration scans a small
@@ -728,6 +732,81 @@ object Similarity {
       .filter(col("__rn2") <= k)
       .select("qid", "nid", "score")
   }
+
+  /** An OPQ model: a d×d orthonormal rotation (rows = permuted PCA basis)
+    * plus the PQ codebooks trained in the rotated space.
+    */
+  case class OpqModel(rotation: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Rotate vectors by an orthonormal row matrix — one CentroidSims kernel
+    * call (rows are unit-norm, so sims = R·v exactly), a pure narrow
+    * projection that streams and stays codegen'd.
+    */
+  def opqRotate(df: DataFrame, vecCol: String,
+      rotation: Array[Array[Double]]): DataFrame =
+    df.withColumn(vecCol, cellSims(col(s"`$vecCol`"), rotation))
+
+  /** Optimized Product Quantization, parametric recipe (Ge et al.,
+    * CVPR 2013 "Optimized Product Quantization", §4 OPQ-P): plain PQ slices
+    * the raw coordinates, so correlated/unbalanced dimensions waste
+    * codebook capacity; OPQ first rotates into the PCA basis and then
+    * permutes the principal directions across subspaces by EIGENVALUE
+    * ALLOCATION — each next-largest eigenvalue goes to the subspace with
+    * the smallest running log-product, balancing per-subspace variance —
+    * before training the same per-subspace codebooks as [[pqTrain]].
+    * Training cost is one bounded-sample PCA (the d×d Jacobi path shared
+    * with [[Pca.fit]]) plus the usual m codebook trainings; rotation is
+    * orthonormal, so inner products (and therefore ADC top-k semantics)
+    * are preserved. Deterministic: stride seeds, sign-fixed eigenvectors,
+    * index-ordered tie-breaks.
+    */
+  def opqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, kmeansIters: Int = 4,
+      trainTarget: Int = 4096): OpqModel = {
+    val dim = probeDim(corpus, vecCol).getOrElse(
+      throw new IllegalArgumentException("opqTrain: empty corpus"))
+    require(dim % m == 0, s"opqTrain: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val n = corpus.count()
+    val trainMod = math.max(1L, n / math.max(trainTarget, k).toLong)
+    val sample = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint()
+    val pca = Pca.fit(sample, vecCol, dim)
+    // greedy eigenvalue allocation: components arrive in descending-λ
+    // order; log-sums avoid product overflow/underflow, index tie-break
+    val logs = Array.fill(m)(0.0d)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    pca.components.indices.foreach { i =>
+      val s = (0 until m).filter(buckets(_).length < dsub)
+        .minBy(s => (logs(s), s))
+      buckets(s) += i
+      logs(s) += math.log(math.max(pca.eigenvalues(i), 1e-12d))
+    }
+    val rotation = buckets.flatMap(_.iterator).map(pca.components).toArray
+    val rotated = opqRotate(sample, vecCol, rotation)
+    val codebooks = Array.tabulate(m) { s =>
+      val sliced = rotated.select(col(idCol),
+        slice(col(s"`$vecCol`"), s * dsub + 1, dsub).as(vecCol))
+      trainCentroids(sliced, idCol, vecCol, k, kmeansIters,
+        trainTarget = Int.MaxValue)
+    }
+    OpqModel(rotation, codebooks)
+  }
+
+  /** ADC top-k in the rotated space: rotate both sides (dot products are
+    * rotation-invariant) and run the standard [[pqAdcTopK]]
+    * shortlist+exact-rerank. At 100 TB the corpus rotation is a one-time
+    * narrow projection fused into the encode write, not a per-query cost.
+    */
+  def opqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: OpqModel, refine: Int = 4,
+      roundTo: Int = 6): DataFrame =
+    pqAdcTopK(opqRotate(queries, vecCol, model.rotation),
+      opqRotate(corpus, vecCol, model.rotation),
+      idCol, vecCol, k, model.codebooks, refine, roundTo)
 
   /** IVF-PQ: the inverted-file probe prunes cells (each query scans only
     * its nProbe nearest cells) and ADC compresses the in-cell scan — the

@@ -725,6 +725,49 @@ class LlmSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("OPQ: orthonormal rotation, dot-invariance, and an anisotropic win over PQ") {
+    // anisotropic corpus where plain PQ must lose: all variance lives in
+    // the first 4 of 16 dims, so PQ's subspace 0 holds everything while
+    // subspaces 1-3 quantize noise; OPQ's eigenvalue allocation spreads the
+    // 4 strong principal directions one per subspace (Ge et al. CVPR'13 §4)
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 256L).map { i =>
+      val v = Array.tabulate(16)(j =>
+        if (j < 4) (rnd.nextDouble() * 4.0 - 2.0).toFloat
+        else (rnd.nextGaussian() * 0.01).toFloat)
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("id", "vec").repartition(4).cache()
+    val model = Similarity.opqTrain(df, "id", "vec", m = 4, k = 4,
+      kmeansIters = 4, trainTarget = 256)
+    // rotation is orthonormal: R Rt = I
+    val R = model.rotation
+    for (i <- R.indices; j <- R.indices) {
+      val d = R(i).zip(R(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRt($i,$j)=$d")
+    }
+    // rotation preserves inner products (up to float/double rounding)
+    val two = Similarity.opqRotate(df.limit(2), "vec", R)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val raw = df.limit(2).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def dotA(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dotA(two(0), two(1)) - dotA(raw(0), raw(1))) < 1e-5)
+    // pure compressed-domain ranking (refine=1): OPQ must beat PQ here
+    val qs = df.filter(col("id") < 16L)
+    val exact = Similarity.dotTopK(qs, df, "id", "vec", k = 5)
+    val cbs = Similarity.pqTrain(df, "id", "vec", m = 4, k = 4,
+      kmeansIters = 4, trainTarget = 256)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+    val rPq = recall(Similarity.pqAdcTopK(qs, df, "id", "vec", 5, cbs, refine = 1))
+    val rOpq = recall(Similarity.opqAdcTopK(qs, df, "id", "vec", 5, model, refine = 1))
+    assert(rOpq > rPq, s"OPQ $rOpq should beat PQ $rPq on anisotropic data")
+    df.unpersist()
+  }
+
   test("decontaminateBloom is bit-identical to the exact broadcast-index form") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq(
