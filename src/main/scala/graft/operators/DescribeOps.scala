@@ -10,6 +10,26 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object DescribeOps {
 
+  /** Metadata key carrying a user column description — the Spark analog of
+    * the reference's `df.data_description.set_description` dict
+    * (data_description.py:49-77). Column metadata is part of the schema, so
+    * it persists through parquet sinks (Spark stores the full schema JSON in
+    * the file footer) — descriptions survive a write/read round-trip, which
+    * the reference's in-memory `_desc` dict cannot (DescribeSpec proves it).
+    */
+  val DescriptionKey = "graft.description"
+
+  def setDescriptions(df: DataFrame, descs: Map[String, String]): DataFrame = {
+    descs.keys.foreach(c => require(df.columns.contains(c),
+      s"set_description: column '$c' not found"))
+    descs.foldLeft(df) { case (acc, (c, d)) =>
+      val merged = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(acc.schema(c).metadata)
+        .putString(DescriptionKey, d).build()
+      acc.withMetadata(c, merged)
+    }
+  }
+
   def dataDescription(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val aggs = df.columns.flatMap(c => Seq(
@@ -19,8 +39,10 @@ object DescribeOps {
     val out = df.schema.fields.map { f =>
       val cnt = row.getAs[Long](s"__cnt_${f.name}")
       val n = row.getAs[Long](s"__n_${f.name}")
-      Row(f.name, f.dataType.simpleString, cnt, n - cnt,
-        f.metadata.toString match { case "{}" => null; case m => m })
+      val desc =
+        if (f.metadata.contains(DescriptionKey)) f.metadata.getString(DescriptionKey)
+        else f.metadata.toString match { case "{}" => null; case m => m }
+      Row(f.name, f.dataType.simpleString, cnt, n - cnt, desc)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq, 1),

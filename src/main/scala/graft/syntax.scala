@@ -148,6 +148,8 @@ object syntax {
 
     // §2.5 accessor + §2.1/2.8 aliases
     def dataDescription(): DataFrame = DescribeOps.dataDescription(df)
+    def setDescriptions(descs: Map[String, String]): DataFrame =
+      DescribeOps.setDescriptions(df, descs)
     /** label_encode — deprecated alias of factorize (reference:
       * janitor/functions/label_encode.py:21). */
     def labelEncode(column: String, orderCol: String): DataFrame =
