@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.syntax._
 import graft.Tables._
 import graft.functions.MathFunctions
+import graft.operators.ReshapeOps
 
 /** Correctness-gate queries for SURVEY §2.1-2.3, §2.5, §2.7-2.10, §2.12 verbs.
   * Each entry exercises one verb over the driver parquet tables; the oracle is
@@ -40,6 +41,10 @@ object QueriesCore {
       .selectColumns(ColumnSelector.glob("*key"))),
     "select_rows_labels" -> ((s, d) => nation(s, d)
       .selectRows("n_nationkey", RowSelector.Labels(Seq(1, 5, 10)))),
+    "expand_grid_frames" -> ((s, d) => ReshapeOps.expandGridFrames(Seq(
+      "r" -> region(s, d).select("r_regionkey", "r_name"),
+      "n" -> nation(s, d).filter(col("n_nationkey") < 3)
+        .select("n_nationkey", "n_name")))),
     "select_rows_invert" -> ((s, d) => nation(s, d)
       .selectRows("n_nationkey", RowSelector.Labels(Seq(1, 5, 10)), invert = true)),
     "select_rows_slice_step" -> ((s, d) => customer(s, d)
@@ -494,6 +499,11 @@ object QueriesCore {
       """SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem""",
     "select_rows_labels" ->
       """SELECT * FROM nation WHERE n_nationkey IN (1, 5, 10)""",
+    "expand_grid_frames" ->
+      """SELECT r.r_regionkey AS r_r_regionkey, r.r_name AS r_r_name,
+        |       n.n_nationkey AS n_n_nationkey, n.n_name AS n_n_name
+        |FROM region r CROSS JOIN
+        |  (SELECT * FROM nation WHERE n_nationkey < 3) n""".stripMargin,
     "select_rows_invert" ->
       """SELECT * FROM nation WHERE n_nationkey NOT IN (1, 5, 10)""",
     "select_rows_slice_step" ->

@@ -22,6 +22,11 @@ object FillOps {
       partitionBy: Seq[String] = Nil): DataFrame = {
     val badDir = columns.values.find(d => !Set("down", "up", "updown", "downup")(d))
     badDir.foreach(d => throw new IllegalArgumentException(s"fill_direction: bad direction $d"))
+    // unknown columns raise eagerly like the reference's check_column
+    // (fill.py; test_wrong_column_name), not at plan-analysis time
+    val unknown = columns.keys.filterNot(df.columns.contains)
+    require(unknown.isEmpty,
+      s"fill_direction: columns not in the dataframe: ${unknown.mkString(", ")}")
     if (partitionBy.isEmpty) {
       // updown = bfill then ffill the trailing remainder; downup = mirror —
       // same values as coalesce(first-up, last-down) over a global window
@@ -90,21 +95,45 @@ object FillOps {
   }
 
   /** First non-null across columns into target (reference:
-    * janitor/functions/coalesce.py:14-134). Exact 1:1 with `coalesce`.
+    * janitor/functions/coalesce.py:14-133). Without a target the outcome
+    * lands in the FIRST source column and every other source column is
+    * KEPT unchanged (coalesce.py:129-130 `df.iloc[:, indexers[0]] =
+    * outcome` — the frame shape never shrinks; test_coalesce_without_target
+    * asserts b and c survive). Empty `columns` is the identity
+    * (test_empty_column_names); one column raises the reference's
+    * minimum-of-2 ValueError (coalesce.py:105-108).
     */
   def coalesceColumns(df: DataFrame, columns: Seq[String], targetColumn: Option[String] = None,
       defaultValue: Option[Any] = None): DataFrame = {
+    if (columns.isEmpty) return df
+    require(columns.length >= 2,
+      "The number of columns to coalesce should be a minimum of 2.")
     val exprs = columns.map(n => col(s"`$n`")) ++ defaultValue.map(lit).toSeq
-    val target = targetColumn.getOrElse(columns.head)
-    val out = df.withColumn(target, coalesce(exprs: _*))
-    if (targetColumn.isEmpty) out.drop(columns.tail: _*) else out
+    df.withColumn(targetColumn.getOrElse(columns.head), coalesce(exprs: _*))
   }
 
-  /** 0/1 any-null flag column (reference: janitor/functions/flag_nulls.py:13). */
+  /** 0/1 any-null flag column (reference: janitor/functions/flag_nulls.py:13).
+    * Raises eagerly when the flag name already exists or a requested column
+    * does not (flag_nulls.py ValueErrors; test_fail_column_name_in_columns /
+    * test_fail_column_val_not_in_columns). Float NaN counts as missing like
+    * pandas' isna — Spark separates NaN from null, pandas does not.
+    */
   def flagNulls(df: DataFrame, columnName: String = "null_flag",
       columns: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.contains(columnName),
+      s"flag_nulls: column_name '$columnName' is already in the dataframe")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"flag_nulls: columns not in the dataframe: ${missing.mkString(", ")}")
     val cs = if (columns.nonEmpty) columns else df.columns.toSeq
-    val anyNull = cs.map(n => col(s"`$n`").isNull).reduce(_ || _)
+    val anyNull = cs.map { n =>
+      df.schema(n).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          col(s"`$n`").isNull || isnan(col(s"`$n`"))
+        case _ => col(s"`$n`").isNull
+      }
+    }.reduce(_ || _)
     df.withColumn(columnName, when(anyNull, 1).otherwise(0))
   }
 }

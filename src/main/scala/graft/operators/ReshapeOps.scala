@@ -397,6 +397,24 @@ object ReshapeOps {
     }.reduce(_.crossJoin(_))
   }
 
+  /** DataFrame-valued `others` form of expand_grid (reference:
+    * janitor/functions/expand_grid.py; tests/functions/test_expand_grid.py
+    * test_series_dataframe/test_chain_df): each entry's columns are
+    * prefixed `key_column` — the flat-name analog of the reference's
+    * (key, column) MultiIndex (§1.1 normal form, collapse_levels
+    * precedent) — and the frames cross-join in entry order. At scale the
+    * small sides should be the later entries: Catalyst broadcasts them
+    * (BroadcastNestedLoopJoin) under the cartesian product.
+    */
+  def expandGridFrames(frames: Seq[(String, DataFrame)]): DataFrame = {
+    require(frames.nonEmpty, "expand_grid: empty input")
+    val dups = frames.map(_._1).diff(frames.map(_._1).distinct).distinct
+    require(dups.isEmpty, s"expand_grid: duplicate keys ${dups.mkString(", ")}")
+    frames.map { case (key, d) =>
+      d.select(d.columns.map(c => col(s"`$c`").as(s"${key}_$c")).toIndexedSeq: _*)
+    }.reduce(_.crossJoin(_))
+  }
+
   /** Cartesian product of the distinct values of given columns, from the data
     * itself (reference: janitor/functions/expand_grid.py:141-405).
     */

@@ -192,6 +192,11 @@ object TypeOps {
     */
   def minMaxScale(df: DataFrame, column: String, newMin: Double = 0d,
       newMax: Double = 1d, destColumn: Option[String] = None): DataFrame = {
+    // the reference validates feature_range eagerly: ascending 2-tuple
+    // (min_max_scale.py `feature_range` check; test_min_max_new_min_max_errors
+    // [2, 1] case)
+    require(newMin < newMax,
+      s"min_max_scale: feature_range must be ascending, got ($newMin, $newMax)")
     val row = df.agg(min(col(s"`$column`")).cast("double").as("mn"),
       max(col(s"`$column`")).cast("double").as("mx")).collect()(0)
     // all-null column / empty frame: min/max are null — pandas yields NaN,
@@ -212,6 +217,8 @@ object TypeOps {
       newMin: Double = 0d, newMax: Double = 1d,
       jointly: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "min_max_scale: no columns")
+    require(newMin < newMax,
+      s"min_max_scale: feature_range must be ascending, got ($newMin, $newMax)")
     val aggs = columns.flatMap(c => Seq(
       min(col(s"`$c`")).cast("double").as(s"__mn_$c"),
       max(col(s"`$c`")).cast("double").as(s"__mx_$c")))
@@ -240,6 +247,11 @@ object TypeOps {
     */
   def jitter(df: DataFrame, column: String, destColumn: String, scale: Double,
       clip: Option[(Double, Double)] = None, seed: Long = 42L): DataFrame = {
+    // the reference's eager checks (jitter.py; test_datatypes_check):
+    // positive scale, ascending clip bounds
+    require(scale > 0, s"jitter: `scale` must be greater than 0, got $scale")
+    clip.foreach { case (lo, hi) => require(lo < hi,
+      s"jitter: `clip[0]` must be less than `clip[1]`, got ($lo, $hi)") }
     val noisy = col(s"`$column`") + randn(seed) * scale
     val clipped = clip.map { case (lo, hi) =>
       least(greatest(noisy, lit(lo)), lit(hi))
@@ -254,6 +266,14 @@ object TypeOps {
     */
   def encodeCategorical(df: DataFrame, column: String, categories: Seq[String],
       ordered: Boolean = false): DataFrame = {
+    // explicit categories must be non-empty, unique, and null-free
+    // (encode_categorical.py kwargs checks; test_empty_cat /
+    // test_non_unique_cat / test_categories_null_in_categories)
+    require(categories.nonEmpty, "encode_categorical: categories is empty")
+    require(categories.forall(_ != null),
+      "encode_categorical: categories contains nulls")
+    require(categories.distinct.length == categories.length,
+      "encode_categorical: categories are not unique")
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putStringArray("graft.categories", categories.toArray)
       .putBoolean("graft.ordered", ordered)

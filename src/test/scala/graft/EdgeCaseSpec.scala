@@ -59,7 +59,7 @@ class EdgeCaseSpec extends SparkSpec {
     for (d <- Seq(empty, one)) {
       d.fillEmpty(Map("s" -> "?")).collect()
       d.impute("x", statistic = Some("mean")).collect()
-      d.coalesceColumns(Seq("s"), targetColumn = Some("c")).collect()
+      d.coalesceColumns(Seq("s", "s"), targetColumn = Some("c")).collect()
       d.flagNulls("nf", Seq("s", "x")).collect()
       d.changeType("x", "int").collect()
       d.minMaxScale("x").collect()
@@ -332,7 +332,7 @@ class EdgeCaseSpec extends SparkSpec {
     nulls.fillEmpty(Map("s" -> "?", "x" -> 0.0)).collect()
     // coalesce is typed in Spark: columns + default must share a type
     // (pandas' object dtype has no analog — documented divergence)
-    assert(nulls.coalesceColumns(Seq("s"), targetColumn = Some("c"),
+    assert(nulls.coalesceColumns(Seq("s", "s"), targetColumn = Some("c"),
       defaultValue = Some("d")).filter(col("c") === "d").count() == 2)
     assert(nulls.flagNulls("nf", Seq("s", "x")).filter(col("nf") === 1).count() == 2)
     nulls.minMaxScale("x").collect()

@@ -1,0 +1,186 @@
+package graft
+
+import graft.operators.{DomainOps, FillOps, TypeOps}
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+/** Round-16 continuation of the reference-fidelity sweep: golden ports of
+  * tests/functions/test_{fill_direction,min_max_scale,coalesce,flag_nulls,
+  * round_to_fraction,impute}.py value cases. Each sweep round so far has
+  * surfaced real divergences; this one found two (coalesce without target
+  * dropped the surviving source columns; flag_nulls silently overwrote an
+  * existing flag column and deferred unknown-column errors to analysis
+  * time).
+  */
+class FidelitySweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // test_fill_direction.py pets fixture; ord = pandas row position
+  private def pets = Seq(
+    (0, 1, null, "Boston Terrier", "sam"),
+    (1, 2, null, "Retrievers (Labrador)", "ogor"),
+    (2, 3, null, "Retrievers (Golden)", "nathan"),
+    (3, 4, null, "French Bulldogs", null),
+    (4, 5, null, "Bulldogs", null),
+    (5, 6, "Dog", "Beagles", null),
+    (6, 1, null, "Persian", null),
+    (7, 2, null, "Maine Coon", "ragnar"),
+    (8, 3, null, "Ragdoll", null),
+    (9, 4, null, "Exotic", null),
+    (10, 5, null, "Siamese", null),
+    (11, 6, "Cat", "American Short", "adaora"))
+    .toDF("ord", "rank", "pet_type", "breed", "owner")
+
+  private def petTypes(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("ord").collect().map(r =>
+      if (r.isNullAt(2)) null else r.getString(2)).toSeq
+
+  test("fill_direction: the reference's four directions on the pets frame") {
+    // down: nulls before the first value stay null
+    assert(petTypes(pets.fillDirection(Map("pet_type" -> "down"), "ord")) ==
+      Seq(null, null, null, null, null, "Dog",
+        "Dog", "Dog", "Dog", "Dog", "Dog", "Cat"))
+    // up: each null takes the next value below
+    assert(petTypes(pets.fillDirection(Map("pet_type" -> "up"), "ord")) ==
+      Seq("Dog", "Dog", "Dog", "Dog", "Dog", "Dog",
+        "Cat", "Cat", "Cat", "Cat", "Cat", "Cat"))
+    // updown = bfill then ffill; downup = ffill then bfill
+    assert(petTypes(pets.fillDirection(Map("pet_type" -> "updown"), "ord")) ==
+      Seq("Dog", "Dog", "Dog", "Dog", "Dog", "Dog",
+        "Cat", "Cat", "Cat", "Cat", "Cat", "Cat"))
+    assert(petTypes(pets.fillDirection(Map("pet_type" -> "downup"), "ord")) ==
+      Seq("Dog", "Dog", "Dog", "Dog", "Dog", "Dog",
+        "Dog", "Dog", "Dog", "Dog", "Dog", "Cat"))
+    // multiple columns, different directions, one call
+    val mixed = pets.fillDirection(
+      Map("pet_type" -> "down", "owner" -> "up"), "ord")
+      .orderBy("ord").collect()
+    assert(mixed.map(_.getString(4)).take(6).toSeq ==
+      Seq("sam", "ogor", "nathan", "ragnar", "ragnar", "ragnar"))
+    // wrong direction and unknown column raise eagerly
+    intercept[IllegalArgumentException](
+      pets.fillDirection(Map("pet_type" -> "sideways"), "ord"))
+    intercept[IllegalArgumentException](
+      pets.fillDirection(Map("ghost" -> "down"), "ord"))
+  }
+
+  test("min_max_scale: jointly vs per-column value cases and the range check") {
+    // test_min_max_scale_column_name_type over {"a": [5,10], "b": [0,5]}
+    val d = Seq((5.0, 0.0), (10.0, 5.0)).toDF("a", "b")
+    val joint = TypeOps.minMaxScaleColumns(d, Seq("a", "b"), jointly = true)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(joint.toSeq == Seq((0.5, 0.0), (1.0, 0.5)))
+    val each = TypeOps.minMaxScaleColumns(d, Seq("a", "b"), jointly = false)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(each.toSeq == Seq((0.0, 0.0), (1.0, 1.0)))
+    // single-column form leaves the other column alone
+    val one = TypeOps.minMaxScale(d, "a").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(one.toSeq == Seq((0.0, 0.0), (1.0, 5.0)))
+    // feature_range=(1,2) rescales to that interval
+    val fr = TypeOps.minMaxScale(d, "a", newMin = 1, newMax = 2).collect()
+      .map(_.getDouble(0))
+    assert(fr.min == 1.0 && fr.max == 2.0)
+    // descending feature_range raises (test_min_max_new_min_max_errors [2,1])
+    intercept[IllegalArgumentException](TypeOps.minMaxScale(d, "a", 2, 1))
+    intercept[IllegalArgumentException](
+      TypeOps.minMaxScaleColumns(d, Seq("a"), 2, 1))
+  }
+
+  test("coalesce: reference shape and error contracts") {
+    // test_coalesce_without_target: a <- combine_first chain, b/c KEPT
+    val d = Seq((Some(1.0), 2.0, Some(2.0)), (None, 3.0, None),
+      (Some(3.0), 1.0, Some(9.0))).toDF("a", "b", "c")
+    val out = d.coalesceColumns(Seq("a", "b", "c"))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.orderBy("b").select("a").collect().map(_.getDouble(0)).toSeq ==
+      Seq(3.0, 1.0, 3.0)) // b=1 -> a=3; b=2 -> a=1; b=3 -> null coalesces to 3
+    // test_coalesce_without_delete: default_value fills remaining nulls
+    val s = Seq((Option.empty[Double], Option.empty[Double]),
+      (None, Some(8.0)), (Some(6.0), Some(7.0))).toDF("s1", "s2")
+    val filled = s.coalesceColumns(Seq("s1", "s2"),
+      targetColumn = Some("s3"), defaultValue = Some(0.0))
+    assert(filled.columns.toSeq == Seq("s1", "s2", "s3"))
+    assert(filled.select("s3").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(0.0, 6.0, 8.0))
+  }
+
+  test("flag_nulls: error contracts and NaN-as-missing") {
+    val d = Seq((Some(1.0), "x"), (None, "y")).toDF("v", "s")
+    // output name collision raises (test_fail_column_name_in_columns)
+    intercept[IllegalArgumentException](d.flagNulls("v"))
+    // unknown requested column raises (test_fail_column_val_not_in_columns)
+    intercept[IllegalArgumentException](d.flagNulls("nf", Seq("zzz")))
+    // NaN in a double column counts as missing, like pandas isna
+    val withNan = Seq(1.0, Double.NaN, 3.0).toDF("x")
+    assert(withNan.flagNulls("nf").collect().map(_.getInt(1)).toSeq ==
+      Seq(0, 1, 0))
+  }
+
+  test("round_to_fraction: the reference's Bell__Chart value cases") {
+    // conftest dataframe fixture: [1.23452345, 2.456234, 3.2346125] * 3
+    val d = Seq(1.23452345, 2.456234, 3.2346125).toDF("bc")
+    val half = TypeOps.roundToFraction(d, "bc", 2).collect().map(_.getDouble(0))
+    assert(half.toSeq == Seq(1.0, 2.5, 3.0))
+    val dig = TypeOps.roundToFraction(d, "bc", 7, digits = Some(3))
+      .collect().map(_.getDouble(0))
+    assert(dig.toSeq == Seq(1.286, 2.429, 3.286))
+    for (bad <- Seq(0.0, -5.0, -0.25))
+      intercept[IllegalArgumentException](TypeOps.roundToFraction(d, "bc", bad))
+  }
+
+  test("jitter: eager scale/clip validation and clip bounds hold") {
+    val d = Seq(1.5, 2.0, 2.5).toDF("a")
+    intercept[IllegalArgumentException](
+      TypeOps.jitter(d, "a", "a_jitter", scale = -5.0))
+    intercept[IllegalArgumentException](
+      TypeOps.jitter(d, "a", "a_jitter", scale = 1.0, clip = Some((10.0, 5.0))))
+    val clipped = TypeOps.jitter(d, "a", "a_jitter", scale = 1.0,
+      clip = Some((1.5, 2.5))).select("a_jitter").collect().map(_.getDouble(0))
+    assert(clipped.forall(v => v >= 1.5 && v <= 2.5))
+  }
+
+  test("encode_categorical: explicit categories must be non-empty, unique, null-free") {
+    val d = Seq("x", "y").toDF("a")
+    intercept[IllegalArgumentException](TypeOps.encodeCategorical(d, "a", Nil))
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategorical(d, "a", Seq("x", "y", "y")))
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategorical(d, "a", Seq("x", null)))
+  }
+
+  test("expand_grid: DataFrame-valued others cross-join with key_column names") {
+    // test_series_dataframe / test_chain_df: (key, column) MultiIndex maps
+    // to flat key_column names; frames cross-join in entry order
+    val a = Seq(1, 2).toDF("x")
+    val b = Seq(("u", 10.0), ("v", 20.0)).toDF("name", "score")
+    val out = graft.operators.ReshapeOps.expandGridFrames(
+      Seq("A" -> a, "B" -> b))
+    assert(out.columns.toSeq == Seq("A_x", "B_name", "B_score"))
+    assert(out.count() == 4)
+    assert(out.filter(col("A_x") === 1 && col("B_name") === "v")
+      .collect()(0).getDouble(2) == 20.0)
+    intercept[IllegalArgumentException](
+      graft.operators.ReshapeOps.expandGridFrames(Seq("A" -> a, "A" -> b)))
+    intercept[IllegalArgumentException](
+      graft.operators.ReshapeOps.expandGridFrames(Nil))
+  }
+
+  test("impute: statistic aliases match the reference's expected sets") {
+    // missingdata a = [1, 2, null] * 3
+    val d = Seq(Some(1.0), Some(2.0), None, Some(1.0), Some(2.0), None,
+      Some(1.0), Some(2.0), None).toDF("a")
+    def vals(stat: String): Set[Double] =
+      d.impute("a", statistic = Some(stat)).collect().map(_.getDouble(0)).toSet
+    assert(vals("mean") == Set(1.0, 2.0, 1.5))
+    assert(vals("average") == Set(1.0, 2.0, 1.5))
+    assert(vals("median") == Set(1.0, 2.0, 1.5))
+    assert(vals("minimum") == Set(1.0, 2.0)) // fills with 1
+    assert(vals("maximum") == Set(1.0, 2.0)) // fills with 2
+    // exactly-one-of contract (both / neither raise)
+    intercept[IllegalArgumentException](
+      d.impute("a", statistic = Some("mean"), value = Some(0.0)))
+    intercept[IllegalArgumentException](d.impute("a"))
+    intercept[IllegalArgumentException](d.impute("a", statistic = Some("foobar")))
+  }
+}

@@ -26,11 +26,18 @@ class FillAndTypeSpec extends SparkSpec {
     intercept[IllegalArgumentException](d.impute("v"))
   }
 
-  test("coalesceColumns without target collapses sources") {
+  test("coalesceColumns without target writes the first column, keeps the rest") {
+    // tests/functions/test_coalesce.py test_coalesce_without_target: the
+    // reference assigns outcome into column a and b/c SURVIVE (df.assign)
     val d = Seq((Option.empty[Int], Some(2)), (Some(1), None), (None, None)).toDF("a", "b")
     val out = d.coalesceColumns(Seq("a", "b"), defaultValue = Some(0))
-    assert(out.columns.toSeq == Seq("a"))
+    assert(out.columns.toSeq == Seq("a", "b"))
     assert(out.collect().map(_.getInt(0)).toSeq == Seq(2, 1, 0))
+    // empty column list is the identity; a single column raises (resolved
+    // against DISTINCT names — the reference's duplicate-label case has no
+    // Spark analog, names are unique here)
+    assert(d.coalesceColumns(Nil).columns.toSeq == Seq("a", "b"))
+    intercept[IllegalArgumentException](d.coalesceColumns(Seq("a")))
   }
 
   test("changeType keep_values is all-or-nothing at column level (astype errors=ignore)") {
