@@ -169,13 +169,21 @@ object TextOps {
   private def expr_substr(c: Column, from: Int): Column =
     c.substr(lit(from), length(c))
 
-  /** String-concat columns with separator; concat_ws already skips nulls —
-    * matching ignore_empty semantics needs empty-string filtering too
-    * (reference: janitor/functions/concatenate_columns.py:12,67).
+  /** String-concat columns with separator (reference:
+    * janitor/functions/concatenate_columns.py:12-75; default
+    * ignore_empty=true like the reference). With ignore_empty=false a null
+    * contributes an EMPTY segment (the separator stays), with true both
+    * null and empty segments are stripped — the reference's
+    * remove_empty_string over the astype(str) join. Divergence (documented):
+    * pandas astype(str) spells a float NaN as the literal "nan" so its
+    * segment survives ignore_empty; Spark nulls have no string spelling, so
+    * missing values never inject "nan"/"None" text. At least two columns,
+    * like the reference's JanitorError.
     */
   def concatenateColumns(df: DataFrame, columns: Seq[String], newColumnName: String,
-      sep: String = "-", ignoreEmpty: Boolean = false): DataFrame = {
-    val cs = columns.map(n => col(s"`$n`").cast("string"))
+      sep: String = "-", ignoreEmpty: Boolean = true): DataFrame = {
+    require(columns.length >= 2, "At least two columns must be specified")
+    val cs = columns.map(n => coalesce(col(s"`$n`").cast("string"), lit("")))
     val combined = if (ignoreEmpty)
       concat_ws(sep, cs.map(c => when(c === "", null).otherwise(c)): _*)
     else concat_ws(sep, cs: _*)
@@ -183,19 +191,25 @@ object TextOps {
   }
 
   /** Split one column into N by separator (reference:
-    * janitor/functions/deconcatenate_column.py:14).
+    * janitor/functions/deconcatenate_column.py:14). `autoname` overrides
+    * the new names with `{autoname}1..N`
+    * (test_deconcatenate_column_autoname).
     */
   def deconcatenateColumn(df: DataFrame, column: String, sep: String,
-      newColumnNames: Seq[String], preservePosition: Boolean = false): DataFrame = {
+      newColumnNames: Seq[String], preservePosition: Boolean = false,
+      autoname: Option[String] = None): DataFrame = {
+    val names = autoname
+      .map(p => newColumnNames.indices.map(i => s"$p${i + 1}"))
+      .getOrElse(newColumnNames)
     val parts = split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))
-    val withParts = newColumnNames.zipWithIndex.foldLeft(df) { case (acc, (n, idx)) =>
+    val withParts = names.zipWithIndex.foldLeft(df) { case (acc, (n, idx)) =>
       acc.withColumn(n, parts.getItem(idx))
     }
     if (preservePosition) {
       // the reference splices the new columns in at the original column's
       // index (deconcatenate_column.py preserve_position=True)
       val out = df.columns.flatMap {
-        case `column` => newColumnNames
+        case `column` => names
         case c => Seq(c)
       }
       withParts.select(out.map(n => col(s"`$n`")).toIndexedSeq: _*)

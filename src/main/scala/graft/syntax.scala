@@ -181,11 +181,11 @@ object syntax {
     def processText(column: String, method: String, args: Seq[Any] = Nil): DataFrame =
       TextOps.processText(df, column, method, args)
     def concatenateColumns(columns: Seq[String], newColumnName: String, sep: String = "-",
-        ignoreEmpty: Boolean = false): DataFrame =
+        ignoreEmpty: Boolean = true): DataFrame =
       TextOps.concatenateColumns(df, columns, newColumnName, sep, ignoreEmpty)
     def deconcatenateColumn(column: String, sep: String, newColumnNames: Seq[String],
-        preservePosition: Boolean = false): DataFrame =
-      TextOps.deconcatenateColumn(df, column, sep, newColumnNames, preservePosition)
+        preservePosition: Boolean = false, autoname: Option[String] = None): DataFrame =
+      TextOps.deconcatenateColumn(df, column, sep, newColumnNames, preservePosition, autoname)
     def expandColumn(column: String, sep: String, concatDf: Boolean = true): DataFrame =
       TextOps.expandColumn(df, column, sep, concatDf)
 

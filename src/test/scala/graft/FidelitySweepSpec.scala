@@ -166,6 +166,16 @@ class FidelitySweepSpec extends SparkSpec {
       graft.operators.ReshapeOps.expandGridFrames(Nil))
   }
 
+  test("deconcatenate_column autoname overrides new names with col1..N") {
+    // test_deconcatenate_column_autoname
+    val d = Seq("1-x", "2-y").toDF("index")
+    val out = d.deconcatenateColumn("index", "-", Seq("a", "b"),
+      autoname = Some("col"))
+    assert(out.columns.toSeq == Seq("index", "col1", "col2"))
+    assert(!out.columns.contains("a") && !out.columns.contains("b"))
+    assert(out.orderBy("col1").collect()(0).getString(2) == "x")
+  }
+
   test("impute: statistic aliases match the reference's expected sets") {
     // missingdata a = [1, 2, null] * 3
     val d = Seq(Some(1.0), Some(2.0), None, Some(1.0), Some(2.0), None,

@@ -186,11 +186,22 @@ class MathAndTextSpec extends SparkSpec {
     assert(out(2).isNullAt(2))
   }
 
-  test("concatenateColumns ignoreEmpty drops empty segments") {
+  test("concatenateColumns ignoreEmpty drops empty segments; nulls keep the sep when off") {
     val d = Seq(("a", "", "c")).toDF("x", "y", "z")
     assert(d.concatenateColumns(Seq("x", "y", "z"), "out", "-", ignoreEmpty = true)
       .collect()(0).getString(3) == "a-c")
-    assert(d.concatenateColumns(Seq("x", "y", "z"), "out", "-")
+    assert(d.concatenateColumns(Seq("x", "y", "z"), "out", "-", ignoreEmpty = false)
       .collect()(0).getString(3) == "a--c")
+    // nulls behave like empties: placeholder segment when ignoreEmpty=false,
+    // stripped when true (the pandas "nan" literal is a stringification
+    // artifact we deliberately do not replicate)
+    val withNull = Seq(("a", Option.empty[String], "c")).toDF("x", "y", "z")
+    assert(withNull.concatenateColumns(Seq("x", "y", "z"), "out", "-",
+      ignoreEmpty = false).collect()(0).getString(3) == "a--c")
+    assert(withNull.concatenateColumns(Seq("x", "y", "z"), "out", "-")
+      .collect()(0).getString(3) == "a-c")
+    // the reference's JanitorError: at least two columns
+    intercept[IllegalArgumentException](
+      d.concatenateColumns(Seq("x"), "out"))
   }
 }
