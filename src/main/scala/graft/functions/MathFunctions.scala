@@ -24,6 +24,48 @@ object MathFunctions {
   /** (reference: janitor/math.py:233) */
   def probit(c: Column): Column = expressions.probit(c)
 
+  /** The reference's `error` parameter for domain-restricted transforms
+    * (janitor/math.py log/logit/probit: "raise" | "warn" | "ignore";
+    * tests/math/test_log.py / test_logit.py): "raise" throws the
+    * RuntimeError analog when any value is outside the domain, "warn"
+    * prints the RuntimeWarning analog and proceeds, "ignore" proceeds
+    * silently. Out-of-domain rows become null (pandas spells them NaN —
+    * same missing semantics). The raise/warn check is one bounded count
+    * aggregate over the domain predicate.
+    */
+  private def withDomain(df: DataFrame, column: String, dest: String,
+      error: String, outOfDomain: Column, what: String,
+      result: Column): DataFrame = {
+    require(Set("raise", "warn", "ignore")(error),
+      s"$what: error must be raise|warn|ignore, got $error")
+    if (error != "ignore") {
+      val bad = df.filter(coalesce(outOfDomain, lit(false))).count()
+      if (bad > 0) {
+        val msg = s"$what: $bad value(s) outside the domain"
+        if (error == "raise") throw new RuntimeException(msg)
+        else System.err.println(s"[graft] WARNING $msg")
+      }
+    }
+    df.withColumn(dest, when(coalesce(outOfDomain, lit(false)), lit(null))
+      .otherwise(result))
+  }
+
+  /** log with the reference's error contract (math.py:14-60). */
+  def logOf(df: DataFrame, column: String, dest: String,
+      error: String = "ignore"): DataFrame = {
+    val c = col(s"`$column`").cast("double")
+    withDomain(df, column, dest, error, c <= 0.0,
+      "log (non-positive input)", log(c))
+  }
+
+  /** logit with the reference's error contract (math.py:154-205). */
+  def logitOf(df: DataFrame, column: String, dest: String,
+      error: String = "ignore"): DataFrame = {
+    val c = col(s"`$column`").cast("double")
+    withDomain(df, column, dest, error, c <= 0.0 || c >= 1.0,
+      "logit (input outside (0, 1))", log(c / (lit(1.0) - c)))
+  }
+
   /** Softmax over the whole column (reference: janitor/math.py:118).
     * Numerically-stabilized with max subtraction; two scalar aggregates.
     */

@@ -176,6 +176,30 @@ class FidelitySweepSpec extends SparkSpec {
     assert(out.orderBy("col1").collect()(0).getString(2) == "x")
   }
 
+  test("log/logit error modes match tests/math/test_log.py and test_logit.py") {
+    import graft.functions.MathFunctions
+    val s = Seq(0.0, 1.0, 2.0, 3.0, -1.0).toDF("x")
+    intercept[RuntimeException](
+      MathFunctions.logOf(s, "x", "y", error = "raise").collect())
+    val ignored = MathFunctions.logOf(s, "x", "y").orderBy("x").collect()
+    // out-of-domain (x <= 0) rows are null; in-domain match ln
+    assert(ignored.filter(r => r.getDouble(0) <= 0).forall(_.isNullAt(1)))
+    assert(math.abs(ignored.last.getDouble(1) - math.log(3.0)) < 1e-12)
+    // warn proceeds with the same values
+    val warned = MathFunctions.logOf(s, "x", "y", error = "warn")
+      .orderBy("x").collect()
+    assert(warned.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ==
+      ignored.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq)
+    val p = Seq(0.0, 0.1, 0.5, 0.9, 1.0, 2.0).toDF("x")
+    intercept[RuntimeException](
+      MathFunctions.logitOf(p, "x", "y", error = "raise").collect())
+    val lg = MathFunctions.logitOf(p, "x", "y").orderBy("x").collect()
+    assert(lg.count(_.isNullAt(1)) == 3) // 0, 1, 2 outside (0,1)
+    assert(math.abs(lg(1).getDouble(1) - math.log(0.1 / 0.9)) < 1e-12)
+    intercept[IllegalArgumentException](
+      MathFunctions.logOf(s, "x", "y", error = "blah"))
+  }
+
   test("impute: statistic aliases match the reference's expected sets") {
     // missingdata a = [1, 2, null] * 3
     val d = Seq(Some(1.0), Some(2.0), None, Some(1.0), Some(2.0), None,
