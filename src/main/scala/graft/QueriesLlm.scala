@@ -520,6 +520,20 @@ object QueriesLlm {
       val exact = Similarity.dotTopK(qs, emb, "vec_id", "embedding", k = 10)
       Similarity.recallGate(approx, exact, floor = 0.65)
     }),
+    // sign-bit binary quantization: 32-bit words are engine-exact, so both
+    // the codes and the Hamming ranking are hash-exact vs DuckDB
+    "binarize_embeddings" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      Similarity.binarize(emb, "embedding", "code")
+        .select(col("vec_id"),
+          element_at(col("code"), 1).as("w0"),
+          element_at(col("code"), 2).as("w1"))
+    }),
+    "hamming_topk" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      Similarity.hammingTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+    }),
     // OPQ (Ge et al. CVPR'13, parametric): PCA rotation + eigenvalue
     // allocation before the PQ codebooks, same recall protocol as
     // pq_recall. The synthetic embeddings are near-isotropic (per-dim var
@@ -1546,6 +1560,30 @@ object QueriesLlm {
       "SELECT CAST(10 AS BIGINT) AS n_queries, 0.65 AS recall_floor, TRUE AS meets_floor",
     "opq_recall" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, 0.65 AS recall_floor, TRUE AS meets_floor",
+    "binarize_embeddings" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> CASE WHEN embedding[32 + i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS w1
+        |FROM embeddings""".stripMargin,
+    "hamming_topk" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[32 + i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+        |  FROM (SELECT * FROM b WHERE vec_id < 10) q
+        |  CROSS JOIN b c WHERE q.vec_id <> c.vec_id)
+        |SELECT qid, nid, hamming FROM (
+        |  SELECT qid, nid, hamming,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, nid ASC) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
     // pinned-matrix projection replicated value-for-value: same exactly-
     // float-representable W/mu (multiples of 2^-6/2^-7), same ascending-
     // index dot order as the CentroidSims kernel, same IEEE sqrt/divide

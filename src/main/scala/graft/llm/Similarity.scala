@@ -733,6 +733,56 @@ object Similarity {
       .select("qid", "nid", "score")
   }
 
+  /** Sign-bit binary quantization: each vector becomes ceil(d/32) BIGINT
+    * words of 32 sign bits (bit i of word w = 1 iff v[32w+i] > 0) — 32 bits
+    * per word keeps every value in [0, 2^32), overflow-safe in any engine's
+    * signed 64-bit arithmetic, so the codes (and the Hamming scan below)
+    * are exactly replicable in the DuckDB oracle. 32× smaller than float32;
+    * the coarse pre-filter tier under int8/PQ in a 100 TB retrieval stack.
+    * Pure narrow projection of static-literal terms; streams and stays
+    * codegen'd.
+    */
+  def binarize(df: DataFrame, vecCol: String, dest: String): DataFrame = {
+    val dim = probeDim(df, vecCol).getOrElse(
+      throw new IllegalArgumentException("binarize: empty input"))
+    val nWords = (dim + 31) / 32
+    val words = (0 until nWords).map { w =>
+      (0 until 32).filter(i => w * 32 + i < dim).map { i =>
+        when(element_at(col(s"`$vecCol`"), w * 32 + i + 1) > 0.0d,
+          lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    df.withColumn(dest, array(words: _*))
+  }
+
+  /** Hamming distance between two binary codes (arrays of words). */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, v) => acc + v.cast("long"))
+
+  /** Exact top-k under Hamming distance over the binarized codes
+    * (ascending distance, ties → ascending neighbor id). The compressed-
+    * domain scan costs ceil(d/32) xor+popcounts per pair instead of a
+    * d-wide float dot — the cheapest whole-corpus pass; integer distances
+    * make the ranking engine-exact, so the gate is hash-exact rather than
+    * recall-floored. Queries broadcast like the other top-k scans.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = binarize(queries, vecCol, "__code")
+      .select(col(idCol).as("qid"), col("__code").as("__qc"))
+    val c = binarize(corpus, vecCol, "__code")
+      .select(col(idCol).as("nid"), col("__code").as("__nc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("hamming", hammingDist(col("__qc"), col("__nc")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("nid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("qid", "nid", "hamming")
+  }
+
   /** An OPQ model: a d×d orthonormal rotation (rows = permuted PCA basis)
     * plus the PQ codebooks trained in the rotated space.
     */

@@ -768,6 +768,26 @@ class LlmSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("binarize packs sign bits into 32-bit words; Hamming top-k is exact") {
+    // 64-dim vector with known signs: dims 0 and 33 positive -> word0 bit 0,
+    // word1 bit 1
+    val v1 = Array.tabulate(64)(j => if (j == 0 || j == 33) 1.0f else -1.0f)
+    val v2 = Array.tabulate(64)(j => if (j == 0) 1.0f else -1.0f) // differs in bit 33
+    val v3 = Array.fill(64)(-1.0f)
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq)).toDF("id", "vec")
+    val codes = Similarity.binarize(df, "vec", "code")
+      .select("id", "code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(codes(1L) == Seq(1L, 2L))
+    assert(codes(2L) == Seq(1L, 0L))
+    assert(codes(3L) == Seq(0L, 0L))
+    // hamming(v1, v2) = 1 (bit 33), hamming(v1, v3) = 2, hamming(v2, v3) = 1
+    val top = Similarity.hammingTopK(df.filter(col("id") === 1L), df,
+      "id", "vec", k = 2).orderBy("hamming", "nid").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq((2L, 1L), (3L, 2L)))
+  }
+
   test("decontaminateBloom is bit-identical to the exact broadcast-index form") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq(
