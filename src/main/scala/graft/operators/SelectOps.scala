@@ -110,7 +110,14 @@ object SelectOps {
         val bounds = (start.map(bound(_, isStop = false)) ++
           stop.map(bound(_, isStop = true))).reduceOption(_ && _).getOrElse(lit(true))
         if (step == 1) Left(bounds)
-        else { // rank within the sliced region, keep every step-th
+        else if (!invert) {
+          // non-inverted: rows outside the bounds can never be kept, so
+          // filter FIRST — the bounds predicate pushes to the scan and the
+          // rank runs over the sliced region only (same positions)
+          val flagged = df.filter(bounds).withColumn("__in", lit(1L))
+          Right(ranked(flagged, "__in")
+            .withColumn("__keep", (col("__rank") - 1) % step === 0))
+        } else { // inverted: every row survives somewhere — rank in place
           val flagged = df.withColumn("__in", when(bounds, 1L).otherwise(0L))
           Right(ranked(flagged, "__in")
             .withColumn("__keep",
