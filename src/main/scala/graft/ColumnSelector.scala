@@ -73,7 +73,19 @@ object ColumnSelector {
     case Not(s) =>
       val excluded = matchOne(fields, s).toSet
       fields.map(_.name).filterNot(excluded)
-    case Any(sels) => dedupe(sels.flatMap(s => matchOne(fields, s)))
+    case Any(sels) => dedupe(mergeNots(sels).flatMap(s => matchOne(fields, s)))
+  }
+
+  /** Multiple complements in one list act as a SINGLE unit — the reference
+    * folds every DropLabel entry into one DropLabel of the combined labels
+    * appended last (select.py:800-807), so [Not(a), Not(b)] means
+    * "everything except a and b", NOT the union of the two complements
+    * (which would be every column).
+    */
+  private def mergeNots(sels: Seq[ColumnSelector]): Seq[ColumnSelector] = {
+    val nots = sels.collect { case Not(inner) => inner }
+    if (nots.length > 1) sels.filterNot(_.isInstanceOf[Not]) :+ Not(Any(nots))
+    else sels
   }
 
   private def dedupe(names: Seq[String]): Seq[String] = {
@@ -87,7 +99,7 @@ object ColumnSelector {
     */
   def resolve(schema: StructType, sels: Seq[ColumnSelector], invert: Boolean = false): Seq[String] = {
     val fields = schema.fields.toSeq
-    val hit = dedupe(sels.flatMap(s => matchOne(fields, s)))
+    val hit = dedupe(mergeNots(sels).flatMap(s => matchOne(fields, s)))
     if (invert) fields.map(_.name).filterNot(hit.toSet) else hit
   }
 }

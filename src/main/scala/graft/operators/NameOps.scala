@@ -123,6 +123,13 @@ object NameOps {
       removeRows: Boolean = false, removeRowsAbove: Boolean = false,
       sep: String = "_"): DataFrame = {
     require(rowNumbers.nonEmpty, "row_to_names: no row numbers given")
+    // remove_rows_above is defined only for a CONTIGUOUS header block — the
+    // polars backend raises for a non-consecutive list
+    // (polars/row_to_names.py; test_row_to_names_not_a_slice_remove_rows_above)
+    require(!removeRowsAbove ||
+        rowNumbers.sorted.sliding(2).forall(p => p.length < 2 || p(1) - p(0) == 1),
+      "row_to_names: the remove_rows_above argument is applicable only when " +
+        "the row_numbers are consecutive")
     val maxRow = rowNumbers.max
     // null-ordered rows are excluded from header candidacy ("row i" is defined
     // over non-null orderCol values); they are data rows and survive removal

@@ -200,6 +200,59 @@ class FidelitySweepSpec extends SparkSpec {
       MathFunctions.logOf(s, "x", "y", error = "blah"))
   }
 
+  test("row_to_names polars value cases: combined removal flags and the slice-only rule") {
+    // tests/polars/functions/test_row_to_names_polars.py fixture, with an
+    // explicit ordering column standing in for row position
+    val d = (0 until 9).map { i =>
+      (i, Seq(1.23452345, 2.456234, 3.2346125)(i % 3),
+        i % 3 + 1, Seq("rabbit", "leopard", "lion")(i % 3),
+        Seq("Cambridge", "Shanghai", "Basel")(i % 3))
+    }.toDF("ord", "Bell__Chart", "decorated-elephant", "animals@#$%^", "cities")
+    import graft.operators.NameOps
+    // header = row 2; names stringify the row's values
+    val hdr = NameOps.rowToNames(d, "ord", Seq(2))
+    assert(hdr.columns.toSeq ==
+      Seq("2", "3.2346125", "3", "lion", "Basel"))
+    // remove_rows + remove_rows_above on a scalar header: rows 0-2 gone,
+    // first surviving row is the original row 3
+    val both = NameOps.rowToNames(d, "ord", Seq(2),
+      removeRows = true, removeRowsAbove = true)
+    assert(both.count() == 6)
+    assert(both.orderBy(col("2")).collect()(0).getDouble(1) == 1.23452345)
+    // slice(2,4) with remove_rows_above only: header rows stay as data
+    val above = NameOps.rowToNames(d, "ord", Seq(2, 3), removeRowsAbove = true)
+    assert(above.count() == 7)
+    // slice(2,4) with both: first surviving row is original row 4
+    val both2 = NameOps.rowToNames(d, "ord", Seq(2, 3),
+      removeRows = true, removeRowsAbove = true)
+    assert(both2.count() == 5)
+    assert(both2.orderBy(both2.columns.head).collect()(0).getDouble(1) == 2.456234)
+    // non-consecutive list + remove_rows_above raises (slice-only rule)
+    intercept[IllegalArgumentException](
+      NameOps.rowToNames(d, "ord", Seq(1, 3), removeRowsAbove = true))
+  }
+
+  test("select_columns: multiple DropLabels act as one unit (select.py:800-807)") {
+    import graft.ColumnSelector._
+    val d = Seq((1, 1.2, 1, "rabbit", "Cambridge"))
+      .toDF("a", "Bell__Chart", "decorated-elephant", "animals@#$%^", "cities")
+    // test_select_column_names_droplabel_multiple: [DropLabel(a),
+    // DropLabel(Bell__Chart), DropLabel(cities)] = drop all three
+    val out = graft.operators.SelectOps.selectColumns(d,
+      Seq(Not(Exact("a")), Not(Exact("Bell__Chart")), Not(Exact("cities"))))
+    assert(out.columns.toSeq == Seq("decorated-elephant", "animals@#$%^"))
+    // a single DropLabel keeps its plain complement meaning
+    val single = graft.operators.SelectOps.selectColumns(d, Seq(Not(Exact("a"))))
+    assert(single.columns.toSeq ==
+      Seq("Bell__Chart", "decorated-elephant", "animals@#$%^", "cities"))
+    // mixed list: positive entries first, merged complement appended last
+    val mixed = graft.operators.SelectOps.selectColumns(d,
+      Seq(Exact("cities"), Not(Exact("a")), Not(Exact("Bell__Chart"))))
+    assert(mixed.columns.head == "cities")
+    assert(mixed.columns.toSet ==
+      Set("cities", "decorated-elephant", "animals@#$%^"))
+  }
+
   test("impute: statistic aliases match the reference's expected sets") {
     // missingdata a = [1, 2, null] * 3
     val d = Seq(Some(1.0), Some(2.0), None, Some(1.0), Some(2.0), None,
