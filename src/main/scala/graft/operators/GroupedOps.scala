@@ -94,6 +94,13 @@ object GroupedOps {
     */
   def groupbyTopk(df: DataFrame, by: Seq[String], column: String, k: Int,
       ascending: Boolean = false, tiebreak: Seq[String] = Nil): DataFrame = {
+    // the reference's eager ValueErrors (groupby_topk.py;
+    // test_wrong_groupby_column_name / test_wrong_sort_column_name /
+    // test_negative_k)
+    (by :+ column).foreach(c => require(df.columns.contains(c),
+      s"$c not present in dataframe columns!"))
+    require(k >= 1,
+      s"Numbers of rows per group to be returned must be greater than 0, got $k")
     val sortCols = (col(s"`$column`") +: tiebreak.map(n => col(s"`$n`"))).map(c =>
       if (ascending) c.asc else c.desc)
     val w = Window.partitionBy(by.map(n => col(s"`$n`")): _*).orderBy(sortCols: _*)
@@ -168,8 +175,14 @@ object GroupedOps {
     * janitor/functions/sort_column_value_order.py:10). Value→rank is a literal
     * CASE chain — no join, no shuffle beyond the sort.
     */
-  def sortColumnValueOrder(df: DataFrame, column: String, order: Seq[String]): DataFrame =
+  def sortColumnValueOrder(df: DataFrame, column: String, order: Seq[String]): DataFrame = {
+    // the reference raises for a missing/empty column name and an empty
+    // order dict (sort_column_value_order.py ValueErrors)
+    require(column.nonEmpty && df.columns.contains(column),
+      s"sort_column_value_order: column '$column' not in dataframe")
+    require(order.nonEmpty, "sort_column_value_order: column_value_order is empty")
     df.orderBy(valueRank(column, order))
+  }
 
   def valueRank(column: String, order: Seq[String]): Column = {
     val c = col(s"`$column`")

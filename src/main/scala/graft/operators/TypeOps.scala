@@ -97,6 +97,10 @@ object TypeOps {
     */
   def factorizeColumns(df: DataFrame, column: String, orderCol: String,
       suffix: String = "_enc"): DataFrame = {
+    // unknown column raises eagerly (factorize_columns.py check_column;
+    // test_single_column_fail_factorize_columns)
+    require(df.columns.contains(column),
+      s"factorize_columns: column '$column' not in dataframe")
     val firstSeen = df.groupBy(col(s"`$column`").as("__v"))
       .agg(min(col(s"`$orderCol`")).as("__first"))
       .withColumn("__one", lit(1L))

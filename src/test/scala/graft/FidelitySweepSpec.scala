@@ -253,6 +253,24 @@ class FidelitySweepSpec extends SparkSpec {
       Set("cities", "decorated-elephant", "animals@#$%^"))
   }
 
+  test("groupby_topk / sort_column_value_order / factorize eager error contracts") {
+    import graft.operators.{GroupedOps, TypeOps}
+    val d = Seq(("pass", 30, 1), ("fail", 50, 2), ("pass", 20, 3))
+      .toDF("result", "age", "id")
+    intercept[IllegalArgumentException](
+      GroupedOps.groupbyTopk(d, Seq("RESULT"), "age", 3))
+    intercept[IllegalArgumentException](
+      GroupedOps.groupbyTopk(d, Seq("result"), "Age", 3))
+    intercept[IllegalArgumentException](
+      GroupedOps.groupbyTopk(d, Seq("result"), "age", -2))
+    intercept[IllegalArgumentException](
+      GroupedOps.sortColumnValueOrder(d, "", Seq("pass")))
+    intercept[IllegalArgumentException](
+      GroupedOps.sortColumnValueOrder(d, "result", Nil))
+    intercept[IllegalArgumentException](
+      TypeOps.factorizeColumns(d, "c", "id"))
+  }
+
   test("impute: statistic aliases match the reference's expected sets") {
     // missingdata a = [1, 2, null] * 3
     val d = Seq(Some(1.0), Some(2.0), None, Some(1.0), Some(2.0), None,
