@@ -153,6 +153,14 @@ object GroupedOps {
     */
   def countCumulativeUnique(df: DataFrame, column: String, orderCol: String,
       newColumnName: String, caseSensitive: Boolean = true): DataFrame = {
+    // case_sensitive=False needs a string-like column — the reference
+    // raises TypeError instead of silently folding a coerced cast
+    // (count_cumulative_unique.py; test_not_case_sensitive_but_nonstring)
+    if (!caseSensitive)
+      require(df.schema(column).dataType ==
+          org.apache.spark.sql.types.StringType,
+        s"case_sensitive=False can only be used with a string-like type; " +
+          s"'$column' is ${df.schema(column).dataType}")
     val v = if (caseSensitive) col(s"`$column`") else lower(col(s"`$column`"))
     val wFirst = Window.partitionBy(v).orderBy(col(s"`$orderCol`"))
     val flagged = df.withColumn("__new",

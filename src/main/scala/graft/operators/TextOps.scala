@@ -220,7 +220,7 @@ object TextOps {
     * janitor/functions/expand_column.py:13). The label universe is a bounded
     * distinct collect (data-dependent schema — SURVEY §7.7).
     */
-  def expandColumn(df: DataFrame, column: String, sep: String,
+  def expandColumn(df: DataFrame, column: String, sep: String = "|",
       concatDf: Boolean = true): DataFrame = {
     val labels = df.select(explode(split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))).as("__l"))
       .distinct().collect().map(_.getString(0)).sorted

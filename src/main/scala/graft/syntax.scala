@@ -186,7 +186,7 @@ object syntax {
     def deconcatenateColumn(column: String, sep: String, newColumnNames: Seq[String],
         preservePosition: Boolean = false, autoname: Option[String] = None): DataFrame =
       TextOps.deconcatenateColumn(df, column, sep, newColumnNames, preservePosition, autoname)
-    def expandColumn(column: String, sep: String, concatDf: Boolean = true): DataFrame =
+    def expandColumn(column: String, sep: String = "|", concatDf: Boolean = true): DataFrame =
       TextOps.expandColumn(df, column, sep, concatDf)
 
     // §2.6 reshape

@@ -288,4 +288,24 @@ class FidelitySweepSpec extends SparkSpec {
     intercept[IllegalArgumentException](d.impute("a"))
     intercept[IllegalArgumentException](d.impute("a", statistic = Some("foobar")))
   }
+
+  test("count_cumulative_unique: case_sensitive=False rejects non-string columns") {
+    // test_count_cumulative_unique.py test_not_case_sensitive_but_nonstring —
+    // the reference raises TypeError rather than silently coercing
+    val d = Seq((1, "A"), (2, "b"), (3, "A")).toDF("notok", "ok")
+    intercept[IllegalArgumentException](
+      d.countCumulativeUnique("notok", "ok", "cum", caseSensitive = false))
+    // string columns stay fine either way
+    assert(d.countCumulativeUnique("ok", "notok", "cum", caseSensitive = false)
+      .orderBy("notok").collect().map(_.getLong(2)).toSeq == Seq(1L, 2L, 2L))
+  }
+
+  test("expand_column: sep defaults to '|' (test_sep_default_parameter)") {
+    val d = Seq((1, "a|b"), (2, "b|c")).toDF("id", "col")
+    val out = d.expandColumn("col")
+    assert(out.columns.toSeq == Seq("id", "col", "a", "b", "c"))
+    assert(out.orderBy("id").collect().map(r =>
+      (r.getInt(r.fieldIndex("a")), r.getInt(r.fieldIndex("b")),
+        r.getInt(r.fieldIndex("c")))).toSeq == Seq((1, 1, 0), (0, 1, 1)))
+  }
 }
