@@ -31,13 +31,50 @@ object ReshapeOps {
       dropna: Boolean = false,
       namesTransform: Map[String, String] = Map.empty): DataFrame = {
 
+    require(namesSep.isEmpty || namesPattern.isEmpty,
+      "Only one of names_pattern or names_sep should be provided.")
+    namesTo.filterNot(_ == ".value").groupBy(identity).collectFirst {
+      case (n, g) if g.size > 1 => n
+    }.foreach(n => throw new IllegalArgumentException(
+      s"'$n' is duplicated in names_to."))
+
+    // column_names without index: the untouched columns become the index
+    // (pivot.py:607-613 test_pivot_column_only)
+    val idx = if (index.isEmpty && columnNames.nonEmpty)
+      df.columns.filterNot(columnNames.contains(_)).toSeq else index
     val valueCols = if (columnNames.nonEmpty) columnNames
-      else df.columns.filterNot(index.contains(_)).toSeq
+      else df.columns.filterNot(idx.contains(_)).toSeq
+
+    if (!namesTo.contains(".value")) {
+      // without .value the new labels/values must not collide with the
+      // surviving index (pivot.py:667-677,841-862)
+      require(!namesTo.contains(valuesTo),
+        "The argument provided for values_to already exists in names_to; " +
+          "Kindly use a unique name.")
+      if (namesSep.isEmpty && namesPattern.isEmpty)
+        require(!idx.contains(valuesTo),
+          "The argument provided to values_to already exist as a column " +
+            "label assigned to the dataframe's index parameter. " +
+            "Kindly use a unique label.")
+      val inter = namesTo.toSet.intersect(idx.toSet)
+      require(inter.isEmpty,
+        s"Labels ${inter.mkString(", ")} in names_to already exist as " +
+          "column labels assigned to the dataframe's index parameter. " +
+          "Kindly provide unique label(s).")
+    }
+
+    // every column assigned to the index: nothing to flip, frame unchanged
+    // (pivot.py:624 returns the input; test_no_column_names)
+    if (valueCols.isEmpty) return df
 
     // 1. driver-side spec: source label -> per-namesTo fragments
     val fragments: Seq[(String, Seq[String])] = valueCols.map { c =>
       val parts: Seq[String] = (namesSep, namesPattern) match {
-        case (Some(sep), _) => c.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+        // pandas str.split: a single-character separator is literal, a
+        // longer one is a regex (test_names_sep_len relies on this)
+        case (Some(sep), _) if sep.length == 1 =>
+          c.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+        case (Some(sep), _) => c.split(sep, -1).toSeq
         case (_, Some(pat)) =>
           val m = java.util.regex.Pattern.compile(pat).matcher(c)
           if (m.matches()) (1 to m.groupCount()).map(m.group)
@@ -68,6 +105,25 @@ object ReshapeOps {
           (labels, target, src)
         }
         val targets = rows.map(_._2).distinct
+        // the extracted output columns must not collide with the other
+        // names_to labels or the index (pivot.py _dot_value_extra_checks)
+        val badNames = targets.toSet.intersect(labelNames.toSet)
+        require(badNames.isEmpty,
+          s"Labels ${badNames.mkString(", ")} in names_to already exist in " +
+            "the new dataframe's columns. Kindly provide unique label(s).")
+        val badIdx = targets.toSet.intersect(idx.toSet)
+        require(badIdx.isEmpty,
+          s"Labels ${badIdx.mkString(", ")} already exist as column labels " +
+            "assigned to the dataframe's index parameter. " +
+            "Kindly provide unique label(s).")
+        // with non-.value labels present, duplicate (labels, target) rows
+        // cannot reshape (pivot.py:1346-1347); only the .value-only form
+        // stacks occurrences
+        if (labelNames.nonEmpty) {
+          val specDupes = rows.map(r => (r._1, r._2))
+          require(specDupes.distinct.length == specDupes.length,
+            "spec contains duplicate entries, cannot reshape.")
+        }
         // when several sources collapse to the SAME (labels, target) pair —
         // e.g. names_to=[".value"] with pattern "(.)." mapping x1 AND x2 to
         // "x" — each occurrence is its own long row, stacked (the polars
@@ -107,9 +163,9 @@ object ReshapeOps {
     }
     // value columns of heterogeneous types: Spark unifies via common type in
     // array(); mismatches surface as analysis errors (document).
-    val exploded = df.select((index.map(n => col(s"`$n`")) :+
+    val exploded = df.select((idx.map(n => col(s"`$n`")) :+
       explode(array(structs: _*)).as("__pl")): _*)
-    val out = exploded.select((index.map(n => col(s"`$n`")) ++
+    val out = exploded.select((idx.map(n => col(s"`$n`")) ++
       (labelNames ++ targetNames).map(n => col(s"__pl.`$n`").as(n))): _*)
     if (dropna) out.na.drop("all", targetNames) else out
   }
@@ -122,9 +178,11 @@ object ReshapeOps {
     * (ragged groups null-fill).
     */
   def pivotLongerMulti(df: DataFrame, index: Seq[String], namesTo: Seq[String],
-      namesPatterns: Seq[String]): DataFrame = {
+      namesPatterns: Seq[String], dropna: Boolean = false): DataFrame = {
     require(namesTo.length == namesPatterns.length,
       "pivot_longer: names_to and names_pattern sequences must align")
+    require(!namesTo.contains(".value"),
+      ".value is not accepted in names_to if names_pattern is a list/tuple.")
     val valueCols = df.columns.filterNot(index.contains(_)).toSeq
     val groups = claimColumns(valueCols, namesPatterns)
     val maxLen = groups.map(_.length).max
@@ -133,10 +191,13 @@ object ReshapeOps {
         cols.lift(p).map(c => col(s"`$c`")).getOrElse(lit(null)).as(n)
       }: _*)
     }
-    df.select((index.map(n => col(s"`$n`")) :+
+    val out = df.select((index.map(n => col(s"`$n`")) :+
       explode(array(structs: _*)).as("__pl")): _*)
       .select((index.map(n => col(s"`$n`")) ++
         namesTo.map(n => col(s"__pl.`$n`").as(n))): _*)
+    // dropna drops rows where EVERY stacked value column is null
+    // (pivot.py _pivot_longer_dropna: logical_and.reduce over contents)
+    if (dropna) out.na.drop("all", namesTo) else out
   }
 
   /** Tuple `values_to` form (reference: pivot.py:1044-1161, doctest
@@ -154,6 +215,19 @@ object ReshapeOps {
       "pivot_longer: names_to and names_pattern sequences must align (pivot.py:721-726)")
     require(valuesTo.length == namesPatterns.length,
       "pivot_longer: values_to and names_pattern sequences must align (pivot.py:736-741)")
+    // values_to entries must be unique, absent from names_to, and must not
+    // collide with the index (pivot.py:736-756,658-666)
+    valuesTo.groupBy(identity).collectFirst { case (v, g) if g.size > 1 => v }
+      .foreach(v => throw new IllegalArgumentException(
+        s"'$v' is duplicated in values_to."))
+    valuesTo.find(namesTo.contains(_)).foreach(v =>
+      throw new IllegalArgumentException(
+        s"'$v' in values_to already exists in names_to."))
+    val badIdx = valuesTo.toSet.intersect(index.toSet)
+    require(badIdx.isEmpty,
+      s"Labels ${badIdx.mkString(", ")} in values_to already exist as " +
+        "column labels assigned to the dataframe's index parameter. " +
+        "Kindly use unique labels.")
     val valueCols = if (columnNames.nonEmpty) columnNames
       else df.columns.filterNot(index.contains(_)).toSeq
     val groups = claimColumns(valueCols, namesPatterns)

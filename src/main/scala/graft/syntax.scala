@@ -196,8 +196,9 @@ object syntax {
         dropna: Boolean = false, namesTransform: Map[String, String] = Map.empty): DataFrame =
       ReshapeOps.pivotLonger(df, index, namesTo, valuesTo, namesSep, namesPattern,
         columnNames, dropna, namesTransform)
-    def pivotLongerMulti(index: Seq[String], namesTo: Seq[String], namesPatterns: Seq[String]): DataFrame =
-      ReshapeOps.pivotLongerMulti(df, index, namesTo, namesPatterns)
+    def pivotLongerMulti(index: Seq[String], namesTo: Seq[String], namesPatterns: Seq[String],
+        dropna: Boolean = false): DataFrame =
+      ReshapeOps.pivotLongerMulti(df, index, namesTo, namesPatterns, dropna)
     def pivotLongerValuesTo(index: Seq[String], namesTo: Seq[String], valuesTo: Seq[String],
         namesPatterns: Seq[String], columnNames: Seq[String] = Nil): DataFrame =
       ReshapeOps.pivotLongerValuesTo(df, index, namesTo, valuesTo, namesPatterns, columnNames)
