@@ -18,8 +18,20 @@ object ColumnSelector {
   final case class Glob(pattern: String) extends ColumnSelector
   /** Regular expression, matched via `search` semantics (select.py:605-617). */
   final case class Rx(pattern: Regex) extends ColumnSelector
-  /** Inclusive label slice in schema order (select.py:620-642). */
-  final case class Slice(from: String, to: String) extends ColumnSelector
+  /** Inclusive label slice in schema order with pandas .loc semantics:
+    * open ends select from the schema edge, a positive step from a later
+    * to an earlier label is empty, step=-1 walks backwards
+    * (select.py:620-642; tests/functions/test_select_columns.py slicers).
+    */
+  final case class Slice(from: Option[String], to: Option[String],
+      step: Int = 1) extends ColumnSelector
+  object Slice {
+    def apply(from: String, to: String): Slice = Slice(Some(from), Some(to))
+  }
+  /** Positional boolean mask over the schema, pandas loc[:, booleans]
+    * (test_list_boolean); length must equal the column count.
+    */
+  final case class Mask(bools: Seq[Boolean]) extends ColumnSelector
   /** Predicate over the StructField (dtype callables, select.py:645-665). */
   final case class Pred(f: StructField => Boolean) extends ColumnSelector
   /** Complement (DropLabel, select.py:538-552). */
@@ -64,11 +76,36 @@ object ColumnSelector {
       if (hit.isEmpty) throw new NoSuchElementException(
         s"No match was returned for '$r'. Columns: ${fields.map(_.name).mkString(", ")}")
       hit
-    case Slice(from, to) =>
+    case Slice(from, to, step) =>
       val names = fields.map(_.name)
-      val i = names.indexOf(from); val j = names.indexOf(to)
-      if (i < 0 || j < 0) throw new NoSuchElementException(s"Slice bounds $from..$to not in schema")
-      if (i <= j) names.slice(i, j + 1) else names.slice(j, i + 1).reverse
+      // pandas refuses label slices over duplicate labels
+      // (test_slice_unique: "Non-unique Index labels should be monotonic
+      // increasing.")
+      require(names.distinct.length == names.length,
+        "Non-unique Index labels should be monotonic increasing.")
+      require(step != 0, "slice step cannot be zero")
+      def at(bound: Option[String], dflt: Int): Int = bound match {
+        case None => dflt
+        case Some(b) =>
+          val i = names.indexOf(b)
+          if (i < 0) throw new NoSuchElementException(
+            s"Slice bound '$b' not in schema")
+          i
+      }
+      if (step > 0) {
+        val i = at(from, 0); val j = at(to, names.length - 1)
+        // a later-to-earlier slice with a positive step is empty, like .loc
+        if (i > j) Nil else names.slice(i, j + 1).grouped(step).map(_.head).toSeq
+      } else {
+        val i = at(from, names.length - 1); val j = at(to, 0)
+        if (i < j) Nil
+        else (i to j by step).map(names)
+      }
+    case Mask(bools) =>
+      require(bools.length == fields.length,
+        s"The length of the list of booleans (${bools.length}) does not " +
+          s"match the number of columns (${fields.length}) in the dataframe.")
+      fields.zip(bools).collect { case (f, true) => f.name }
     case Pred(f) => fields.filter(f).map(_.name)
     case Not(s) =>
       val excluded = matchOne(fields, s).toSet
