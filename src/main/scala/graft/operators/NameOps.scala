@@ -172,12 +172,29 @@ object NameOps {
     * struct-column subfields into top-level `parent<sep>child` columns
     * (reference: janitor/functions/collapse_levels.py:11).
     */
-  def collapseLevels(df: DataFrame, sep: String = "_"): DataFrame = {
+  def collapseLevels(df: DataFrame, sep: String = "_"): DataFrame =
+    collapseLevelsWith(df, Some(sep), None)
+
+  /** Full collapse_levels surface (reference:
+    * janitor/functions/collapse_levels.py): `sep` joins the level values,
+    * `glue` is a template over positional level placeholders `{0}` (the
+    * struct column name) and `{1}` (the field name) — the positional
+    * stand-in for pandas' named levels; only one of the two may be given
+    * (test_sep_and_glue).
+    */
+  def collapseLevelsWith(df: DataFrame, sep: Option[String] = None,
+      glue: Option[String] = None): DataFrame = {
+    require(sep.isEmpty || glue.isEmpty,
+      "Only one of sep or glue should be provided.")
     import org.apache.spark.sql.types.StructType
+    val label: (String, String) => String = (parent, sub) => glue match {
+      case Some(g) => g.replace("{0}", parent).replace("{1}", sub)
+      case None => s"$parent${sep.getOrElse("_")}$sub"
+    }
     val cols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case s: StructType =>
-          s.fieldNames.toSeq.map(sub => col(s"`${f.name}`.`$sub`").as(s"${f.name}$sep$sub"))
+          s.fieldNames.toSeq.map(sub => col(s"`${f.name}`.`$sub`").as(label(f.name, sub)))
         case _ => Seq(col(s"`${f.name}`"))
       }
     }
@@ -187,12 +204,38 @@ object NameOps {
   /** Inverse of collapseLevels: split labels on `sep` into struct columns
     * (reference: janitor/functions/explode_index.py:15).
     */
-  def explodeIndex(df: DataFrame, sep: String = "_"): DataFrame = {
-    val groups = df.columns.groupBy(c => c.split(java.util.regex.Pattern.quote(sep), 2).head)
-    val cols = groups.toSeq.sortBy { case (p, _) => df.columns.indexWhere(_.startsWith(p)) }
+  def explodeIndex(df: DataFrame, sep: String = "_"): DataFrame =
+    explodeIndexBy(df, c => {
+      val parts = c.split(java.util.regex.Pattern.quote(sep), 2)
+      if (parts.length == 2) Some((parts(0), parts(1))) else None
+    })
+
+  /** Regex form of explode_index (explode_index.py names_pattern;
+    * test_names_pattern): the two capture groups become the outer struct
+    * name and the field name; labels the pattern does not match stay flat.
+    */
+  def explodeIndexPattern(df: DataFrame, namesPattern: String): DataFrame = {
+    val p = java.util.regex.Pattern.compile(
+      """\(\?P?<([^>]+)>""".r.replaceAllIn(namesPattern, "("))
+    require(p.matcher("").groupCount() >= 2,
+      "explode_index: names_pattern needs at least two capture groups")
+    explodeIndexBy(df, c => {
+      val m = p.matcher(c)
+      if (m.matches()) Some((m.group(1), m.group(2))) else None
+    })
+  }
+
+  private def explodeIndexBy(df: DataFrame,
+      splitLabel: String => Option[(String, String)]): DataFrame = {
+    val parsed = df.columns.toSeq.map(c => c -> splitLabel(c))
+    val groups = parsed.groupBy { case (c, s) => s.map(_._1).getOrElse(c) }
+    val cols = groups.toSeq
+      .sortBy { case (_, cs) => parsed.indexWhere(_._1 == cs.head._1) }
       .map { case (parent, cs) =>
-        if (cs.length == 1 && !cs.head.contains(sep)) col(s"`${cs.head}`")
-        else struct(cs.map(c => col(s"`$c`").as(c.split(java.util.regex.Pattern.quote(sep), 2).last)).toIndexedSeq: _*).as(parent)
+        if (cs.length == 1 && cs.head._2.isEmpty) col(s"`${cs.head._1}`")
+        else struct(cs.map { case (c, s) =>
+          col(s"`$c`").as(s.map(_._2).getOrElse(c))
+        }.toIndexedSeq: _*).as(parent)
       }
     df.select(cols: _*)
   }

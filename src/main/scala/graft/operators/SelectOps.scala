@@ -180,14 +180,44 @@ object SelectOps {
   }
 
   /** Column-axis move (reference: janitor/functions/move.py:13,90-133). */
-  def moveColumn(df: DataFrame, source: String, target: String, position: String = "before"): DataFrame = {
-    val cols = df.columns.toBuffer
-    require(cols.contains(source) && cols.contains(target), "move: unknown column")
-    cols -= source
-    val ti = cols.indexOf(target)
-    val at = if (position == "after") ti + 1 else ti
-    cols.insert(at, source)
-    df.select(cols.map(n => col(s"`$n`")).toIndexedSeq: _*)
+  def moveColumn(df: DataFrame, source: String, target: String, position: String = "before"): DataFrame =
+    moveColumns(df, Seq(graft.ColumnSelector.Exact(source)),
+      Seq(graft.ColumnSelector.Exact(target)), position)
+
+  /** Sequence form of `move` (reference: janitor/functions/move.py:13-133):
+    * the selected source block is removed, then re-inserted at
+    * searchsorted(remaining, first target) for position="before" or
+    * searchsorted(remaining, last target)+1 for "after"; no target means
+    * the front ("before") or the end ("after"). Sources keep selection
+    * order inside the moved block.
+    */
+  def moveColumns(df: DataFrame, source: Seq[graft.ColumnSelector],
+      target: Seq[graft.ColumnSelector] = Nil,
+      position: String = "before"): DataFrame = {
+    require(position == "before" || position == "after",
+      s"Invalid position '$position'. Can only be 'before' or 'after'.")
+    val names = df.columns.toSeq
+    // move.py: `assert names.is_unique`
+    require(names.distinct.length == names.length,
+      "move: column labels must be unique")
+    val src = graft.ColumnSelector.resolve(df.schema, source)
+    val srcIdx = src.map(names.indexOf).toSet
+    val remaining = names.indices.filterNot(srcIdx.contains)
+    def searchsorted(t: Int): Int = remaining.indexWhere(_ >= t) match {
+      case -1 => remaining.length
+      case i => i
+    }
+    val pos =
+      if (target.isEmpty) { if (position == "after") remaining.length else 0 }
+      else {
+        val tgt = graft.ColumnSelector.resolve(df.schema, target)
+          .map(names.indexOf)
+        if (position == "before") searchsorted(tgt.head)
+        else math.min(searchsorted(tgt.last) + 1, remaining.length)
+      }
+    val order = remaining.take(pos).map(names) ++ src ++
+      remaining.drop(pos).map(names)
+    df.select(order.map(n => col(s"`$n`")): _*)
   }
 
   /** (reference: janitor/functions/drop_constant_columns.py:8). One aggregate

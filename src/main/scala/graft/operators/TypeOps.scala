@@ -40,6 +40,15 @@ object TypeOps {
     }
   }
 
+  /** List form of change_type (change_type.py accepts a column list /
+    * Index; tests/functions/test_change_type.py test_multiple_columns);
+    * each column converts independently, so keep_values keeps only the
+    * failing column's values.
+    */
+  def changeTypes(df: DataFrame, columns: Seq[String], dtype: String,
+      ignoreException: String = "none"): DataFrame =
+    columns.foldLeft(df)((d, c) => changeType(d, c, dtype, ignoreException))
+
   /** (reference: janitor/functions/to_datetime.py:19) */
   def toDatetime(df: DataFrame, column: String, format: Option[String] = None): DataFrame =
     df.withColumn(column,

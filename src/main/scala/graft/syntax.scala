@@ -36,7 +36,11 @@ object syntax {
         removeRows: Boolean = false, removeRowsAbove: Boolean = false, sep: String = "_"): DataFrame =
       NameOps.rowToNamesSlice(df, orderCol, start, end, step, removeRows, removeRowsAbove, sep)
     def collapseLevels(sep: String = "_"): DataFrame = NameOps.collapseLevels(df, sep)
+    def collapseLevelsWith(sep: Option[String] = None, glue: Option[String] = None): DataFrame =
+      NameOps.collapseLevelsWith(df, sep, glue)
     def explodeIndex(sep: String = "_"): DataFrame = NameOps.explodeIndex(df, sep)
+    def explodeIndexPattern(namesPattern: String): DataFrame =
+      NameOps.explodeIndexPattern(df, namesPattern)
 
     // §2.2 selection
     def selectColumns(sels: ColumnSelector*): DataFrame = SelectOps.selectColumns(df, sels)
@@ -47,6 +51,9 @@ object syntax {
     def reorderColumns(first: String*): DataFrame = SelectOps.reorderColumns(df, first)
     def moveColumn(source: String, target: String, position: String = "before"): DataFrame =
       SelectOps.moveColumn(df, source, target, position)
+    def moveColumns(source: Seq[ColumnSelector], target: Seq[ColumnSelector] = Nil,
+        position: String = "before"): DataFrame =
+      SelectOps.moveColumns(df, source, target, position)
     def dropConstantColumns(): DataFrame = SelectOps.dropConstantColumns(df)
     def getIndexLabels(sels: ColumnSelector*): Seq[String] = SelectOps.getIndexLabels(df, sels)
     def getColumns(by: Seq[String], sels: ColumnSelector*): org.apache.spark.sql.RelationalGroupedDataset =
@@ -112,6 +119,8 @@ object syntax {
     // §2.8 types / encodings
     def changeType(column: String, dtype: String, ignoreException: String = "none"): DataFrame =
       TypeOps.changeType(df, column, dtype, ignoreException)
+    def changeTypes(columns: Seq[String], dtype: String, ignoreException: String = "none"): DataFrame =
+      TypeOps.changeTypes(df, columns, dtype, ignoreException)
     def toDatetime(column: String, format: Option[String] = None): DataFrame =
       TypeOps.toDatetime(df, column, format)
     def convertExcelDate(column: String): DataFrame = TypeOps.convertExcelDate(df, column)

@@ -57,6 +57,18 @@ class FillAndTypeSpec extends SparkSpec {
     assert(filled == Seq(1, null, 3))
   }
 
+  test("changeTypes converts a column list, each independently (test_multiple_columns)") {
+    val d = Seq((1, 3), (2, 4)).toDF("a", "b").changeTypes(Seq("a", "b"), "string")
+    assert(d.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    // per-column independence under fillna: the failing column nulls, the
+    // clean one converts
+    val mixed = Seq(("a", "1"), ("1", "2")).toDF("a", "b")
+      .changeTypes(Seq("a", "b"), "int", ignoreException = "fillna")
+    val rows = mixed.orderBy("b").collect()
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq == Seq(null, 1))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
   test("currencyColumnToNumeric: the reference doctest frame, both styles") {
     // currency_column_to_numeric.py doctest + test file fixtures
     val d = Seq((" 24.56", ""), ("-", "foo"), ("(12.12)", "1.23 dollars"),

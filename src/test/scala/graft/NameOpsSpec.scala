@@ -116,6 +116,24 @@ class NameOpsSpec extends SparkSpec {
     assert(round.collect()(0).getDouble(1) == 2.0)
   }
 
+  test("collapse_levels glue template and sep/glue exclusion (test_glue_output)") {
+    val df = Seq((1, 2.0, "z")).toDF("id", "m_v", "m_k").explodeIndex("_")
+    assert(df.collapseLevelsWith(glue = Some("{0}.{1}!")).columns.toSeq ==
+      Seq("id", "m.v!", "m.k!"))
+    intercept[IllegalArgumentException](
+      df.collapseLevelsWith(sep = Some("_"), glue = Some("_")))
+  }
+
+  test("explode_index names_pattern splits labels by capture groups") {
+    // test_names_pattern: (?P<a>.+)_(?P<b>.+) over fam_id
+    val df = Seq((1, 2.0)).toDF("fam_id", "other")
+    val out = df.explodeIndexPattern("(?P<a>.+)_(?P<b>.+)")
+    assert(out.columns.toSeq == Seq("fam", "other"))
+    assert(out.schema("fam").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(out.select("fam.id").collect()(0).getInt(0) == 1)
+    intercept[IllegalArgumentException](df.explodeIndexPattern("(.+)"))
+  }
+
   test("cleanNamesValues cleans cell values not labels") {
     val df = Seq(Tuple1("A b-C")).toDF("v")
     assert(df.cleanNamesValues(Seq("v")).collect()(0).getString(0) == "a_b_c")

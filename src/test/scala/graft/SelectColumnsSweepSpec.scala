@@ -94,6 +94,41 @@ class SelectColumnsSweepSpec extends SparkSpec {
     assert(e.getMessage.contains("monotonic increasing"))
   }
 
+  test("move: sequence sources/targets use the searchsorted insertion rule") {
+    // tests/functions/test_move.py abcdefghij fixture
+    val d = Seq((1,2,3,4,5,6,7,8,9,10))
+      .toDF("a","b","c","d","e","f","g","h","i","j")
+    // test_move_source_target_seq
+    assert(d.moveColumns(Seq(Exact("j"), Exact("a")),
+        Seq(Exact("c"), Exact("e"))).columns.toSeq ==
+      Seq("b","j","a","c","d","e","f","g","h","i"))
+    // test_move_source_target_seq_after
+    assert(d.moveColumns(Seq(Exact("j"), Exact("a")),
+        Seq(Exact("c"), Exact("e")), position = "after").columns.toSeq ==
+      Seq("b","c","d","e","j","a","f","g","h","i"))
+    // test_move_reorder_columns: no target, before -> front; full-source
+    // after -> unchanged
+    assert(base.moveColumns(Seq(Exact("animals@#$%^"), Exact("Bell__Chart")))
+      .columns.toSeq ==
+      Seq("animals@#$%^", "Bell__Chart", "a", "decorated-elephant", "cities"))
+    assert(d.moveColumns(d.columns.toSeq.map(Exact(_)), position = "after")
+      .columns.toSeq == d.columns.toSeq)
+    // test_move_col / test_move_col_after single-label forms
+    assert(d.moveColumn("b", "d").columns.toSeq ==
+      Seq("a","c","b","d","e","f","g","h","i","j"))
+    assert(d.moveColumn("b", "d", position = "after").columns.toSeq ==
+      Seq("a","c","d","b","e","f","g","h","i","j"))
+    // test_move_invalid_args
+    intercept[IllegalArgumentException](
+      d.moveColumn("a", "c", position = "oops"))
+    intercept[NoSuchElementException](d.moveColumn("__oops__", "c"))
+    intercept[NoSuchElementException](d.moveColumn("a", "__oops__"))
+    // test_move_unique: duplicate labels refuse to move
+    val dup = Seq((1, 2, 3)).toDF("a", "b", "b")
+    intercept[IllegalArgumentException](
+      dup.moveColumns(Seq(Exact("a"))))
+  }
+
   test("boolean mask selection and its length contract (test_list_boolean)") {
     val mask = Seq(true, false, true, false, true, false, true, false, true, false)
     assert(dfStrings.selectColumns(Mask(mask)).columns.toSeq ==
