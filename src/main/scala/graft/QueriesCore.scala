@@ -60,6 +60,33 @@ object QueriesCore {
       .reorderColumns("l_quantity", "l_orderkey")),
     "move" -> ((s, d) => lineitem(s, d)
       .moveColumn("l_quantity", "l_orderkey", "before")),
+    // sequence move (test_move.py test_move_source_target_seq): block
+    // insertion via the searchsorted rule; the driver compare is
+    // order-blind, SelectColumnsSweepSpec pins the order
+    "move_seq" -> ((s, d) => lineitem(s, d)
+      .moveColumns(
+        Seq(ColumnSelector.Exact("l_shipdate"), ColumnSelector.Exact("l_orderkey")),
+        Seq(ColumnSelector.Exact("l_partkey"), ColumnSelector.Exact("l_suppkey")),
+        position = "after")),
+    // combined two-axis select with invert on both (test_select.py test_invert)
+    "select_both" -> ((s, d) => nation(s, d)
+      .selectBoth("n_nationkey",
+        rows = Some(RowSelector.Labels(Seq(1, 5, 10))),
+        columns = Seq(ColumnSelector.Exact("n_name")), invert = true)),
+    // column-list change_type (test_change_type.py test_multiple_columns)
+    "change_types" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .changeTypes(Seq("l_quantity", "l_discount"), "string")),
+    // glue template collapse (test_collapse_levels.py test_glue_output)
+    "collapse_glue" -> ((s, d) => events(s, d)
+      .select(struct(col("value").as("v"), col("user_id").as("u")).as("m"), col("event_id"))
+      .collapseLevelsWith(glue = Some("{0}X{1}"))),
+    // names_pattern explode (test_explode_index.py test_names_pattern),
+    // collapsed back so the oracle stays flat SQL
+    "explode_pattern" -> ((s, d) => events(s, d)
+      .select("event_id", "user_id", "value")
+      .explodeIndexPattern("(?P<a>.+)_(?P<b>.+)")
+      .collapseLevels("_")),
     "drop_constant_columns" -> ((s, d) => lineitem(s, d)
       .addColumn("const_col", lit(1))
       .addColumn("all_null", lit(null).cast("int"))
@@ -521,6 +548,19 @@ object QueriesCore {
       """SELECT * FROM lineitem""",
     "move" ->
       """SELECT * FROM lineitem""",
+    "move_seq" ->
+      """SELECT * FROM lineitem""",
+    "select_both" ->
+      """SELECT n_nationkey, n_regionkey FROM nation
+        |WHERE n_nationkey NOT IN (1, 5, 10)""".stripMargin,
+    "change_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(l_quantity AS VARCHAR) AS l_quantity,
+        |CAST(l_discount AS VARCHAR) AS l_discount FROM lineitem""".stripMargin,
+    "collapse_glue" ->
+      """SELECT value AS mXv, user_id AS mXu, event_id FROM events""",
+    "explode_pattern" ->
+      """SELECT event_id, user_id, value FROM events""",
     "drop_constant_columns" ->
       """SELECT * FROM lineitem""",
     "drop_duplicate_columns" ->

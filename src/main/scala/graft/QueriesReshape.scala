@@ -94,6 +94,11 @@ object QueriesReshape {
     "expand" -> ((s, d) => lineitem(s, d).expand("l_returnflag", "l_linestatus")),
     "expand_by" -> ((s, d) => lineitem(s, d)
       .expandBy(Seq("l_returnflag"), Seq("l_linestatus", "l_linenumber"))),
+    // mixed expand (test_expand.py test_various): a data-derived nested
+    // group crossed against an explicit literal value set
+    "expand_mixed" -> ((s, d) => lineitem(s, d)
+      .expandMixed(groups = Seq(Seq("l_returnflag", "l_linestatus")),
+        literals = Seq("year" -> Seq(1, 2, 3)))),
     "complete" -> ((s, d) => events(s, d)
       .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
       .complete(Seq("user_id", "event_type"), fillValue = Map("n" -> 0L))),
@@ -197,6 +202,9 @@ object QueriesReshape {
     "expand" ->
       """SELECT * FROM (SELECT DISTINCT l_returnflag FROM lineitem)
         |CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)""".stripMargin,
+    "expand_mixed" ->
+      """SELECT * FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+        |CROSS JOIN (SELECT CAST(y AS INTEGER) AS year FROM (VALUES (1),(2),(3)) t(y))""".stripMargin,
     "expand_by" ->
       """SELECT a.l_returnflag, a.l_linestatus, b.l_linenumber
         |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) a

@@ -525,6 +525,20 @@ object ReshapeOps {
       .reduce(_.crossJoin(_))
   }
 
+  /** Mixed expand (reference: expand accepts column labels, lists AND
+    * dict/Index value sets in one call — tests/functions/test_expand.py
+    * test_various): nested data-derived groups cross against explicit
+    * literal value sets, e.g. expand("a", nesting(...), {"year": 1..4}).
+    */
+  def expandMixed(df: DataFrame, groups: Seq[Seq[String]],
+      literals: Seq[(String, Seq[Any])]): DataFrame = {
+    require(groups.nonEmpty || literals.nonEmpty, "expand: empty spec")
+    val dataUnits = groups.map(g =>
+      df.select(g.map(c => col(s"`$c`")): _*).distinct())
+    val litUnits = literals.map(l => expandGrid(df.sparkSession, Seq(l)))
+    (dataUnits ++ litUnits).reduce(_.crossJoin(_))
+  }
+
   /** Expose implicit-missing rows: expand the key universe, left-join the
     * data back, fill (reference: janitor/functions/complete.py:13-342).
     * fillValue fills only the value columns; explicitOnlyNew=true (reference

@@ -14,6 +14,17 @@ object SelectOps {
     df.select(names.map(n => col(s"`$n`")): _*)
   }
 
+  /** Combined two-axis select (reference: select.py:900-1018 `select` with
+    * index= and columns=): the row predicate and the column projection
+    * apply in one call, and `invert` complements BOTH axes
+    * (tests/functions/test_select.py test_invert).
+    */
+  def select(df: DataFrame, indexCol: String, rows: Option[RowSelector] = None,
+      columns: Seq[ColumnSelector] = Nil, invert: Boolean = false): DataFrame = {
+    val afterRows = rows.map(r => selectRows(df, indexCol, r, invert)).getOrElse(df)
+    if (columns.isEmpty) afterRows else selectColumns(afterRows, columns, invert)
+  }
+
   /** Row selection against an explicit index column (reference:
     * janitor/functions/select.py:860-899 select_rows via _select_index;
     * semantics per [[graft.RowSelector]]). Every predicate form is one

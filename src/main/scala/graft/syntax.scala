@@ -47,6 +47,9 @@ object syntax {
     def selectColumnsInvert(sels: ColumnSelector*): DataFrame = SelectOps.selectColumns(df, sels, invert = true)
     def selectRows(indexCol: String, sel: RowSelector, invert: Boolean = false): DataFrame =
       SelectOps.selectRows(df, indexCol, sel, invert)
+    def selectBoth(indexCol: String, rows: Option[RowSelector] = None,
+        columns: Seq[ColumnSelector] = Nil, invert: Boolean = false): DataFrame =
+      SelectOps.select(df, indexCol, rows, columns, invert)
     def removeColumns(names: String*): DataFrame = SelectOps.removeColumns(df, names)
     def reorderColumns(first: String*): DataFrame = SelectOps.reorderColumns(df, first)
     def moveColumn(source: String, target: String, position: String = "before"): DataFrame =
@@ -238,6 +241,8 @@ object syntax {
     def complete(columns: Seq[String], fillValue: Map[String, Any] = Map.empty,
         explicitOnlyNew: Boolean = false): DataFrame =
       ReshapeOps.complete(df, columns, fillValue, explicitOnlyNew)
+    def expandMixed(groups: Seq[Seq[String]], literals: Seq[(String, Seq[Any])]): DataFrame =
+      ReshapeOps.expandMixed(df, groups, literals)
     def expandNested(groups: Seq[Seq[String]]): DataFrame =
       ReshapeOps.expandNested(df, groups)
     def completeNested(groups: Seq[Seq[String]],

@@ -225,6 +225,18 @@ class PivotLongerSweepSpec extends SparkSpec {
       ("X2", 1.2, 6.0, null), ("X2", 2.1, null, 4.0)))
   }
 
+  test("expand mixes data-derived groups with literal value sets (test_various)") {
+    val d = Seq((1, "r", "Cambridge"), (2, "l", "Shanghai"), (3, "l", "Basel"),
+      (1, "r", "Cambridge")).toDF("a", "animals", "cities")
+    val out = d.expandMixed(
+      groups = Seq(Seq("a"), Seq("animals", "cities")),
+      literals = Seq("year" -> Seq(1, 2, 3, 4)))
+    assert(out.columns.toSeq == Seq("a", "animals", "cities", "year"))
+    // 3 distinct a × 3 observed (animals, cities) combos × 4 years
+    assert(out.count() == 36)
+    assert(out.where($"a" === 1 && $"animals" === "l" && $"year" === 4).count() == 2)
+  }
+
   test("error contracts: the reference's ValueError surface") {
     val d = dfChecks
     // both names_sep and names_pattern (test_both_names_sep_and_pattern)

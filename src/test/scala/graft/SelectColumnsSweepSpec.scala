@@ -129,6 +129,19 @@ class SelectColumnsSweepSpec extends SparkSpec {
       dup.moveColumns(Seq(Exact("a"))))
   }
 
+  test("combined select inverts both axes at once (test_select.py test_invert)") {
+    val d = Seq(("bar", 1, 10), ("baz", 2, 20), ("foo", 3, 30))
+      .toDF("k", "col1", "col2")
+    val out = d.selectBoth("k", rows = Some(RowSelector.Label("bar")),
+      columns = Seq(Exact("col1")), invert = true)
+    assert(out.columns.toSeq == Seq("k", "col2"))
+    assert(out.orderBy("k").collect().map(_.getString(0)).toSeq == Seq("baz", "foo"))
+    // rows-only and columns-only forms
+    assert(d.selectBoth("k", rows = Some(RowSelector.Label("baz"))).count() == 1)
+    assert(d.selectBoth("k", columns = Seq(Glob("col*"))).columns.toSeq ==
+      Seq("col1", "col2"))
+  }
+
   test("boolean mask selection and its length contract (test_list_boolean)") {
     val mask = Seq(true, false, true, false, true, false, true, false, true, false)
     assert(dfStrings.selectColumns(Mask(mask)).columns.toSeq ==
