@@ -47,8 +47,11 @@ object HeavyHittersStateProbe {
     // The split path embeds the source sfDir: a _SUCCESS-only gate silently
     // reused the PREVIOUS scale's split when the probe was re-run with a
     // different sfDir (sf0.1 vs sf1) and reported wrong measurements.
+    // ...and embeds the source content fingerprint (row count here — cheap,
+    // already computed) so a source regenerated in place invalidates the
+    // split instead of silently measuring stale data (ADVICE r16).
     val splitDir = "target/probe_docs_split_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_n$nDocs"
     if (!new java.io.File(s"$splitDir/_SUCCESS").exists())
       docs.repartition(8).write.mode("overwrite").parquet(splitDir)
 

@@ -95,9 +95,25 @@ object QueriesStreaming {
       nFiles: Int): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, s"$table.parquet").toRealPath()
+    // the key folds in the source's content fingerprint (total size + max
+    // mtime over the file-or-directory tree), not just its path: a source
+    // regenerated in place gets a fresh split instead of a stale one the
+    // DuckDB oracle no longer sees (ADVICE r16)
+    val fp = {
+      var size = 0L; var mtime = 0L
+      val it = Files.walk(src).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (Files.isRegularFile(f)) {
+          size += Files.size(f)
+          mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+        }
+      }
+      java.lang.Long.toHexString(size) + "-" + java.lang.Long.toHexString(mtime)
+    }
     val key = src.toString.replaceAll("[^A-Za-z0-9._-]", "_") +
       "-" + java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(src.toString)) +
+        scala.util.hashing.MurmurHash3.stringHash(src.toString + "#" + fp)) +
       s"-split$nFiles"
     val d = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-stream-$key")
     if (!Files.exists(d.resolve("_SUCCESS")))

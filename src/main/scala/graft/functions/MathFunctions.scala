@@ -50,17 +50,20 @@ object MathFunctions {
       .otherwise(result))
   }
 
-  /** log with the reference's error contract (math.py:14-60). */
+  /** log with the reference's error contract (math.py:14-60); the
+    * default matches the reference's `error="warn"` (one bounded count
+    * aggregate — pass "ignore" to skip it on hot paths). */
   def logOf(df: DataFrame, column: String, dest: String,
-      error: String = "ignore"): DataFrame = {
+      error: String = "warn"): DataFrame = {
     val c = col(s"`$column`").cast("double")
     withDomain(df, column, dest, error, c <= 0.0,
       "log (non-positive input)", log(c))
   }
 
-  /** logit with the reference's error contract (math.py:154-205). */
+  /** logit with the reference's error contract (math.py:154-205);
+    * default "warn" matches the reference. */
   def logitOf(df: DataFrame, column: String, dest: String,
-      error: String = "ignore"): DataFrame = {
+      error: String = "warn"): DataFrame = {
     val c = col(s"`$column`").cast("double")
     withDomain(df, column, dest, error, c <= 0.0 || c >= 1.0,
       "logit (input outside (0, 1))", log(c / (lit(1.0) - c)))

@@ -215,8 +215,11 @@ object NameOps {
     * name and the field name; labels the pattern does not match stay flat.
     */
   def explodeIndexPattern(df: DataFrame, namesPattern: String): DataFrame = {
+    // strip ONLY (?P<name>/(?<name> where name is an identifier — a looser
+    // pattern would also rewrite lookbehinds (?<=…)/(?<!…) into capture
+    // groups and silently change the pattern's semantics (ADVICE r16)
     val p = java.util.regex.Pattern.compile(
-      """\(\?P?<([^>]+)>""".r.replaceAllIn(namesPattern, "("))
+      """\(\?P?<([A-Za-z][A-Za-z0-9_]*)>""".r.replaceAllIn(namesPattern, "("))
     require(p.matcher("").groupCount() >= 2,
       "explode_index: names_pattern needs at least two capture groups")
     explodeIndexBy(df, c => {

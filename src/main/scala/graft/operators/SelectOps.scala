@@ -75,9 +75,15 @@ object SelectOps {
     }
     def requireAllLabels(values: Seq[Any], labelOf: Column = idx): Column = {
       val pred = labelOf.isin(values: _*)
-      val found = df.select(labelOf.cast("string")).filter(pred)
-        .distinct().collect().map(_.getString(0)).toSet
-      val missing = values.filterNot(v => found.contains(String.valueOf(v)))
+      // membership is decided Spark-side per label in ONE bounded aggregate
+      // (a max(matched) flag per requested label), not by comparing driver
+      // string spellings — Spark's cast-to-string ("1.50" for a decimal)
+      // and String.valueOf ("1.5") can disagree and spuriously raise
+      val aggs = values.zipWithIndex.map { case (v, i) =>
+        max(coalesce(labelOf === lit(v), lit(false))).as(s"__m$i") }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val missing = values.zipWithIndex.collect {
+        case (v, i) if row.isNullAt(i) || !row.getBoolean(i) => v }
       if (missing.length == values.length) throw new NoSuchElementException(
         s"No match was returned for any of the labels in ${values.mkString("[", ", ", "]")}")
       if (missing.nonEmpty) throw new NoSuchElementException(

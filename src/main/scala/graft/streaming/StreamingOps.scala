@@ -342,7 +342,8 @@ object StreamingOps {
       .withColumn("__vh", explode(JoinOps.variantHashes(col("__rs"), maxDist)))
     val refK = if (pin)
       pinnedFuzzyIndexes.computeIfAbsent(
-        refRaw.queryExecution.analyzed.canonicalized,
+        (ref.sparkSession,
+          refRaw.queryExecution.analyzed.canonicalized),
         _ => refRaw.repartition(col("__vh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else refRaw
@@ -356,13 +357,18 @@ object StreamingOps {
       .select(col("id"), col("__best.r").as("ref_id"), col("__best.d").as("dist"))
   }
 
-  /** Memo of pinned FastSS variant indexes, keyed by the canonicalized
-    * analyzed plan of the projected+exploded reference (which folds in the
-    * id/str columns and maxDist) — plan equality, not object identity, so
-    * re-built DataFrames over the same source share an entry.
+  /** Memo of pinned FastSS variant indexes, keyed by (SparkSession,
+    * canonicalized analyzed plan of the projected+exploded reference) —
+    * plan equality folds in the id/str columns and maxDist so re-built
+    * DataFrames over the same source share an entry, and the session
+    * component (reference identity — a restart is a new instance) keeps a
+    * restarted SparkSession in the same JVM from being handed a DataFrame
+    * bound to the stopped session (ADVICE r16).
     */
   private val pinnedFuzzyIndexes = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
 
   /** How many distinct fuzzy variant indexes are currently pinned. */
   def pinnedFuzzyIndexCount: Int = pinnedFuzzyIndexes.size()
