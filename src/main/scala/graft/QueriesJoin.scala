@@ -52,6 +52,48 @@ object QueriesJoin {
       .select("n_nationkey", "n_regionkey")
       .conditionalJoin(region(s, d).select("r_regionkey", "r_name"),
         Seq(("n_regionkey", "r_regionkey", "!=")))),
+    // != with nulls on both sides: numpy parity — a null pairs with EVERY
+    // row on the other side, including the other side's nulls
+    // (janitor/functions/utils.py:_not_equal_indices)
+    "conditional_join_ne_nulls" -> ((s, d) => nation(s, d)
+      .select(col("n_nationkey"),
+        when(col("n_nationkey") % 5 === 0, lit(null)).otherwise(col("n_regionkey"))
+          .as("n_rk"))
+      .conditionalJoin(
+        region(s, d).select(
+          when(col("r_regionkey") === 2, lit(null)).otherwise(col("r_regionkey"))
+            .as("r_rk"), col("r_name")),
+        Seq(("n_rk", "r_rk", "!=")))),
+    // == is null-safe (pandas merge pairs NaN equi-keys)
+    "conditional_join_eq_nullsafe" -> ((s, d) => nation(s, d)
+      .select(col("n_nationkey"),
+        when(col("n_nationkey") % 5 === 0, lit(null)).otherwise(col("n_regionkey"))
+          .as("n_rk"))
+      .conditionalJoin(
+        region(s, d).select(col("r_regionkey"),
+          when(col("r_regionkey") === 2, lit(null)).otherwise(col("r_regionkey"))
+            .as("r_rk")),
+        Seq(("n_rk", "r_rk", "=="), ("n_nationkey", "r_regionkey", ">")))),
+    // right join + keep: a right row whose every match loses the keep race
+    // is demoted to an unmatched right_only row (conditional_join.py:1333)
+    "conditional_join_right_keep" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_size")
+      .conditionalJoin(bins(s, d),
+        Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
+        how = "right", keep = "first")),
+    // force=True reorders the reference's kernels, never the result
+    "conditional_join_force" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .conditionalJoin(
+        orders(s, d).select("o_orderkey", "o_orderdate"),
+        Seq(("l_orderkey", "o_orderkey", "=="), ("l_shipdate", "o_orderdate", ">")),
+        force = true)),
+    // df_columns / right_columns output selection (conditional_join.py:1186)
+    "conditional_join_cols" -> ((s, d) => part(s, d)
+      .select("p_partkey", "p_size")
+      .conditionalJoin(bins(s, d),
+        Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")),
+        dfColumns = Seq("p_partkey"), rightColumns = Seq("s_suppkey"))),
     "get_join_indices" -> ((s, d) => operators.JoinOps.getJoinIndices(
       part(s, d), bins(s, d), Seq("p_partkey"), Seq("s_suppkey"),
       Seq(("p_size", "lo", ">="), ("p_size", "hi", "<=")))),
@@ -171,6 +213,45 @@ object QueriesJoin {
     "conditional_join_ne" ->
       """SELECT n.n_nationkey, n.n_regionkey, r.r_regionkey, r.r_name
         |FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey""".stripMargin,
+    "conditional_join_ne_nulls" ->
+      """WITH l AS (SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS n_rk
+        |  FROM nation),
+        |r AS (SELECT CASE WHEN r_regionkey = 2 THEN NULL ELSE r_regionkey END AS r_rk,
+        |  r_name FROM region)
+        |SELECT l.n_nationkey, l.n_rk, r.r_rk, r.r_name
+        |FROM l JOIN r ON (l.n_rk IS NULL OR r.r_rk IS NULL OR l.n_rk <> r.r_rk)""".stripMargin,
+    "conditional_join_eq_nullsafe" ->
+      """WITH l AS (SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS n_rk
+        |  FROM nation),
+        |r AS (SELECT r_regionkey,
+        |  CASE WHEN r_regionkey = 2 THEN NULL ELSE r_regionkey END AS r_rk
+        |  FROM region)
+        |SELECT l.n_nationkey, l.n_rk, r.r_regionkey, r.r_rk
+        |FROM l JOIN r ON l.n_rk IS NOT DISTINCT FROM r.r_rk
+        |  AND l.n_nationkey > r.r_regionkey""".stripMargin,
+    "conditional_join_right_keep" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier),
+        |kept AS (
+        |  SELECT p.p_partkey, p.p_size, b.s_suppkey, b.lo, b.hi
+        |  FROM part p JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi
+        |  QUALIFY row_number() OVER (PARTITION BY p.p_partkey
+        |    ORDER BY b.lo, b.hi, b.s_suppkey) = 1)
+        |SELECT * FROM kept
+        |UNION ALL
+        |SELECT NULL AS p_partkey, NULL AS p_size, b.s_suppkey, b.lo, b.hi
+        |FROM bins b WHERE b.s_suppkey NOT IN (SELECT s_suppkey FROM kept)""".stripMargin,
+    "conditional_join_force" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderkey, o.o_orderdate
+        |FROM lineitem l JOIN orders o
+        |ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate""".stripMargin,
+    "conditional_join_cols" ->
+      """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
+        |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)
+        |SELECT p.p_partkey, b.s_suppkey
+        |FROM part p JOIN bins b ON p.p_size >= b.lo AND p.p_size <= b.hi""".stripMargin,
     "conditional_join_keep_last" ->
       """WITH bins AS (SELECT s_suppkey, (s_suppkey % 10) * 5.0 AS lo,
         |  (s_suppkey % 10) * 5.0 + 7.0 AS hi FROM supplier)

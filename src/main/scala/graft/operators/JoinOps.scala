@@ -24,8 +24,13 @@ object JoinOps {
   type Cond = (String, String, String)
 
   private def opToColumn(l: Column, r: Column, op: String): Column = op match {
-    case "==" => l === r
-    case "!=" => l =!= r
+    // pandas-merge parity: NaN keys pair with NaN keys (merge.py
+    // factorizes NaN as an ordinary key value) — Spark's null-safe
+    // equality is the same contract and still plans as an equi-join
+    case "==" => l <=> r
+    // numpy parity (utils.py:_not_equal_indices): NaN != x is True for
+    // EVERY x including NaN, so null on either side is a match
+    case "!=" => coalesce(l =!= r, lit(true))
     case "<" => l < r
     case "<=" => l <= r
     case ">" => l > r
@@ -33,21 +38,76 @@ object JoinOps {
     case other => throw new IllegalArgumentException(s"conditional_join: bad op $other")
   }
 
+  /** The reference restricts non-equi comparisons to numeric / datetime /
+    * timedelta dtypes (conditional_join.py:414-447) — strings, categoricals
+    * and intervals raise. We port the check by comparison FAMILY rather
+    * than exact dtype: pandas' binary-search kernels need identical dtypes
+    * (int8 vs int64 raises there), Spark's comparisons are exact across
+    * numeric widths, so rejecting width mixes would be fidelity theater.
+    */
+  private def nonEquiFamily(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | BooleanType => "numeric"
+      case DateType | TimestampType | TimestampNTZType => "datetime"
+      case _: DayTimeIntervalType | _: YearMonthIntervalType => "timedelta"
+      case other => other.simpleString
+    }
+  }
+
   /** Non-equi / mixed join (reference: janitor/functions/conditional_join.py:30-283).
     * how ∈ inner|left|right|outer (an equality-only condition set is rejected,
     * conditional_join.py:363-369). keep ∈ all|first|last keeps one right match
     * per left row, ordered by the right join columns (SURVEY §7.7: tie order
-    * is defined by explicit sort, not pandas positional order).
+    * is defined by explicit sort, not pandas positional order — the one
+    * deliberate divergence; the reference's first/last is min/max right ROW
+    * POSITION, utils.py:_keep_output, which has no distributed meaning).
     * Overlapping output names get a "right_" prefix (our flattened stand-in
     * for the reference's left/right MultiIndex, conditional_join.py:1151-1171).
-    * indicator adds a `_merge` column (both|left_only|right_only).
+    * indicator adds an `indicatorName` column (both|left_only|right_only);
+    * a name colliding with an output column raises (conditional_join.py:1226).
+    * dfColumns/rightColumns mirror df_columns/right_columns
+    * (conditional_join.py:1186-1196): Seq("*") keeps the side whole, any
+    * other list selects those columns (post-join, like the reference), and
+    * Nil drops the side entirely (the reference's `None`); dropping both
+    * raises. force=true is accepted for parity and is a no-op: in the
+    * reference it only reorders which kernel runs first
+    * (conditional_join.py:673-681, same output); Catalyst already picks the
+    * equi-vs-residual execution order itself.
     */
   def conditionalJoin(left: DataFrame, right: DataFrame, conditions: Seq[Cond],
       how: String = "inner", keep: String = "all",
-      indicator: Boolean = false): DataFrame = {
+      indicator: Boolean = false, indicatorName: String = "_merge",
+      force: Boolean = false,
+      dfColumns: Seq[String] = Seq("*"),
+      rightColumns: Seq[String] = Seq("*")): DataFrame = {
     require(conditions.nonEmpty, "conditional_join: no conditions")
     require(conditions.exists(_._3 != "=="),
       "conditional_join: equality-only joins should use a regular merge (conditional_join.py:363-369)")
+    require(Set("inner", "left", "right", "outer")(how),
+      s"'how' should be one of inner, left, right or outer; got $how")
+    require(Set("all", "first", "last")(keep),
+      s"'keep' should be one of 'all', 'first', 'last'; got $keep")
+    require(dfColumns.nonEmpty || rightColumns.nonEmpty,
+      "df_columns and right_columns cannot both be None (conditional_join.py:1186)")
+    conditions.foreach { case (lc, rc, op) =>
+      require(left.columns.contains(lc),
+        s"conditional_join: $lc not found in the left DataFrame")
+      require(right.columns.contains(rc),
+        s"conditional_join: $rc not found in the right DataFrame")
+      if (op != "==") {
+        val lf = nonEquiFamily(left.schema(lc).dataType)
+        val rf = nonEquiFamily(right.schema(rc).dataType)
+        require(Set("numeric", "datetime", "timedelta")(lf),
+          "Only numeric, timedelta and datetime types are supported in a " +
+            s"non equi-join. $lc in condition ($lc, $rc, $op) has a " +
+            s"dtype ${left.schema(lc).dataType.simpleString}.")
+        require(lf == rf,
+          s"Both columns should have the same type family - '$lc' is $lf; " +
+            s"'$rc' is $rf.")
+      }
+    }
+    val _ = force // parity knob; Catalyst owns kernel order (see Scaladoc)
 
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     val r = overlap.foldLeft(right)((acc, c) => acc.withColumnRenamed(c, s"right_$c"))
@@ -67,7 +127,14 @@ object JoinOps {
     }.reduce(_ && _)
 
     val lMark = if (indicator) l.withColumn("__lpresent", lit(1)) else l
-    val rMark = if (indicator) r.withColumn("__rpresent", lit(1)) else r
+    val rMark0 = if (indicator) r.withColumn("__rpresent", lit(1)) else r
+    // keep + right/outer needs a right row id: a right row whose every match
+    // loses the keep race is DEMOTED to an unmatched (right_only) row — the
+    // reference recomputes the right indexer from the post-keep indices
+    // (conditional_join.py:1333-1341,1384-1386), it does not drop the row
+    val needRid = keep != "all" && (how == "right" || how == "outer")
+    val rMark = if (needRid)
+      rMark0.withColumn("__rid", monotonically_increasing_id()) else rMark0
 
     var joined = lMark.join(rMark, cond, how)
 
@@ -91,18 +158,70 @@ object JoinOps {
         when(col("__lid").isNull, pmod(monotonically_increasing_id(), lit(1024)))
           .otherwise(lit(0L)))
       val w = Window.partitionBy(col("__lid"), col("__keep_salt")).orderBy(ordered: _*)
-      joined = salted.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 || col("__lid").isNull)
-        .drop("__rn", "__keep_salt")
+      if (!needRid) {
+        joined = salted.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 || col("__lid").isNull)
+          .drop("__rn", "__keep_salt")
+      } else {
+        // right/outer: a matched row that loses the keep race still counts
+        // toward its right row's presence; if NO match of a right row is
+        // kept, exactly one of its rows is demoted to right_only (left side
+        // and the indicator's left mark nulled) — reference parity, see
+        // needRid above. One extra window over __rid; partition width is the
+        // right row's match count, the same bound as the __lid window.
+        val marked = salted.withColumn("__rn", row_number().over(w))
+          .withColumn("__keep",
+            col("__lid").isNotNull && col("__rid").isNotNull && col("__rn") === 1)
+        val w2 = Window.partitionBy(col("__rid"))
+        val flagged = marked
+          .withColumn("__rkept",
+            max(when(col("__keep"), 1).otherwise(0)).over(w2))
+          .withColumn("__rn2",
+            row_number().over(w2.orderBy(col("__lid").asc_nulls_last)))
+        val demoted = col("__rid").isNotNull && col("__lid").isNotNull &&
+          !col("__keep") && col("__rkept") === 0 && col("__rn2") === 1
+        val toNull = left.columns.toSeq ++ (if (indicator) Seq("__lpresent") else Nil)
+        var out = flagged.filter(
+          col("__lid").isNull || col("__rid").isNull || col("__keep") || demoted)
+        out = toNull.foldLeft(out)((acc, c) =>
+          acc.withColumn(c, when(demoted, lit(null)).otherwise(col(s"`$c`"))))
+        joined = out.drop("__rn", "__keep_salt", "__keep", "__rkept", "__rn2")
+      }
+    }
+    // output assembly (conditional_join.py:1174-1196): select each side's
+    // requested columns AFTER the join — the join itself always sees the
+    // full frames, so condition columns need not be in the output
+    val leftOut: Seq[String] = if (dfColumns == Seq("*")) left.columns.toSeq
+      else {
+        dfColumns.foreach(c => require(left.columns.contains(c),
+          s"conditional_join: df_columns entry $c not found in the left DataFrame"))
+        dfColumns
+      }
+    val rightSel: Seq[String] = if (rightColumns == Seq("*")) right.columns.toSeq
+      else {
+        rightColumns.foreach(c => require(right.columns.contains(c),
+          s"conditional_join: right_columns entry $c not found in the right DataFrame"))
+        rightColumns
+      }
+    // the right_ prefix applies only where the SELECTED outputs collide —
+    // dropping the colliding left column un-prefixes the right one, like the
+    // reference's MultiIndex header that only appears on a non-empty
+    // intersection (conditional_join.py:1197-1199)
+    val rightOut = rightSel.map { c =>
+      (rname(c), if (leftOut.contains(c)) s"right_$c" else c)
     }
     if (indicator) {
-      joined = joined.withColumn("_merge",
+      require(!(leftOut ++ rightOut.map(_._2)).contains(indicatorName),
+        "Cannot use name of an existing column for indicator column")
+      joined = joined.withColumn(indicatorName,
         when(col("__lpresent").isNotNull && col("__rpresent").isNotNull, "both")
           .when(col("__lpresent").isNotNull, "left_only")
           .otherwise("right_only"))
         .drop("__lpresent", "__rpresent")
     }
-    joined.drop("__lid")
+    joined.select(leftOut.map(n => col(s"`$n`")) ++
+      rightOut.map { case (src, out) => col(s"`$src`").as(out) } ++
+      (if (indicator) Seq(col(s"`$indicatorName`")) else Nil): _*)
   }
 
   /** Matching index pairs only (reference: conditional_join.py:1457-1512).

@@ -252,8 +252,12 @@ object syntax {
 
     // §2.4 joins
     def conditionalJoin(right: DataFrame, conditions: Seq[operators.JoinOps.Cond],
-        how: String = "inner", keep: String = "all", indicator: Boolean = false): DataFrame =
-      JoinOps.conditionalJoin(df, right, conditions, how, keep, indicator)
+        how: String = "inner", keep: String = "all", indicator: Boolean = false,
+        indicatorName: String = "_merge", force: Boolean = false,
+        dfColumns: Seq[String] = Seq("*"),
+        rightColumns: Seq[String] = Seq("*")): DataFrame =
+      JoinOps.conditionalJoin(df, right, conditions, how, keep, indicator,
+        indicatorName, force, dfColumns, rightColumns)
     def getJoinIndices(right: DataFrame, leftId: Seq[String], rightId: Seq[String],
         conditions: Seq[operators.JoinOps.Cond]): DataFrame =
       JoinOps.getJoinIndices(df, right, leftId, rightId, conditions)

@@ -236,7 +236,7 @@ class ReshapeAndJoinSpec extends SparkSpec {
       Seq(("x", "lo", ">="), ("x", "hi", "<=")), how = "right")
     assert(right.count() == 2 && right.filter(col("id").isNull).count() == 1)
     val outer = JoinOps.conditionalJoin(l, r,
-      Seq(("x", "lo", ">="), ("x", "hi", "<=")), how = "full", indicator = true)
+      Seq(("x", "lo", ">="), ("x", "hi", "<=")), how = "outer", indicator = true)
     val merges = outer.collect().map(_.getString(4)).sorted.toSeq
     assert(merges == Seq("both", "right_only"))
   }
@@ -346,12 +346,15 @@ class ReshapeAndJoinSpec extends SparkSpec {
       how = "right", keep = "first")
     val gotRight = right.select("id", "rid").collect()
       .map(row => (if (row.isNullAt(0)) -1 else row.getInt(0), row.getInt(1))).sorted.toSeq
-    assert(gotRight == Seq((-1, 3), (-1, 4), (1, 1)))
+    // rid=2's only match loses the keep race → DEMOTED to right_only, not
+    // dropped (conditional_join.py:1333 recomputes the right indexer from
+    // the post-keep indices) — fixed by the round-17 fidelity sweep
+    assert(gotRight == Seq((-1, 2), (-1, 3), (-1, 4), (1, 1)))
     val full = JoinOps.conditionalJoin(l, r, Seq(("x", "lo", ">")),
-      how = "full", keep = "last")
+      how = "outer", keep = "last")
     val gotFull = full.select("id", "rid").collect()
       .map(row => (if (row.isNullAt(0)) -1 else row.getInt(0), row.getInt(1))).sorted.toSeq
-    assert(gotFull == Seq((-1, 3), (-1, 4), (1, 2)))
+    assert(gotFull == Seq((-1, 1), (-1, 3), (-1, 4), (1, 2)))
   }
 
   test("fuzzySelfJoin finds exactly the pairs within edit distance (all edit kinds)") {
