@@ -112,6 +112,21 @@ object QueriesReshape {
       .agg(count(lit(1)).as("n"))
       .completeNested(Seq(Seq("l_returnflag", "l_linestatus"), Seq("tax_cents")),
         fillValue = Map("n" -> 0L))),
+    // per-group integral range completion (reference complete.py `by` +
+    // callable universe, test_complete.py:514): one agg + explode, no
+    // driver collect at any group cardinality
+    "complete_range_by" -> ((s, d) => lineitem(s, d)
+      .filter(col("l_quantity") > 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .completeRange("l_linenumber", by = Seq("l_orderkey"),
+        fillValue = Map("l_quantity" -> 0.0))),
+    // dict-form literal universe UNIONed with observed values
+    // (complete.py:278,292 outer merge)
+    "complete_literals" -> ((s, d) => region(s, d)
+      .select("r_regionkey", "r_name")
+      .completeNested(Seq.empty[Seq[String]],
+        literals = Seq("r_regionkey" -> Seq(0, 1, 2, 3, 4, 5, 6)),
+        fillValue = Map("r_name" -> "none"))),
     "concatenate_columns" -> ((s, d) => nation(s, d)
       .concatenateColumns(Seq("n_name", "n_regionkey"), "combined", sep = "-")),
     "deconcatenate_column" -> ((s, d) => part(s, d)
@@ -225,6 +240,20 @@ object QueriesReshape {
         |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM c) g
         |CROSS JOIN (SELECT DISTINCT tax_cents FROM c) m
         |LEFT JOIN c USING (l_returnflag, l_linestatus, tax_cents)""".stripMargin,
+    "complete_range_by" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_quantity > 25),
+        |b AS (SELECT l_orderkey, min(l_linenumber) AS mn, max(l_linenumber) AS mx
+        |  FROM f GROUP BY 1),
+        |u AS (SELECT l_orderkey,
+        |  CAST(unnest(generate_series(mn, mx)) AS INTEGER) AS l_linenumber FROM b)
+        |SELECT u.l_orderkey, u.l_linenumber, coalesce(f.l_quantity, 0) AS l_quantity
+        |FROM u LEFT JOIN f USING (l_orderkey, l_linenumber)""".stripMargin,
+    "complete_literals" ->
+      """WITH u AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) t(k)),
+        |m AS (SELECT CAST(r_regionkey AS INTEGER) AS k, r_name FROM region)
+        |SELECT coalesce(u.k, m.k) AS r_regionkey, coalesce(m.r_name, 'none') AS r_name
+        |FROM u FULL JOIN m ON u.k = m.k""".stripMargin,
     "concatenate_columns" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |n_name || '-' || CAST(n_regionkey AS VARCHAR) AS combined FROM nation""".stripMargin,

@@ -366,7 +366,23 @@ object ReshapeOps {
     val piv = if (universe.nonEmpty) grouped.pivot(namesFrom, universe)
       else grouped.pivot(namesFrom)
     val out = agg match {
-      case "first" => piv.agg(first(col(s"`$valuesFrom`")))
+      case "first" =>
+        // janitor's pivot_wider is pd.pivot, NOT pivot_table: a duplicate
+        // (index, names_from) pair raises (test_pivot_wider.py:170-180).
+        // The guard rides the SAME shuffle — a paired per-cell count whose
+        // raise_error trips during evaluation, no second job. Any other
+        // `agg` is our pivot_table-style extension and aggregates dupes.
+        val p = piv.agg(first(col(s"`$valuesFrom`")).as("__v"),
+          count(lit(1)).as("__n"))
+        val sel = index.map(n => col(s"`$n`")) ++
+          p.columns.filterNot(index.contains(_)).filter(_.endsWith("___v"))
+            .toSeq.map { vc =>
+              val lvl = vc.stripSuffix("___v")
+              when(col(s"`${lvl}___n`") > 1, raise_error(lit(
+                "pivot_wider: index contains duplicate entries, cannot reshape")))
+                .otherwise(col(s"`$vc`")).as(lvl)
+            }
+        p.select(sel: _*)
       case "sum" => piv.agg(sum(col(s"`$valuesFrom`")))
       case "avg" | "mean" => piv.agg(avg(col(s"`$valuesFrom`")))
       case "count" => piv.agg(count(col(s"`$valuesFrom`")))
@@ -416,7 +432,11 @@ object ReshapeOps {
       if (knownValues.nonEmpty) knownValues
       else df.select(col(s"`$namesFrom`").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq.sortBy(v => Option(v).getOrElse(""))
-    val aggs = valuesFrom.map(aggOf)
+    // agg="first" = pd.pivot parity: pair every cell with a count and raise
+    // on duplicates inside the same shuffle (see pivotWider)
+    val guard = agg == "first"
+    val aggs0 = valuesFrom.map(aggOf)
+    val aggs = if (guard) aggs0 :+ count(lit(1)).as("__n") else aggs0
     val out = df.groupBy(index.map(n => col(s"`$n`")): _*)
       .pivot(namesFrom, universe)
       .agg(aggs.head, aggs.tail: _*)
@@ -426,22 +446,31 @@ object ReshapeOps {
       if (namesGlue.nonEmpty) (vf, lv) =>
         namesGlue.replace("{_value}", vf).replace(s"{$namesFrom}", lv)
       else (vf, lv) => s"$vf$namesSep$lv"
-    val renamed = out.columns.map { c =>
-      if (index.contains(c)) c
-      else if (valuesFrom.length == 1) {
-        // single aggregate: Spark labels the column with the bare level
-        universe.find(_ == c).map(lv => rename(valuesFrom.head, lv)).getOrElse(c)
-      } else {
-        // multi-agg: {level}_{aggAlias}; search all (level, value) combos
+    // with the guard column the pivot is always multi-agg ({level}_{alias});
+    // without it a single value column keeps the bare level label
+    val multiAgg = guard || valuesFrom.length > 1
+    val sel = out.columns.toSeq.filterNot(_.endsWith("___n")).map { c =>
+      if (index.contains(c)) col(s"`$c`")
+      else {
         val hit = (for {
           lv <- universe.iterator
           vf <- valuesFrom.iterator
-          if c == s"${lv}_$vf"
-        } yield rename(vf, lv)).nextOption()
-        hit.getOrElse(c)
+          if (multiAgg && c == s"${lv}_$vf") || (!multiAgg && c == lv)
+        } yield (lv, vf)).nextOption()
+        hit match {
+          case Some((lv, vf)) =>
+            val base = col(s"`$c`")
+            val guarded = if (guard)
+              when(col(s"`${lv}___n`") > 1, raise_error(lit(
+                "pivot_wider: index contains duplicate entries, cannot reshape")))
+                .otherwise(base)
+            else base
+            guarded.as(rename(vf, lv))
+          case None => col(s"`$c`")
+        }
       }
     }
-    out.toDF(renamed.toIndexedSeq: _*)
+    out.select(sel: _*)
   }
 
   /** Cartesian product of named value lists
@@ -552,23 +581,99 @@ object ReshapeOps {
 
   /** [[complete]] with tidyr-nesting groups: the universe is
     * [[expandNested]] (observed combinations within each group, crossed
-    * between groups) instead of the full per-column cross.
+    * between groups) instead of the full per-column cross. `literals` is
+    * the reference's dict form ({column: values}, complete.py:278) — the
+    * provided values become that column's universe, UNIONed with the
+    * observed ones (the reference merges how="outer", complete.py:292, so
+    * observed combinations outside the provided universe survive). `by`
+    * completes WITHIN each group (complete.py `by=`): every unit carries
+    * the `by` keys and units equi-join on them, so the cross product never
+    * leaves the group. The reference's `sort` flag is presentation-only
+    * and has no meaning on an unordered Dataset.
     */
   def completeNested(df: DataFrame, groups: Seq[Seq[String]],
       fillValue: Map[String, Any] = Map.empty,
-      explicitOnlyNew: Boolean = false): DataFrame = {
-    val columns = groups.flatten
-    val universe = expandNested(df, groups)
-    val marked = df.withColumn("__present", lit(1))
-    val joined = universe.join(marked, columns, "left")
-    val valueCols = df.columns.filterNot(columns.contains(_))
-    val filled = fillValue.foldLeft(joined) { case (acc, (c, v)) =>
-      if (explicitOnlyNew)
-        acc.withColumn(c, when(col("__present").isNull, lit(v)).otherwise(col(s"`$c`")))
-      else
-        acc.withColumn(c, coalesce(col(s"`$c`"), lit(v)))
+      explicitOnlyNew: Boolean = false,
+      by: Seq[String] = Nil,
+      literals: Seq[(String, Seq[Any])] = Nil): DataFrame = {
+    // eager error contract (complete.py:270-276): fill_value keys must be
+    // existing columns (non-scalar values are unrepresentable in the Map)
+    fillValue.keys.foreach(c => require(df.columns.contains(c),
+      s"complete: fill_value key $c should be a column in the DataFrame"))
+    (by ++ literals.map(_._1)).foreach(c => require(df.columns.contains(c),
+      s"complete: $c not found in the DataFrame"))
+    val flat = groups.flatten ++ literals.map(_._1)
+    require(flat.distinct.length == flat.length,
+      s"complete: column(s) ${flat.diff(flat.distinct).distinct.mkString(", ")} " +
+        "appear in more than one spec")
+    val dataUnits = groups.map(g =>
+      df.select((by ++ g).map(c => col(s"`$c`")): _*).distinct())
+    val litUnits = literals.map { l =>
+      val u = expandGrid(df.sparkSession, Seq(l))
+      if (by.isEmpty) u
+      else df.select(by.map(c => col(s"`$c`")): _*).distinct().crossJoin(u)
     }
+    val universe = (dataUnits ++ litUnits).reduce((a, b) =>
+      if (by.isEmpty) a.crossJoin(b) else a.join(b, by))
+    completeAgainst(df, universe, by ++ flat, fillValue, explicitOnlyNew)
+  }
+
+  /** Per-group integral range completion — the Spark-native form of the
+    * reference's `complete({col: lambda grp: range(grp.min(), grp.max()+1)},
+    * by=...)` callable (tests/functions/test_complete.py:514-541): the
+    * universe is sequence(min, max, step) per `by` group, one aggregation +
+    * explode, no driver collect at any group cardinality.
+    */
+  def completeRange(df: DataFrame, rangeCol: String, by: Seq[String] = Nil,
+      step: Long = 1, fillValue: Map[String, Any] = Map.empty,
+      explicitOnlyNew: Boolean = false): DataFrame = {
+    require(df.columns.contains(rangeCol), s"complete: $rangeCol not found")
+    val c = col(s"`$rangeCol`")
+    val bounds =
+      if (by.isEmpty) df.agg(min(c).as("__mn"), max(c).as("__mx"))
+      else df.groupBy(by.map(n => col(s"`$n`")): _*)
+        .agg(min(c).as("__mn"), max(c).as("__mx"))
+    // cast the step to the column's own type: a long literal would coerce
+    // an int range column to long and silently change the output dtype
+    val universe = bounds
+      .filter(col("__mn").isNotNull)
+      .select(by.map(n => col(s"`$n`")) :+
+        explode(sequence(col("__mn"), col("__mx"),
+          lit(step).cast(df.schema(rangeCol).dataType))).as(rangeCol): _*)
+    completeAgainst(df, universe, by :+ rangeCol, fillValue, explicitOnlyNew)
+  }
+
+  /** Shared complete assembly (complete.py:286-342): outer merge of the
+    * universe against the data with NULL-SAFE key equality (pandas keeps
+    * NaN as a real key level — a plain equi-join would orphan observed
+    * rows with null keys), original column order, fill restricted to the
+    * non-combination columns, explicit=False filling only universe-created
+    * rows.
+    */
+  private def completeAgainst(df: DataFrame, universe: DataFrame,
+      mergeCols: Seq[String], fillValue: Map[String, Any],
+      explicitOnlyNew: Boolean): DataFrame = {
+    val keys = mergeCols.distinct
+    val marked = df.withColumn("__present", lit(1))
+    val u = universe.alias("u")
+    val m = marked.alias("m")
+    val joined = u.join(m,
+      keys.map(c => col(s"u.`$c`") <=> col(s"m.`$c`")).reduce(_ && _),
+      "full_outer")
+    val valueCols = df.columns.filterNot(keys.contains(_)).toSeq
+    val assembled = joined.select(
+      df.columns.toSeq.map { c =>
+        if (keys.contains(c)) coalesce(col(s"u.`$c`"), col(s"m.`$c`")).as(c)
+        else col(s"m.`$c`")
+      } :+ col("m.`__present`").as("__present"): _*)
+    // fill applies only to columns outside the combination (complete.py:309)
+    val filled = fillValue.filter(kv => valueCols.contains(kv._1))
+      .foldLeft(assembled) { case (acc, (c, v)) =>
+        if (explicitOnlyNew)
+          acc.withColumn(c, when(col("__present").isNull, lit(v)).otherwise(col(s"`$c`")))
+        else
+          acc.withColumn(c, coalesce(col(s"`$c`"), lit(v)))
+      }
     filled.drop("__present")
-      .select((columns ++ valueCols).map(n => col(s"`$n`")): _*)
   }
 }

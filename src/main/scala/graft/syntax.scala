@@ -247,8 +247,14 @@ object syntax {
       ReshapeOps.expandNested(df, groups)
     def completeNested(groups: Seq[Seq[String]],
         fillValue: Map[String, Any] = Map.empty,
+        explicitOnlyNew: Boolean = false,
+        by: Seq[String] = Nil,
+        literals: Seq[(String, Seq[Any])] = Nil): DataFrame =
+      ReshapeOps.completeNested(df, groups, fillValue, explicitOnlyNew, by, literals)
+    def completeRange(rangeCol: String, by: Seq[String] = Nil, step: Long = 1,
+        fillValue: Map[String, Any] = Map.empty,
         explicitOnlyNew: Boolean = false): DataFrame =
-      ReshapeOps.completeNested(df, groups, fillValue, explicitOnlyNew)
+      ReshapeOps.completeRange(df, rangeCol, by, step, fillValue, explicitOnlyNew)
 
     // §2.4 joins
     def conditionalJoin(right: DataFrame, conditions: Seq[operators.JoinOps.Cond],
