@@ -278,7 +278,7 @@ object TypeOps {
     * stays StringType. `complete`/`pivot_wider(expand)` read it back.
     */
   def encodeCategorical(df: DataFrame, column: String, categories: Seq[String],
-      ordered: Boolean = false): DataFrame = {
+      ordered: Boolean = false, checkValues: Boolean = false): DataFrame = {
     // explicit categories must be non-empty, unique, and null-free
     // (encode_categorical.py kwargs checks; test_empty_cat /
     // test_non_unique_cat / test_categories_null_in_categories)
@@ -287,11 +287,35 @@ object TypeOps {
       "encode_categorical: categories contains nulls")
     require(categories.distinct.length == categories.length,
       "encode_categorical: categories are not unique")
+    val c = col(s"`$column`")
+    // pandas astype(CategoricalDtype(categories)) NULLS values outside the
+    // category set — the registry stamp alone would silently keep them
+    // (round-17 fidelity sweep). checkValues additionally reproduces the
+    // reference's UserWarning on either-direction mismatch
+    // (test_encode_categorical.py:174-183) with ONE bounded aggregate;
+    // off by default to keep the stamp free of an eager scan.
+    if (checkValues) {
+      val row = df.agg(
+        sum(when(c.isNotNull && !c.cast("string").isin(categories: _*), 1L)
+          .otherwise(0L)).as("bad"),
+        countDistinct(when(c.cast("string").isin(categories: _*),
+          c.cast("string"))).as("seen")).collect()(0)
+      val bad = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val seen = if (row.isNullAt(1)) 0L else row.getLong(1)
+      if (bad > 0) System.err.println(s"[graft] WARNING encode_categorical: " +
+        s"$bad value(s) in $column are missing from the provided categories " +
+        "and will be set to null")
+      if (seen < categories.length) System.err.println(
+        s"[graft] WARNING encode_categorical: ${categories.length - seen} " +
+          s"provided categor(ies) never occur in $column")
+    }
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putStringArray("graft.categories", categories.toArray)
       .putBoolean("graft.ordered", ordered)
       .build()
-    df.withColumn(column, col(s"`$column`").as(column, meta))
+    df.withColumn(column,
+      when(c.cast("string").isin(categories: _*), c).otherwise(lit(null))
+        .as(column, meta))
   }
 
   /** Infer and register categories with pandas order semantics

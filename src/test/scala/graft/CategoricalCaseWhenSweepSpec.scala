@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{TransformOps, TypeOps}
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+/** Round-17 fidelity sweep over tests/functions/test_encode_categorical.py
+  * (287 LoC) and test_case_when.py (247 LoC) — the category-registry and
+  * dispatch surfaces least exercised by golden values (VERDICT r16 #6).
+  */
+class CategoricalCaseWhenSweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode_categorical nulls values outside an explicit category set") {
+    // pandas astype(CategoricalDtype(categories=[4,5,6])) on numbers 1..3
+    // yields all-NaN (test_warnings' mismatch scenario) — the registry
+    // stamp must not silently keep out-of-set values
+    val df = Seq((1, "John"), (2, "Mark"), (3, "Luke")).toDF("numbers", "names")
+    val out = TypeOps.encodeCategorical(df, "numbers", Seq("4", "5", "6"),
+      checkValues = true)
+    assert(out.filter(col("numbers").isNotNull).count() === 0)
+    // partial overlap keeps only the in-set values
+    val part = TypeOps.encodeCategorical(df, "names", Seq("John", "Luke", "Paul"))
+    assert(part.filter(col("names").isNotNull).count() === 2)
+    // the registry carries the full provided set, not just the observed one
+    assert(TypeOps.categoriesOf(part, "names") === Some(Seq("John", "Luke", "Paul")))
+  }
+
+  test("encode_categorical error contracts (empty/non-unique/null/bad order)") {
+    val df = Seq((1, "a")).toDF("a", "b")
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategorical(df, "a", Nil))
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategorical(df, "a", Seq("1", "2", "2")))
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategorical(df, "a", Seq("1", null)))
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategoricalOrder(df, "a", "sorted"))
+    // all-null column cannot infer categories (test_empty_col_sort)
+    val nulls = Seq((None: Option[Int], "x")).toDF("c", "d")
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategoricalOrder(nulls, "c", "sort"))
+  }
+
+  test("case_when: first matching condition wins across overlaps (test_case_when_1)") {
+    // typed analog of the docstring frame: conditions overlap on purpose
+    val df = Seq((0, 0, 6), (0, 3, 7), (1, 4, 8), (2, 5, 9), (0, 0, 10))
+      .toDF("a", "b", "c")
+    val out = TransformOps.caseWhen(df, "value", Seq(
+      ((col("a") === 0 && col("b") =!= 0) || col("c") === 10, col("a")),
+      (col("b") === 0 && col("a") === 0, lit(-1))),
+      default = col("c"))
+      .orderBy("c").select("value").collect().map(_.getInt(0)).toSeq
+    // row1: cond2 (a=0,b=0) -> -1; row2: cond1 -> a=0; rows 3,4: default c;
+    // row5: cond1 via c==10 -> a=0 (cond1 evaluated BEFORE cond2)
+    assert(out === Seq(-1, 0, 8, 9, 0))
+  }
+
+  test("case_when: column default and column replacement (test_case_when_default_array)") {
+    val df = Seq((1, 10), (2, 20), (3, 30)).toDF("x", "y")
+    val out = TransformOps.caseWhen(df, "z",
+      Seq((col("x") % 2 === 1, col("y") * 2)), default = col("y") + 1)
+      .orderBy("x").select("z").collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(20, 21, 60))
+    // column_name may be an existing column: values replaced in place
+    val rep = TransformOps.caseWhen(df, "y",
+      Seq((col("x") === 2, lit(0))), default = col("y"))
+    assert(rep.columns.toSeq === Seq("x", "y"))
+    assert(rep.orderBy("x").select("y").collect().map(_.getInt(0)).toSeq ===
+      Seq(10, 0, 30))
+  }
+
+  test("process_text error contracts (extractall/get_dummies/unknown raise)") {
+    val df = Seq("a1", "b2").toDF("text")
+    intercept[IllegalArgumentException](
+      df.processText("text", "extractall", Seq("(?<letter>[ab])?(?<digit>\\d)")))
+    intercept[IllegalArgumentException](
+      df.processText("text", "get_dummies"))
+    intercept[IllegalArgumentException](
+      df.processText("text", "not_a_method"))
+  }
+}
