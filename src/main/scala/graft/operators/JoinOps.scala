@@ -81,9 +81,22 @@ object JoinOps {
       force: Boolean = false,
       dfColumns: Seq[String] = Seq("*"),
       rightColumns: Seq[String] = Seq("*")): DataFrame = {
-    require(conditions.nonEmpty, "conditional_join: no conditions")
     require(conditions.exists(_._3 != "=="),
       "conditional_join: equality-only joins should use a regular merge (conditional_join.py:363-369)")
+    conditionalJoinImpl(left, right, conditions, how, keep, indicator,
+      indicatorName, force, dfColumns, rightColumns)
+  }
+
+  /** [[conditionalJoin]] WITHOUT the equality-only rejection — the check
+    * belongs to the public verb only: get_join_indices runs the same
+    * compute and accepts pure equi conditions
+    * (conditional_join.py:1457-1512, test_conditional_join.py:3620).
+    */
+  private def conditionalJoinImpl(left: DataFrame, right: DataFrame,
+      conditions: Seq[Cond], how: String, keep: String,
+      indicator: Boolean, indicatorName: String, force: Boolean,
+      dfColumns: Seq[String], rightColumns: Seq[String]): DataFrame = {
+    require(conditions.nonEmpty, "conditional_join: no conditions")
     require(Set("inner", "left", "right", "outer")(how),
       s"'how' should be one of inner, left, right or outer; got $how")
     require(Set("all", "first", "last")(keep),
@@ -229,13 +242,17 @@ object JoinOps {
     * positions).
     */
   def getJoinIndices(left: DataFrame, right: DataFrame, leftId: Seq[String],
-      rightId: Seq[String], conditions: Seq[Cond]): DataFrame = {
-    val joined = conditionalJoin(
+      rightId: Seq[String], conditions: Seq[Cond], keep: String = "all",
+      force: Boolean = false): DataFrame = {
+    // unlike conditional_join, pure equi condition sets are allowed here
+    // (test_conditional_join.py:3620 test_eq_indices); keep/force pass
+    // through (conditional_join.py:1457-1512)
+    val joined = conditionalJoinImpl(
       left.select(leftId.map(n => col(s"`$n`")) ++
         conditions.map(_._1).distinct.filterNot(leftId.contains(_)).map(n => col(s"`$n`")): _*),
       right.select(rightId.map(n => col(s"`$n`")) ++
         conditions.map(_._2).distinct.filterNot(rightId.contains(_)).map(n => col(s"`$n`")): _*),
-      conditions)
+      conditions, "inner", keep, false, "_merge", force, Seq("*"), Seq("*"))
     val rightOut = rightId.map(n =>
       if (left.columns.contains(n) || joined.columns.contains(s"right_$n")) s"right_$n" else n)
     joined.select((leftId ++ rightOut).map(n => col(s"`$n`")): _*)

@@ -355,7 +355,7 @@ object ReshapeOps {
   def pivotWider(df: DataFrame, index: Seq[String], namesFrom: String,
       valuesFrom: String, agg: String = "first", namesPrefix: String = "",
       knownValues: Seq[String] = Nil, namesGlue: String = "",
-      namesExpand: Boolean = false): DataFrame = {
+      namesExpand: Boolean = false, indexExpand: Boolean = false): DataFrame = {
     val universe =
       if (namesExpand)
         TypeOps.categoriesOf(df, namesFrom).getOrElse(throw new IllegalArgumentException(
@@ -396,7 +396,24 @@ object ReshapeOps {
       else if (namesPrefix.nonEmpty) v => namesPrefix + v
       else identity
     val renamed = out.columns.map(c => if (index.contains(c)) c else rename(c))
-    out.toDF(renamed.toIndexedSeq: _*)
+    val flat = out.toDF(renamed.toIndexedSeq: _*)
+    if (!indexExpand) flat
+    else {
+      // index_expand (pivot.py:1875, test_pivot_wider.py:542): reindex the
+      // output over the index column's full category registry — unobserved
+      // categories become all-null rows. Same outer merge as complete's
+      // literal universes.
+      require(index.length == 1,
+        "pivot_wider: index_expand needs a single index column here")
+      val cats = TypeOps.categoriesOf(df, index.head).getOrElse(
+        throw new IllegalArgumentException(
+          s"pivot_wider: index_expand=true but '${index.head}' has no " +
+            "category registry (encode_categorical it first)"))
+      val dt = df.schema(index.head).dataType
+      val uni = expandGrid(df.sparkSession, Seq(index.head -> cats))
+        .select(col(s"`${index.head}`").cast(dt).as(index.head))
+      completeAgainst(flat, uni, Seq(index.head), Map.empty, false)
+    }
   }
 
   /** Multi-`values_from` long→wide (reference: pivot.py:1865-2063 — a list

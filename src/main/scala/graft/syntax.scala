@@ -227,9 +227,10 @@ object syntax {
       ReshapeOps.pivotLongerSpec(df, index, spec)
     def pivotWider(index: Seq[String], namesFrom: String, valuesFrom: String,
         agg: String = "first", namesPrefix: String = "", knownValues: Seq[String] = Nil,
-        namesGlue: String = "", namesExpand: Boolean = false): DataFrame =
+        namesGlue: String = "", namesExpand: Boolean = false,
+        indexExpand: Boolean = false): DataFrame =
       ReshapeOps.pivotWider(df, index, namesFrom, valuesFrom, agg, namesPrefix,
-        knownValues, namesGlue, namesExpand)
+        knownValues, namesGlue, namesExpand, indexExpand)
     def pivotWiderMulti(index: Seq[String], namesFrom: String, valuesFrom: Seq[String],
         agg: String = "first", namesSep: String = "_", knownValues: Seq[String] = Nil,
         namesGlue: String = ""): DataFrame =
@@ -265,8 +266,9 @@ object syntax {
       JoinOps.conditionalJoin(df, right, conditions, how, keep, indicator,
         indicatorName, force, dfColumns, rightColumns)
     def getJoinIndices(right: DataFrame, leftId: Seq[String], rightId: Seq[String],
-        conditions: Seq[operators.JoinOps.Cond]): DataFrame =
-      JoinOps.getJoinIndices(df, right, leftId, rightId, conditions)
+        conditions: Seq[operators.JoinOps.Cond], keep: String = "all",
+        force: Boolean = false): DataFrame =
+      JoinOps.getJoinIndices(df, right, leftId, rightId, conditions, keep, force)
     def rangeJoin(right: DataFrame, xCol: String, loCol: String, hiCol: String,
         bandWidth: Double, how: String = "inner", loInclusive: Boolean = true,
         hiInclusive: Boolean = true, dedupIntervals: String = "auto"): DataFrame =

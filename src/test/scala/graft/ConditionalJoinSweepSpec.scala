@@ -428,6 +428,23 @@ class ConditionalJoinSweepSpec extends SparkSpec {
     assert(ind.columns.last === "source")
   }
 
+  test("get_join_indices allows equality-only conditions (test_eq_indices)") {
+    val l = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0)).toDF("lid", "x")
+    val r = Seq((10L, 2.0), (20L, 3.0)).toDF("rid", "y")
+    val got = JoinOps.getJoinIndices(l, r, Seq("lid"), Seq("rid"),
+      Seq(("x", "y", "==")))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((2L, 10L), (3L, 10L)))
+    // keep passes through (conditional_join.py:1457 keep param)
+    val first = JoinOps.getJoinIndices(l, r, Seq("lid"), Seq("rid"),
+      Seq(("x", "y", "<=")), keep = "first")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(first === Set((1L, 10L), (2L, 10L), (3L, 10L)))
+    // the public verb still rejects equality-only sets
+    intercept[IllegalArgumentException](
+      l.conditionalJoin(r, Seq(("x", "y", "=="))))
+  }
+
   // ---- empty / no-match shapes (test_left_empty/right_empty/no_match) ----
 
   test("empty and no-match inputs (test_left_empty/right_empty/no_match)") {

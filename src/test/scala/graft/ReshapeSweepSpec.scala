@@ -245,6 +245,23 @@ class ReshapeSweepSpec extends SparkSpec {
       sorted(dfIn))
   }
 
+  test("pivot_wider index_expand reindexes over the category registry (test_index_expand)") {
+    // df_expand analog: id is categorical over {1,2,3} but only 1,2 observed
+    val df = graft.operators.TypeOps.encodeCategorical(
+      Seq((2, 2018, 30), (1, 2018, 40), (1, 2019, 50), (2, 2020, 60), (1, 2020, 70))
+        .toDF("id", "year", "percentage"),
+      "id", Seq("1", "2", "3"), ordered = true)
+    val got = df.pivotWider(Seq("id"), "year", "percentage",
+      knownValues = Seq("2018", "2019", "2020"), indexExpand = true)
+    assert(got.count() === 3)
+    val id3 = got.filter(col("id") === 3).collect()
+    assert(id3.length === 1 && (1 to 3).forall(i => id3(0).isNullAt(i)))
+    // no registry -> eager raise
+    intercept[IllegalArgumentException](
+      Seq((1, 2018, 30)).toDF("id", "year", "percentage")
+        .pivotWider(Seq("id"), "year", "percentage", indexExpand = true))
+  }
+
   test("pivot_wider duplicate-safe when an aggregate is requested") {
     val df = Seq(("A", "L", 30), ("A", "L", 54), ("A", "M", 25))
       .toDF("A", "L", "numbers")
