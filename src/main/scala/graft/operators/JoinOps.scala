@@ -128,19 +128,23 @@ object JoinOps {
 
     val needLeftId = keep != "all"
     // a purely non-equi condition set plans as BroadcastNestedLoop whose
-    // parallelism is the streamed side's partition count — single-partition
-    // inputs (one small parquet file) would run on one thread
+    // parallelism is the STREAMED side's partition count — single-partition
+    // inputs (one small parquet file) would run on one thread. Which side
+    // streams depends on `how` (right/outer stream the right side), so both
+    // sides are widened; the broadcast side's repartition is dropped by the
+    // exchange planning, costing nothing.
     val hasEqui = conditions.exists(_._3 == "==")
-    val l0 = if (hasEqui) left
-      else left.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val l0 = if (hasEqui) left else left.repartition(par)
+    val r0 = if (hasEqui) r else r.repartition(par)
     val l = if (needLeftId) l0.withColumn("__lid", monotonically_increasing_id()) else l0
 
     val cond = conditions.map { case (lc, rc, op) =>
-      opToColumn(l(lc), r(rname(rc)), op)
+      opToColumn(l(lc), r0(rname(rc)), op)
     }.reduce(_ && _)
 
     val lMark = if (indicator) l.withColumn("__lpresent", lit(1)) else l
-    val rMark0 = if (indicator) r.withColumn("__rpresent", lit(1)) else r
+    val rMark0 = if (indicator) r0.withColumn("__rpresent", lit(1)) else r0
     // keep + right/outer needs a right row id: a right row whose every match
     // loses the keep race is DEMOTED to an unmatched (right_only) row — the
     // reference recomputes the right indexer from the post-keep indices
@@ -185,12 +189,14 @@ object JoinOps {
         val marked = salted.withColumn("__rn", row_number().over(w))
           .withColumn("__keep",
             col("__lid").isNotNull && col("__rid").isNotNull && col("__rn") === 1)
-        val w2 = Window.partitionBy(col("__rid"))
+        // one Window exec: identical partition+order specs let Spark fuse
+        // the full-frame max and the running row_number into a single sort
+        val w2 = Window.partitionBy(col("__rid")).orderBy(col("__lid").asc_nulls_last)
         val flagged = marked
           .withColumn("__rkept",
-            max(when(col("__keep"), 1).otherwise(0)).over(w2))
-          .withColumn("__rn2",
-            row_number().over(w2.orderBy(col("__lid").asc_nulls_last)))
+            max(when(col("__keep"), 1).otherwise(0)).over(
+              w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("__rn2", row_number().over(w2))
         val demoted = col("__rid").isNotNull && col("__lid").isNotNull &&
           !col("__keep") && col("__rkept") === 0 && col("__rn2") === 1
         val toNull = left.columns.toSeq ++ (if (indicator) Seq("__lpresent") else Nil)
