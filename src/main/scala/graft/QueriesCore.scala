@@ -68,6 +68,10 @@ object QueriesCore {
         Seq(ColumnSelector.Exact("l_shipdate"), ColumnSelector.Exact("l_orderkey")),
         Seq(ColumnSelector.Exact("l_partkey"), ColumnSelector.Exact("l_suppkey")),
         position = "after")),
+    // row-axis move (move.py axis=0, test_move.py:11-94): the new
+    // presentation order is emitted as a 0-based row_pos column
+    "move_rows" -> ((s, d) => nation(s, d)
+      .moveRows("n_name", "NATION_3", "NATION_17", position = "after")),
     // combined two-axis select with invert on both (test_select.py test_invert)
     "select_both" -> ((s, d) => nation(s, d)
       .selectBoth("n_nationkey",
@@ -550,6 +554,15 @@ object QueriesCore {
       """SELECT * FROM lineitem""",
     "move_seq" ->
       """SELECT * FROM lineitem""",
+    "move_rows" ->
+      """WITH pos AS (SELECT *, row_number() OVER (ORDER BY n_name) AS p FROM nation),
+        |t AS (SELECT p FROM pos WHERE n_name = 'NATION_17'),
+        |adj AS (SELECT pos.*, CASE WHEN n_name = 'NATION_3'
+        |  THEN (SELECT p FROM t) + 0.5 + p * 1e-9 ELSE CAST(p AS DOUBLE) END AS np
+        |  FROM pos)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(row_number() OVER (ORDER BY np) - 1 AS BIGINT) AS row_pos
+        |FROM adj""".stripMargin,
     "select_both" ->
       """SELECT n_nationkey, n_regionkey FROM nation
         |WHERE n_nationkey NOT IN (1, 5, 10)""".stripMargin,

@@ -201,6 +201,41 @@ object SelectOps {
     moveColumns(df, Seq(graft.ColumnSelector.Exact(source)),
       Seq(graft.ColumnSelector.Exact(target)), position)
 
+  /** Row-axis move (reference move.py axis=0, tests/functions/
+    * test_move.py:11-94): reposition the row(s) labeled `source` in the
+    * presentation order defined by `indexCol` to immediately before/after
+    * the row labeled `target`. A distributed frame has no positions, so the
+    * new order is emitted as a 0-based `posCol` (order by it to present);
+    * labels and data are untouched. Two scalable passes
+    * ([[ScaleWindows.runningSum]] — never a single-partition window) plus
+    * two bounded label lookups (the reference's KeyError contract).
+    */
+  def moveRows(df: DataFrame, indexCol: String, source: Any, target: Any,
+      position: String = "before", posCol: String = "row_pos"): DataFrame = {
+    require(position == "before" || position == "after",
+      s"Invalid position '$position'. Can only be 'before' or 'after'.")
+    val idx = col(s"`$indexCol`")
+    val withPos = ScaleWindows.runningSum(
+      df.withColumn("__one", lit(1L)), indexCol, "__one", "__p").drop("__one")
+    val tRows = withPos.filter(idx === lit(target)).select(min(col("__p"))).collect()
+    if (tRows.isEmpty || tRows(0).isNullAt(0)) throw new NoSuchElementException(
+      s"move: $target not found in $indexCol")
+    if (withPos.filter(idx === lit(source)).isEmpty)
+      throw new NoSuchElementException(s"move: $source not found in $indexCol")
+    val tPos = tRows(0).getLong(0).toDouble
+    val off = if (position == "before") -0.5 else 0.5
+    // source rows land at the target's position ± 0.5; a tiny per-row
+    // fraction keeps multi-row source blocks in their original relative
+    // order without a composite sort key (exact for < 1e8 rows)
+    val adj = withPos.withColumn("__np",
+      when(idx === lit(source),
+        lit(tPos + off) + col("__p").cast("double") * 1e-9d)
+        .otherwise(col("__p").cast("double")))
+    ScaleWindows.runningSum(adj.withColumn("__one", lit(1L)), "__np", "__one", posCol)
+      .withColumn(posCol, col(s"`$posCol`") - 1L)
+      .drop("__one", "__p", "__np")
+  }
+
   /** Sequence form of `move` (reference: janitor/functions/move.py:13-133):
     * the selected source block is removed, then re-inserted at
     * searchsorted(remaining, first target) for position="before" or

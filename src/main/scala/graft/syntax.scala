@@ -57,6 +57,9 @@ object syntax {
     def moveColumns(source: Seq[ColumnSelector], target: Seq[ColumnSelector] = Nil,
         position: String = "before"): DataFrame =
       SelectOps.moveColumns(df, source, target, position)
+    def moveRows(indexCol: String, source: Any, target: Any,
+        position: String = "before", posCol: String = "row_pos"): DataFrame =
+      SelectOps.moveRows(df, indexCol, source, target, position, posCol)
     def dropConstantColumns(): DataFrame = SelectOps.dropConstantColumns(df)
     def getIndexLabels(sels: ColumnSelector*): Seq[String] = SelectOps.getIndexLabels(df, sels)
     def getColumns(by: Seq[String], sels: ColumnSelector*): org.apache.spark.sql.RelationalGroupedDataset =

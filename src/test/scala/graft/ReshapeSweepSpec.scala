@@ -160,6 +160,34 @@ class ReshapeSweepSpec extends SparkSpec {
       fillDf.completeNested(Seq(Seq("group"), Seq("group"))))
   }
 
+  test("expand by-group golden incl null universe members (test_expand.py:104)") {
+    val df = Seq(
+      (1, "FirmA", Some("FirmB"), "FirmC"),
+      (1, "FirmD", None, "FirmE"),
+      (2, "FirmA", None, "FirmC"),
+      (2, "FirmD", None, "FirmE"),
+      (2, "FirmG", Some("FirmF"), "FirmE"))
+      .toDF("dealid", "acquirer", "target", "vendor")
+    val got = df.expandBy(Seq("dealid"), Seq("acquirer", "target", "vendor"))
+    assert(got.count() === 20) // deal1: 2x2x2; deal2: 3x2x2
+    // null target is a REAL universe member within each deal group
+    assert(got.filter(col("dealid") === 1 && col("target").isNull).count() === 4)
+    assert(got.filter(col("dealid") === 2 && col("acquirer") === "FirmG" &&
+      col("target") === "FirmF" && col("vendor") === "FirmC").count() === 1)
+    // universes never leak across groups: FirmG is deal-2 only
+    assert(got.filter(col("dealid") === 1 && col("acquirer") === "FirmG")
+      .count() === 0)
+  }
+
+  test("expand mixed units: observed groups x literal ranges (test_various)") {
+    val df = Seq((1, "ny"), (1, "la"), (2, "ny")).toDF("a", "city")
+    val got = df.expandMixed(
+      groups = Seq(Seq("a"), Seq("city")),
+      literals = Seq("year" -> Seq(1, 2, 3, 4)))
+    assert(got.count() === 2L * 2 * 4)
+    assert(got.columns.toSeq === Seq("a", "city", "year"))
+  }
+
   // ---- pivot_wider ----
 
   private def checksOutput = Seq(

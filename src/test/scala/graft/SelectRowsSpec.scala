@@ -131,4 +131,34 @@ class SelectRowsSpec extends SparkSpec {
     assert(out.count() == 17)
     assert(out.filter(col("idx").isin(4, 6, 10)).count() == 0)
   }
+
+  test("moveRows repositions labeled rows (test_move.py:11-94, axis=0)") {
+    import graft.syntax._
+    val df = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5))
+      .toDF("label", "v")
+    def order(out: org.apache.spark.sql.DataFrame): Seq[String] =
+      out.orderBy("row_pos").collect().map(_.getString(0)).toSeq
+    // before: b moves directly before d -> a c b d e
+    assert(order(df.moveRows("label", "b", "d")) ===
+      Seq("a", "c", "b", "d", "e"))
+    // after: b moves directly after d -> a c d b e
+    assert(order(df.moveRows("label", "b", "d", position = "after")) ===
+      Seq("a", "c", "d", "b", "e"))
+    // moving to the same place is a no-op; positions stay 0..n-1
+    val noop = df.moveRows("label", "b", "c")
+    assert(order(noop) === Seq("a", "b", "c", "d", "e"))
+    assert(noop.orderBy("row_pos").collect().map(_.getLong(2)).toSeq ===
+      (0L to 4L))
+    // a multi-row source block keeps its internal order
+    val dup = Seq(("a", 1), ("b", 2), ("b", 3), ("c", 4)).toDF("label", "v")
+    val moved = dup.moveRows("label", "b", "c", position = "after")
+    assert(moved.orderBy("row_pos").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("a", 1), ("c", 4), ("b", 2), ("b", 3)))
+    // missing labels raise (the reference's KeyError)
+    intercept[NoSuchElementException](df.moveRows("label", "zz", "d").count())
+    intercept[NoSuchElementException](df.moveRows("label", "b", "zz").count())
+    intercept[IllegalArgumentException](
+      df.moveRows("label", "b", "d", position = "sideways"))
+  }
 }
