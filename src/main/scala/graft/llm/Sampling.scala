@@ -198,4 +198,77 @@ object Sampling {
         sequence(lit(0), col("__copies") - 1)).otherwise(array().cast("array<int>"))))
       .drop("__dom", "__mult", "__copies")
   }
+
+  /** Hashed n-gram feature buckets of a document — the DSIR feature map
+    * (Xie et al., Data Selection for Language Models via Importance
+    * Resampling, arXiv:2302.03169 §3: hashed unigrams + bigrams of the
+    * whitespace-lowered tokens into `buckets` bins). md5 (not xxhash64)
+    * keeps the bucketing reproducible by an external oracle, the same
+    * spine as [[hashUniform]]. Bigrams come from the constant-reference
+    * zip_with-over-shifted-slices shape (no O(len²) re-splits).
+    */
+  private def featureBuckets(text: Column, buckets: Int): Column = {
+    val toks = Dedup.tokens(text)
+    val m = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(toks, bigrams), f =>
+      pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long"), lit(buckets.toLong)))
+  }
+
+  /** DSIR importance weights (arXiv:2302.03169): per raw document,
+    * log w = Σ over its hashed-n-gram features of
+    * [log p̂_target(bucket) − log p̂_raw(bucket)], both bucket unigram
+    * models Laplace-smoothed with `smoothing`. High weight = target-like.
+    *
+    * Scale shape: two map-side-combinable bucket-count aggregations (≤
+    * `buckets` rows each — a model-parameter budget, not a data budget),
+    * two bounded scalar totals, one broadcast join of the ≤`buckets`-row
+    * ratio table against the raw feature stream, one groupBy(doc). Nothing
+    * quadratic; documents with no features (empty text) drop, like a
+    * zero-feature doc in the reference implementation.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      smoothing: Double = 1.0): DataFrame = {
+    require(buckets > 0, "dsir: buckets must be positive")
+    require(smoothing > 0.0, "dsir: smoothing must be positive")
+    val rawF = raw.select(col(s"`$idCol`").as("id"),
+      explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b"))
+    val tgtF = target.select(
+      explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b"))
+    val tCnt = tgtF.groupBy("b").agg(count(lit(1)).as("tc"))
+    val rCnt = rawF.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tTot = tCnt.agg(coalesce(sum(col("tc")), lit(0L))).collect()(0).getLong(0).toDouble
+    val rTot = rCnt.agg(coalesce(sum(col("rc")), lit(0L))).collect()(0).getLong(0).toDouble
+    val s = smoothing
+    val bD = buckets.toDouble
+    // buckets unseen in the raw stream can never join a raw feature, so the
+    // raw-side counts anchor the table (left join brings target counts in)
+    val ratio = rCnt.join(tCnt, Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + s) / (tTot + s * bD)) -
+          log((col("rc") + s) / (rTot + s * bD))).as("lr"))
+    rawF.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_features"),
+        round(sum(col("lr")), 6).as("log_weight"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** DSIR selection: Gumbel top-k over the [[dsirWeights]] log weights —
+    * the distributed, deterministic form of sampling-without-replacement
+    * proportionally to w (Vieira 2014 "Gumbel-max trick"; keys ride
+    * [[hashUniform]] so the draw is partition/run/engine-invariant).
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 4096, smoothing: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, "dsir: k must be positive")
+    val w = dsirWeights(raw, target, idCol, textCol, buckets, smoothing)
+    val gumbel = -log(-log(hashUniform(col(s"`$idCol`"), seed)))
+    w.withColumn("skey", round(col("log_weight") + gumbel, 6))
+      .orderBy(col("skey").desc, col(s"`$idCol`"))
+      .limit(k)
+  }
 }
