@@ -283,6 +283,24 @@ object QueriesStreaming {
     // stream-vs-benchmark contamination flags: the winnow fingerprint index
     // of doc_id < 20 is built once (static), every arriving document's
     // fingerprints probe it; docs sharing >= 3 fingerprints are flagged
+    // DSIR scoring as a stream: model trained batch-side on the static
+    // snapshot (raw = all docs, target = the en slice), arriving docs
+    // scored by a stream-static broadcast join — same oracle as the
+    // batch dsir_weights gate
+    "dsir_score_stream" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.llm.Sampling.dsirModel(
+        docs.select("text"),
+        docs.filter(col("lang") === "en").select("text"),
+        "text", buckets = 64)
+      runToCompletion(
+        StreamingOps.dsirScoreStream(
+          documentsStream(s, d).select("doc_id", "text"),
+          "doc_id", "text", model, 64),
+        "gr_dsir_score_stream", "complete")
+        .select(col("doc_id"), col("n_features"),
+          round(col("log_weight") * 1e6).cast("long").as("log_weight"))
+    }),
     "contamination_flags_stream" -> ((s, d) => {
       val ref = graft.llm.Dedup.winnowFingerprints(
         Tables.documents(s, d).filter(col("doc_id") < 20), "doc_id", "text")
@@ -529,6 +547,8 @@ object QueriesStreaming {
         |          ORDER BY sim DESC, ref_id DESC) AS rn
         |      FROM s WHERE sim >= 0.99)
         |WHERE rn = 1""".stripMargin,
+    // the stream covers the whole table, so the batch DSIR oracle holds
+    "dsir_score_stream" -> QueriesLlm.oracles("dsir_weights"),
     "contamination_flags_stream" -> contaminationFlagsSql,
     // bit-identical to the non-Bloom path by operator contract (exact
     // verify behind the probe) — one oracle for both rows

@@ -207,7 +207,7 @@ object Sampling {
     * spine as [[hashUniform]]. Bigrams come from the constant-reference
     * zip_with-over-shifted-slices shape (no O(len²) re-splits).
     */
-  private def featureBuckets(text: Column, buckets: Int): Column = {
+  private[graft] def featureBuckets(text: Column, buckets: Int): Column = {
     val toks = Dedup.tokens(text)
     val m = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
@@ -228,12 +228,16 @@ object Sampling {
     * quadratic; documents with no features (empty text) drop, like a
     * zero-feature doc in the reference implementation.
     */
-  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 4096,
-      smoothing: Double = 1.0): DataFrame = {
+  /** The trained DSIR model: the ≤`buckets`-row bucket log-ratio table
+    * (b, lr) — train once batch-side, apply anywhere (batch weights,
+    * streaming scorer). Buckets unseen in the raw corpus can never join a
+    * raw feature, so the raw-side counts anchor the table.
+    */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = 4096, smoothing: Double = 1.0): DataFrame = {
     require(buckets > 0, "dsir: buckets must be positive")
     require(smoothing > 0.0, "dsir: smoothing must be positive")
-    val rawF = raw.select(col(s"`$idCol`").as("id"),
+    val rawF = raw.select(
       explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b"))
     val tgtF = target.select(
       explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b"))
@@ -243,18 +247,30 @@ object Sampling {
     val rTot = rCnt.agg(coalesce(sum(col("rc")), lit(0L))).collect()(0).getLong(0).toDouble
     val s = smoothing
     val bD = buckets.toDouble
-    // buckets unseen in the raw stream can never join a raw feature, so the
-    // raw-side counts anchor the table (left join brings target counts in)
-    val ratio = rCnt.join(tCnt, Seq("b"), "left")
+    rCnt.join(tCnt, Seq("b"), "left")
       .select(col("b"),
         (log((coalesce(col("tc"), lit(0L)) + s) / (tTot + s * bD)) -
           log((col("rc") + s) / (rTot + s * bD))).as("lr"))
-    rawF.join(broadcast(ratio), Seq("b"))
+  }
+
+  /** Score a document frame against a trained [[dsirModel]]: per doc,
+    * n_features and log_weight = Σ lr over its feature buckets.
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int): DataFrame =
+    docs.select(col(s"`$idCol`").as("id"),
+        explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b"))
+      .join(broadcast(model), Seq("b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_features"),
         round(sum(col("lr")), 6).as("log_weight"))
       .withColumnRenamed("id", idCol)
-  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      smoothing: Double = 1.0): DataFrame =
+    dsirScore(raw, idCol, textCol,
+      dsirModel(raw, target, textCol, buckets, smoothing), buckets)
 
   /** DSIR selection: Gumbel top-k over the [[dsirWeights]] log weights —
     * the distributed, deterministic form of sampling-without-replacement

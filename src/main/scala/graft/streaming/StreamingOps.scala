@@ -152,6 +152,18 @@ object StreamingOps {
       .toDF(keyCol, valueCol, "cum_unique")
   }
 
+  /** Streaming DSIR scorer (Xie et al., arXiv:2302.03169): each arriving
+    * document joins the batch-trained bucket log-ratio model
+    * ([[graft.llm.Sampling.dsirModel]] — a stream-static broadcast of
+    * ≤`buckets` rows, constant per-batch cost) and aggregates its
+    * n_features / log_weight per doc (complete or update mode). The
+    * training corpora are never touched by the stream — the crawl-ingest
+    * shape: train the model on yesterday's snapshot, score today's feed.
+    */
+  def dsirScoreStream(stream: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int): DataFrame =
+    graft.llm.Sampling.dsirScore(stream, idCol, textCol, model, buckets)
+
   /** Streaming contamination flagging: winnow-fingerprint each incoming
     * document and stream-static join against a reference index — e.g.
     * `Dedup.winnowFingerprints` of a benchmark/eval corpus, the canonical
