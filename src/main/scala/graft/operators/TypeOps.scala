@@ -356,8 +356,38 @@ object TypeOps {
     * merge the registries, re-stamp each frame.
     */
   def unionizeCategories(dfs: Seq[DataFrame], column: String): Seq[DataFrame] = {
-    val merged = dfs.flatMap(d => categoriesOf(d, column).getOrElse(Nil)).distinct
-    dfs.map(d => encodeCategorical(d, column, merged))
+    val merged = dfs.flatMap(d =>
+      if (d.columns.contains(column)) categoriesOf(d, column).getOrElse(Nil)
+      else Nil).distinct
+    dfs.map(d =>
+      if (d.columns.contains(column) && merged.nonEmpty)
+        encodeCategorical(d, column, merged)
+      else d)
+  }
+
+  /** The reference's full auto-detect form (utils.py
+    * unionize_dataframe_categories, tests/functions/
+    * test_unionize_dataframe_categories.py): for EVERY registered
+    * categorical column present in any frame (or the `columnNames` subset),
+    * union the registries across the frames that carry it and re-stamp
+    * them; frames lacking the column — and columns without a registry —
+    * are untouched, like pandas leaving non-categorical dtypes alone.
+    */
+  def unionizeAllCategories(dfs: Seq[DataFrame],
+      columnNames: Seq[String] = Nil): Seq[DataFrame] = {
+    val registered = dfs.flatMap(d => d.schema.fields
+      .filter(_.metadata.contains("graft.categories")).map(_.name)).distinct
+    val targets = if (columnNames.nonEmpty) columnNames else registered
+    targets.foldLeft(dfs) { (acc, c) =>
+      val merged = acc.flatMap(d =>
+        if (d.columns.contains(c)) categoriesOf(d, c).getOrElse(Nil)
+        else Nil).distinct
+      acc.map(d =>
+        if (merged.nonEmpty && d.columns.contains(c) &&
+            categoriesOf(d, c).isDefined)
+          encodeCategorical(d, c, merged)
+        else d)
+    }
   }
 
   /** Read back a category registry written by [[encodeCategorical]]. */

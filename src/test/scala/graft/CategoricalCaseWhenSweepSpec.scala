@@ -70,6 +70,45 @@ class CategoricalCaseWhenSweepSpec extends SparkSpec {
       Seq(10, 0, 30))
   }
 
+  test("unionize_dataframe_categories golden (the 3-frame jerbs/fruits/animals fixture)") {
+    def cat(df: org.apache.spark.sql.DataFrame, c: String, vals: Seq[String]) =
+      TypeOps.encodeCategorical(df, c, vals)
+    val df1 = cat(cat(Seq(("fireman", "apple", 1), ("programmer", "banana", 2),
+      ("astronaut", "orange", 3)).toDF("jerbs", "fruits", "data"),
+      "jerbs", Seq("fireman", "programmer", "astronaut")),
+      "fruits", Seq("apple", "banana", "orange"))
+    val df2 = cat(cat(cat(Seq(("fireman", "grape", 4, "bear"),
+      ("actor", "strawberry", 5, "tiger"), ("astronaut", "cherry", 6, "sloth"))
+      .toDF("jerbs", "fruits", "data", "animals"),
+      "jerbs", Seq("fireman", "actor", "astronaut")),
+      "fruits", Seq("grape", "strawberry", "cherry")),
+      "animals", Seq("bear", "tiger", "sloth"))
+    val df3 = cat(cat(cat(Seq(("salesman", "grape", 7, "bear"),
+      ("actor", "banana", 8, "capybara"), ("programmer", "cherry", 9, "sloth"))
+      .toDF("jerbs", "fruits", "data", "animals"),
+      "jerbs", Seq("salesman", "actor", "programmer")),
+      "fruits", Seq("grape", "banana", "cherry")),
+      "animals", Seq("bear", "capybara", "sloth"))
+    val Seq(u1, u2, u3) = TypeOps.unionizeAllCategories(Seq(df1, df2, df3))
+    def cats(df: org.apache.spark.sql.DataFrame, c: String) =
+      TypeOps.categoriesOf(df, c).get.toSet
+    // categories unioned per column, identical across carrying frames
+    assert(cats(u1, "jerbs") === Set("fireman", "programmer", "astronaut",
+      "actor", "salesman"))
+    assert(cats(u1, "jerbs") === cats(u2, "jerbs") &&
+      cats(u1, "jerbs") === cats(u3, "jerbs"))
+    assert(cats(u1, "fruits") === cats(u2, "fruits") &&
+      cats(u2, "fruits") === cats(u3, "fruits"))
+    assert(cats(u2, "animals") === cats(u3, "animals"))
+    // df1 has no animals column and stays without one
+    assert(!u1.columns.contains("animals"))
+    // values survive (merged superset never nulls an in-registry value)
+    assert(u1.filter(col("jerbs").isNull).count() === 0)
+    assert(u3.filter(col("fruits").isNull).count() === 0)
+    // data columns untouched
+    assert(u2.select("data").collect().map(_.getInt(0)).sorted.toSeq === Seq(4, 5, 6))
+  }
+
   test("process_text error contracts (extractall/get_dummies/unknown raise)") {
     val df = Seq("a1", "b2").toDF("text")
     intercept[IllegalArgumentException](
