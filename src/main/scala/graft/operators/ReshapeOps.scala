@@ -535,6 +535,21 @@ object ReshapeOps {
     }.reduce(_.crossJoin(_))
   }
 
+  /** Keyless frame cross — the reference's `cartesian_product`
+    * (expand_grid.py:406; tests/functions/test_cartesian_product.py): raw
+    * rows crossed (duplicates kept), labels used as-is, and a duplicate
+    * label across inputs raises eagerly. [[expandGridFrames]] is the keyed
+    * ({key}_{col}) expand_grid form of the same cross.
+    */
+  def cartesianProduct(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "cartesian_product: empty input")
+    val all = frames.flatMap(_.columns)
+    val dups = all.diff(all.distinct).distinct
+    require(dups.isEmpty,
+      s"cartesian_product: label(s) ${dups.mkString(", ")} duplicated across inputs")
+    frames.reduce(_.crossJoin(_))
+  }
+
   /** Cartesian product of the distinct values of given columns, from the data
     * itself (reference: janitor/functions/expand_grid.py:141-405).
     */

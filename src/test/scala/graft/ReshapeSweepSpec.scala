@@ -188,6 +188,20 @@ class ReshapeSweepSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("a", "city", "year"))
   }
 
+  test("cartesian_product: raw-row cross, duplicate labels raise (test_cartesian_product.py)") {
+    import graft.operators.ReshapeOps
+    val a = Seq(1, 1, 2).toDF("x") // duplicates kept, not distinct'd
+    val b = Seq("p", "q").toDF("y")
+    val got = ReshapeOps.cartesianProduct(Seq(a, b))
+    assert(got.count() === 6)
+    assert(got.columns.toSeq === Seq("x", "y"))
+    assert(got.filter(col("x") === 1 && col("y") === "p").count() === 2)
+    intercept[IllegalArgumentException](
+      ReshapeOps.cartesianProduct(Seq(a, a)))
+    intercept[IllegalArgumentException](
+      ReshapeOps.cartesianProduct(Nil))
+  }
+
   // ---- pivot_wider ----
 
   private def checksOutput = Seq(
