@@ -85,6 +85,12 @@ object QueriesCore {
     "collapse_glue" -> ((s, d) => events(s, d)
       .select(struct(col("value").as("v"), col("user_id").as("u")).as("m"), col("event_id"))
       .collapseLevelsWith(glue = Some("{0}X{1}"))),
+    // axis="index" collapse over explicit index columns (test_glue_output's
+    // {A}{B}{C}{D} re-expressed; one narrow projection)
+    "collapse_levels_rows" -> ((s, d) => lineitem(s, d)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
+      .collapseLevelsRows(Seq("l_returnflag", "l_linestatus"),
+        glue = Some("{l_returnflag}-{l_linestatus}"))),
     // names_pattern explode (test_explode_index.py test_names_pattern),
     // collapsed back so the oracle stays flat SQL
     "explode_pattern" -> ((s, d) => events(s, d)
@@ -295,6 +301,11 @@ object QueriesCore {
     "bin_numeric" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .binNumeric("l_quantity", "qty_bin", 0d, 50d, 10)),
+    // pd.cut's labels kwarg (bin_numeric.py **kwargs; one label per bin)
+    "bin_numeric_labels" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .binNumeric("l_quantity", "qty_label", 0d, 50d, 5,
+        labels = Seq("q1", "q2", "q3", "q4", "q5"))),
     "min_max_scale" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .minMaxScale("l_extendedprice", destColumn = Some("scaled"))
@@ -572,6 +583,9 @@ object QueriesCore {
         |CAST(l_discount AS VARCHAR) AS l_discount FROM lineitem""".stripMargin,
     "collapse_glue" ->
       """SELECT value AS mXv, user_id AS mXu, event_id FROM events""",
+    "collapse_levels_rows" ->
+      """SELECT l_returnflag || '-' || l_linestatus AS index,
+        |l_orderkey, l_linenumber, l_quantity FROM lineitem""".stripMargin,
     "explode_pattern" ->
       """SELECT event_id, user_id, value FROM events""",
     "drop_constant_columns" ->
@@ -753,6 +767,10 @@ object QueriesCore {
     "bin_numeric" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |CAST(least(greatest(floor((l_quantity - 0.0) / 5.0), 0), 9) AS INTEGER) AS qty_bin
+        |FROM lineitem""".stripMargin,
+    "bin_numeric_labels" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |(['q1','q2','q3','q4','q5'])[CAST(least(greatest(floor((l_quantity - 0.0) / 10.0), 0), 4) AS INTEGER) + 1] AS qty_label
         |FROM lineitem""".stripMargin,
     "min_max_scale" ->
       """WITH m AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,

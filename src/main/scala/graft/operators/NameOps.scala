@@ -43,7 +43,11 @@ object NameOps {
       caseType: String = "lower",
       removeSpecial: Boolean = false,
       stripAccentsFlag: Boolean = true,
-      stripUnderscores: Option[String] = None): DataFrame = {
+      stripUnderscores: Option[String] = None,
+      truncateLimit: Int = 0): DataFrame = {
+    // clean_names.py:121-123: axis=None demands explicit column_names
+    require(columns.nonEmpty,
+      "Kindly provide an argument to `column_names`, if axis is None.")
     val colsSet = columns.toSet
     val projected = df.columns.map { c =>
       if (!colsSet.contains(c)) col(c)
@@ -62,7 +66,9 @@ object NameOps {
         }
         e = regexp_replace(e, "[ /:,?()\\.-]", "_")
         e = regexp_replace(e, "['’]", "")
-        if (removeSpecial) e = regexp_replace(e, "[^A-Za-z_\\d]", "")
+        e = regexp_replace(e, "[ ]", "_") // _normalize_1's third FIX
+        // remove_special pairs with .str.strip() in the reference
+        if (removeSpecial) e = trim(regexp_replace(e, "[^A-Za-z_\\d]", ""))
         if (stripAccentsFlag) e = gx.strip_accents(e)
         e = regexp_replace(e, "_+", "_")
         e = stripUnderscores match {
@@ -74,6 +80,7 @@ object NameOps {
           case Some(other) => throw new IllegalArgumentException(
             s"strip_underscores must be one of: None, left, right, both, l, r, true — got $other")
         }
+        if (truncateLimit > 0) e = substring(e, 1, truncateLimit)
         e.as(c)
       }
     }
@@ -199,6 +206,45 @@ object NameOps {
       }
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The `axis="index"` form of collapse_levels (reference:
+    * collapse_levels.py `axis` param; tests/functions/test_collapse_levels.py
+    * test_glue_output): the row MultiIndex — explicit index COLUMNS in our
+    * model (SURVEY §1.1) — collapses into one index column. `glue` is a
+    * template over `{name}` placeholders (pandas' named levels); `sep`
+    * joins the stringified level values. One narrow projection, no job.
+    */
+  def collapseLevelsRows(df: DataFrame, indexCols: Seq[String],
+      sep: Option[String] = None, glue: Option[String] = None,
+      into: String = "index"): DataFrame = {
+    require(sep.isEmpty || glue.isEmpty,
+      "Only one of sep or glue should be provided.")
+    require(indexCols.nonEmpty, "collapse_levels: no index columns")
+    indexCols.foreach(c => require(df.columns.contains(c),
+      s"collapse_levels: index column '$c' not found"))
+    val collapsed: Column = glue match {
+      case Some(g) =>
+        // split the template on {name} placeholders; literals become lit()
+        val parts = """\{([^{}]+)\}""".r.split(g) // literal chunks
+        val names = """\{([^{}]+)\}""".r.findAllMatchIn(g).map(_.group(1)).toSeq
+        names.foreach(n => require(indexCols.contains(n),
+          s"collapse_levels: glue placeholder '$n' is not an index column"))
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+        for (i <- names.indices) {
+          if (i < parts.length && parts(i).nonEmpty) pieces += lit(parts(i))
+          pieces += col(s"`${names(i)}`").cast("string")
+        }
+        if (parts.length > names.length && parts.last.nonEmpty) pieces += lit(parts.last)
+        concat(pieces.toSeq: _*)
+      case None =>
+        concat_ws(sep.getOrElse("_"), indexCols.map(c => col(s"`$c`").cast("string")): _*)
+    }
+    val firstIdx = df.columns.indexWhere(indexCols.contains)
+    val keep = df.columns.filterNot(indexCols.contains)
+    val (before, after) = keep.splitAt(firstIdx)
+    df.select((before.map(c => col(s"`$c`")) ++ Seq(collapsed.as(into)) ++
+      after.map(c => col(s"`$c`"))).toIndexedSeq: _*)
   }
 
   /** Inverse of collapseLevels: split labels on `sep` into struct columns

@@ -499,6 +499,11 @@ object ReshapeOps {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     require(inputs.nonEmpty, "expand_grid: empty input")
+    // an empty entry raises eagerly, like the reference's ValueError on
+    // empty Series/array/DataFrame entries (test_expand_grid.py
+    // test_series_empty/test_numpy_zero_d/test_dataframe_empty)
+    inputs.foreach { case (name, values) => require(values.nonEmpty,
+      s"expand_grid: entry '$name' is empty") }
     inputs.map { case (name, values) =>
       val dt: DataType = values.head match {
         case _: Int => IntegerType
@@ -530,6 +535,10 @@ object ReshapeOps {
     require(frames.nonEmpty, "expand_grid: empty input")
     val dups = frames.map(_._1).diff(frames.map(_._1).distinct).distinct
     require(dups.isEmpty, s"expand_grid: duplicate keys ${dups.mkString(", ")}")
+    // empty frame entries raise like the reference ValueError
+    // (test_expand_grid.py test_dataframe_empty); isEmpty is a limit-1 probe
+    frames.foreach { case (key, d) => require(!d.isEmpty,
+      s"expand_grid: entry '$key' is empty") }
     frames.map { case (key, d) =>
       d.select(d.columns.map(c => col(s"`$c`").as(s"${key}_$c")).toIndexedSeq: _*)
     }.reduce(_.crossJoin(_))

@@ -29,6 +29,13 @@ object TransformOps {
     */
   def findReplace(df: DataFrame, column: String, mapping: Map[Any, Any],
       matchMode: String = "exact"): DataFrame = {
+    // a null/NaN needle raises like the reference (find_replace.py:146-154;
+    // test_find_replace_null_raises_error) — equality would silently never
+    // match it; fill_empty is the null-filling verb
+    require(!mapping.keys.exists(k => k == null ||
+        (k.isInstanceOf[Double] && k.asInstanceOf[Double].isNaN) ||
+        (k.isInstanceOf[Float] && k.asInstanceOf[Float].isNaN)),
+      "find_replace: null/NaN cannot be a find value; use fill_empty instead")
     val c = col(s"`$column`")
     val replaced = matchMode match {
       case "exact" =>
@@ -86,10 +93,15 @@ object TransformOps {
   }
 
   /** Add column from scalar/expression (reference:
-    * janitor/functions/add_columns.py:18,146).
+    * janitor/functions/add_columns.py:18,146). Adding is strictly additive —
+    * an existing label raises (add_columns.py:96;
+    * test_add_column_already_exists); use transform_column to overwrite.
     */
-  def addColumn(df: DataFrame, name: String, value: Column): DataFrame =
+  def addColumn(df: DataFrame, name: String, value: Column): DataFrame = {
+    require(!df.columns.contains(name),
+      s"Attempted to add column that already exists: $name.")
     df.withColumn(name, value)
+  }
 
   /** Iterable form of add_column (reference: add_columns.py:99-129): values
     * assigned positionally; with `fillRemaining` a short list cycles to frame
@@ -103,8 +115,15 @@ object TransformOps {
   def addColumnIterable(df: DataFrame, name: String, values: Seq[Any],
       orderCol: String, fillRemaining: Boolean = false): DataFrame = {
     require(values.nonEmpty, "add_column: empty values iterable")
+    require(!df.columns.contains(name),
+      s"Attempted to add column that already exists: $name.")
+    val n = df.count()
+    // a values list LONGER than the frame raises even with fill_remaining
+    // (add_columns.py:109; test_add_column_fill_remaining_iterable)
+    require(n >= values.length,
+      s"add_column: `value` has more elements than number of rows " +
+        s"in your DataFrame ($n rows, ${values.length} values)")
     if (!fillRemaining) {
-      val n = df.count()
       require(n == values.length,
         s"add_column: attempted to add iterable of values with length not equal " +
           s"to number of DataFrame rows ($n rows, ${values.length} values); " +

@@ -190,13 +190,22 @@ object TypeOps {
 
   /** Labeled fixed-width bins (reference: janitor/functions/bin_numeric.py:19).
     * Pure expression (`floor`), no MLlib fit pass — scales and streams.
+    * `labels` is pd.cut's labels kwarg: one per bin, wrong length raises
+    * (pd.cut ValueError; test_bin_numeric_kwargs_has_no_retbins' sibling
+    * check). retbins has no lazy analog and is unsupported by design.
     */
   def binNumeric(df: DataFrame, column: String, newColumnName: String,
-      lo: Double, hi: Double, bins: Int): DataFrame = {
+      lo: Double, hi: Double, bins: Int, labels: Seq[String] = Nil): DataFrame = {
+    require(labels.isEmpty || labels.length == bins,
+      s"bin_numeric: number of labels (${labels.length}) must equal number " +
+        s"of bins ($bins)")
     val c = col(s"`$column`")
     val width = (hi - lo) / bins
     val idx = least(greatest(floor((c - lo) / width), lit(0)), lit(bins - 1))
-    df.withColumn(newColumnName, when(c.isNull, null).otherwise(idx.cast("int")))
+    val out =
+      if (labels.isEmpty) idx.cast("int")
+      else element_at(array(labels.map(lit): _*), idx.cast("int") + 1)
+    df.withColumn(newColumnName, when(c.isNull, null).otherwise(out))
   }
 
   /** Scale to [newMin,newMax] (reference:
@@ -265,6 +274,9 @@ object TypeOps {
     require(scale > 0, s"jitter: `scale` must be greater than 0, got $scale")
     clip.foreach { case (lo, hi) => require(lo < hi,
       s"jitter: `clip[0]` must be less than `clip[1]`, got ($lo, $hi)") }
+    // the column to jitter must be numeric (test_datatypes_check)
+    require(df.schema(column).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"jitter: column '$column' must be numeric, got ${df.schema(column).dataType.sql}")
     val noisy = col(s"`$column`") + randn(seed) * scale
     val clipped = clip.map { case (lo, hi) =>
       least(greatest(noisy, lit(lo)), lit(hi))

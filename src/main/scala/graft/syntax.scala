@@ -21,9 +21,9 @@ object syntax {
       NameOps.cleanNames(df, caseType, removeSpecial, stripAccents, stripUnderscores, truncateLimit)
     def cleanNamesValues(columns: Seq[String], caseType: String = "lower",
         removeSpecial: Boolean = false, stripAccents: Boolean = true,
-        stripUnderscores: Option[String] = None): DataFrame =
+        stripUnderscores: Option[String] = None, truncateLimit: Int = 0): DataFrame =
       NameOps.cleanNamesValues(df, columns, caseType, removeSpecial,
-        stripAccents, stripUnderscores)
+        stripAccents, stripUnderscores, truncateLimit)
     def renameColumn(old: String, newName: String): DataFrame = NameOps.renameColumn(df, old, newName)
     def renameColumns(mapping: Map[String, String] = Map.empty, fn: Option[String => String] = None): DataFrame =
       NameOps.renameColumns(df, mapping, fn)
@@ -38,6 +38,9 @@ object syntax {
     def collapseLevels(sep: String = "_"): DataFrame = NameOps.collapseLevels(df, sep)
     def collapseLevelsWith(sep: Option[String] = None, glue: Option[String] = None): DataFrame =
       NameOps.collapseLevelsWith(df, sep, glue)
+    def collapseLevelsRows(indexCols: Seq[String], sep: Option[String] = None,
+        glue: Option[String] = None, into: String = "index"): DataFrame =
+      NameOps.collapseLevelsRows(df, indexCols, sep, glue, into)
     def explodeIndex(sep: String = "_"): DataFrame = NameOps.explodeIndex(df, sep)
     def explodeIndexPattern(namesPattern: String): DataFrame =
       NameOps.explodeIndexPattern(df, namesPattern)
@@ -144,8 +147,9 @@ object syntax {
         castNonNumeric, fillAllNonNumeric, removeNonNumeric)
     def roundToFraction(column: String, denominator: Double, digits: Option[Int] = None): DataFrame =
       TypeOps.roundToFraction(df, column, denominator, digits)
-    def binNumeric(column: String, newColumnName: String, lo: Double, hi: Double, bins: Int): DataFrame =
-      TypeOps.binNumeric(df, column, newColumnName, lo, hi, bins)
+    def binNumeric(column: String, newColumnName: String, lo: Double, hi: Double,
+        bins: Int, labels: Seq[String] = Nil): DataFrame =
+      TypeOps.binNumeric(df, column, newColumnName, lo, hi, bins, labels)
     def minMaxScale(column: String, newMin: Double = 0d, newMax: Double = 1d,
         destColumn: Option[String] = None): DataFrame =
       TypeOps.minMaxScale(df, column, newMin, newMax, destColumn)
@@ -173,8 +177,10 @@ object syntax {
       * (SURVEY §1.1), so this is a cast of that column. */
     def changeIndexDtype(orderCol: String, dtype: String): DataFrame =
       TypeOps.changeType(df, orderCol, dtype)
+    /** add_columns loops add_column, so the exists-raise propagates
+      * (add_columns.py:146-208). */
     def addColumns(values: Map[String, Column]): DataFrame =
-      values.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+      values.foldLeft(df) { case (acc, (n, c)) => TransformOps.addColumn(acc, n, c) }
 
     // §2.9 transforms
     def caseWhenSql(targetColumn: String, condsAndValues: Seq[(String, Any)], default: Any): DataFrame =

@@ -164,6 +164,12 @@ class FidelitySweepSpec extends SparkSpec {
       graft.operators.ReshapeOps.expandGridFrames(Seq("A" -> a, "A" -> b)))
     intercept[IllegalArgumentException](
       graft.operators.ReshapeOps.expandGridFrames(Nil))
+    // empty entries raise eagerly like the reference ValueError
+    // (test_expand_grid.py test_series_empty / test_dataframe_empty)
+    intercept[IllegalArgumentException](graft.operators.ReshapeOps.expandGrid(
+      spark, Seq("x" -> Seq.empty[Any])))
+    intercept[IllegalArgumentException](graft.operators.ReshapeOps.expandGridFrames(
+      Seq("A" -> Seq(1).toDF("a"), "B" -> Seq(1).toDF("b").filter(lit(false)))))
   }
 
   test("deconcatenate_column autoname overrides new names with col1..N") {

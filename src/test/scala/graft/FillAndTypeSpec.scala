@@ -115,6 +115,27 @@ class FillAndTypeSpec extends SparkSpec {
     assert(out == Seq(0, 9, 9, null))
   }
 
+  test("binNumeric labels: pd.cut labels kwarg with the length check") {
+    val d = Seq(Some(0.0), Some(25.0), Some(50.0), None).toDF("v")
+    val out = d.binNumeric("v", "bin", 0, 50, 5, labels = Seq("a", "b", "c", "d", "e"))
+      .collect().map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    assert(out == Seq("a", "c", "e", null))
+    // wrong label count raises (pd.cut ValueError; bin_numeric **kwargs)
+    intercept[IllegalArgumentException](
+      d.binNumeric("v", "bin", 0, 50, 5, labels = Seq("a", "b")))
+  }
+
+  test("findReplace raises on a null/NaN needle (test_find_replace_null_raises_error)") {
+    val d = Seq(Some(1.0), None).toDF("a")
+    intercept[IllegalArgumentException](
+      d.findReplace("a", Map((Double.NaN: Any) -> 5.0)))
+    intercept[IllegalArgumentException](
+      d.findReplace("a", Map((null: Any) -> 5.0)))
+    // invalid match mode raises (test_find_replace_regex_match_raises_error)
+    intercept[IllegalArgumentException](
+      d.findReplace("a", Map((1.0: Any) -> 2.0), matchMode = "bla"))
+  }
+
   test("encodeCategorical registry reads back") {
     val d = Seq("x").toDF("c").encodeCategorical("c", Seq("x", "y", "z"), ordered = true)
     assert(operators.TypeOps.categoriesOf(d, "c").contains(Seq("x", "y", "z")))

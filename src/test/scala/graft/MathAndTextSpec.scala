@@ -41,6 +41,30 @@ class MathAndTextSpec extends SparkSpec {
     }
   }
 
+  test("add_column raises on existing labels and oversize iterables (test_add_column)") {
+    val d = Seq((1, "p"), (2, "q")).toDF("ord", "x")
+    // test_add_column_already_exists: adding an existing label raises
+    val err = intercept[IllegalArgumentException](d.addColumn("x", lit(1)))
+    assert(err.getMessage.contains("already exists"))
+    intercept[IllegalArgumentException](
+      d.addColumnIterable("x", Seq("a", "b"), "ord"))
+    // add_columns loops add_column, so the raise propagates (plural form)
+    intercept[IllegalArgumentException](
+      d.addColumns(Map("y" -> lit(2), "x" -> lit(3))))
+    // test_add_column_too_many: a LONGER list raises even with fill_remaining
+    intercept[IllegalArgumentException](
+      d.addColumnIterable("tag", Seq("a", "b", "c"), "ord", fillRemaining = true))
+    // the happy plural path still appends in order
+    assert(d.addColumns(Map("y" -> lit(2))).columns.toSeq == Seq("ord", "x", "y"))
+  }
+
+  test("jitter raises eagerly on a non-numeric column (test_datatypes_check)") {
+    val d = Seq((1, "city")).toDF("a", "cities")
+    intercept[IllegalArgumentException](d.jitter("cities", "out", 1.0))
+    intercept[IllegalArgumentException](d.jitter("a", "out", -5.0))
+    intercept[IllegalArgumentException](d.jitter("a", "out", 1.0, Some((10.0, 5.0))))
+  }
+
   test("sigmoid/logit inverse relationship") {
     val d = Seq(0.2, 0.5, 0.9).toDF("p")
     val out = d.select(MathFunctions.sigmoid(MathFunctions.logit(col("p"))).as("r"))

@@ -116,6 +116,36 @@ class NameOpsSpec extends SparkSpec {
     assert(round.collect()(0).getDouble(1) == 2.0)
   }
 
+  test("collapse_levels axis=index collapses explicit index columns (test_glue_output)") {
+    // the mi_index fixture's {A}{B}{C}{D} glue, re-expressed over explicit
+    // index columns: values concatenate per row with no separator
+    val df = Seq(("A0", "B0", "C0", "D0", 1), ("A1", "B1", "C1", "D1", 2))
+      .toDF("A", "B", "C", "D", "v")
+    val glued = df.collapseLevelsRows(Seq("A", "B", "C", "D"),
+      glue = Some("{A}{B}{C}{D}"))
+    assert(glued.columns.toSeq == Seq("index", "v"))
+    assert(glued.orderBy("v").collect().map(_.getString(0)).toSeq ==
+      Seq("A0B0C0D0", "A1B1C1D1"))
+    // glue templates carry literals between placeholders
+    val custom = df.collapseLevelsRows(Seq("A", "B"), glue = Some("{A}-{B}!"))
+    assert(custom.orderBy("v").collect().map(_.getString(0)).head == "A0-B0!")
+    // sep form joins stringified level values
+    val sepped = df.collapseLevelsRows(Seq("A", "B"), sep = Some("_"))
+    assert(sepped.orderBy("v").collect().map(_.getString(0)).head == "A0_B0")
+    // the collapsed column lands at the first index column's position
+    val moved = Seq((1, "x", "y", 2.0)).toDF("v1", "A", "B", "v2")
+      .collapseLevelsRows(Seq("A", "B"), sep = Some("_"))
+    assert(moved.columns.toSeq == Seq("v1", "index", "v2"))
+    // sep+glue exclusion holds on the row axis too (test_sep_and_glue)
+    intercept[IllegalArgumentException](
+      df.collapseLevelsRows(Seq("A"), sep = Some("_"), glue = Some("_")))
+    // unknown placeholder / unknown index column raise
+    intercept[IllegalArgumentException](
+      df.collapseLevelsRows(Seq("A"), glue = Some("{Z}")))
+    intercept[IllegalArgumentException](
+      df.collapseLevelsRows(Seq("nope"), sep = Some("_")))
+  }
+
   test("collapse_levels glue template and sep/glue exclusion (test_glue_output)") {
     val df = Seq((1, 2.0, "z")).toDF("id", "m_v", "m_k").explodeIndex("_")
     assert(df.collapseLevelsWith(glue = Some("{0}.{1}!")).columns.toSeq ==
@@ -137,5 +167,25 @@ class NameOpsSpec extends SparkSpec {
   test("cleanNamesValues cleans cell values not labels") {
     val df = Seq(Tuple1("A b-C")).toDF("v")
     assert(df.cleanNamesValues(Seq("v")).collect()(0).getString(0) == "a_b_c")
+  }
+
+  test("cleanNamesValues matches the reference value-mode matrix") {
+    // test_clean_column_values: "Abçdê fgí j" -> "abcde_fgi_j"
+    val raw = Seq(Tuple1("Abçdê fgí j")).toDF("raw")
+    assert(raw.cleanNamesValues(Seq("raw")).collect()(0).getString(0) == "abcde_fgi_j")
+    // axis=None + column_names=None raises (clean_names.py:121-123)
+    val err = intercept[IllegalArgumentException](raw.cleanNamesValues(Seq.empty))
+    assert(err.getMessage.contains("Kindly provide an argument to `column_names`"))
+    // NBSP is _normalize_1's third FIX; remove_special pairs with strip()
+    val nbsp = Seq(Tuple1("a b")).toDF("v")
+    assert(nbsp.cleanNamesValues(Seq("v")).collect()(0).getString(0) == "a_b")
+    // spaces become _ BEFORE remove_special's strip(), so edges survive
+    val special = Seq(Tuple1(" keep me ")).toDF("v")
+    assert(special.cleanNamesValues(Seq("v"), removeSpecial = true)
+      .collect()(0).getString(0) == "_keep_me_")
+    // truncate_limit applies to values too (_clean_names is shared)
+    val long = Seq(Tuple1("bell chart")).toDF("v")
+    assert(long.cleanNamesValues(Seq("v"), truncateLimit = 7)
+      .collect()(0).getString(0) == "bell_ch")
   }
 }
