@@ -190,9 +190,18 @@ object JoinOps {
           .withColumn("__keep",
             col("__lid").isNotNull && col("__rid").isNotNull && col("__rn") === 1)
         // one Window exec: identical partition+order specs let Spark fuse
-        // the full-frame max and the running row_number into a single sort
-        val w2 = Window.partitionBy(col("__rid")).orderBy(col("__lid").asc_nulls_last)
-        val flagged = marked
+        // the full-partition max and the running row_number into a single
+        // sort. Unmatched LEFT rows (how=outer) all carry a null __rid —
+        // the same hot-partition class as the null-__lid rows above, salted
+        // the same way: their window results are ignored by the filter
+        // (`__rid.isNull` passes them through), and real right rows pin to
+        // salt 0, keeping exact demote semantics.
+        val resalted = marked.withColumn("__rid_salt",
+          when(col("__rid").isNull, pmod(monotonically_increasing_id(), lit(1024)))
+            .otherwise(lit(0L)))
+        val w2 = Window.partitionBy(col("__rid"), col("__rid_salt"))
+          .orderBy(col("__lid").asc_nulls_last)
+        val flagged = resalted
           .withColumn("__rkept",
             max(when(col("__keep"), 1).otherwise(0)).over(
               w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -204,7 +213,7 @@ object JoinOps {
           col("__lid").isNull || col("__rid").isNull || col("__keep") || demoted)
         out = toNull.foldLeft(out)((acc, c) =>
           acc.withColumn(c, when(demoted, lit(null)).otherwise(col(s"`$c`"))))
-        joined = out.drop("__rn", "__keep_salt", "__keep", "__rkept", "__rn2")
+        joined = out.drop("__rn", "__keep_salt", "__keep", "__rkept", "__rn2", "__rid_salt")
       }
     }
     // output assembly (conditional_join.py:1174-1196): select each side's
