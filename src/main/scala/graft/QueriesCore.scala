@@ -101,6 +101,8 @@ object QueriesCore {
       .addColumn("const_col", lit(1))
       .addColumn("all_null", lit(null).cast("int"))
       .dropConstantColumns()),
+    // nth_index=0 drops the FIRST occurrence and keeps the rest
+    // (drop_duplicate_columns.py doctest) — the surviving q is l_discount
     "drop_duplicate_columns" -> ((s, d) => {
       val li = lineitem(s, d)
       li.select(col("l_orderkey"), col("l_linenumber"),
@@ -591,7 +593,7 @@ object QueriesCore {
     "drop_constant_columns" ->
       """SELECT * FROM lineitem""",
     "drop_duplicate_columns" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity AS q FROM lineitem""",
+      """SELECT l_orderkey, l_linenumber, l_discount AS q FROM lineitem""",
     "filter_string" ->
       """SELECT * FROM part WHERE regexp_matches(p_name, '^red')""",
     "filter_on" ->

@@ -87,6 +87,41 @@ object Dedup {
       graft.functions.vector.minhash_sig(tokens(col(textCol)), numHashes, shingleN).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** Pick (numBands, rowsPerBand) for a target Jaccard threshold by
+    * minimizing the weighted false-positive + false-negative area under the
+    * banding S-curve P(hit | j) = 1-(1-j^r)^b (Mining of Massive Datasets
+    * §3.4.3; the same optimization datasketch's MinHashLSH runs). Driver-side
+    * pure math over the divisor pairs of `numPerm` — no job. Returns the
+    * (b, r) whose integrated error is smallest; `fpWeight`/`fnWeight` bias
+    * toward precision (candidates are verified exactly downstream, so the
+    * default leans slightly FN-averse like the verify-then-threshold
+    * pipeline wants).
+    */
+  def lshParams(threshold: Double, numPerm: Int,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"lshParams: threshold in (0,1), got $threshold")
+    require(numPerm >= 2, s"lshParams: numPerm >= 2, got $numPerm")
+    val steps = 1000
+    def hit(j: Double, b: Int, r: Int): Double = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    def areas(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val j = (i + 0.5) / steps
+        val p = hit(j, b, r)
+        if (j < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fp * fpWeight + fn * fnWeight) / steps
+    }
+    val candidates = for {
+      r <- 1 to numPerm
+      b = numPerm / r
+      if b >= 1
+    } yield (b, r)
+    candidates.minBy { case (b, r) => areas(b, r) }
+  }
+
   /** Per-band hashes of a MinHash signature — the LSH blocking key. One
     * array element per band: xxhash64 of that band's signature slice.
     * Shared by the batch pair pipeline and the streaming near-dup flagger

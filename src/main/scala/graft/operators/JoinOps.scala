@@ -191,15 +191,22 @@ object JoinOps {
             col("__lid").isNotNull && col("__rid").isNotNull && col("__rn") === 1)
         // one Window exec: identical partition+order specs let Spark fuse
         // the full-partition max and the running row_number into a single
-        // sort. Unmatched LEFT rows (how=outer) all carry a null __rid —
-        // the same hot-partition class as the null-__lid rows above, salted
-        // the same way: their window results are ignored by the filter
-        // (`__rid.isNull` passes them through), and real right rows pin to
-        // salt 0, keeping exact demote semantics.
-        val resalted = marked.withColumn("__rid_salt",
-          when(col("__rid").isNull, pmod(monotonically_increasing_id(), lit(1024)))
-            .otherwise(lit(0L)))
-        val w2 = Window.partitionBy(col("__rid"), col("__rid_salt"))
+        // sort. Unmatched LEFT rows (how=outer ONLY) all carry a null
+        // __rid — the same hot-partition class as the null-__lid rows
+        // above, salted the same way: their window results are ignored by
+        // the filter (`__rid.isNull` passes them through), and real right
+        // rows pin to salt 0, keeping exact demote semantics. how=right
+        // cannot produce a null __rid, so it skips the salt entirely — the
+        // nondeterministic-id projection measurably taxes that path
+        // (isolated 1.9 → 4.7 s at sf0.1 when salted unconditionally).
+        val resalted =
+          if (how == "outer") marked.withColumn("__rid_salt",
+            when(col("__rid").isNull, pmod(monotonically_increasing_id(), lit(1024)))
+              .otherwise(lit(0L)))
+          else marked
+        val w2 =
+          (if (how == "outer") Window.partitionBy(col("__rid"), col("__rid_salt"))
+           else Window.partitionBy(col("__rid")))
           .orderBy(col("__lid").asc_nulls_last)
         val flagged = resalted
           .withColumn("__rkept",

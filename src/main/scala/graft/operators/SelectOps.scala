@@ -300,7 +300,14 @@ object SelectOps {
   def dropDuplicateColumns(df: DataFrame, name: String, nth: Int = 0): DataFrame = {
     val idxs = df.columns.zipWithIndex.filter(_._1 == name).map(_._2)
     require(idxs.nonEmpty, s"Column '$name' not found")
-    val dropIdx = idxs.patch(nth, Nil, 1).toSet // keep nth, drop the rest
+    // the reference drops ONLY the nth occurrence and keeps the rest
+    // (drop_duplicate_columns.py doctest: nth_index=1 over a,b,a,a keeps
+    // a,b,a; tests/functions/test_drop_duplicate_columns.py); an
+    // out-of-range nth raises like the reference IndexError
+    require(nth >= 0 && nth < idxs.length,
+      s"drop_duplicate_columns: nth_index $nth out of range for " +
+        s"${idxs.length} occurrence(s) of '$name'")
+    val dropIdx = Set(idxs(nth))
     val keepCols = df.schema.fields.zipWithIndex.collect {
       case (f, i) if !dropIdx.contains(i) => (f, i)
     }

@@ -29,6 +29,31 @@ class LlmSpec extends SparkSpec {
     assert(agree > 16, s"near-dup signatures should mostly agree, got $agree/32")
   }
 
+  test("lshParams picks S-curve-optimal banding (MMDS 3.4.3)") {
+    // higher thresholds demand longer bands (steeper curve further right)
+    val (b1, r1) = Dedup.lshParams(0.5, 128)
+    val (b2, r2) = Dedup.lshParams(0.9, 128)
+    assert(b1 * r1 <= 128 && b2 * r2 <= 128)
+    assert(r2 > r1, s"threshold 0.9 should use more rows/band than 0.5: $r1 vs $r2")
+    assert(b1 > b2, s"threshold 0.5 should use more bands than 0.9: $b1 vs $b2")
+    // the chosen curve crosses ~50% hit probability near the threshold:
+    // the S-curve midpoint (1/b)^(1/r) sits within 0.15 of the target
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9); perm <- Seq(64, 128, 256)) {
+      val (b, r) = Dedup.lshParams(t, perm)
+      val midpoint = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(midpoint - t) < 0.15,
+        s"threshold $t perm $perm chose (b=$b,r=$r) with midpoint $midpoint")
+    }
+    // our long-standing gate default (32 bands × 4 rows = 128 perms) has
+    // S-curve midpoint (1/32)^(1/4) ≈ 0.42 — the tuner recovers it for
+    // thresholds in that zone
+    val (b3, r3) = Dedup.lshParams(0.42, 128, fpWeight = 0.5, fnWeight = 0.5)
+    assert(r3 >= 3 && r3 <= 5 && b3 * r3 <= 128,
+      s"expected ~ (32,4) for threshold 0.42, got ($b3,$r3)")
+    intercept[IllegalArgumentException](Dedup.lshParams(1.0, 128))
+    intercept[IllegalArgumentException](Dedup.lshParams(0.5, 1))
+  }
+
   test("minhashDupPairs finds planted near-duplicates") {
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base + " tail"), (3L, "completely different words here now"))

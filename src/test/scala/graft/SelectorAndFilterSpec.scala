@@ -102,6 +102,27 @@ class SelectorAndFilterSpec extends SparkSpec {
     assert(out == Map(1 -> 99, 2 -> 20))
   }
 
+  test("dropDuplicateColumns drops only the nth occurrence (reference matrix)") {
+    // tests/functions/test_drop_duplicate_columns.py: the pandas fixture has
+    // columns a,b,a,a after clean_names(remove_special); built positionally
+    // here since toDF allows duplicate labels
+    def dup = Seq((0, 0, 10, 20), (1, 1, 11, 21)).toDF("a", "b", "a", "a")
+    // default nth_index=0 drops the FIRST a -> b, a(=A), a(=a*)
+    val d0 = dup.dropDuplicateColumns("a")
+    assert(d0.columns.toSeq == Seq("b", "a", "a"))
+    assert(d0.orderBy(col("b")).collect()(0).toSeq == Seq(0, 10, 20))
+    // nth_index=1 drops the SECOND a -> a, b, a(=a*)
+    val d1 = dup.dropDuplicateColumns("a", nth = 1)
+    assert(d1.columns.toSeq == Seq("a", "b", "a"))
+    assert(d1.orderBy(col("b")).collect()(0).toSeq == Seq(0, 0, 20))
+    // nth_index=2 drops the THIRD -> a, b, a(=A)
+    val d2 = dup.dropDuplicateColumns("a", nth = 2)
+    assert(d2.columns.toSeq == Seq("a", "b", "a"))
+    assert(d2.orderBy(col("b")).collect()(0).toSeq == Seq(0, 0, 10))
+    // out-of-range nth raises like the reference IndexError
+    intercept[IllegalArgumentException](dup.dropDuplicateColumns("a", nth = 3))
+  }
+
   test("dropConstantColumns keeps all-distinct, drops constant and all-null") {
     val d = Seq((1, 7, Option.empty[Int]), (2, 7, None)).toDF("a", "b", "c")
     assert(d.dropConstantColumns().columns.toSeq == Seq("a"))
