@@ -127,16 +127,41 @@ object JoinOps {
     def rname(c: String): String = if (overlap.contains(c)) s"right_$c" else c
 
     val needLeftId = keep != "all"
+    // a purely non-equi TWO-SIDED RANGE (x >= lo && x <= hi on one numeric
+    // left column) would plan as an O(|l|·|r|) BroadcastNestedLoop — the
+    // sf1 smoke lane measured the right+keep gate at 195 s (≈100× its
+    // sf0.1 time, the quadratic signature). Detect the shape and route the
+    // join itself through [[rangeJoin]]'s banded machinery (band equi-join
+    // + exact residual + anti-join complements — results identical); the
+    // keep/demote logic downstream only inspects the joined frame.
+    def numeric(df: DataFrame, c: String) =
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bandPattern: Option[(String, String, String, Boolean, Boolean)] =
+      if (conditions.length == 2 && conditions.map(_._1).distinct.length == 1 &&
+          conditions.map(_._2).distinct.length == 2 &&
+          numeric(left, conditions.head._1) &&
+          conditions.forall(c => numeric(right, c._2))) {
+        val x = conditions.head._1
+        val loC = conditions.find(c => c._3 == ">=" || c._3 == ">")
+        val hiC = conditions.find(c => c._3 == "<=" || c._3 == "<")
+        (loC, hiC) match {
+          case (Some(lo), Some(hi)) =>
+            Some((x, rname(lo._2), rname(hi._2), lo._3 == ">=", hi._3 == "<="))
+          case _ => None
+        }
+      } else None
     // a purely non-equi condition set plans as BroadcastNestedLoop whose
     // parallelism is the STREAMED side's partition count — single-partition
     // inputs (one small parquet file) would run on one thread. Which side
     // streams depends on `how` (right/outer stream the right side), so both
     // sides are widened; the broadcast side's repartition is dropped by the
-    // exchange planning, costing nothing.
+    // exchange planning, costing nothing. The banded path shuffles on the
+    // band key anyway and skips the widening.
     val hasEqui = conditions.exists(_._3 == "==")
+    val widen = !hasEqui && bandPattern.isEmpty
     val par = left.sparkSession.sparkContext.defaultParallelism
-    val l0 = if (hasEqui) left else left.repartition(par)
-    val r0 = if (hasEqui) r else r.repartition(par)
+    val l0 = if (widen) left.repartition(par) else left
+    val r0 = if (widen) r.repartition(par) else r
     val l = if (needLeftId) l0.withColumn("__lid", monotonically_increasing_id()) else l0
 
     val cond = conditions.map { case (lc, rc, op) =>
@@ -150,10 +175,63 @@ object JoinOps {
     // reference recomputes the right indexer from the post-keep indices
     // (conditional_join.py:1333-1341,1384-1386), it does not drop the row
     val needRid = keep != "all" && (how == "right" || how == "outer")
-    val rMark = if (needRid)
-      rMark0.withColumn("__rid", monotonically_increasing_id()) else rMark0
+    // the banded keep path consumes rMark through several lineages (rep
+    // aggregate, join, non-rep anti-join); mono ids are only stable for a
+    // fixed layout, so pin them (same hazard rangeJoin pins internally)
+    val rMark = if (needRid) {
+      val withId = rMark0.withColumn("__rid", monotonically_increasing_id())
+      if (bandPattern.isDefined) withId.localCheckpoint() else withId
+    } else rMark0
 
-    var joined = lMark.join(rMark, cond, how)
+    var joined = bandPattern match {
+      case Some((x, lo, hi, loInc, hiInc)) =>
+        // lMark/rMark names are disjoint (overlap pre-renamed), so
+        // rangeJoin's own rename is a no-op and its output equals
+        // lMark.join(rMark, cond, how) column-for-column.
+        //
+        // keep != "all" additionally reduces the right side to ONE
+        // representative row per DISTINCT interval before the join: the
+        // keep order is (lo, hi, restCols...), so within an interval the
+        // winner is always the interval's min (first) / max (last) row —
+        // the kept match per left row can only ever be a representative.
+        // This keeps the join output at |left|·(matching DISTINCT
+        // intervals) instead of |left|·(matching right rows): the sf1
+        // smoke lane measured the unreduced form at 124-300 s (≈100× the
+        // sf0.1 time — the output itself is quadratic in scale when both
+        // sides grow) vs linear after the reduction. Non-representative
+        // rows can never win a keep race; under how=right/outer each
+        // surfaces exactly once as a right_only row, which is precisely
+        // the reference's demote outcome for them.
+        val base =
+          if (keep == "all") rMark
+          else {
+            val condC = Seq(lo, hi)
+            val restR = r.columns.filterNot(condC.contains).toSeq
+            val asc = keep == "first"
+            // per-field (null-flag, value) pairs encode asc_nulls_last /
+            // desc_nulls_last inside a lexicographic struct min/max
+            val keyFields: Seq[Column] = restR.zipWithIndex.flatMap { case (c, i) =>
+              val flag = if (asc) col(s"`$c`").isNull else col(s"`$c`").isNotNull
+              Seq(flag.as(s"__kf$i"), col(s"`$c`").as(s"__kv$i"))
+            }
+            val payload = struct(rMark.columns.map(c => col(s"`$c`")).toIndexedSeq: _*).as("__row")
+            val kstruct = struct((keyFields :+ payload): _*)
+            rMark.groupBy(col(s"`$lo`"), col(s"`$hi`"))
+              .agg((if (asc) min(kstruct) else max(kstruct)).as("__k"))
+              .select(col("__k.__row.*"))
+          }
+        val j0 = rangeJoin(lMark, base, x, lo, hi, how = how,
+          loInclusive = loInc, hiInclusive = hiInc)
+        if (keep != "all" && needRid) {
+          val nonRep = rMark.join(base.select(col("__rid")), Seq("__rid"), "left_anti")
+          val nulledLeft = lMark.columns.map(c =>
+            lit(null).cast(lMark.schema(c).dataType).as(c))
+          j0.unionByName(nonRep.select(
+            (nulledLeft ++ nonRep.columns.map(c => col(s"`$c`"))).toIndexedSeq: _*)
+            .select(j0.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+        } else j0
+      case None => lMark.join(rMark, cond, how)
+    }
 
     if (keep != "all") {
       // order by the right join columns, then every remaining right column in

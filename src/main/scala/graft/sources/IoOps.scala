@@ -15,6 +15,36 @@ object IoOps {
     */
   def readCsvs(spark: SparkSession, pathGlob: String, header: Boolean = true,
       schema: Option[String] = None, withSourceFile: Boolean = false): DataFrame = {
+    // reference contracts (tests/io/test_read_csvs.py): an empty glob raises
+    // (test_read_csvs_zero_csv_path), and files whose headers disagree raise
+    // (test_read_csvs_two_unmatching_csv_files) — Spark alone would silently
+    // read the odd file's rows under the first file's schema. One readLine
+    // per matched file, driver-side; the same per-file touch the reference's
+    // pd.read_csv loop pays, and it skips entirely when a schema is given.
+    val hPath = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a directory path expands to its data files, and hidden/_SUCCESS
+    // entries are skipped — the same file set Spark's reader consumes
+    def dataFile(p: org.apache.hadoop.fs.Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    val statuses = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
+      .filter(st => st.isFile && dataFile(st.getPath))
+    require(statuses.nonEmpty, s"read_csvs: no files match $pathGlob")
+    if (header && schema.isEmpty && statuses.length > 1) {
+      val headers = statuses.map { st =>
+        val in = fs.open(st.getPath)
+        try {
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+            in, java.nio.charset.StandardCharsets.UTF_8))
+          st.getPath.getName -> Option(br.readLine()).getOrElse("")
+        } finally in.close()
+      }
+      val mismatched = headers.filter(_._2 != headers.head._2)
+      require(mismatched.isEmpty,
+        s"read_csvs: header mismatch across files — '${headers.head._1}' has " +
+          s"'${headers.head._2}' but ${mismatched.map(_._1).mkString(", ")} differ")
+    }
     var reader = spark.read.option("header", header.toString)
     reader = schema.map(reader.schema).getOrElse(reader.option("inferSchema", "true"))
     val df = reader.csv(pathGlob)

@@ -10,6 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class BandJoinRuleSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
+    // withExtensions+getOrCreate silently returns an ACTIVE session
+    // (extensions ignored) when another suite ran first in this JVM —
+    // clear both pointers so the extension session really gets built
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-bandrule-test")

@@ -291,6 +291,23 @@ class ConditionalJoinSweepSpec extends SparkSpec {
   test("eq strings + gt number (test_eq_strings)") {
     check(Seq(("C", "Strings", "=="), ("A", "Integers", ">")))
   }
+  test("two-sided numeric range: banded keep reduction keeps value parity") {
+    // this shape (one numeric left column between two distinct numeric
+    // right columns) routes the join through rangeJoin's banded machinery
+    // and, for keep=first/last, the per-distinct-interval representative
+    // reduction — every how × keep combo must match the brute enumerator
+    // (fixtures carry null bounds, null payloads, duplicate-ish intervals)
+    for (how <- Seq("inner", "left", "right", "outer");
+         keep <- Seq("all", "first", "last"))
+      check(Seq(("B", "Integers", ">="), ("B", "Numeric", "<=")),
+        how = how, keep = keep)
+    // indicator riding the reduced path: demoted/unmatched marks intact
+    check(Seq(("B", "Integers", ">="), ("B", "Numeric", "<=")),
+      how = "outer", keep = "first", indicator = true)
+    check(Seq(("B", "Integers", ">"), ("B", "Numeric", "<")),
+      how = "right", keep = "last", indicator = true)
+  }
+
   test("multi-condition keep first/last (test_multiple_non_eq_first/last)") {
     check(Seq(("A", "Integers", "<="), ("E", "Dates", "<")), keep = "first")
     check(Seq(("A", "Integers", "<="), ("E", "Dates", "<")), keep = "last")

@@ -120,6 +120,23 @@ class DomainAndIoSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v", "source_file"))
   }
 
+  test("readCsvs raises on empty globs and mismatched headers (test_read_csvs)") {
+    // test_read_csvs_zero_csv_path: no files -> raise
+    intercept[IllegalArgumentException](
+      IoOps.readCsvs(spark, "target/tmp/nofilesondisk_*.csv"))
+    // test_read_csvs_two_unmatching_csv_files: differing headers -> raise
+    val dir = new java.io.File("target/tmp/readcsvs_mismatch")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(dir, "f0.csv").toPath, "a,b,c\n1,2,3\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "f1.csv").toPath, "d,e,f\n1,2,3\n")
+    val err = intercept[IllegalArgumentException](
+      IoOps.readCsvs(spark, dir.getAbsolutePath + "/*.csv"))
+    assert(err.getMessage.contains("header mismatch"))
+    // matching headers still read fine without an explicit schema
+    java.nio.file.Files.writeString(new java.io.File(dir, "f1.csv").toPath, "a,b,c\n4,5,6\n")
+    assert(IoOps.readCsvs(spark, dir.getAbsolutePath + "/*.csv").count() == 2)
+  }
+
   test("xlsx readers raise on a missing file") {
     intercept[Exception](IoOps.xlsxTable(spark, "target/tmp/nope.xlsx", "t"))
     intercept[Exception](IoOps.xlsxCells(spark, "target/tmp/nope.xlsx"))
