@@ -308,6 +308,12 @@ object QueriesCore {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .binNumeric("l_quantity", "qty_label", 0d, 50d, 5,
         labels = Seq("q1", "q2", "q3", "q4", "q5"))),
+    // pd.cut parity: data-derived edges, RIGHT-closed, lowest included
+    // (empirically matched against the reference; TypeOps.binNumericCut)
+    "bin_numeric_cut" -> ((s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .binNumericCut("l_quantity", "qty_label", 5,
+        labels = Seq("q1", "q2", "q3", "q4", "q5"))),
     "min_max_scale" -> ((s, d) => lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .minMaxScale("l_extendedprice", destColumn = Some("scaled"))
@@ -774,6 +780,13 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |(['q1','q2','q3','q4','q5'])[CAST(least(greatest(floor((l_quantity - 0.0) / 10.0), 0), 4) AS INTEGER) + 1] AS qty_label
         |FROM lineitem""".stripMargin,
+    "bin_numeric_cut" ->
+      """WITH m AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
+        |  (CAST(max(l_quantity) AS DOUBLE) - CAST(min(l_quantity) AS DOUBLE)) / 5.0 AS w
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity,
+        |(['q1','q2','q3','q4','q5'])[CAST(least(greatest(ceil((l_quantity - m.mn) / m.w) - 1, 0), 4) AS INTEGER) + 1] AS qty_label
+        |FROM lineitem, m""".stripMargin,
     "min_max_scale" ->
       """WITH m AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
         |  CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem)

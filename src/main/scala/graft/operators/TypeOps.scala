@@ -208,6 +208,42 @@ object TypeOps {
     df.withColumn(newColumnName, when(c.isNull, null).otherwise(out))
   }
 
+  /** pd.cut-parity form of bin_numeric (reference: bin_numeric.py wraps
+    * pd.cut; empirically verified against it): with an integer bin count,
+    * edges come from the DATA min/max (linspace), intervals are
+    * RIGHT-closed, and the lowest value is included (pandas stretches the
+    * first edge by 0.1% of the range). The bin index is
+    * ceil((v - min)/w) - 1 clamped to [0, bins-1] — exactly pd.cut's
+    * assignment for uniform integer bins (v = min lands in bin 0, each
+    * edge value in the LOWER bin). One bounded min/max aggregate + one
+    * codegen projection. Without labels the column is the 0-based bin
+    * code (pandas' Interval dtype has no Spark analog — documented
+    * divergence, same class as categorical dtype).
+    */
+  def binNumericCut(df: DataFrame, column: String, newColumnName: String,
+      bins: Int, labels: Seq[String] = Nil): DataFrame = {
+    require(bins > 0, s"bin_numeric: bins must be positive, got $bins")
+    require(labels.isEmpty || labels.length == bins,
+      s"bin_numeric: number of labels (${labels.length}) must equal number " +
+        s"of bins ($bins)")
+    val c = col(s"`$column`")
+    val row = df.agg(min(c).cast("double"), max(c).cast("double")).collect()(0)
+    // all-null / empty input: every bin is null, like pd.cut on all-NaN
+    if (row.isNullAt(0))
+      return df.withColumn(newColumnName,
+        lit(null).cast(if (labels.isEmpty) "int" else "string"))
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    // degenerate single-value range: pandas widens by ±0.1%; every row
+    // falls in one bin — bin 0 here
+    val w = if (mx > mn) (mx - mn) / bins else 1.0
+    val idx = least(greatest(ceil((c - mn) / w).cast("int") - 1, lit(0)),
+      lit(bins - 1))
+    val out =
+      if (labels.isEmpty) idx
+      else element_at(array(labels.map(lit): _*), idx + 1)
+    df.withColumn(newColumnName, when(c.isNull, null).otherwise(out))
+  }
+
   /** Scale to [newMin,newMax] (reference:
     * janitor/functions/min_max_scale.py:21,150-191). One min/max aggregate
     * (driver scalar) + arithmetic projection.

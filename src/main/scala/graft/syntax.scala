@@ -150,6 +150,9 @@ object syntax {
     def binNumeric(column: String, newColumnName: String, lo: Double, hi: Double,
         bins: Int, labels: Seq[String] = Nil): DataFrame =
       TypeOps.binNumeric(df, column, newColumnName, lo, hi, bins, labels)
+    def binNumericCut(column: String, newColumnName: String, bins: Int,
+        labels: Seq[String] = Nil): DataFrame =
+      TypeOps.binNumericCut(df, column, newColumnName, bins, labels)
     def minMaxScale(column: String, newMin: Double = 0d, newMax: Double = 1d,
         destColumn: Option[String] = None): DataFrame =
       TypeOps.minMaxScale(df, column, newMin, newMax, destColumn)

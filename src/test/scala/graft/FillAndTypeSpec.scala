@@ -125,6 +125,32 @@ class FillAndTypeSpec extends SparkSpec {
       d.binNumeric("v", "bin", 0, 50, 5, labels = Seq("a", "b")))
   }
 
+  test("binNumericCut matches pd.cut assignment (empirically verified)") {
+    // reference run: v=[0,5,10,25,49.9,50], bins=5, labels a..e
+    //  -> bins (-0.05,10] (10,20] (20,30] (30,40] (40,50]
+    //  -> a, a, a, c, e, e  (10.0 is right-CLOSED into the first bin)
+    val d = Seq(Some(0.0), Some(5.0), Some(10.0), Some(25.0), Some(49.9),
+      Some(50.0), None).toDF("v")
+    val out = d.binNumericCut("v", "bin", 5, labels = Seq("a", "b", "c", "d", "e"))
+      .collect().map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    assert(out == Seq("a", "a", "a", "c", "e", "e", null))
+    // without labels: the 0-based bin code (Interval dtype divergence)
+    val codes = d.binNumericCut("v", "bin", 5)
+      .collect().map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+    assert(codes == Seq(0, 0, 0, 2, 4, 4, null))
+    // all-null column: every bin null, like pd.cut on all-NaN
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+      .binNumericCut("v", "bin", 3).collect().map(_.isNullAt(1)).toSeq
+    assert(allNull == Seq(true, true))
+    // constant column: single-value range, everything in bin 0
+    val const = Seq(7.0, 7.0).toDF("v").binNumericCut("v", "bin", 3)
+      .collect().map(_.getInt(1)).toSeq
+    assert(const == Seq(0, 0))
+    intercept[IllegalArgumentException](d.binNumericCut("v", "bin", 0))
+    intercept[IllegalArgumentException](
+      d.binNumericCut("v", "bin", 3, labels = Seq("x")))
+  }
+
   test("findReplace raises on a null/NaN needle (test_find_replace_null_raises_error)") {
     val d = Seq(Some(1.0), None).toDF("a")
     intercept[IllegalArgumentException](
