@@ -110,14 +110,24 @@ object TypeOps {
     // test_single_column_fail_factorize_columns)
     require(df.columns.contains(column),
       s"factorize_columns: column '$column' not in dataframe")
-    val firstSeen = df.groupBy(col(s"`$column`").as("__v"))
+    // pd.factorize parity (empirically verified against the reference):
+    // null/NaN gets code -1 and does NOT occupy a code slot — codes rank
+    // only the non-null uniques in first-appearance order
+    val c = col(s"`$column`")
+    val isNullish = df.schema(column).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => c.isNull || isnan(c)
+      case _ => c.isNull
+    }
+    val firstSeen = df.filter(!isNullish).groupBy(c.as("__v"))
       .agg(min(col(s"`$orderCol`")).as("__first"))
       .withColumn("__one", lit(1L))
     val codes = ScaleWindows.runningSum(firstSeen, "__first", "__one", "__rank")
       .select(col("__v"), (col("__rank") - 1).cast("int").as("__code"))
     df.join(codes, df(column) === codes("__v"), "left")
       .drop("__v")
-      .withColumnRenamed("__code", column + suffix)
+      .withColumn(column + suffix, coalesce(col("__code"), lit(-1)))
+      .drop("__code")
   }
 
   /** Currency string → numeric (reference:

@@ -277,6 +277,23 @@ class FidelitySweepSpec extends SparkSpec {
       TypeOps.factorizeColumns(d, "c", "id"))
   }
 
+  test("factorize: null/NaN gets -1 and never occupies a code slot (pd.factorize parity)") {
+    import graft.operators.TypeOps
+    // empirically verified against the reference: ['b', None, 'a', 'c', 'b']
+    // factorizes to [0, -1, 1, 2, 0] — the null neither shifts later codes
+    // nor gets a null code
+    val d = Seq((1, Some("b")), (2, None), (3, Some("a")), (4, Some("c")),
+      (5, Some("b"))).toDF("ord", "foo")
+    val out = TypeOps.factorizeColumns(d, "foo", "ord")
+      .orderBy("ord").collect().map(_.getInt(2)).toSeq
+    assert(out == Seq(0, -1, 1, 2, 0))
+    // double NaN behaves like null (pandas isna)
+    val dd = Seq((1, 2.0), (2, Double.NaN), (3, 5.0), (4, 2.0)).toDF("ord", "x")
+    val outD = TypeOps.factorizeColumns(dd, "x", "ord")
+      .orderBy("ord").collect().map(_.getInt(2)).toSeq
+    assert(outD == Seq(0, -1, 1, 0))
+  }
+
   test("impute: statistic aliases match the reference's expected sets") {
     // missingdata a = [1, 2, null] * 3
     val d = Seq(Some(1.0), Some(2.0), None, Some(1.0), Some(2.0), None,
