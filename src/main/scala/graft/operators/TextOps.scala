@@ -29,8 +29,23 @@ object TextOps {
       case "startswith" => c.startsWith(s(0))
       case "endswith" => c.endsWith(s(0))
       case "find" => instr(c, s(0)) - 1
-      case "slice" => substring(c, i(0) + 1, i(1) - i(0)) // python slice [a,b)
-      case "get" => substring(c, i(0) + 1, 1)
+      case "slice" =>
+        // full python slice semantics (empirically verified against the
+        // reference): negative indices count from the end and clamp to
+        // [0, len]; a missing stop means len
+        val len = length(c)
+        def bound(raw: Int): Column = {
+          val b = lit(raw)
+          if (raw >= 0) least(b, len) else greatest(len + b, lit(0))
+        }
+        val st = bound(i(0))
+        val en = if (args.length > 1) bound(i(1)) else len
+        c.substr(st + 1, greatest(en - st, lit(0)))
+      case "get" =>
+        // .str.get: negative = from the end; out of range either way -> null
+        val len = length(c)
+        val pos = if (i(0) >= 0) lit(i(0) + 1) else len + i(0) + 1
+        when(pos >= 1 && pos <= len, c.substr(pos, lit(1))).otherwise(lit(null))
       case "replace" => regexp_replace(c, s(0), s(1))
       case "extract" => regexp_extract(c, s(0), if (args.length > 1) i(1) else 1)
       case "split" => split(c, s(0))

@@ -110,6 +110,23 @@ class MathAndTextSpec extends SparkSpec {
     def run(m: String, args: Seq[Any] = Nil) =
       d.select(TextOps.strMethod(c, m, args)).collect()(0)
     assert(run("slice", Seq(0, 2)).getString(0) == "ab")
+    // full python slice/get semantics (empirically pinned against the
+    // reference): negative indices from the end, clamped; missing stop =
+    // len; get out of range -> null
+    def runOn(v: String, m: String, args: Seq[Any]) =
+      Seq(v).toDF("s").select(TextOps.strMethod(col("s"), m, args)).collect()(0)
+    assert(runOn("abcdef", "slice", Seq(-3)).getString(0) == "def")
+    assert(runOn("xy", "slice", Seq(-3)).getString(0) == "xy")
+    assert(runOn("abcdef", "slice", Seq(1, 3)).getString(0) == "bc")
+    assert(runOn("xy", "slice", Seq(1, 3)).getString(0) == "y")
+    assert(runOn("abcdef", "slice", Seq(-4, -1)).getString(0) == "cde")
+    assert(runOn("xy", "slice", Seq(-4, -1)).getString(0) == "x")
+    assert(runOn("", "slice", Seq(-3)).getString(0) == "")
+    assert(runOn("abcdef", "get", Seq(1)).getString(0) == "b")
+    assert(runOn("x", "get", Seq(1)).isNullAt(0))
+    assert(runOn("abcdef", "get", Seq(-1)).getString(0) == "f")
+    assert(runOn("", "get", Seq(-1)).isNullAt(0))
+    assert(runOn("abcdef", "get", Seq(9)).isNullAt(0))
     assert(run("zfill", Seq(10)).getString(0) == "00ab cd ab")
     assert(run("title").getString(0) == "Ab Cd Ab")
     assert(run("count", Seq("ab")).getInt(0) == 2)
