@@ -597,7 +597,7 @@ object QueriesCore {
     "explode_pattern" ->
       """SELECT event_id, user_id, value FROM events""",
     "drop_constant_columns" ->
-      """SELECT * FROM lineitem""",
+      """SELECT *, CAST(NULL AS INTEGER) AS all_null FROM lineitem""",
     "drop_duplicate_columns" ->
       """SELECT l_orderkey, l_linenumber, l_discount AS q FROM lineitem""",
     "filter_string" ->

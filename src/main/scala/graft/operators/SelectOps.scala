@@ -277,19 +277,30 @@ object SelectOps {
     * projection dropping single-valued columns.
     */
   def dropConstantColumns(df: DataFrame): DataFrame = {
-    val aggs = df.columns.flatMap(c => Seq(
-      min(col(s"`$c`")).cast("string").as(s"__min_$c"),
-      max(col(s"`$c`")).cast("string").as(s"__max_$c"),
-      count(col(s"`$c`")).as(s"__cnt_$c"),
-      count(lit(1)).as(s"__n_$c")))
+    // pandas parity (empirically verified against the reference): a column
+    // drops iff nunique() == 1 — ONE distinct non-null value, nulls/NaN
+    // ignored — so constants-with-gaps drop and ALL-null columns survive
+    // (nunique 0 != 1). min==max over the null/NaN-masked column decides
+    // single-distinct without a count_distinct (whose multi-column form
+    // would EXPAND the scan |columns|-fold).
+    val aggs = df.columns.flatMap { c =>
+      val base = col(s"`$c`")
+      val nn = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          when(isnan(base), lit(null)).otherwise(base)
+        case _ => base
+      }
+      Seq(min(nn).cast("string").as(s"__min_$c"),
+        max(nn).cast("string").as(s"__max_$c"),
+        count(nn).as(s"__cnt_$c"))
+    }
     val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val keep = df.columns.filter { c =>
       val mn = row.getAs[String](s"__min_$c")
       val mx = row.getAs[String](s"__max_$c")
       val cnt = row.getAs[Long](s"__cnt_$c")
-      val n = row.getAs[Long](s"__n_$c")
-      // constant iff: no nulls and min==max, or all nulls
-      !((cnt == n && mn != null && mn == mx) || cnt == 0)
+      !(cnt > 0 && mn != null && mn == mx)
     }
     df.select(keep.map(n => col(s"`$n`")).toIndexedSeq: _*)
   }

@@ -123,9 +123,17 @@ class SelectorAndFilterSpec extends SparkSpec {
     intercept[IllegalArgumentException](dup.dropDuplicateColumns("a", nth = 3))
   }
 
-  test("dropConstantColumns keeps all-distinct, drops constant and all-null") {
+  test("dropConstantColumns: nunique==1 drops; all-null survives (pandas parity)") {
+    // empirically verified against the reference: nunique() counts distinct
+    // NON-null values, so an all-null column (nunique 0) is KEPT and a
+    // constant-with-gaps column (nunique 1) is DROPPED
     val d = Seq((1, 7, Option.empty[Int]), (2, 7, None)).toDF("a", "b", "c")
-    assert(d.dropConstantColumns().columns.toSeq == Seq("a"))
+    assert(d.dropConstantColumns().columns.toSeq == Seq("a", "c"))
+    val gaps = Seq((1, Some(5.0)), (2, None), (3, Some(5.0))).toDF("a", "g")
+    assert(gaps.dropConstantColumns().columns.toSeq == Seq("a"))
+    // double NaN counts as missing, like pandas isna
+    val nans = Seq((1, 5.0), (2, Double.NaN), (3, 5.0)).toDF("a", "g")
+    assert(nans.dropConstantColumns().columns.toSeq == Seq("a"))
   }
 
   test("moveColumn before/after") {
