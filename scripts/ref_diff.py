@@ -30,7 +30,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object or str(df[c].dtype) == "category":
-            df[c] = df[c].astype(str)
+            df[c] = df[c].where(df[c].notna(), "\u2205").astype(str)
         elif str(df[c].dtype).startswith(("int", "Int", "uint", "float", "bool")):
             df[c] = df[c].astype("float64").round(6)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -44,8 +44,10 @@ def main():
         return pd.read_parquet(f"{sf_dir}/{name}.parquet")
 
     lineitem, orders, nation = t("lineitem"), t("orders"), t("nation")
+    part = t("part")
     events = t("events")
-    li3 = lineitem[["l_orderkey", "l_linenumber", "l_quantity"]]
+    def li3():
+        return lineitem[["l_orderkey", "l_linenumber", "l_quantity"]].copy()
 
     def with_v_qty():
         # impute gates: v = l_quantity where l_discount > 0.03
@@ -82,7 +84,7 @@ def main():
             .flag_nulls(column_name="any_null", columns=["v1", "v2"]),
         "factorize_columns": lambda: events[["event_id", "event_type"]]
             .sort_values("event_id").factorize_columns(column_names="event_type"),
-        "groupby_agg": lambda: li3.groupby_agg(
+        "groupby_agg": lambda: li3().groupby_agg(
             by="l_orderkey", agg="sum", agg_column_name="l_quantity",
             new_column_name="sum_qty"),
         # take_first: ours breaks l_shipdate ties with (l_orderkey,
@@ -97,10 +99,10 @@ def main():
             ["l_orderkey", "l_linenumber", "l_extendedprice"]
         ].round_to_fraction(column_name="l_extendedprice", denominator=4),
         "currency_column_to_numeric": lambda: _currency(),
-        "bin_numeric_cut": lambda: li3.bin_numeric(
+        "bin_numeric_cut": lambda: li3().bin_numeric(
             from_column_name="l_quantity", to_column_name="qty_label", bins=5,
             labels=["q1", "q2", "q3", "q4", "q5"]),
-        "limit_column_characters": lambda: li3.limit_column_characters(5),
+        "limit_column_characters": lambda: li3().limit_column_characters(5),
         "concatenate_columns": lambda: nation.concatenate_columns(
             column_names=["n_name", "n_regionkey"], new_column_name="combined",
             sep="-"),
@@ -109,7 +111,89 @@ def main():
         "drop_constant_columns": lambda: lineitem
             .assign(const_col=1, all_null=pd.Series(dtype="float64"))
             .drop_constant_columns(),
+        # ---- batch 2 ----
+        "rename_column": lambda: li3().rename_column("l_quantity", "qty"),
+        "rename_columns": lambda: li3().rename_columns(function=str.upper),
+        "remove_columns": lambda: lineitem.remove_columns(
+            ["l_tax", "l_returnflag", "l_linestatus"]),
+        "reorder_columns": lambda: lineitem.reorder_columns(
+            ["l_quantity", "l_orderkey"]),
+        "move": lambda: lineitem.move(source="l_quantity", target="l_orderkey",
+                                      position="before", axis=1),
+        "filter_string": lambda: part.filter_string(
+            column_name="p_name", search_string="^red"),
+        "filter_on": lambda: lineitem.filter_on(
+            "l_quantity > 30 and l_discount < 0.05"),
+        "filter_date": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_shipdate"]
+        ].filter_date(column_name="l_shipdate", years=[1997], months=[1, 2, 3]),
+        "filter_column_isin": lambda: orders.filter_column_isin(
+            column_name="o_orderpriority", iterable=["1-URGENT", "2-HIGH"]),
+        "update_where": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_discount"]
+        ].update_where("l_discount > 0.05", "flag", 1),
+        "case_when": lambda: li3().case_when(
+            "l_quantity < 10", "low", "l_quantity < 30", "mid", "high",
+            column_name="qty_class"),
+        "count_cumulative_unique": lambda: events[["event_id", "user_id"]]
+            .sort_values("event_id").count_cumulative_unique(
+                column_name="user_id", dest_column_name="cum_unique"),
+        # groupby_topk ties break positionally in pandas vs our deterministic
+        # tiebreak — compare the value-determined columns only
+        "groupby_topk": lambda: lineitem[["l_returnflag", "l_extendedprice"]]
+            .groupby_topk("l_returnflag", "l_extendedprice", 3, ascending=False,
+                          ignore_index=True),
+        "sort_column_value_order": lambda: _svo(),
+        "fill_direction": lambda: events[["event_id", "event_type"]]
+            .assign(v=events.value.where(events.event_type == "click"))
+            .sort_values("event_id").fill_direction(v="down"),
+        "change_type": lambda: li3().change_type("l_quantity", int),
+        "to_datetime": lambda: _to_datetime(),
+        "convert_excel_date": lambda: lineitem[["l_orderkey", "l_linenumber"]]
+            .assign(serial=(30000 + lineitem.l_orderkey % 10000))
+            .convert_excel_date("serial"),
+        "convert_unix_date": lambda: events[["event_id"]]
+            .assign(epoch=1700000000 + events.event_id).convert_unix_date("epoch"),
+        "truncate_datetime": lambda: _truncate_dt(),
+        "groupby_agg_dropna": lambda: lineitem[["l_orderkey", "l_linenumber"]]
+            .assign(flag=lineitem.l_returnflag.where(lineitem.l_returnflag != "N"),
+                    l_quantity=lineitem.l_quantity)
+            .groupby_agg(by="flag", agg="sum", agg_column_name="l_quantity",
+                         new_column_name="sum_qty", dropna=True),
+        "min_max_scale_jointly": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"]
+        ].min_max_scale(column_name=["l_extendedprice", "l_quantity"],
+                        jointly=True),
+        "math_zscore": lambda: _zscore(),
     }
+
+    def _svo():
+        order = ["signup", "click", "view", "purchase", "error"]
+        rank = {v: i for i, v in enumerate(order)}
+        d = events[["event_id", "event_type"]].copy()
+        d["type_rank"] = d.event_type.map(rank)
+        return d.sort_column_value_order(
+            "event_type", {v: i for i, v in enumerate(order)})
+
+    def _to_datetime():
+        d = lineitem[["l_orderkey", "l_linenumber"]].copy()
+        d["ship_str"] = pd.to_datetime(lineitem.l_shipdate).dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        return d.to_datetime("ship_str", format="%Y-%m-%d %H:%M:%S")
+
+    def _truncate_dt():
+        from janitor.functions.truncate_datetime import truncate_datetime_dataframe
+        d = events[["event_id", "ts"]].copy()
+        d["ts"] = pd.to_datetime(d.ts)
+        out = truncate_datetime_dataframe(d, "HOUR")
+        out["ts_hour"] = out.pop("ts").dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out
+
+    def _zscore():
+        d = lineitem[["l_orderkey", "l_linenumber", "l_extendedprice"]].copy()
+        s = d.l_extendedprice
+        d["z"] = ((s - s.mean()) / s.std() * 1e6).round(0).astype("int64")
+        return d.drop(columns="l_extendedprice")
 
     def _mms():
         d = lineitem[["l_orderkey", "l_linenumber", "l_extendedprice"]].copy()
@@ -132,6 +216,7 @@ def main():
     # covers only the value-determined subset of the gate's columns
     ours_proj = {
         "take_first": lambda d: d[["l_partkey", "l_shipdate"]],
+        "groupby_topk": lambda d: d[["l_returnflag", "l_extendedprice"]],
     }
 
     matched, failures, skipped = 0, [], []
