@@ -1,0 +1,3 @@
+# minimal scipy.special shim for the differential harness: the standard
+# textbook definitions via numpy, enough for janitor.math
+from . import special  # noqa: F401

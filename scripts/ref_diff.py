@@ -165,7 +165,47 @@ def main():
         ].min_max_scale(column_name=["l_extendedprice", "l_quantity"],
                         jointly=True),
         "math_zscore": lambda: _zscore(),
+        # ---- batch 3 ----
+        "change_types": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+        ].change_type(["l_quantity", "l_discount"], str),
+        "toset": lambda: pd.DataFrame(
+            {"l_returnflag": sorted(set(lineitem.l_returnflag.toset()))}),
+        "convert_matlab_date": lambda: events[["event_id"]]
+            .assign(datenum=738000.0 + events.event_id % 100 + 0.5)
+            .convert_matlab_date("datenum"),
+        "math_sigmoid": lambda: _sigmoid(),
+        "math_logit": lambda: _logit(),
+        "flag_jumps": lambda: _flag_jumps(),
+        "pivot_longer": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+        ].pivot_longer(index=["l_orderkey", "l_linenumber"],
+                       names_to="name", values_to="value"),
+        "expand_column": lambda: lineitem[["l_orderkey", "l_linenumber"]]
+            .assign(labels=lineitem.l_returnflag + "," + lineitem.l_linestatus)
+            .expand_column(column_name="labels", sep=","),
     }
+
+    def _sigmoid():
+        import janitor.math  # noqa: F401  (registers Series .sigmoid)
+        d = lineitem[["l_orderkey", "l_linenumber", "l_discount"]].copy()
+        d["sig"] = (d.l_discount.sigmoid() * 1e10).round(0).astype("int64")
+        return d
+
+    def _logit():
+        import janitor.math  # noqa: F401
+        d = lineitem[["l_orderkey", "l_linenumber"]].copy()
+        d["p"] = lineitem.l_discount + 0.01
+        d["lg"] = (d.p.logit() * 1e10).round(0).astype("int64")
+        return d
+
+    def _flag_jumps():
+        from janitor.timeseries import flag_jumps
+        d = events[["event_id", "value"]].sort_values("event_id") \
+            .set_index("event_id")
+        out = flag_jumps(d, scale="absolute", direction="any", threshold=10.0)
+        out = out.reset_index().rename(columns={"value_jump_flag": "jump"})
+        return out
 
     def _svo():
         order = ["signup", "click", "view", "purchase", "error"]
