@@ -184,7 +184,39 @@ def main():
         "expand_column": lambda: lineitem[["l_orderkey", "l_linenumber"]]
             .assign(labels=lineitem.l_returnflag + "," + lineitem.l_linestatus)
             .expand_column(column_name="labels", sep=","),
+        # ---- batch 4 ----
+        "select_columns": lambda: lineitem.select_columns("*key"),
+        "pivot_wider": lambda: _pivot_wider(),
+        "complete": lambda: events.groupby(["user_id", "event_type"])
+            .size().reset_index(name="n")
+            .complete("user_id", "event_type", fill_value={"n": 0}),
+        "complete_literals": lambda: nationless_region()
+            .complete({"r_regionkey": [0, 1, 2, 3, 4, 5, 6]},
+                      fill_value={"r_name": "none"}),
+        "math_ecdf": lambda: _ecdf(),
     }
+
+    def nationless_region():
+        return t("region")[["r_regionkey", "r_name"]]
+
+    def _pivot_wider():
+        d = orders[["o_custkey", "o_orderstatus", "o_totalprice"]] \
+            .groupby(["o_custkey", "o_orderstatus"]).sum().reset_index() \
+            .pivot(index="o_custkey", columns="o_orderstatus",
+                   values="o_totalprice").reset_index()
+        d.columns.name = None
+        for c in ("F", "O", "P"):
+            d[c] = (d[c] * 1e4).round(0).astype("Int64")
+        return d
+
+    def _ecdf():
+        # reference janitor ecdf is a Series->arrays helper; the GATE's
+        # contract is the classic ECDF rank/n per row — replicate with the
+        # same average-free definition (rank method="max" / n)
+        d = lineitem[["l_orderkey", "l_linenumber", "l_quantity"]].copy()
+        n = len(d)
+        d["p"] = (d.l_quantity.rank(method="max") / n).round(6)
+        return d
 
     def _sigmoid():
         import janitor.math  # noqa: F401  (registers Series .sigmoid)
