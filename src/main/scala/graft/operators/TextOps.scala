@@ -217,8 +217,18 @@ object TextOps {
       .map(p => newColumnNames.indices.map(i => s"$p${i + 1}"))
       .getOrElse(newColumnNames)
     val parts = split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))
+    // the reference raises when the split yields a different column count
+    // than new_column_names (deconcatenate_column.py:132-137); a lazy
+    // codegen raise_error branch keeps the contract without an eager
+    // validation scan — silently truncating extra parts hid bad seps
+    val guarded = when(size(parts) === names.length, parts)
+      .otherwise(raise_error(concat(
+        lit(s"deconcatenate_column: number of new column names (${names.length}) " +
+          s"does not match the number of split parts ("),
+        size(parts).cast("string"), lit(s") for value '"), col(s"`$column`"),
+        lit("'"))))
     val withParts = names.zipWithIndex.foldLeft(df) { case (acc, (n, idx)) =>
-      acc.withColumn(n, parts.getItem(idx))
+      acc.withColumn(n, guarded.getItem(idx))
     }
     if (preservePosition) {
       // the reference splices the new columns in at the original column's

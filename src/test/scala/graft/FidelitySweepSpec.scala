@@ -182,6 +182,21 @@ class FidelitySweepSpec extends SparkSpec {
     assert(out.orderBy("col1").collect()(0).getString(2) == "x")
   }
 
+  test("deconcatenate_column raises when the split count differs from the names") {
+    // the reference raises on a part-count mismatch
+    // (deconcatenate_column.py:132-137); ours guards lazily with a codegen
+    // raise_error branch instead of silently truncating extra parts
+    val bad = Seq("a-b-c").toDF("index")
+    val err = intercept[Exception](
+      bad.deconcatenateColumn("index", "-", Seq("a", "b")).collect())
+    assert(err.getMessage.contains("does not match") ||
+      Option(err.getCause).exists(_.getMessage.contains("does not match")))
+    // exact-count rows still deconcatenate fine
+    val ok = Seq("a-b", "c-d").toDF("index")
+      .deconcatenateColumn("index", "-", Seq("p", "q"))
+    assert(ok.orderBy("p").collect()(0).getString(2) == "b")
+  }
+
   test("log/logit error modes match tests/math/test_log.py and test_logit.py") {
     import graft.functions.MathFunctions
     val s = Seq(0.0, 1.0, 2.0, 3.0, -1.0).toDF("x")
