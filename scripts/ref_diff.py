@@ -194,7 +194,25 @@ def main():
             .complete({"r_regionkey": [0, 1, 2, 3, 4, 5, 6]},
                       fill_value={"r_name": "none"}),
         "math_ecdf": lambda: _ecdf(),
+        # normal_cdf / probit are rows-only in the DuckDB gate (no erf
+        # there) — THIS harness closes that gap: the reference runs on
+        # scipy.stats.norm shimmed with the stdlib's exact NormalDist
+        "math_normal_cdf": lambda: _normal_cdf(),
+        "math_probit": lambda: _probit(),
     }
+
+    def _normal_cdf():
+        import janitor.math  # noqa: F401
+        d = lineitem[["l_orderkey", "l_linenumber", "l_discount"]].copy()
+        d["v"] = ((d.l_discount * 10 - 0.5).normal_cdf() * 1e6) \
+            .round(0).astype("int64")
+        return d
+
+    def _probit():
+        import janitor.math  # noqa: F401
+        d = lineitem[["l_orderkey", "l_linenumber", "l_discount"]].copy()
+        d["v"] = ((d.l_discount + 0.01).probit() * 1e6).round(0).astype("int64")
+        return d
 
     def nationless_region():
         return t("region")[["r_regionkey", "r_name"]]
