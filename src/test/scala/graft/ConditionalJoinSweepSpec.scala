@@ -291,6 +291,35 @@ class ConditionalJoinSweepSpec extends SparkSpec {
   test("eq strings + gt number (test_eq_strings)") {
     check(Seq(("C", "Strings", "=="), ("A", "Integers", ">")))
   }
+  test("banded keep reduction: randomized parity across seeds (property)") {
+    // fresh random fixtures per seed — nulls, DUPLICATE intervals (few
+    // distinct (lo, hi) pairs so the representative reduction really
+    // engages), inverted/empty intervals — each how×keep combo against
+    // the brute enumerator
+    for (seed <- Seq(1, 7, 13)) {
+      val r = new scala.util.Random(seed)
+      val l = (0 until 25).map { i =>
+        (i.toLong, if (r.nextInt(6) == 0) None else Some(r.nextInt(40) / 2.0))
+      }.toDF("lid", "x")
+      val rr = (0 until 20).map { i =>
+        val lo = (r.nextInt(8) * 2).toDouble // few distinct -> dup intervals
+        (i.toLong,
+          if (r.nextInt(7) == 0) None else Some(lo),
+          if (r.nextInt(7) == 0) None
+          else Some(lo + (r.nextInt(4) - 1) * 3.0)) // sometimes hi < lo
+      }.toDF("rid", "lo", "hi")
+      for (how <- Seq("inner", "left", "right", "outer");
+           keep <- Seq("first", "last")) {
+        val conds: Seq[JoinOps.Cond] =
+          Seq(("x", "lo", ">="), ("x", "hi", "<="))
+        val actual = l.conditionalJoin(rr, conds, how, keep)
+        assert(canon(rowsOf(actual)) ===
+          canon(expectedRows(l, rr, conds, how, keep)),
+          s"seed=$seed how=$how keep=$keep")
+      }
+    }
+  }
+
   test("two-sided numeric range: banded keep reduction keeps value parity") {
     // this shape (one numeric left column between two distinct numeric
     // right columns) routes the join through rangeJoin's banded machinery
