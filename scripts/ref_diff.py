@@ -199,7 +199,40 @@ def main():
         # scipy.stats.norm shimmed with the stdlib's exact NormalDist
         "math_normal_cdf": lambda: _normal_cdf(),
         "math_probit": lambda: _probit(),
+        # ---- batch 5 ----
+        "filter_date_range": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_shipdate"]
+        ].filter_date(column_name="l_shipdate",
+                      start_date="1997-06-01", end_date="1997-08-31"),
+        "groupby_agg_nunique": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_returnflag"]
+        ].groupby_agg(by="l_orderkey", agg="nunique",
+                      agg_column_name="l_returnflag", new_column_name="n_flags"),
+        "count_cumulative_unique_ci": lambda: _ccu_ci(),
+        "fill_direction_downup": lambda: events[["event_id", "event_type"]]
+            .assign(v=events.value.where(events.event_type == "click"))
+            .sort_values("event_id").fill_direction(v="downup"),
+        "find_replace_regex": lambda: events[["event_id", "event_type"]]
+            .find_replace(match="regex",
+                          event_type={"^cl": "KL", "ew$": "EW"}),
+        "filter_string_complement": lambda: events[["event_id", "event_type"]]
+            .filter_string(column_name="event_type",
+                           search_string="^(click|view)$", complement=True),
+        "take_first_desc": lambda: lineitem[["l_partkey", "l_shipdate"]]
+            .take_first(subset=["l_partkey"], by="l_shipdate", ascending=False),
+        "groupby_topk_asc": lambda: lineitem[["l_returnflag", "l_extendedprice"]]
+            .groupby_topk("l_returnflag", "l_extendedprice", 3, ascending=True,
+                          ignore_index=True),
+        "expand": lambda: lineitem.expand("l_returnflag", "l_linestatus"),
     }
+
+    def _ccu_ci():
+        d = events[["event_id"]].copy()
+        d["etype"] = np.where(events.event_id % 2 == 0,
+                              events.event_type.str.upper(), events.event_type)
+        return d.sort_values("event_id").count_cumulative_unique(
+            column_name="etype", dest_column_name="cum_unique",
+            case_sensitive=False)
 
     def _normal_cdf():
         import janitor.math  # noqa: F401
@@ -306,7 +339,9 @@ def main():
     # covers only the value-determined subset of the gate's columns
     ours_proj = {
         "take_first": lambda d: d[["l_partkey", "l_shipdate"]],
+        "take_first_desc": lambda d: d[["l_partkey", "l_shipdate"]],
         "groupby_topk": lambda d: d[["l_returnflag", "l_extendedprice"]],
+        "groupby_topk_asc": lambda d: d[["l_returnflag", "l_extendedprice"]],
     }
 
     matched, failures, skipped = 0, [], []

@@ -702,7 +702,9 @@ object QueriesCore {
     // only the first without the 'g' flag — anchors make both a single match
     "find_replace_regex" ->
       """SELECT event_id,
-        |regexp_replace(regexp_replace(event_type, '^cl', 'KL'), 'ew$', 'EW') AS event_type
+        |CASE WHEN regexp_matches(event_type, '^cl') THEN 'KL'
+        |     WHEN regexp_matches(event_type, 'ew$') THEN 'EW'
+        |     ELSE event_type END AS event_type
         |FROM events""".stripMargin,
     "filter_string_complement" ->
       """SELECT event_id, event_type FROM events

@@ -44,8 +44,14 @@ object TransformOps {
           case (Some(acc), (k, v)) => Some(acc.when(c === lit(k), lit(v)))
         }.map(_.otherwise(c)).getOrElse(c)
       case "regex" =>
+        // the reference's regex mode replaces the ENTIRE cell whenever the
+        // pattern matches anywhere (find_replace.py:174-177:
+        // str.contains(k) -> assign v), applied sequentially per pattern
+        // against the current value — NOT a substring regexp_replace
+        // (empirically verified: {'^cl': 'KL'} maps 'click' to 'KL').
+        // Pass an ordered Map (ListMap) when pattern order matters.
         mapping.foldLeft(c) { case (acc, (k, v)) =>
-          regexp_replace(acc, k.toString, v.toString)
+          when(acc.rlike(k.toString), lit(v)).otherwise(acc)
         }
       case other => throw new IllegalArgumentException(s"find_replace: bad match $other")
     }

@@ -160,6 +160,15 @@ class FillAndTypeSpec extends SparkSpec {
     // invalid match mode raises (test_find_replace_regex_match_raises_error)
     intercept[IllegalArgumentException](
       d.findReplace("a", Map((1.0: Any) -> 2.0), matchMode = "bla"))
+    // regex mode replaces the WHOLE cell on a pattern match
+    // (find_replace.py:174-177 str.contains -> assign; the doctest's
+    // {'coffee$': 'latte'} turns 'ice coffee' into 'latte', not
+    // 'ice latte' — empirically verified against the reference)
+    val orders = Seq("ice coffee", "lemonade", "regular coffee").toDF("order")
+    val replaced = orders.findReplace("order",
+        Map(("coffee$": Any) -> "latte"), matchMode = "regex")
+      .collect().map(_.getString(0)).toSeq
+    assert(replaced == Seq("latte", "lemonade", "latte"))
   }
 
   test("encodeCategorical registry reads back") {
