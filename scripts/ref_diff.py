@@ -224,7 +224,25 @@ def main():
             .groupby_topk("l_returnflag", "l_extendedprice", 3, ascending=True,
                           ignore_index=True),
         "expand": lambda: lineitem.expand("l_returnflag", "l_linestatus"),
+        "expand_mixed": lambda: lineitem.expand(
+            ["l_returnflag", "l_linestatus"], {"year": [1, 2, 3]}),
+        "deconcatenate_column": lambda: part[["p_partkey", "p_name"]]
+            .deconcatenate_column("p_name", sep=" ",
+                                  new_column_names=["adjective", "noun"]),
+        "deconcatenate_preserve": lambda: part[["p_partkey", "p_name", "p_size"]]
+            .deconcatenate_column("p_name", sep=" ",
+                                  new_column_names=["adjective", "noun"],
+                                  preserve_position=True),
+        "math_log": lambda: _mathcol("l_extendedprice", "log", 1e6, drop=True),
+        "math_exp": lambda: _mathcol("l_discount", "exp", 1e10, drop=False),
     }
+
+    def _mathcol(src_col, fn, scale, drop):
+        import janitor.math  # noqa: F401
+        d = lineitem[["l_orderkey", "l_linenumber", src_col]].copy()
+        s = getattr(d[src_col], fn)()
+        d["v"] = (s * scale).round(0).astype("int64")
+        return d.drop(columns=src_col) if drop else d
 
     def _ccu_ci():
         d = events[["event_id"]].copy()
