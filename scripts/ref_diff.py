@@ -235,6 +235,32 @@ def main():
                                   preserve_position=True),
         "math_log": lambda: _mathcol("l_extendedprice", "log", 1e6, drop=True),
         "math_exp": lambda: _mathcol("l_discount", "exp", 1e10, drop=False),
+        # ---- batch 6: pivot_longer variant family ----
+        "pivot_longer_names_sep": lambda: lineitem[
+            ["l_orderkey", "l_linenumber"]
+        ].assign(m_qty=lineitem.l_quantity, m_disc=lineitem.l_discount)
+            .pivot_longer(index=["l_orderkey", "l_linenumber"],
+                          names_to=["prefix", "metric"], values_to="value",
+                          names_sep="_"),
+        "pivot_longer_dot_value": lambda: lineitem[
+            ["l_orderkey", "l_linenumber"]
+        ].assign(qty_a=lineitem.l_quantity, qty_b=lineitem.l_quantity * 2,
+                 price_a=lineitem.l_extendedprice,
+                 price_b=lineitem.l_extendedprice * 2)
+            .pivot_longer(index=["l_orderkey", "l_linenumber"],
+                          names_to=[".value", "grp"], names_sep="_"),
+        "pivot_longer_dot_value_multi": lambda: lineitem[
+            ["l_orderkey", "l_linenumber"]
+        ].assign(x_1_mean=lineitem.l_quantity, x_2_mean=lineitem.l_quantity * 2,
+                 y_1_mean=lineitem.l_discount, y_2_mean=lineitem.l_discount * 2)
+            .pivot_longer(index=["l_orderkey", "l_linenumber"],
+                          names_to=[".value", "time", ".value"],
+                          names_pattern="(x|y)_([0-9])(_mean)"),
+        "pivot_longer_dropna": lambda: events[["event_id"]]
+            .assign(m_click=events.value.where(events.event_type == "click"),
+                    m_view=events.value.where(events.event_type == "view"))
+            .pivot_longer(index=["event_id"], names_to="name",
+                          values_to="value", dropna=True),
     }
 
     def _mathcol(src_col, fn, scale, drop):
