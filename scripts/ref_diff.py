@@ -261,7 +261,38 @@ def main():
                     m_view=events.value.where(events.event_type == "view"))
             .pivot_longer(index=["event_id"], names_to="name",
                           values_to="value", dropna=True),
+        "pivot_longer_multi": lambda: _pl_base()
+            .pivot_longer(index=["l_orderkey", "l_linenumber"],
+                          names_to=["qty", "disc"],
+                          names_pattern=["^qty", "^disc"]),
+        "pivot_longer_dict": lambda: _pl_base()
+            .pivot_longer(index=["l_orderkey", "l_linenumber"],
+                          names_to=["qty", "disc"],
+                          names_pattern=["^qty", "^disc"]),
+        "pivot_longer_named_groups": lambda: lineitem[
+            ["l_orderkey", "l_linenumber"]
+        ].assign(x_1_mean=lineitem.l_quantity, x_2_mean=lineitem.l_quantity * 2,
+                 y_1_mean=lineitem.l_discount, y_2_mean=lineitem.l_discount * 2)
+            .pivot_longer(index=["l_orderkey", "l_linenumber"],
+                          names_pattern="(?P<_>x|y)_(?P<time>[0-9])(?P<__>_mean)",
+                          names_to=[".value", "time", ".value"]),
+        "pivot_longer_values_to_multi": lambda: lineitem[
+            ["l_orderkey", "l_linenumber"]
+        ].assign(mango=lineitem.l_quantity, orange=lineitem.l_discount,
+                 watermelon=lineitem.l_extendedprice, gin=lineitem.l_tax,
+                 vodka=lineitem.l_quantity * 2)
+            .pivot_longer(index=["l_orderkey", "l_linenumber"],
+                          names_to=["fruit", "drink"],
+                          values_to=["pounds", "ounces"],
+                          names_pattern=["^(m|o|w)", "^(g|v)"]),
+        "row_to_names": lambda: nation[["n_name", "n_regionkey"]]
+            .sort_values("n_name").row_to_names(0, remove_rows=True),
     }
+
+    def _pl_base():
+        return lineitem[["l_orderkey", "l_linenumber"]].assign(
+            qty1=lineitem.l_quantity, qty2=lineitem.l_quantity * 2,
+            disc1=lineitem.l_discount, disc2=lineitem.l_discount * 2)
 
     def _mathcol(src_col, fn, scale, drop):
         import janitor.math  # noqa: F401
