@@ -103,7 +103,7 @@ def main():
             from_column_name="l_quantity", to_column_name="qty_label", bins=5,
             labels=["q1", "q2", "q3", "q4", "q5"]),
         "limit_column_characters": lambda: li3().limit_column_characters(5),
-        "concatenate_columns": lambda: nation.concatenate_columns(
+        "concatenate_columns": lambda: nation.copy().concatenate_columns(
             column_names=["n_name", "n_regionkey"], new_column_name="combined",
             sep="-"),
         "find_replace": lambda: events[["event_id", "event_type"]]
@@ -287,7 +287,19 @@ def main():
                           names_pattern=["^(m|o|w)", "^(g|v)"]),
         "row_to_names": lambda: nation[["n_name", "n_regionkey"]]
             .sort_values("n_name").row_to_names(0, remove_rows=True),
+        # collapse_levels: our struct columns are the stand-in for pandas
+        # MultiIndex columns — build the MultiIndex frame and collapse
+        "collapse_levels": lambda: _collapse_levels(),
+        "select_rows_labels": lambda: nation.copy()
+            .set_index("n_nationkey").select_rows([1, 5, 10]).reset_index(),
     }
+
+    def _collapse_levels():
+        d = pd.DataFrame({("m", "v"): events.value,
+                          ("m", "u"): events.user_id,
+                          ("event_id", ""): events.event_id})
+        out = d.collapse_levels("_")
+        return out.rename(columns={"event_id_": "event_id"})
 
     def _pl_base():
         return lineitem[["l_orderkey", "l_linenumber"]].assign(
