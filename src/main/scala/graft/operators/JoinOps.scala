@@ -168,7 +168,16 @@ object JoinOps {
       opToColumn(l(lc), r0(rname(rc)), op)
     }.reduce(_ && _)
 
-    val lMark = if (indicator) l.withColumn("__lpresent", lit(1)) else l
+    val lMark0 = if (indicator) l.withColumn("__lpresent", lit(1)) else l
+    // banded keep + inner: rangeJoin consumes the LEFT frame through two
+    // lineages too (banded join + wide-overflow join, unioned) and its own
+    // needIds pin only fires for non-inner how — so the __lid added above
+    // would be re-evaluated per lineage, and under AQE repartitioning or a
+    // task retry the same left row could carry two different ids, letting
+    // keep=first/last emit duplicates. Pin it here, mirroring the rMark pin
+    // below (how=left/right/outer ride rangeJoin's internal localCheckpoint).
+    val lMark = if (bandPattern.isDefined && keep != "all" && how == "inner")
+      lMark0.localCheckpoint() else lMark0
     val rMark0 = if (indicator) r0.withColumn("__rpresent", lit(1)) else r0
     // keep + right/outer needs a right row id: a right row whose every match
     // loses the keep race is DEMOTED to an unmatched (right_only) row — the

@@ -217,18 +217,29 @@ object TextOps {
       .map(p => newColumnNames.indices.map(i => s"$p${i + 1}"))
       .getOrElse(newColumnNames)
     val parts = split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))
-    // the reference raises when the split yields a different column count
-    // than new_column_names (deconcatenate_column.py:132-137); a lazy
-    // codegen raise_error branch keeps the contract without an eager
-    // validation scan — silently truncating extra parts hid bad seps
-    val guarded = when(size(parts) === names.length, parts)
+    // the reference raises when new_column_names count differs from the
+    // EXPANDED width — str.split(expand=True)'s max part count over all
+    // rows (deconcatenate_column.py:132-137). Rows with FEWER parts are
+    // padded with NaN by the expand, and null cells become all-NaN rows. A
+    // lazy codegen raise_error branch keeps the over-width half of the
+    // contract without an eager validation scan: any row with MORE parts
+    // than names means the expanded width exceeds names, which the
+    // reference raises on. The under-width half (max parts over the whole
+    // frame < names) would need a global aggregate pass to detect, so it
+    // pads instead of raising — documented divergence. Null cells pass
+    // through as all-null (split(null) is null; guarding explicitly keeps
+    // the raise branch from firing on the null size).
+    val guarded = when(col(s"`$column`").isNull, lit(null).cast("array<string>"))
+      .when(size(parts) <= names.length, parts)
       .otherwise(raise_error(concat(
         lit(s"deconcatenate_column: number of new column names (${names.length}) " +
-          s"does not match the number of split parts ("),
+          s"is fewer than the number of split parts ("),
         size(parts).cast("string"), lit(s") for value '"), col(s"`$column`"),
         lit("'"))))
+    // get() (not getItem) so a short row's missing tail indexes yield null
+    // (pandas' NaN padding) instead of ANSI INVALID_ARRAY_INDEX
     val withParts = names.zipWithIndex.foldLeft(df) { case (acc, (n, idx)) =>
-      acc.withColumn(n, guarded.getItem(idx))
+      acc.withColumn(n, get(guarded, lit(idx)))
     }
     if (preservePosition) {
       // the reference splices the new columns in at the original column's

@@ -28,11 +28,24 @@ object TransformOps {
     * janitor/functions/find_replace.py:18).
     */
   def findReplace(df: DataFrame, column: String, mapping: Map[Any, Any],
+      matchMode: String = "exact"): DataFrame =
+    // scala.Map flips from insertion order to hash order above 4 entries;
+    // the reference's dict is always insertion-ordered and regex patterns
+    // apply sequentially, so order is part of the contract — route through
+    // the Seq form (ListMap callers keep their order; plain Map callers
+    // with >4 regex entries should use the Seq overload directly)
+    findReplaceOrdered(df, column, mapping.toSeq, matchMode)
+
+  /** Order-explicit form of [[findReplace]]: regex patterns apply
+    * sequentially in the given order against the current value, matching the
+    * reference dict's insertion order (find_replace.py:174-177).
+    */
+  def findReplaceOrdered(df: DataFrame, column: String, mapping: Seq[(Any, Any)],
       matchMode: String = "exact"): DataFrame = {
     // a null/NaN needle raises like the reference (find_replace.py:146-154;
     // test_find_replace_null_raises_error) — equality would silently never
     // match it; fill_empty is the null-filling verb
-    require(!mapping.keys.exists(k => k == null ||
+    require(!mapping.map(_._1).exists(k => k == null ||
         (k.isInstanceOf[Double] && k.asInstanceOf[Double].isNaN) ||
         (k.isInstanceOf[Float] && k.asInstanceOf[Float].isNaN)),
       "find_replace: null/NaN cannot be a find value; use fill_empty instead")
@@ -49,7 +62,7 @@ object TransformOps {
         // str.contains(k) -> assign v), applied sequentially per pattern
         // against the current value — NOT a substring regexp_replace
         // (empirically verified: {'^cl': 'KL'} maps 'click' to 'KL').
-        // Pass an ordered Map (ListMap) when pattern order matters.
+        // Application order is the Seq order — contractual, not incidental.
         mapping.foldLeft(c) { case (acc, (k, v)) =>
           when(acc.rlike(k.toString), lit(v)).otherwise(acc)
         }

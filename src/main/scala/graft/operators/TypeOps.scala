@@ -237,8 +237,15 @@ object TypeOps {
       s"bin_numeric: number of labels (${labels.length}) must equal number " +
         s"of bins ($bins)")
     val c = col(s"`$column`")
-    val row = df.agg(min(c).cast("double"), max(c).cast("double")).collect()(0)
-    // all-null / empty input: every bin is null, like pd.cut on all-NaN
+    // NaN must not poison the edges: Spark's max() ranks NaN ABOVE every
+    // double, so one NaN would make mx (and then w/idx) NaN and collapse
+    // every row into bin 0 — pd.cut derives edges from the non-NaN values
+    // and emits NaN for the NaN rows. Mask NaN out of the aggregate and
+    // null the output for NaN inputs (same pattern as dropConstantColumns).
+    val cd = c.cast("double")
+    val cClean = when(isnan(cd), null).otherwise(cd)
+    val row = df.agg(min(cClean), max(cClean)).collect()(0)
+    // all-null / all-NaN / empty input: every bin is null, like pd.cut
     if (row.isNullAt(0))
       return df.withColumn(newColumnName,
         lit(null).cast(if (labels.isEmpty) "int" else "string"))
@@ -251,7 +258,7 @@ object TypeOps {
     val out =
       if (labels.isEmpty) idx
       else element_at(array(labels.map(lit): _*), idx + 1)
-    df.withColumn(newColumnName, when(c.isNull, null).otherwise(out))
+    df.withColumn(newColumnName, when(c.isNull || isnan(cd), null).otherwise(out))
   }
 
   /** Scale to [newMin,newMax] (reference:

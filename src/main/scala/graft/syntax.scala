@@ -190,6 +190,9 @@ object syntax {
       TransformOps.caseWhenSql(df, targetColumn, condsAndValues, default)
     def findReplace(column: String, mapping: Map[Any, Any], matchMode: String = "exact"): DataFrame =
       TransformOps.findReplace(df, column, mapping, matchMode)
+    def findReplaceOrdered(column: String, mapping: Seq[(Any, Any)],
+        matchMode: String = "exact"): DataFrame =
+      TransformOps.findReplaceOrdered(df, column, mapping, matchMode)
     def transformColumn(column: String, f: Column => Column, destColumn: Option[String] = None): DataFrame =
       TransformOps.transformColumn(df, column, f, destColumn)
     def transformColumns(columns: Seq[String], f: Column => Column,

@@ -182,19 +182,29 @@ class FidelitySweepSpec extends SparkSpec {
     assert(out.orderBy("col1").collect()(0).getString(2) == "x")
   }
 
-  test("deconcatenate_column raises when the split count differs from the names") {
-    // the reference raises on a part-count mismatch
-    // (deconcatenate_column.py:132-137); ours guards lazily with a codegen
-    // raise_error branch instead of silently truncating extra parts
+  test("deconcatenate_column raises only on EXTRA parts; short rows pad, nulls pass") {
+    // the reference's str.split(expand=True) pads short rows with NaN and
+    // turns null cells into all-NaN rows; it raises only when the expanded
+    // width differs from new_column_names (deconcatenate_column.py:132-137)
+    // — a row with MORE parts than names guarantees that mismatch, so the
+    // lazy codegen guard fires there and only there
     val bad = Seq("a-b-c").toDF("index")
     val err = intercept[Exception](
       bad.deconcatenateColumn("index", "-", Seq("a", "b")).collect())
-    assert(err.getMessage.contains("does not match") ||
-      Option(err.getCause).exists(_.getMessage.contains("does not match")))
+    assert(err.getMessage.contains("is fewer than") ||
+      Option(err.getCause).exists(_.getMessage.contains("is fewer than")))
     // exact-count rows still deconcatenate fine
     val ok = Seq("a-b", "c-d").toDF("index")
       .deconcatenateColumn("index", "-", Seq("p", "q"))
     assert(ok.orderBy("p").collect()(0).getString(2) == "b")
+    // a short row pads with nulls (pandas NaN), a null cell passes through
+    // as all-null instead of tripping the guard
+    val mixed = Seq("a-b", "c", null).toDF("index")
+      .deconcatenateColumn("index", "-", Seq("p", "q"))
+      .orderBy(asc_nulls_last("index")).collect()
+    assert(mixed(0).getString(1) == "a" && mixed(0).getString(2) == "b")
+    assert(mixed(1).getString(1) == "c" && mixed(1).isNullAt(2))
+    assert(mixed(2).isNullAt(1) && mixed(2).isNullAt(2))
   }
 
   test("log/logit error modes match tests/math/test_log.py and test_logit.py") {

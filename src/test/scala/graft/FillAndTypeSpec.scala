@@ -149,6 +149,32 @@ class FillAndTypeSpec extends SparkSpec {
     intercept[IllegalArgumentException](d.binNumericCut("v", "bin", 0))
     intercept[IllegalArgumentException](
       d.binNumericCut("v", "bin", 3, labels = Seq("x")))
+    // NaN must not poison the edges: pd.cut derives edges from non-NaN
+    // values and emits NaN for NaN rows — one NaN in Spark's max() would
+    // otherwise make every bin 0
+    val withNan = Seq(0.0, 5.0, 10.0, Double.NaN).toDF("v")
+      .binNumericCut("v", "bin", 2)
+      .collect().map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+    assert(withNan == Seq(0, 0, 1, null))
+    // all-NaN behaves like all-null
+    val allNan = Seq(Double.NaN, Double.NaN).toDF("v")
+      .binNumericCut("v", "bin", 3).collect().map(_.isNullAt(1)).toSeq
+    assert(allNan == Seq(true, true))
+  }
+
+  test("findReplaceOrdered applies regex patterns in Seq order (>4 entries)") {
+    // scala.Map goes hash-ordered above 4 entries; the Seq form keeps the
+    // reference dict's insertion order contractual. Patterns cascade: the
+    // FIRST matching pattern rewrites the cell, later patterns then see the
+    // rewritten value.
+    val d = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta").toDF("s")
+    val out = d.findReplaceOrdered("s", Seq(
+        ("^a": Any) -> "A", ("^b": Any) -> "B", ("^g": Any) -> "C",
+        ("^d": Any) -> "D", ("^e": Any) -> "E", ("^A$": Any) -> "AA"),
+        matchMode = "regex")
+      .collect().map(_.getString(0)).toSeq
+    // 'alpha' -> 'A' (first pattern) -> 'AA' (last pattern sees 'A')
+    assert(out == Seq("AA", "B", "C", "D", "E", "zeta"))
   }
 
   test("findReplace raises on a null/NaN needle (test_find_replace_null_raises_error)") {
