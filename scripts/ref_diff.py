@@ -292,6 +292,62 @@ def main():
         "collapse_levels": lambda: _collapse_levels(),
         "select_rows_labels": lambda: nation.copy()
             .set_index("n_nationkey").select_rows([1, 5, 10]).reset_index(),
+        # ---- batch 8: conditional_join family (the reference's most
+        # intricate kernel, conditional_join.py:450-1148). Two documented
+        # emulations: (a) the reference requires EXACT dtype equality on
+        # non-equi columns (is_dtype_equal) where Spark casts freely, so
+        # p_size is pre-cast to float64; (b) keep=first/last ties break
+        # positionally in pandas vs our deterministic (condCols, restCols)
+        # lexicographic order — pre-sorting the right frame to that order
+        # makes positional == lexicographic (SURVEY §7.7).
+        "conditional_join": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_shipdate"]
+        ].conditional_join(orders[["o_orderkey", "o_orderdate"]],
+                           ("l_orderkey", "o_orderkey", "=="),
+                           ("l_shipdate", "o_orderdate", ">")),
+        "conditional_join_force": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_shipdate"]
+        ].conditional_join(orders[["o_orderkey", "o_orderdate"]],
+                           ("l_orderkey", "o_orderkey", "=="),
+                           ("l_shipdate", "o_orderdate", ">"), force=True),
+        "conditional_join_keep_first": lambda: _pf().conditional_join(
+            _bins_sorted(), ("p_size", "lo", ">="), ("p_size", "hi", "<="),
+            keep="first"),
+        "conditional_join_keep_last": lambda: _pf().conditional_join(
+            _bins_sorted(), ("p_size", "lo", ">="), ("p_size", "hi", "<="),
+            keep="last"),
+        "conditional_join_left": lambda: _pf().conditional_join(
+            _bins_sorted(), ("p_size", "lo", ">="), ("p_size", "hi", "<="),
+            how="left"),
+        "conditional_join_outer": lambda: _pf().conditional_join(
+            _bins_sorted(), ("p_size", "lo", ">="), ("p_size", "hi", "<="),
+            how="outer"),
+        "conditional_join_indicator": lambda: _pf().conditional_join(
+            _bins_sorted(), ("p_size", "lo", ">="), ("p_size", "hi", "<="),
+            how="left", indicator=True),
+        "conditional_join_right_keep": lambda: _pf().conditional_join(
+            _bins_sorted(), ("p_size", "lo", ">="), ("p_size", "hi", "<="),
+            how="right", keep="first"),
+        "conditional_join_cols": lambda: _pf().conditional_join(
+            _bins_sorted(), ("p_size", "lo", ">="), ("p_size", "hi", "<="),
+            df_columns="p_partkey", right_columns="s_suppkey"),
+        "conditional_join_ne": lambda: nation[["n_nationkey", "n_regionkey"]]
+            .conditional_join(t("region")[["r_regionkey", "r_name"]],
+                              ("n_regionkey", "r_regionkey", "!=")),
+        "conditional_join_ne_nulls": lambda: _ne_nulls_left()
+            .conditional_join(_ne_nulls_right(), ("n_rk", "r_rk", "!=")),
+        "conditional_join_eq_nullsafe": lambda: _ne_nulls_left()
+            .conditional_join(_eq_nullsafe_right(),
+                              ("n_rk", "r_rk", "=="),
+                              ("n_nationkey", "r_regionkey", ">")),
+        "get_join_indices": lambda: _gji(),
+        # ---- batch 9: the process_text dispatch surface — run pandas'
+        # own .str methods (exactly what process_text.py:98-107 dispatches
+        # to) over the same projections the gates compute
+        "process_text": lambda: part[["p_partkey", "p_name"]]
+            .process_text(column_name="p_name", string_function="upper"),
+        "process_text_methods": lambda: _pt_methods(),
+        "process_text_methods2": lambda: _pt_methods2(),
     }
 
     def _collapse_levels():
@@ -421,6 +477,100 @@ def main():
     def _num_str(v):
         # Spark double->string: integral values print with .0, like python str
         return str(v)
+
+    # ---- batch 8 helpers: conditional_join family ----
+    def _bins():
+        sup = t("supplier")
+        return pd.DataFrame({"s_suppkey": sup.s_suppkey,
+                             "lo": (sup.s_suppkey % 10) * 5.0,
+                             "hi": (sup.s_suppkey % 10) * 5.0 + 7.0})
+
+    def _bins_sorted():
+        # positional order := our deterministic keep order (condCols then
+        # restCols, ascending) so pandas' positional first/last equals our
+        # lexicographic min/max (SURVEY §7.7)
+        return _bins().sort_values(["lo", "hi", "s_suppkey"],
+                                   kind="mergesort").reset_index(drop=True)
+
+    def _pf():
+        # the reference requires exact dtype equality on non-equi columns
+        # (conditional_join.py:439-446 is_dtype_equal); Spark casts the int
+        # side implicitly — emulate with an explicit float64 cast
+        return part[["p_partkey", "p_size"]].assign(
+            p_size=part.p_size.astype("float64"))
+
+    def _ne_nulls_left():
+        return pd.DataFrame({
+            "n_nationkey": nation.n_nationkey.astype("int64"),
+            "n_rk": nation.n_regionkey.astype("float64")
+                .where(nation.n_nationkey % 5 != 0)})
+
+    def _ne_nulls_right():
+        r = t("region")
+        return pd.DataFrame({
+            "r_rk": r.r_regionkey.astype("float64").where(r.r_regionkey != 2),
+            "r_name": r.r_name})
+
+    def _eq_nullsafe_right():
+        r = t("region")
+        return pd.DataFrame({
+            "r_regionkey": r.r_regionkey.astype("int64"),
+            "r_rk": r.r_regionkey.astype("float64").where(r.r_regionkey != 2)})
+
+    def _gji():
+        from janitor.functions.conditional_join import get_join_indices
+        b = _bins()
+        lidx, ridx = get_join_indices(
+            _pf(), b, [("p_size", "lo", ">="), ("p_size", "hi", "<=")])
+        return pd.DataFrame({
+            "p_partkey": part.p_partkey.to_numpy()[lidx],
+            "s_suppkey": b.s_suppkey.to_numpy()[ridx]})
+
+    # ---- batch 9 helpers: the .str methods process_text dispatches to ----
+    def _pt_methods():
+        name = part.p_name
+        partn = name.str.partition(" ")
+        tbl = str.maketrans("aeio", "AEIO")
+        tbl[ord("u")] = None  # Spark translate deletes unmatched from-chars
+        return pd.DataFrame({
+            "p_partkey": part.p_partkey,
+            "n": name.str.len(),
+            "has_gre": name.str.contains("gre", regex=False),
+            "first_word": name.str.extract(r"([a-z]+)", expand=False),
+            "z": name.str.zfill(30),
+            "noprefix": name.str.removeprefix("a"),
+            "sl": name.str.slice(2, 5),
+            "nsp": name.str.count(" "),
+            "catx": name.str.cat(pd.Series("X", index=name.index), sep="|"),
+            "wr": name.str.wrap(15),
+            "nrm": (name + "é").str.normalize("NFC"),
+            "part_head": partn[0],
+            "part_tail": partn[2],
+            "tr": name.str.translate(tbl),
+        })
+
+    def _pt_methods2():
+        name = part.p_name
+        rpart = name.str.rpartition(" ")
+        fa = name.str.findall("[aeiou]+")
+        mixed = name.str.title().where(part.p_partkey % 2 == 0, name)
+        return pd.DataFrame({
+            "p_partkey": part.p_partkey,
+            "slrep": name.str.slice_replace(2, 5, "X"),
+            "ctr": name.str.center(30, "."),
+            "padl": name.str.pad(28, side="left", fillchar="_"),
+            "n_vowel_runs": fa.str.len(),
+            "first_vowel_run": fa.str[0],
+            "m": name.str.match("[a-z]+ "),
+            "fm": name.str.fullmatch("[a-z ]+"),
+            "rf": name.str.rfind(" "),
+            "rp_head": rpart[0],
+            "rp_tail": rpart[2],
+            "joined": name.str.join("-"),
+            "isdec": part.p_partkey.astype(str).str.isdecimal(),
+            "ist": mixed.str.istitle(),
+            "rt": name.str.encode("UTF-8").str.decode("UTF-8"),
+        })
 
     # project OUR output before comparing, where the mapped reference case
     # covers only the value-determined subset of the gate's columns
