@@ -459,6 +459,17 @@ object QueriesLlm {
         docs.filter(col("lang") === "en").select("text"),
         "doc_id", "text", k = 100, buckets = 64), "log_weight", "skey")
     }),
+    // same selection forced through the large-k THRESHOLD path
+    // (thresholdCutoff=0): approxQuantile pre-filter + exact boundary trim
+    // must reproduce the TakeOrdered top-k set row-for-row
+    "dsir_resample_threshold" -> ((s, d) => {
+      val docs = documents(s, d)
+      microCols(graft.llm.Sampling.dsirResample(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "en").select("text"),
+        "doc_id", "text", k = 100, buckets = 64, thresholdCutoff = 0),
+        "log_weight", "skey")
+    }),
     // domain mixture: en/zh/es/fr -> 40/30/20/10% of a 600-row target
     // (de dropped); both down-sampling (en: m~1.1 -> some rows x1, x2)
     // and up-sampling (zh: m=2.4 -> every row >=2 copies) in one gate
@@ -1394,6 +1405,39 @@ object QueriesLlm {
         |  CAST(round(round(sum(lr), 6) * 1e6) AS BIGINT) AS log_weight
         |FROM fb JOIN ratio USING (b) GROUP BY fb.doc_id""".stripMargin,
     "dsir_resample" ->
+      """WITH arr AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS a
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(a) AS f, generate_subscripts(a, 1) AS pos
+        |  FROM arr),
+        |big AS (SELECT t1.doc_id, t1.lang, t1.f || ' ' || t2.f AS f
+        |  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |fb AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id, lang, f FROM tok UNION ALL
+        |        SELECT doc_id, lang, f FROM big)),
+        |tc AS (SELECT b, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS rc FROM fb GROUP BY b),
+        |tot AS (SELECT
+        |  (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) FROM tc) AS t_tot,
+        |  (SELECT CAST(coalesce(sum(rc), 0) AS DOUBLE) FROM rc) AS r_tot),
+        |ratio AS (SELECT rc.b,
+        |    ln((coalesce(tc.tc, 0) + 1.0) / (t_tot + 64.0))
+        |      - ln((rc.rc + 1.0) / (r_tot + 64.0)) AS lr
+        |  FROM rc LEFT JOIN tc USING (b), tot),
+        |w AS (SELECT fb.doc_id, count(*) AS n_features, round(sum(lr), 6) AS lw
+        |  FROM fb JOIN ratio USING (b) GROUP BY fb.doc_id),
+        |g AS (SELECT doc_id, n_features, lw,
+        |    round(lw - ln(-ln(
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |        / 4294967296.0)), 6) AS skey
+        |  FROM w)
+        |SELECT doc_id, n_features,
+        |  CAST(round(lw * 1e6) AS BIGINT) AS log_weight,
+        |  CAST(round(skey * 1e6) AS BIGINT) AS skey
+        |FROM g ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+    // identical contract to dsir_resample — the threshold path must yield
+    // the same deterministic top-k set
+    "dsir_resample_threshold" ->
       """WITH arr AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS a
         |  FROM documents),
         |tok AS (SELECT doc_id, lang, unnest(a) AS f, generate_subscripts(a, 1) AS pos

@@ -276,15 +276,47 @@ object Sampling {
     * the distributed, deterministic form of sampling-without-replacement
     * proportionally to w (Vieira 2014 "Gumbel-max trick"; keys ride
     * [[hashUniform]] so the draw is partition/run/engine-invariant).
+    *
+    * Scale shape: below `thresholdCutoff` the top-k is one
+    * TakeOrderedAndProject (each task keeps a k-bounded heap, the driver
+    * merges p heaps — fine while p·k rows fit the driver). Above it that
+    * merge is the bottleneck, so selection flips to threshold form: one
+    * `approxQuantile` pass picks thr with rank error ≤ εn biased so that
+    * strictly-above-thr takes AT MOST k rows (quantile at 1 − k/n + ε),
+    * those pass through with no global sort at all, and only the remaining
+    * k − a boundary rows (≤ 2εn + ties ≈ 0.1k) ride a small
+    * TakeOrderedAndProject. The scored frame is localCheckpoint-pinned
+    * first — three actions (quantile, count, trim) would otherwise re-run
+    * the whole model train + score per action. Output set is EXACTLY the
+    * deterministic top-k either way (skey is hash-derived, ties break on
+    * id); only the execution strategy changes.
     */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, buckets: Int = 4096, smoothing: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, thresholdCutoff: Int = 100000): DataFrame = {
     require(k > 0, "dsir: k must be positive")
     val w = dsirWeights(raw, target, idCol, textCol, buckets, smoothing)
     val gumbel = -log(-log(hashUniform(col(s"`$idCol`"), seed)))
-    w.withColumn("skey", round(col("log_weight") + gumbel, 6))
-      .orderBy(col("skey").desc, col(s"`$idCol`"))
-      .limit(k)
+    val scored = w.withColumn("skey", round(col("log_weight") + gumbel, 6))
+    if (k <= thresholdCutoff)
+      scored.orderBy(col("skey").desc, col(s"`$idCol`")).limit(k)
+    else {
+      val pinned = scored.localCheckpoint()
+      val n = pinned.count()
+      if (n <= k) pinned.orderBy(col("skey").desc, col(s"`$idCol`"))
+      else {
+        // rank error ≤ εn each side; quantile target 1 − k/n + ε biases the
+        // realized rank into [n−k, n−k+2εn], so #(skey > thr) ≤ k always
+        val eps = math.max(1e-7, math.min(0.05 * k / n, 0.01))
+        val q = math.min(1.0, 1.0 - k.toDouble / n + eps)
+        val thr = pinned.stat.approxQuantile("skey", Array(q), eps).head
+        val above = pinned.filter(col("skey") > thr)
+        val a = above.count()
+        val trim = pinned.filter(col("skey") <= thr)
+          .orderBy(col("skey").desc, col(s"`$idCol`"))
+          .limit((k - a).toInt)
+        above.unionByName(trim)
+      }
+    }
   }
 }

@@ -647,26 +647,55 @@ object JoinOps {
     *
     * Output: one row per matched pair — left columns + right columns
     * (collision-suffixed `_r`) + `dist`.
+    *
+    * Hot-bucket recall contract (same scheme as
+    * [[graft.llm.Dedup.minhashDupPairs]]): a deletion-variant bucket holding
+    * more than `maxBucket` distinct strings on EITHER side is dropped from
+    * candidate generation — without the cap one pathological variant (a
+    * shared stem across ID-style keys) makes the candidate join quadratic
+    * in that bucket. Exact-EQUAL pairs can never be lost: an unconditional
+    * string equi-join rescues them outside the variant path (a plain
+    * dist-0 hash join, no explode). The residual trade: a dist ≥ 1 pair
+    * whose every shared variant lives in a capped bucket is missed — for a
+    * substitution pair at k=1 that is a single bucket, so the cap should
+    * stay well above the expected near-duplicate family size.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
-      leftCol: String, rightCol: String, maxDist: Int = 1): DataFrame = {
+      leftCol: String, rightCol: String, maxDist: Int = 1,
+      maxBucket: Int = 100000): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"fuzzyJoin: maxDist must be in [1, 2], got $maxDist (use an equi join for 0)")
+    require(maxBucket > 0, s"fuzzyJoin: maxBucket must be positive, got $maxBucket")
     val rightRenamed = right.toDF(right.columns.map(c =>
       if (left.columns.contains(c)) s"${c}_r" else c): _*)
     val rCol = if (left.columns.contains(rightCol)) s"${rightCol}_r" else rightCol
-    val lk = left.select(col(s"`$leftCol`").as("__lkey")).distinct()
-      .select(col("__lkey"),
-        explode(variantHashes(col("__lkey"), maxDist)).as("__vh"))
-    val rk = rightRenamed.select(col(s"`$rCol`").as("__rkey")).distinct()
-      .select(col("__rkey"),
-        explode(variantHashes(col("__rkey"), maxDist)).as("__vh"))
+    val lkeys = left.select(col(s"`$leftCol`").as("__lkey")).distinct()
+      .localCheckpoint(eager = false) // feeds variants + the equal rescue
+    val rkeys = rightRenamed.select(col(s"`$rCol`").as("__rkey")).distinct()
+      .localCheckpoint(eager = false)
+    val lk0 = lkeys.select(col("__lkey"),
+      explode(variantHashes(col("__lkey"), maxDist)).as("__vh"))
+    val rk0 = rkeys.select(col("__rkey"),
+      explode(variantHashes(col("__rkey"), maxDist)).as("__vh"))
+    // per-side bucket cap; the count aggregations shuffle on the same key
+    // as the candidate join, so the exchange is reused
+    val lOk = lk0.groupBy("__vh").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val rOk = rk0.groupBy("__vh").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val lk = lk0.join(lOk, Seq("__vh"))
+    val rk = rk0.join(rOk, Seq("__vh"))
     // candidate pairs over DISTINCT key strings (duplicates re-expand via
-    // the final equi-joins), verified by exact edit distance
+    // the final equi-joins), verified by exact edit distance; the equal
+    // rescue runs outside the variant path so the cap cannot lose it
+    val equalRescue = lkeys.join(rkeys, col("__lkey") === col("__rkey"))
+      .select(col("__lkey"), col("__rkey"), lit(0).as("dist"))
     val cand = lk.join(rk, Seq("__vh"))
       .select("__lkey", "__rkey").distinct()
       .withColumn("dist", levenshtein(col("__lkey"), col("__rkey")))
       .filter(col("dist") <= maxDist)
+      .unionByName(equalRescue)
+      .select("__lkey", "__rkey", "dist").distinct()
     left.as("__fjL").join(cand.as("__fjC"),
         col(s"__fjL.`$leftCol`") === col("__fjC.__lkey"))
       .join(rightRenamed.as("__fjR"),
@@ -676,23 +705,44 @@ object JoinOps {
 
   /** Self fuzzy join: pairs (id1 < id2) of rows whose `strCol` values are
     * within `maxDist` edits. Same FastSS candidate scheme as [[fuzzyJoin]].
+    *
+    * Hot-bucket recall contract (mirrors [[fuzzyJoin]] and
+    * [[graft.llm.Dedup.minhashDupPairs]]): variant buckets above `maxBucket`
+    * ids are dropped from candidate generation — one pathological shared
+    * variant otherwise turns the self-join quadratic in the bucket. The
+    * unconditional equal-string equi-join rescues every EXACT-duplicate pair
+    * regardless of the cap (equal strings share all their buckets, so a big
+    * identical-string clique is precisely what makes buckets hot; its output
+    * pairs are the contract and re-emerge from the dist-0 equi-join, a hash
+    * join with no explode). Residual trade: a dist ≥ 1 pair whose every
+    * shared variant bucket is over the cap is missed.
     */
   def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, maxBucket: Int = 100000): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"fuzzySelfJoin: maxDist must be in [1, 2], got $maxDist")
+    require(maxBucket > 0, s"fuzzySelfJoin: maxBucket must be positive, got $maxBucket")
     val base = df.select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("s"))
       .localCheckpoint(eager = false) // feeds the variant explode + 2 string joins
-    val keyed = base.select(col("id"),
+    val keyed0 = base.select(col("id"),
       explode(variantHashes(col("s"), maxDist)).as("__vh"))
+    // bucket cap: counted on the same key the candidate join shuffles on,
+    // so the exchange is reused
+    val bucketOk = keyed0.groupBy("__vh").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val keyed = keyed0.join(bucketOk, Seq("__vh"))
     // candidate ids are deduped BEFORE the strings join in: a k=2 pair
     // shares many deletion variants, so the (id1, id2) distinct runs over
     // 16-byte rows instead of shuffling both strings once per collision
     val cand = keyed.as("a").join(keyed.as("b"), Seq("__vh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    cand
+    // exact-equal rescue: a plain equi-join on the string itself — immune
+    // to the cap, and the only candidates a capped identical clique needs
+    val equalCand = base.as("a").join(base.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    cand.unionByName(equalCand).distinct()
       .join(base.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
       .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
       .withColumn("dist", levenshtein(col("s1"), col("s2")))

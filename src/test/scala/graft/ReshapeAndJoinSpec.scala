@@ -403,6 +403,33 @@ class ReshapeAndJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("fuzzySelfJoin maxBucket cap: exact-equal pairs always survive; capped dist-1 documented") {
+    import graft.operators.JoinOps
+    // a 10-member identical-string clique makes EVERY one of its variant
+    // buckets hold 10+ ids; with maxBucket=4 all those buckets are capped,
+    // yet all 45 clique pairs must come back through the equal rescue
+    val clique = (0L until 10L).map(i => (i, "samevalue"))
+    // a dist-1 substitution pair whose single shared variant bucket ("xa"
+    // minus the differing char) is NOT hot — must also survive
+    val coldPair = Seq((100L, "xaq"), (101L, "xbq"))
+    val d = (clique ++ coldPair).toDF("id", "s")
+    val got = JoinOps.fuzzySelfJoin(d, "id", "s", maxDist = 1, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val cliquePairs = (for { a <- 0L until 10L; b <- (a + 1) until 10L }
+      yield (a, b, 0)).toSeq
+    assert(got == (cliquePairs :+ ((100L, 101L, 1))).sorted)
+    // the documented recall trade: pairs at dist 1 from the clique value
+    // share only capped buckets, so they are missed under the cap...
+    val withNear = (clique ++ Seq((200L, "samevaluX"))).toDF("id", "s")
+    val capped = JoinOps.fuzzySelfJoin(withNear, "id", "s", maxDist = 1, maxBucket = 4)
+      .filter(col("id2") === 200L).count()
+    assert(capped == 0L)
+    // ...and found again once the cap clears the bucket
+    val uncapped = JoinOps.fuzzySelfJoin(withNear, "id", "s", maxDist = 1, maxBucket = 100)
+      .filter(col("id2") === 200L).count()
+    assert(uncapped == 10L)
+  }
+
   test("fuzzyJoin two-table form suffixes collisions and is complete") {
     import graft.operators.JoinOps
     val l = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
