@@ -348,6 +348,101 @@ def main():
             .process_text(column_name="p_name", string_function="upper"),
         "process_text_methods": lambda: _pt_methods(),
         "process_text_methods2": lambda: _pt_methods2(),
+        # ---- batch 10: reshape / index / move ----
+        "move_seq": lambda: lineitem.move(
+            source=["l_shipdate", "l_orderkey"],
+            target=["l_partkey", "l_suppkey"], position="after", axis=1),
+        "move_rows": lambda: _move_rows(),
+        "select_both": lambda: nation.copy().set_index("n_nationkey")
+            .select(rows=[1, 5, 10], columns=["n_name"], invert=True)
+            .reset_index(),
+        "select_rows_invert": lambda: nation.copy().set_index("n_nationkey")
+            .select_rows([1, 5, 10], invert=True).reset_index(),
+        "select_rows_slice_step": lambda: t("customer")[
+            ["c_custkey", "c_name", "c_acctbal"]
+        ].set_index("c_custkey").sort_index()
+            .select_rows(slice(1, 120, 3)).reset_index(),
+        # the reference's own contract is select_rows(str) == .loc[str]
+        # (test_select_rows.py:125-130 test_date_partial_output); on THIS
+        # pandas version DatetimeIndex.get_loc lost partial-string support,
+        # so .loc stands in for the intended partial-month semantics
+        "select_rows_date_prefix": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_shipdate"]
+        ].set_index("l_shipdate").sort_index().loc["1996-03"].reset_index()
+            [["l_orderkey", "l_linenumber", "l_shipdate"]],
+        "collapse_glue": lambda: _collapse_glue(),
+        "collapse_levels_rows": lambda: _collapse_rows(),
+        "explode_index": lambda: _explode_index(),
+        "explode_pattern": lambda: _explode_pattern(),
+        "row_to_names_slice": lambda: _row_to_names_slice(),
+        "expand_grid": lambda: _eg(),
+        "expand_grid_frames": lambda: _eg_frames(),
+        "complete_nesting": lambda: lineitem
+            .assign(tax_cents=(lineitem.l_tax * 100).round(0).astype("int64"))
+            .groupby(["l_returnflag", "l_linestatus", "tax_cents"])
+            .size().reset_index(name="n")
+            .complete(["l_returnflag", "l_linestatus"], "tax_cents",
+                      fill_value={"n": 0}),
+        # complete.py's by= + callable universe: the callable receives each
+        # GROUP FRAME (apply_if_callable(obj=df))
+        "complete_range_by": lambda: lineitem[lineitem.l_quantity > 25][
+            ["l_orderkey", "l_linenumber", "l_quantity"]
+        ].complete({"l_linenumber": lambda d: np.arange(
+            d.l_linenumber.min(), d.l_linenumber.max() + 1)},
+            by="l_orderkey", fill_value={"l_quantity": 0.0}),
+        "pivot_longer_spec": lambda: _pl_spec(),
+        # names_glue "{_value}_{names_from}" is tidyr's spelling; this
+        # reference version only formats names_from values, but a LIST
+        # values_from forces the same value_name-prefixed flatten
+        "pivot_wider_glue": lambda: _pw_list(["o_totalprice"], "sum"),
+        "pivot_wider_multi": lambda: _pw_list(["o_totalprice", "o_orderkey"],
+                                              "max", scale=False),
+        # ---- batch 11: types / transforms ----
+        "drop_duplicate_columns": lambda: _dup_cols(),
+        "groupby_agg_skew": lambda: li3().groupby_agg(
+            by="l_orderkey", agg="sum", agg_column_name="l_quantity",
+            new_column_name="sum_qty"),
+        "sort_naturally": lambda: pd.DataFrame(
+            {"tag": "p" + part.p_partkey.astype(str)})
+            .sort_naturally("tag").head(20),
+        # our fill_direction grows a partitionBy= the reference verb lacks;
+        # pandas' grouped ffill is the well-defined oracle for it
+        "fill_direction_grouped": lambda: _fill_dir_grouped(),
+        "change_type_keep_values": lambda: events[["event_id"]]
+            .assign(uid=np.where(events.event_id % 3 == 0,
+                                 "u" + events.user_id.astype(str),
+                                 events.user_id.astype(str)))
+            .change_type("uid", int, ignore_exception="keep_values"),
+        "change_type_keep_values_all_cast": lambda: events[["event_id"]]
+            .assign(uid=events.user_id.astype(str))
+            .change_type("uid", int, ignore_exception="keep_values"),
+        "label_encode": lambda: events[["event_id", "event_type"]]
+            .sort_values("event_id").label_encode("event_type"),
+        "math_softmax": lambda: _softmax(),
+        "transform_column": lambda: _transform_column(),
+        "transform_columns_multi": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+        ].transform_columns(["l_quantity", "l_discount"],
+                            lambda s: (s * 2 * 1e4).round(0).astype("int64"),
+                            elementwise=False),
+        "add_column": lambda: orders[["o_orderkey", "o_totalprice"]]
+            .add_column("fee", orders.o_totalprice * 0.1)
+            .add_column("tag", "x"),
+        # fill_remaining CYCLES the iterable (add_columns.py fill_remaining)
+        "add_column_iterable": lambda: events[["event_id", "user_id"]]
+            .sort_values("event_id")
+            .add_column("tag", ["a", "b", "c"], fill_remaining=True),
+        "join_apply": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+        ].join_apply(lambda r: int(round(
+            r.l_extendedprice * (1 - r.l_discount) * 1e6)), "net"),
+        # clean_names(axis=None, column_names=...) cleans VALUES
+        # (clean_names.py:121-123)
+        "clean_names_values": lambda: events[["event_id"]]
+            .assign(etype="Typ E-" + events.event_type)
+            .clean_names(axis=None, column_names=["etype"]),
+        "unionize_categories": lambda: _unionize(),
+        "fill_missing_timestamps": lambda: _fill_ts(),
     }
 
     def _collapse_levels():
@@ -477,6 +572,140 @@ def main():
     def _num_str(v):
         # Spark double->string: integral values print with .0, like python str
         return str(v)
+
+    # ---- batch 10/11 helpers ----
+    def _move_rows():
+        d = nation.sort_values("n_name").set_index("n_name")
+        out = d.move(source="NATION_3", target="NATION_17",
+                     position="after", axis=0).reset_index()
+        out["row_pos"] = range(len(out))
+        return out
+
+    def _collapse_glue():
+        d = pd.DataFrame({("m", "v"): events.value, ("m", "u"): events.user_id,
+                          ("event_id", ""): events.event_id})
+        # glue formats with the LEVEL NAMES (collapse_levels.py:132-135
+        # format_map over dict(zip(index.names, entry)))
+        # python format_map treats "{0}" as positional even with string
+        # keys, so the positional template maps to named levels a/b — the
+        # same glue machinery, reference-expressible spelling
+        d.columns = pd.MultiIndex.from_tuples(d.columns, names=["a", "b"])
+        out = d.collapse_levels(glue="{a}X{b}")
+        # our struct stand-in has no second level for plain columns; pandas'
+        # MultiIndex pads one, gluing "event_idX" — same normalization as
+        # the trailing-sep rename in _collapse_levels
+        return out.rename(columns={"event_idX": "event_id"})
+
+    def _collapse_rows():
+        d = lineitem[["l_returnflag", "l_linestatus", "l_orderkey",
+                      "l_linenumber", "l_quantity"]]
+        out = d.set_index(["l_returnflag", "l_linestatus"]).collapse_levels(
+            axis="index", glue="{l_returnflag}-{l_linestatus}")
+        return out.reset_index(names="index")
+
+    def _explode_index():
+        d = pd.DataFrame({"event_id": events.event_id, "m_v": events.value,
+                          "m_u": events.user_id})
+        return d.explode_index(names_sep="_").collapse_levels("_")
+
+    def _explode_pattern():
+        d = events[["event_id", "user_id", "value"]]
+        p = d.explode_index(names_pattern="(?P<a>.+)_(?P<b>.+)")
+        # a non-matching label becomes (NaN, NaN) in pandas — the label is
+        # LOST; our engine keeps it (documented divergence), so restore it
+        # before the round-trip collapse
+        cols = []
+        for orig, tup in zip(d.columns, p.columns):
+            bad = any(isinstance(x, float) and np.isnan(x) for x in tup)
+            cols.append((orig, "") if bad else tup)
+        p.columns = pd.MultiIndex.from_tuples(cols)
+        return p.collapse_levels("_").rename(columns={"value_": "value"})
+
+    def _row_to_names_slice():
+        d = nation[["n_name", "n_regionkey"]].sort_values("n_name")
+        r = d.row_to_names([0, 1], remove_rows=True)
+        # flat-name analog of the resulting MultiIndex header (collapse
+        # precedent: joined with "_")
+        r.columns = ["_".join(map(str, tup)) for tup in r.columns]
+        return r
+
+    def _eg():
+        from janitor.functions.expand_grid import expand_grid
+        out = expand_grid(others={"k": [1, 2, 3], "v": ["a", "b"]})
+        out.columns = [tup[0] for tup in out.columns]
+        return out
+
+    def _eg_frames():
+        from janitor.functions.expand_grid import expand_grid
+        r = t("region")[["r_regionkey", "r_name"]]
+        n = nation[nation.n_nationkey < 3][["n_nationkey", "n_name"]]
+        out = expand_grid(others={"r": r, "n": n})
+        out.columns = [f"{a}_{b}" for a, b in out.columns]
+        return out
+
+    def _pl_spec():
+        from janitor.functions import pivot_longer_spec
+        spec = pd.DataFrame({".name": ["l_quantity", "l_discount"],
+                             ".value": ["val", "val"],
+                             "kind": ["quantity", "discount"]})
+        return pivot_longer_spec(
+            lineitem[["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_discount"]], spec=spec)
+
+    def _pw_list(values_from, agg, scale=True):
+        d = orders.groupby(["o_custkey", "o_orderstatus"], as_index=False)[
+            values_from].agg(agg)
+        out = d.pivot_wider(index="o_custkey", names_from="o_orderstatus",
+                            values_from=values_from)
+        if scale:
+            for c in out.columns:
+                if c != "o_custkey":
+                    out[c] = (out[c] * 1e4).round(0).astype("Int64")
+        return out
+
+    def _dup_cols():
+        d = pd.concat([lineitem[["l_orderkey", "l_linenumber"]],
+                       lineitem.l_quantity.rename("q"),
+                       lineitem.l_discount.rename("q")], axis=1)
+        return d.drop_duplicate_columns(column_name="q", nth_index=0)
+
+    def _fill_dir_grouped():
+        d = events[["event_id", "event_type"]].assign(
+            v=events.value.where(events.value >= 1)).sort_values("event_id")
+        d["v"] = d.groupby("event_type")["v"].ffill()
+        return d
+
+    def _softmax():
+        import janitor.math  # noqa: F401
+        d = lineitem[["l_orderkey", "l_linenumber", "l_discount"]].copy()
+        d["sm"] = (d.l_discount.softmax() * 1e12).round(0).astype("int64")
+        return d
+
+    def _transform_column():
+        d = lineitem[["l_orderkey", "l_linenumber", "l_extendedprice"]]
+        out = d.transform_column("l_extendedprice", np.log, "log_price")
+        out["log_price"] = (out.log_price * 1e6).round(0).astype("int64")
+        return out.drop(columns="l_extendedprice")
+
+    def _unionize():
+        a = events[events.event_type.isin(["click", "view"])].copy()
+        a["event_type"] = a.event_type.astype("category")
+        b = events[events.event_type.isin(["purchase", "signup"])].copy()
+        b["event_type"] = b.event_type.astype("category")
+        import janitor as jn
+        outs = jn.unionize_dataframe_categories(a, b, column_names="event_type")
+        return pd.DataFrame(
+            {"category": list(outs[0].event_type.cat.categories)})
+
+    def _fill_ts():
+        from janitor.timeseries import fill_missing_timestamps
+        h = events.assign(hour=pd.to_datetime(events.ts).dt.floor("h")) \
+            .groupby("hour").size().reset_index(name="n")
+        filled = fill_missing_timestamps(h.set_index("hour"), frequency="1h")
+        filled = filled.reset_index(names="hour")
+        filled["n"] = filled.n.fillna(0).astype("int64")
+        filled["hour"] = filled.hour.dt.strftime("%Y-%m-%d %H:%M:%S")
+        return filled
 
     # ---- batch 8 helpers: conditional_join family ----
     def _bins():
