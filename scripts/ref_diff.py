@@ -442,6 +442,18 @@ def main():
             .assign(etype="Typ E-" + events.event_type)
             .clean_names(axis=None, column_names=["etype"]),
         "unionize_categories": lambda: _unionize(),
+        # explicit uniform edges through the reference's pd.cut wrapper —
+        # this mapping CAUGHT the r18 left-closed divergence
+        "bin_numeric": lambda: li3().bin_numeric(
+            from_column_name="l_quantity", to_column_name="qty_bin",
+            bins=np.linspace(0, 50, 11), labels=False, include_lowest=True),
+        "bin_numeric_labels": lambda: li3().bin_numeric(
+            from_column_name="l_quantity", to_column_name="qty_label",
+            bins=np.linspace(0, 50, 6), labels=["q1", "q2", "q3", "q4", "q5"],
+            include_lowest=True),
+        # order='sort'/'appearance' registries surfaced as code columns
+        "encode_categorical_sort": lambda: _enc_cat("sort"),
+        "encode_categorical_appearance": lambda: _enc_cat("appearance"),
         "fill_missing_timestamps": lambda: _fill_ts(),
     }
 
@@ -706,6 +718,13 @@ def main():
         filled["n"] = filled.n.fillna(0).astype("int64")
         filled["hour"] = filled.hour.dt.strftime("%Y-%m-%d %H:%M:%S")
         return filled
+
+    def _enc_cat(order):
+        d = events[["event_id", "event_type"]].sort_values("event_id")
+        enc = d.encode_categorical(event_type=order)
+        enc["code"] = enc.event_type.cat.codes
+        enc["event_type"] = enc.event_type.astype(str)
+        return enc
 
     # ---- batch 8 helpers: conditional_join family ----
     def _bins():

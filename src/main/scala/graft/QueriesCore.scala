@@ -776,11 +776,15 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * 4) / 4 AS l_extendedprice FROM lineitem""",
     "bin_numeric" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |CAST(least(greatest(floor((l_quantity - 0.0) / 5.0), 0), 9) AS INTEGER) AS qty_bin
+        |CASE WHEN l_quantity < 0 OR l_quantity > 50 THEN NULL ELSE
+        |  CAST(least(greatest(ceil((l_quantity - 0.0) / 5.0) - 1, 0), 9) AS INTEGER)
+        |END AS qty_bin
         |FROM lineitem""".stripMargin,
     "bin_numeric_labels" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |(['q1','q2','q3','q4','q5'])[CAST(least(greatest(floor((l_quantity - 0.0) / 10.0), 0), 4) AS INTEGER) + 1] AS qty_label
+        |CASE WHEN l_quantity < 0 OR l_quantity > 50 THEN NULL ELSE
+        |  (['q1','q2','q3','q4','q5'])[CAST(least(greatest(ceil((l_quantity - 0.0) / 10.0) - 1, 0), 4) AS INTEGER) + 1]
+        |END AS qty_label
         |FROM lineitem""".stripMargin,
     "bin_numeric_cut" ->
       """WITH m AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,

@@ -198,11 +198,16 @@ object TypeOps {
     df.withColumn(column, digits.map(d => round(c, d)).getOrElse(c))
   }
 
-  /** Labeled fixed-width bins (reference: janitor/functions/bin_numeric.py:19).
-    * Pure expression (`floor`), no MLlib fit pass — scales and streams.
-    * `labels` is pd.cut's labels kwarg: one per bin, wrong length raises
-    * (pd.cut ValueError; test_bin_numeric_kwargs_has_no_retbins' sibling
-    * check). retbins has no lazy analog and is unsupported by design.
+  /** Labeled fixed-width bins (reference: janitor/functions/bin_numeric.py:19,
+    * a thin pd.cut wrapper). Pure expression, no MLlib fit pass — scales and
+    * streams. Bin assignment is pd.cut's with explicit uniform edges
+    * lo..hi and include_lowest: intervals are RIGHT-closed ((e, e+w], the
+    * first one [lo, lo+w]), and values outside [lo, hi] bin to null like
+    * pd.cut's NaN — the round-18 differential gate caught the previous
+    * floor/left-closed convention diverging from the reference on every
+    * integral edge value. `labels` is pd.cut's labels kwarg: one per bin,
+    * wrong length raises (pd.cut ValueError). retbins has no lazy analog
+    * and is unsupported by design.
     */
   def binNumeric(df: DataFrame, column: String, newColumnName: String,
       lo: Double, hi: Double, bins: Int, labels: Seq[String] = Nil): DataFrame = {
@@ -211,11 +216,14 @@ object TypeOps {
         s"of bins ($bins)")
     val c = col(s"`$column`")
     val width = (hi - lo) / bins
-    val idx = least(greatest(floor((c - lo) / width), lit(0)), lit(bins - 1))
+    // v == lo lands in bin 0 via the greatest() clamp (include_lowest)
+    val idx = least(greatest(ceil((c - lo) / width).cast("int") - 1, lit(0)),
+      lit(bins - 1))
     val out =
-      if (labels.isEmpty) idx.cast("int")
-      else element_at(array(labels.map(lit): _*), idx.cast("int") + 1)
-    df.withColumn(newColumnName, when(c.isNull, null).otherwise(out))
+      if (labels.isEmpty) idx
+      else element_at(array(labels.map(lit): _*), idx + 1)
+    df.withColumn(newColumnName,
+      when(c.isNull || c < lo || c > hi, null).otherwise(out))
   }
 
   /** pd.cut-parity form of bin_numeric (reference: bin_numeric.py wraps

@@ -115,6 +115,18 @@ class FillAndTypeSpec extends SparkSpec {
     assert(out == Seq(0, 9, 9, null))
   }
 
+  test("binNumeric is pd.cut right-closed with include_lowest (r18 differential fix)") {
+    // pd.cut(x, np.linspace(0,50,11), labels=False, include_lowest=True):
+    // interior EDGE values land in the LOWER bin ((5,10] -> 1), v==lo in
+    // bin 0, out-of-range -> NaN — the floor/left-closed convention put 10
+    // in bin 2 and clamped 55 into bin 9
+    val d = Seq(Some(5.0), Some(10.0), Some(10.1), Some(55.0), Some(-1.0))
+      .toDF("v")
+    val out = d.binNumeric("v", "bin", 0, 50, 10).collect()
+      .map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+    assert(out == Seq(0, 1, 2, null, null))
+  }
+
   test("binNumeric labels: pd.cut labels kwarg with the length check") {
     val d = Seq(Some(0.0), Some(25.0), Some(50.0), None).toDF("v")
     val out = d.binNumeric("v", "bin", 0, 50, 5, labels = Seq("a", "b", "c", "d", "e"))
