@@ -454,6 +454,14 @@ def main():
         # order='sort'/'appearance' registries surfaced as code columns
         "encode_categorical_sort": lambda: _enc_cat("sort"),
         "encode_categorical_appearance": lambda: _enc_cat("appearance"),
+        # asof family vs pandas merge_asof — the exact contract the operator
+        # documents (right side pre-aggregated to unique (by, on) so the
+        # duplicate-timestamp tie-break cannot differ between engines)
+        "asof_join": lambda: _asof("backward", by=True),
+        "asof_join_nearest": lambda: _asof("nearest", by=True),
+        "asof_join_forward_tol": lambda: _asof("forward", by=True,
+                                               tolerance="1h"),
+        "asof_join_global": lambda: _asof("backward", by=False),
         "fill_missing_timestamps": lambda: _fill_ts(),
     }
 
@@ -718,6 +726,20 @@ def main():
         filled["n"] = filled.n.fillna(0).astype("int64")
         filled["hour"] = filled.hour.dt.strftime("%Y-%m-%d %H:%M:%S")
         return filled
+
+    def _asof(direction, by, tolerance=None):
+        ev = events.assign(ts=pd.to_datetime(events.ts))
+        lcols = ["event_id", "user_id", "ts"] if by else ["event_id", "ts"]
+        views = ev[ev.event_type == "view"][lcols].sort_values("ts")
+        gkeys = ["user_id", "ts"] if by else ["ts"]
+        clicks = ev[ev.event_type == "click"].groupby(gkeys, as_index=False) \
+            .value.max().rename(columns={"value": "click_value"}) \
+            .sort_values("ts")
+        kwargs = {"by": "user_id"} if by else {}
+        if tolerance is not None:
+            kwargs["tolerance"] = pd.Timedelta(tolerance)
+        return pd.merge_asof(views, clicks, on="ts", direction=direction,
+                             **kwargs)
 
     def _enc_cat(order):
         d = events[["event_id", "event_type"]].sort_values("event_id")

@@ -74,6 +74,14 @@ object JoinOps {
     * reference it only reorders which kernel runs first
     * (conditional_join.py:673-681, same output); Catalyst already picks the
     * equi-vs-residual execution order itself.
+    *
+    * Dtype relaxation (deliberate, r18 differential finding): the reference
+    * requires EXACT dtype equality on non-equi columns
+    * (conditional_join.py:439-446 is_dtype_equal — int32 vs float64
+    * raises); we require only the same type FAMILY
+    * (numeric/datetime/timedelta) and let Spark's numeric type coercion
+    * widen, which is the idiomatic Catalyst contract. The differential gate
+    * emulates this by pre-casting (scripts/ref_diff.py batch 8).
     */
   def conditionalJoin(left: DataFrame, right: DataFrame, conditions: Seq[Cond],
       how: String = "inner", keep: String = "all",
