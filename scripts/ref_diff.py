@@ -20,6 +20,10 @@ import sys
 import numpy as np
 import pandas as pd
 import janitor  # noqa: F401  (registers the reference verbs)
+import janitor.ml  # noqa: F401  (get_features_targets)
+import janitor.timeseries  # noqa: F401  (sort_timestamps_monotonically)
+import janitor.biology  # noqa: F401  (join_fasta, via the Bio shim)
+from janitor.io import read_csvs, read_commandline
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -463,6 +467,42 @@ def main():
                                                tolerance="1h"),
         "asof_join_global": lambda: _asof("backward", by=False),
         "fill_missing_timestamps": lambda: _fill_ts(),
+        # ---- batch 10 (r19): io readers, ml, biology, accessors ----
+        # the io gates regenerate their file inputs from sf_dir (content
+        # identical to what the Spark gate derives from the same sf_dir at
+        # Verify time) rather than reading target/tmp leftovers — a bench
+        # run at another SF overwrites those between Verify and this script
+        "read_csvs": lambda: read_csvs(f"{_io_scratch()}/demo/*.csv"),
+        # separate_df=True returns {basename: df} (io.py:66-68); re-union
+        # with the key as `src`, exactly as the Spark gate does
+        "read_csvs_separate": lambda: pd.concat(
+            [df.assign(src=name) for name, df in sorted(read_csvs(
+                f"{_io_scratch()}/sep/*.csv",
+                separate_df=True).items())], ignore_index=True),
+        "read_commandline": lambda: read_commandline(
+            "printf 'a,b\\n1,x\\n2,y\\n'"),
+        "get_features_targets": lambda: lineitem[
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]]
+            .get_features_targets(target_column_names=["l_returnflag"])[0],
+        "join_fasta": lambda: t("customer")[["c_custkey"]]
+            .assign(sid="seq" + (t("customer").c_custkey % 3).astype(str))
+            .join_fasta(filename=f"{_io_scratch()}/demo.fasta",
+                        id_col="sid", column_name="sequence"),
+        # explicit-array registry: values outside the category set null out
+        # (encode_categorical.py:162 astype(CategoricalDtype)); the gate
+        # compares the distinct value set after the stamp
+        "encode_categorical": lambda: t("events")[["event_type"]]
+            .encode_categorical(event_type=[
+                "click", "view", "purchase", "signup", "error"])
+            .drop_duplicates(),
+        "encode_categorical_expand": lambda: _enc_expand(),
+        "data_description": lambda: _data_desc(),
+        # strict=True dedups the ts index keeping the first POSITIONAL
+        # occurrence (timeseries.py strict branch) — positional order is
+        # pinned to event_id so it equals the Spark gate's takeFirst
+        "sort_timestamps_monotonically": lambda: _sort_ts(),
+        "expand_by": lambda: lineitem.expand(
+            "l_linestatus", "l_linenumber", by="l_returnflag").reset_index(),
     }
 
     def _collapse_levels():
@@ -842,6 +882,73 @@ def main():
             "rt": name.str.encode("UTF-8").str.decode("UTF-8"),
         })
 
+    # ---- batch 10 helpers ----
+    _scratch = {}
+
+    def _io_scratch():
+        # file inputs for the io gates, rebuilt from sf_dir: demo/ = the
+        # lineitem rows the Spark read_csvs gate round-trips (QueriesDomain
+        # "read_csvs"), split across two CSVs to exercise the multi-file
+        # concat; sep/ = the nation low/high pair (QueriesDomain
+        # "read_csvs_separate"); demo.fasta = the gate's pinned literal
+        if _scratch:
+            return _scratch["dir"]
+        import tempfile
+        d = tempfile.mkdtemp(prefix="ref_diff_io_")
+        import os
+        os.makedirs(f"{d}/demo")
+        li = lineitem.loc[lineitem.l_orderkey < 100,
+                          ["l_orderkey", "l_linenumber", "l_returnflag"]]
+        li[li.l_orderkey % 2 == 0].to_csv(f"{d}/demo/even.csv", index=False)
+        li[li.l_orderkey % 2 == 1].to_csv(f"{d}/demo/odd.csv", index=False)
+        os.makedirs(f"{d}/sep")
+        na = nation[["n_nationkey", "n_name", "n_regionkey"]].sort_values(
+            "n_nationkey")
+        na[na.n_regionkey < 2].to_csv(f"{d}/sep/low.csv", index=False)
+        na[na.n_regionkey >= 2].to_csv(f"{d}/sep/high.csv", index=False)
+        with open(f"{d}/demo.fasta", "w") as fh:
+            fh.write(">seq0 demo\nACGT\nACGT\n>seq1\nTTTT\n>seq2\nGGCC\n")
+        _scratch["dir"] = d
+        return d
+
+    def _enc_expand():
+        # registry inferred order='sort' from the FULL frame, one category
+        # filtered away; names_expand must re-materialize it all-null
+        # (encode_categorical.py:150-166 + pivot.py names_expand)
+        d = events[["user_id", "event_type", "value"]].encode_categorical(
+            event_type="sort")
+        d = d.loc[d.event_type != "error"]
+        # groupby-sum is the gate's agg="sum" prep; observed=True keeps the
+        # categorical dtype (full registry) on the group key
+        g = d.groupby(["user_id", "event_type"], observed=True,
+                      as_index=False).value.sum()
+        r = g.pivot_wider(index="user_id", names_from="event_type",
+                          values_from="value", names_expand=True)
+        for c in ["click", "purchase", "signup", "view"]:
+            r[c] = (r[c] * 1e4).round()
+        return r
+
+    def _data_desc():
+        # dtype naming is engine representation (int64 vs bigint) — the
+        # value-determined subset is (column_name, count, null_count);
+        # ours_proj drops our dtype/description columns to match
+        d = lineitem[["l_orderkey", "l_quantity", "l_returnflag"]]
+        r = d.data_description.df.reset_index()
+        return pd.DataFrame({
+            "column_name": r.column_name,
+            "count": r["count"],
+            "null_count": (r.pct_missing * len(d)).round().astype("int64")})
+
+    def _sort_ts():
+        e = (events[["event_id", "ts", "user_id"]]
+             .sort_values("event_id", kind="mergesort").set_index("ts"))
+        r = e.sort_timestamps_monotonically(
+            direction="increasing", strict=True).reset_index()
+        return pd.DataFrame({
+            "event_id": r.event_id,
+            "ts_str": r.ts.dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "user_id": r.user_id})
+
     # project OUR output before comparing, where the mapped reference case
     # covers only the value-determined subset of the gate's columns
     ours_proj = {
@@ -849,6 +956,8 @@ def main():
         "take_first_desc": lambda d: d[["l_partkey", "l_shipdate"]],
         "groupby_topk": lambda d: d[["l_returnflag", "l_extendedprice"]],
         "groupby_topk_asc": lambda d: d[["l_returnflag", "l_extendedprice"]],
+        "data_description": lambda d: d[
+            ["column_name", "count", "null_count"]],
     }
 
     matched, failures, skipped = 0, [], []
