@@ -81,5 +81,8 @@ object PlanAudit {
     println(s"[planaudit] done: ${names.size} batch gates scanned, " +
       s"$unexpected unexpected nested-loop plans")
     spark.stop()
+    // hard gate (VERDICT r18 #6): a NEW nested-loop plan fails the run
+    // instead of depending on someone reading the printed line
+    if (unexpected > 0) sys.exit(1)
   }
 }

@@ -287,9 +287,12 @@ object Sampling {
     * k − a boundary rows (≤ 2εn + ties ≈ 0.1k) ride a small
     * TakeOrderedAndProject. The scored frame is localCheckpoint-pinned
     * first — three actions (quantile, count, trim) would otherwise re-run
-    * the whole model train + score per action. Output set is EXACTLY the
+    * the whole model train + score per action. Output SET is EXACTLY the
     * deterministic top-k either way (skey is hash-derived, ties break on
-    * id); only the execution strategy changes.
+    * id); only the execution strategy changes — and so does row ORDER:
+    * below the cutoff rows arrive (skey desc, id) sorted, above it the
+    * above-union-trim is unordered. Callers needing order sort the k-row
+    * result (cheap at k rows).
     */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, buckets: Int = 4096, smoothing: Double = 1.0,
@@ -312,10 +315,17 @@ object Sampling {
         val thr = pinned.stat.approxQuantile("skey", Array(q), eps).head
         val above = pinned.filter(col("skey") > thr)
         val a = above.count()
-        val trim = pinned.filter(col("skey") <= thr)
-          .orderBy(col("skey").desc, col(s"`$idCol`"))
-          .limit((k - a).toInt)
-        above.unionByName(trim)
+        // the ε bias makes a > k unreachable in exact arithmetic, but a
+        // floating-point edge at the q−ε boundary (or sketch tie behavior)
+        // must not turn into limit(negative): fall back to a plain top-k
+        // over the (≈k-sized) above set — still no full-frame sort
+        if (a >= k) above.orderBy(col("skey").desc, col(s"`$idCol`")).limit(k)
+        else {
+          val trim = pinned.filter(col("skey") <= thr)
+            .orderBy(col("skey").desc, col(s"`$idCol`"))
+            .limit((k - a).toInt)
+          above.unionByName(trim)
+        }
       }
     }
   }

@@ -212,11 +212,25 @@ object TextOps {
     */
   def deconcatenateColumn(df: DataFrame, column: String, sep: String,
       newColumnNames: Seq[String], preservePosition: Boolean = false,
-      autoname: Option[String] = None): DataFrame = {
+      autoname: Option[String] = None, strict: Boolean = false): DataFrame = {
     val names = autoname
       .map(p => newColumnNames.indices.map(i => s"$p${i + 1}"))
       .getOrElse(newColumnNames)
     val parts = split(col(s"`$column`"), java.util.regex.Pattern.quote(sep))
+    // strict=true restores the reference's BOTH-direction width check
+    // (deconcatenate_column.py:132-137): one bounded max(size) aggregate
+    // detects the under-width case the lazy branch below cannot (the whole
+    // frame splitting narrower than names). Opt-in — the default keeps the
+    // stamp free of an eager scan and pads short frames with nulls
+    // (SURVEY §7.7 divergence ledger).
+    if (strict) {
+      val row = df.agg(max(when(col(s"`$column`").isNotNull, size(parts))))
+        .collect()(0)
+      val width = if (row.isNullAt(0)) 0 else row.getInt(0)
+      require(width == 0 || width == names.length,
+        s"deconcatenate_column: expanded split width ($width) != number of " +
+          s"new column names (${names.length})")
+    }
     // the reference raises when new_column_names count differs from the
     // EXPANDED width — str.split(expand=True)'s max part count over all
     // rows (deconcatenate_column.py:132-137). Rows with FEWER parts are

@@ -28,13 +28,21 @@ object TransformOps {
     * janitor/functions/find_replace.py:18).
     */
   def findReplace(df: DataFrame, column: String, mapping: Map[Any, Any],
-      matchMode: String = "exact"): DataFrame =
+      matchMode: String = "exact"): DataFrame = {
     // scala.Map flips from insertion order to hash order above 4 entries;
     // the reference's dict is always insertion-ordered and regex patterns
     // apply sequentially, so order is part of the contract — route through
-    // the Seq form (ListMap callers keep their order; plain Map callers
-    // with >4 regex entries should use the Seq overload directly)
+    // the Seq form. Exact mode is order-insensitive (each cell matches at
+    // most one needle), but regex patterns can cascade, so a non-ordered
+    // Map with >4 regex entries is rejected rather than silently reordered.
+    require(matchMode != "regex" || mapping.size <= 4 ||
+        mapping.isInstanceOf[scala.collection.immutable.SeqMap[_, _]],
+      "find_replace: regex mapping order is contractual (find_replace.py:" +
+        "174-177 applies patterns in dict insertion order) and a plain " +
+        "scala.Map with >4 entries iterates in hash order — pass a ListMap " +
+        "or use findReplaceOrdered(Seq)")
     findReplaceOrdered(df, column, mapping.toSeq, matchMode)
+  }
 
   /** Order-explicit form of [[findReplace]]: regex patterns apply
     * sequentially in the given order against the current value, matching the

@@ -211,8 +211,10 @@ object syntax {
         ignoreEmpty: Boolean = true): DataFrame =
       TextOps.concatenateColumns(df, columns, newColumnName, sep, ignoreEmpty)
     def deconcatenateColumn(column: String, sep: String, newColumnNames: Seq[String],
-        preservePosition: Boolean = false, autoname: Option[String] = None): DataFrame =
-      TextOps.deconcatenateColumn(df, column, sep, newColumnNames, preservePosition, autoname)
+        preservePosition: Boolean = false, autoname: Option[String] = None,
+        strict: Boolean = false): DataFrame =
+      TextOps.deconcatenateColumn(df, column, sep, newColumnNames, preservePosition,
+        autoname, strict)
     def expandColumn(column: String, sep: String = "|", concatDf: Boolean = true): DataFrame =
       TextOps.expandColumn(df, column, sep, concatDf)
 

@@ -207,6 +207,26 @@ class FidelitySweepSpec extends SparkSpec {
     assert(mixed(2).isNullAt(1) && mixed(2).isNullAt(2))
   }
 
+  test("deconcatenate_column strict=true raises on under-width like the reference") {
+    // strict opt-in restores the reference's both-direction width check
+    // (deconcatenate_column.py:132-137): the whole frame splits to width 2
+    // but 3 names were given — the default pads the third with nulls, the
+    // strict form raises (SURVEY §7.7 divergence ledger)
+    val narrow = Seq("a-b", "c-d").toDF("index")
+    val err = intercept[IllegalArgumentException](
+      narrow.deconcatenateColumn("index", "-", Seq("p", "q", "r"), strict = true))
+    assert(err.getMessage.contains("expanded split width"))
+    // exact width passes strict, including with null cells present
+    val ok = Seq("a-b", null).toDF("index")
+      .deconcatenateColumn("index", "-", Seq("p", "q"), strict = true)
+      .orderBy(asc_nulls_last("index")).collect()
+    assert(ok(0).getString(1) == "a" && ok(1).isNullAt(1))
+    // over-width still raises eagerly under strict
+    intercept[IllegalArgumentException](
+      Seq("a-b-c").toDF("index")
+        .deconcatenateColumn("index", "-", Seq("p", "q"), strict = true))
+  }
+
   test("log/logit error modes match tests/math/test_log.py and test_logit.py") {
     import graft.functions.MathFunctions
     val s = Seq(0.0, 1.0, 2.0, 3.0, -1.0).toDF("x")

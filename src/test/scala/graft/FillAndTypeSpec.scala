@@ -187,6 +187,21 @@ class FillAndTypeSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     // 'alpha' -> 'A' (first pattern) -> 'AA' (last pattern sees 'A')
     assert(out == Seq("AA", "B", "C", "D", "E", "zeta"))
+    // the Map overload rejects an order-lossy (>4-entry, non-SeqMap) regex
+    // mapping instead of silently applying patterns in hash order; a
+    // ListMap keeps insertion order and passes
+    val lossy = Map(("^a": Any) -> "A", ("^b": Any) -> "B", ("^g": Any) -> "C",
+      ("^d": Any) -> "D", ("^e": Any) -> "E")
+    val err = intercept[IllegalArgumentException](
+      d.findReplace("s", lossy, matchMode = "regex"))
+    assert(err.getMessage.contains("order is contractual"))
+    val viaListMap = d.findReplace("s",
+        scala.collection.immutable.ListMap(lossy.toSeq.sortBy(_._1.toString): _*),
+        matchMode = "regex")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaListMap == Seq("A", "B", "C", "D", "E", "zeta"))
+    // exact mode is order-insensitive — the plain Map stays accepted
+    d.findReplace("s", lossy, matchMode = "exact").collect()
   }
 
   test("findReplace raises on a null/NaN needle (test_find_replace_null_raises_error)") {
