@@ -82,6 +82,31 @@ object DsirFuzzyScaleProbe {
       }
     }
 
+    // two-sided fuzzyJoin (VERDICT r18 #5): same cap code, separate
+    // measurement — two clique-grown corpora of the adversarial sf1 shape
+    // (the second = the first with offset ids, i.e. every family collides
+    // cross-corpus the way the self-join's did intra-corpus)
+    if (which == "both" || which == "fuzzy2") {
+      val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      val rightC = cust.select((col("c_custkey") + 100000000L).as("r_id"),
+        col("c_name").as("r_name"))
+      val cap = sys.env.getOrElse("SPARK_GRAFT_PROBE_CAP", "8").toInt
+      val (capped2, tCap2) = timed {
+        graft.operators.JoinOps.fuzzyJoin(cust, rightC, "c_name", "r_name",
+          maxDist = 1, maxBucket = cap).count()
+      }
+      println(s"""{"probe":"fuzzy_join_sf1_capped","max_bucket":$cap,""" +
+        s""""sec":${f"$tCap2%.2f"},"pairs":$capped2}""")
+      if (sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")) {
+        val (full2, tFull2) = timed {
+          graft.operators.JoinOps.fuzzyJoin(cust, rightC, "c_name", "r_name",
+            maxDist = 1).count()
+        }
+        println(s"""{"probe":"fuzzy_join_sf1_uncapped",""" +
+          s""""sec":${f"$tFull2%.2f"},"pairs":$full2}""")
+      }
+    }
+
     spark.stop()
   }
 }

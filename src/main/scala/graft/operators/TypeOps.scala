@@ -372,9 +372,17 @@ object TypeOps {
         sum(when(c.isNotNull && !c.cast("string").isin(categories: _*), 1L)
           .otherwise(0L)).as("bad"),
         countDistinct(when(c.cast("string").isin(categories: _*),
-          c.cast("string"))).as("seen")).collect()(0)
+          c.cast("string"))).as("seen"),
+        count(c).as("nonnull")).collect()(0)
       val bad = if (row.isNullAt(0)) 0L else row.getLong(0)
       val seen = if (row.isNullAt(1)) 0L else row.getLong(1)
+      // the reference raises BEFORE any mismatch warning when the column
+      // has no non-null values at all (encode_categorical.py:233-238
+      // uniques.empty; test_empty_col) — an all-null column cannot anchor
+      // a category comparison
+      require(row.getLong(2) > 0L,
+        s"encode_categorical: kindly ensure there is at least one " +
+          s"non-null value in $column")
       if (bad > 0) System.err.println(s"[graft] WARNING encode_categorical: " +
         s"$bad value(s) in $column are missing from the provided categories " +
         "and will be set to null")

@@ -36,10 +36,67 @@ class CategoricalCaseWhenSweepSpec extends SparkSpec {
       TypeOps.encodeCategorical(df, "a", Seq("1", null)))
     intercept[IllegalArgumentException](
       TypeOps.encodeCategoricalOrder(df, "a", "sorted"))
-    // all-null column cannot infer categories (test_empty_col_sort)
+    // all-null column cannot infer categories (test_empty_col_sort /
+    // test_empty_col_appearance)
     val nulls = Seq((None: Option[Int], "x")).toDF("c", "d")
     intercept[IllegalArgumentException](
       TypeOps.encodeCategoricalOrder(nulls, "c", "sort"))
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategoricalOrder(nulls, "c", "appearance", orderCol = Some("d")))
+    // ... and cannot anchor an explicit-category comparison either
+    // (test_empty_col: uniques.empty raises before the mismatch warnings)
+    intercept[IllegalArgumentException](
+      TypeOps.encodeCategorical(nulls, "c", Seq("1", "2", "3"), checkValues = true))
+    // a missing column raises at analysis like the reference's KeyError
+    // (test_encode_categorical_missing_column)
+    intercept[Exception](
+      TypeOps.encodeCategorical(Seq((1, "a")).toDF("a", "b"), "aloha",
+        Seq("x")).collect())
+  }
+
+  test("encode_categorical order registries: sort = sorted distinct, appearance = first seen") {
+    // golden form of test_all_cat_None_1/_2: the registry IS factorize's
+    // category order — sort=True -> lexicographic; sort=False -> first-seen
+    val df = Seq((1, "Mark"), (2, "John"), (3, "Luke"), (4, "John"), (5, "Abe"))
+      .toDF("ord", "names")
+    val sorted_ = TypeOps.encodeCategoricalOrder(df, "names", "sort")
+    assert(TypeOps.categoriesOf(sorted_, "names") ===
+      Some(Seq("Abe", "John", "Luke", "Mark")))
+    val appear = TypeOps.encodeCategoricalOrder(df, "names", "appearance",
+      orderCol = Some("ord"))
+    assert(TypeOps.categoriesOf(appear, "names") ===
+      Some(Seq("Mark", "John", "Luke", "Abe")))
+    // explicit-array mode registers the GIVEN order, verbatim
+    // (test_all_cat_not_None: CategoricalDtype(categories=[3,1,2]))
+    val nums = TypeOps.encodeCategorical(df, "ord", Seq("3", "1", "2"))
+    assert(TypeOps.categoriesOf(nums, "ord") === Some(Seq("3", "1", "2")))
+  }
+
+  test("encode_categorical warnings fire in both mismatch directions (test_warnings)") {
+    // capture stderr: values-missing-from-categories AND categories-never-
+    // occurring both warn (encode_categorical.py:241-258)
+    val df = Seq((1, "John"), (2, "Mark"), (3, "Luke")).toDF("numbers", "names")
+    def captured(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withErr(new java.io.PrintStream(buf)) {
+        val old = System.err
+        System.setErr(new java.io.PrintStream(buf))
+        try body finally System.setErr(old)
+      }
+      buf.toString("UTF-8")
+    }
+    val bothWays = captured {
+      TypeOps.encodeCategorical(df, "names", Seq("John", "Mark", "Paul"),
+        checkValues = true).collect()
+    }
+    assert(bothWays.contains("missing from the provided categories"))
+    assert(bothWays.contains("never occur"))
+    // full overlap: silent
+    val clean = captured {
+      TypeOps.encodeCategorical(df, "names", Seq("John", "Mark", "Luke"),
+        checkValues = true).collect()
+    }
+    assert(!clean.contains("WARNING"))
   }
 
   test("case_when: first matching condition wins across overlaps (test_case_when_1)") {
