@@ -893,9 +893,12 @@ def main():
         # "read_csvs_separate"); demo.fasta = the gate's pinned literal
         if _scratch:
             return _scratch["dir"]
-        import tempfile
-        d = tempfile.mkdtemp(prefix="ref_diff_io_")
+        # fixed path, rebuilt per run — mkdtemp would leak one tree per
+        # invocation across rounds
         import os
+        import shutil
+        d = "/tmp/ref_diff_io_scratch"
+        shutil.rmtree(d, ignore_errors=True)
         os.makedirs(f"{d}/demo")
         li = lineitem.loc[lineitem.l_orderkey < 100,
                           ["l_orderkey", "l_linenumber", "l_returnflag"]]

@@ -224,10 +224,16 @@ object TextOps {
     // stamp free of an eager scan and pads short frames with nulls
     // (SURVEY §7.7 divergence ledger).
     if (strict) {
-      val row = df.agg(max(when(col(s"`$column`").isNotNull, size(parts))))
-        .collect()(0)
-      val width = if (row.isNullAt(0)) 0 else row.getInt(0)
-      require(width == 0 || width == names.length,
+      val row = df.agg(max(when(col(s"`$column`").isNotNull, size(parts))),
+        count(lit(1))).collect()(0)
+      // pandas str.split(expand=True) width: an all-null column still
+      // expands to ONE all-NaN column (shape (n, 1)); an empty frame
+      // expands to zero columns (shape (0, 0)) — both raise on mismatch
+      val width =
+        if (row.getLong(1) == 0L) 0
+        else if (row.isNullAt(0)) 1
+        else math.max(row.getInt(0), 1)
+      require(width == names.length,
         s"deconcatenate_column: expanded split width ($width) != number of " +
           s"new column names (${names.length})")
     }

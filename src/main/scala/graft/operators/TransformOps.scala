@@ -29,18 +29,23 @@ object TransformOps {
     */
   def findReplace(df: DataFrame, column: String, mapping: Map[Any, Any],
       matchMode: String = "exact"): DataFrame = {
-    // scala.Map flips from insertion order to hash order above 4 entries;
     // the reference's dict is always insertion-ordered and regex patterns
     // apply sequentially, so order is part of the contract — route through
     // the Seq form. Exact mode is order-insensitive (each cell matches at
-    // most one needle), but regex patterns can cascade, so a non-ordered
-    // Map with >4 regex entries is rejected rather than silently reordered.
-    require(matchMode != "regex" || mapping.size <= 4 ||
-        mapping.isInstanceOf[scala.collection.immutable.SeqMap[_, _]],
+    // most one needle), but regex patterns can cascade, so only Maps whose
+    // iteration IS insertion order are accepted in regex mode: SeqMap
+    // (ListMap/VectorMap), the Map1..Map4 literals `Map(...)` builds (their
+    // fields iterate in construction order), or size <= 1. A HashMap at any
+    // size iterates in hash order and is rejected rather than silently
+    // reordered.
+    def insertionOrdered(m: Map[Any, Any]): Boolean = m.size <= 1 ||
+      m.isInstanceOf[scala.collection.immutable.SeqMap[_, _]] ||
+      m.getClass.getName.startsWith("scala.collection.immutable.Map$Map")
+    require(matchMode != "regex" || insertionOrdered(mapping),
       "find_replace: regex mapping order is contractual (find_replace.py:" +
-        "174-177 applies patterns in dict insertion order) and a plain " +
-        "scala.Map with >4 entries iterates in hash order — pass a ListMap " +
-        "or use findReplaceOrdered(Seq)")
+        "174-177 applies patterns in dict insertion order) and this Map " +
+        "implementation iterates in hash order — pass a ListMap or use " +
+        "findReplaceOrdered(Seq)")
     findReplaceOrdered(df, column, mapping.toSeq, matchMode)
   }
 

@@ -363,10 +363,13 @@ object TypeOps {
     val c = col(s"`$column`")
     // pandas astype(CategoricalDtype(categories)) NULLS values outside the
     // category set — the registry stamp alone would silently keep them
-    // (round-17 fidelity sweep). checkValues additionally reproduces the
-    // reference's UserWarning on either-direction mismatch
-    // (test_encode_categorical.py:174-183) with ONE bounded aggregate;
-    // off by default to keep the stamp free of an eager scan.
+    // (round-17 fidelity sweep). checkValues reproduces the reference's
+    // UserWarning when column values are missing from the categories
+    // (encode_categorical.py:241-258 — both reference branches warn in
+    // that ONE direction only) with ONE bounded aggregate, and ADDS an
+    // engine-side warning for the reverse case (provided categories that
+    // never occur), which the reference does not emit. Off by default to
+    // keep the stamp free of an eager scan.
     if (checkValues) {
       val row = df.agg(
         sum(when(c.isNotNull && !c.cast("string").isin(categories: _*), 1L)

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
 class CapInvariantSpec extends SparkSpec {
   import spark.implicits._
 
-  // a clique-grown corpus: 4 families of edit-distance-1 names around a
-  // shared stem (the adversarial shape that makes variant buckets hot),
-  // plus an identical-string clique and two singletons
+  // a clique-grown corpus: 24 names over a shared stem differing in two
+  // digit positions — every same-f and same-i pair is edit distance 1
+  // (families are NOT isolated cliques: "customer#00000"/"customer#00100"
+  // also differ in one char), which is the point: the shared stem makes
+  // variant buckets hot. Plus an identical-string clique and two
+  // singletons.
   private lazy val names = {
     val fams = for {
       f <- 0 until 4

@@ -72,9 +72,12 @@ class CategoricalCaseWhenSweepSpec extends SparkSpec {
     assert(TypeOps.categoriesOf(nums, "ord") === Some(Seq("3", "1", "2")))
   }
 
-  test("encode_categorical warnings fire in both mismatch directions (test_warnings)") {
-    // capture stderr: values-missing-from-categories AND categories-never-
-    // occurring both warn (encode_categorical.py:241-258)
+  test("encode_categorical warnings: reference direction plus the engine-added reverse") {
+    // capture stderr: values-missing-from-categories is the REFERENCE's
+    // warning (encode_categorical.py:241-258 — both its branches warn in
+    // that one direction; test_warnings); categories-never-occurring is an
+    // engine ADDITION the reference does not emit (documented at the
+    // TypeOps call site)
     val df = Seq((1, "John"), (2, "Mark"), (3, "Luke")).toDF("numbers", "names")
     def captured(body: => Unit): String = {
       val buf = new java.io.ByteArrayOutputStream()

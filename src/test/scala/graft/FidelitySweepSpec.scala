@@ -225,6 +225,17 @@ class FidelitySweepSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Seq("a-b-c").toDF("index")
         .deconcatenateColumn("index", "-", Seq("p", "q"), strict = true))
+    // an all-null column expands to ONE all-NaN column in pandas
+    // (shape (n, 1)), so strict raises against 2 names — and passes
+    // against exactly 1
+    val allNull = Seq(null: String, null: String).toDF("index")
+    intercept[IllegalArgumentException](
+      allNull.deconcatenateColumn("index", "-", Seq("p", "q"), strict = true))
+    allNull.deconcatenateColumn("index", "-", Seq("p"), strict = true).collect()
+    // an empty frame expands to ZERO columns (shape (0, 0)) — any names raise
+    intercept[IllegalArgumentException](
+      Seq.empty[String].toDF("index")
+        .deconcatenateColumn("index", "-", Seq("p"), strict = true))
   }
 
   test("log/logit error modes match tests/math/test_log.py and test_logit.py") {

@@ -202,6 +202,15 @@ class FillAndTypeSpec extends SparkSpec {
     assert(viaListMap == Seq("A", "B", "C", "D", "E", "zeta"))
     // exact mode is order-insensitive — the plain Map stays accepted
     d.findReplace("s", lossy, matchMode = "exact").collect()
+    // an explicit HashMap is hash-ordered at ANY size — rejected even at 3
+    // entries (Map(...) literals up to 4 entries are Map1..Map4, which
+    // iterate in construction order, and stay accepted)
+    intercept[IllegalArgumentException](
+      d.findReplace("s", scala.collection.immutable.HashMap(
+        ("^a": Any) -> "A", ("^b": Any) -> "B", ("^g": Any) -> "C"),
+        matchMode = "regex"))
+    d.findReplace("s", Map(("^a": Any) -> "A", ("^b": Any) -> "B",
+      ("^g": Any) -> "C"), matchMode = "regex").collect()
   }
 
   test("findReplace raises on a null/NaN needle (test_find_replace_null_raises_error)") {
