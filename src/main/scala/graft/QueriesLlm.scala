@@ -361,6 +361,19 @@ object QueriesLlm {
     "bm25_topk" -> ((s, d) =>
       microCols(TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text",
         Seq("spark", "table", "hash", "merge"), k = 20), "score")),
+    // reciprocal-rank fusion over two deterministic rankings (hybrid
+    // retrieval's combiner): integral-valued scores so both engines rank
+    // on exact longs; rrf contributions are IEEE-identical divisions
+    "hybrid_rrf_topk" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val byQty = li.groupBy(col("l_returnflag").as("q"), col("l_partkey").as("doc"))
+        .agg(round(sum("l_quantity")).cast("long").as("score"))
+      val byPrice = li.groupBy(col("l_returnflag").as("q"), col("l_partkey").as("doc"))
+        .agg(round(sum(col("l_extendedprice") * 100)).cast("long").as("score"))
+      graft.llm.Similarity.rrfFuse(Seq(byQty, byPrice), "q", "doc", "score", k = 10)
+        .select(col("q"), col("doc"),
+          round(col("rrf") * 1e9).cast("long").as("rrf_n"))
+    }),
     "perplexity_buckets" -> ((s, d) =>
       microCols(TextAnalysis.perplexityBuckets(documents(s, d), "doc_id", "text"),
         "avg_logprob")),
@@ -1361,6 +1374,26 @@ object QueriesLlm {
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score FROM (
         |  SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin,
+    // two exact-long rankings -> 1/(60+rank) contributions (IEEE-identical
+    // divisions in both engines) -> per-(q,doc) sum -> top-10 per q
+    "hybrid_rrf_topk" ->
+      """WITH a AS (SELECT l_returnflag AS q, l_partkey AS doc,
+        |    CAST(round(sum(l_quantity)) AS BIGINT) AS score
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_returnflag AS q, l_partkey AS doc,
+        |    CAST(round(sum(l_extendedprice * 100)) AS BIGINT) AS score
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT q, doc, row_number() OVER
+        |    (PARTITION BY q ORDER BY score DESC, doc ASC) AS r FROM a),
+        |rb AS (SELECT q, doc, row_number() OVER
+        |    (PARTITION BY q ORDER BY score DESC, doc ASC) AS r FROM b),
+        |u AS (SELECT q, doc, CAST(1.0 AS DOUBLE) / (60 + r) AS c FROM ra
+        |  UNION ALL SELECT q, doc, CAST(1.0 AS DOUBLE) / (60 + r) FROM rb),
+        |f AS (SELECT q, doc, sum(c) AS rrf FROM u GROUP BY 1, 2),
+        |t AS (SELECT q, doc, rrf, row_number() OVER
+        |    (PARTITION BY q ORDER BY rrf DESC, doc ASC) AS rn FROM f)
+        |SELECT q, doc, CAST(round(rrf * 1e9) AS BIGINT) AS rrf_n
+        |FROM t WHERE rn <= 10""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
         |  FROM documents),

@@ -77,6 +77,43 @@ object Similarity {
       .select("qid", "nid", "sim")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fuse N per-query rankings into one — score(q, d) = Σ over the
+    * rankings containing d of 1 / (rrfK + rank). The standard hybrid-
+    * retrieval combiner (BM25 lexical + dense cosine); a document missing
+    * from a ranking simply contributes nothing. Each input carries
+    * (queryCol, docCol, scoreCol); ranks derive per query as row_number
+    * over (score desc, doc asc), so tied scores fuse deterministically.
+    *
+    * Scale shape: one KEYED window per ranking (partitionBy query — ranks
+    * never leave the group), a union, ONE shuffle on (query, doc) for the
+    * fuse sum, and a keyed top-k window. Nothing global, nothing
+    * quadratic; skew is bounded by per-query candidate counts, which the
+    * upstream top-k rankers already cap.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, docCol: String,
+      scoreCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf_fuse: at least one ranking required")
+    require(k > 0, s"rrf_fuse: k must be positive, got $k")
+    require(rrfK >= 0, s"rrf_fuse: rrfK must be >= 0, got $rrfK")
+    val wRank = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    val contribs = rankings.map(r =>
+      r.select(col(s"`$queryCol`").as("__q"), col(s"`$docCol`").as("__d"),
+          col(s"`$scoreCol`").cast("double").as("__s"))
+        .withColumn("__c",
+          lit(1.0d) / (lit(rrfK.toDouble) + row_number().over(wRank)))
+        .drop("__s"))
+    val wTop = Window.partitionBy(col("__q"))
+      .orderBy(col("rrf").desc, col("__d").asc)
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("__q"), col("__d"))
+      .agg(sum(col("__c")).as("rrf"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__q").as(queryCol), col("__d").as(docCol), col("rrf"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with rounded
     * cosine ≥ threshold. Quadratic baseline; block with [[lshBuckets]] at
     * scale.

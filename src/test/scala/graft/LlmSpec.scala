@@ -1131,4 +1131,43 @@ class LlmSpec extends SparkSpec {
       }
     }
   }
+
+  test("rrfFuse: hand-computed fusion, missing-doc contribution, tie determinism") {
+    import graft.llm.Similarity
+    // ranking A: q1 -> d1(3.0) d2(2.0) d3(1.0); ranking B: q1 -> d2(9) d3(8)
+    // (d1 absent from B — contributes only its A term)
+    val a = Seq(("q1", "d1", 3.0), ("q1", "d2", 2.0), ("q1", "d3", 1.0)).toDF("q", "doc", "s")
+    val b = Seq(("q1", "d2", 9.0), ("q1", "d3", 8.0)).toDF("q", "doc", "s")
+    val out = Similarity.rrfFuse(Seq(a, b), "q", "doc", "s", k = 3)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    val e = 1e-12
+    assert(math.abs(out("d1") - 1.0 / 61) < e)              // rank 1 in A only
+    assert(math.abs(out("d2") - (1.0 / 62 + 1.0 / 61)) < e) // A rank 2, B rank 1
+    assert(math.abs(out("d3") - (1.0 / 63 + 1.0 / 62)) < e)
+    // tied scores rank deterministically (doc asc): equal-score docs fuse
+    // identically on every run and engine
+    val tied = Seq(("q", "z", 1.0), ("q", "a", 1.0)).toDF("q", "doc", "s")
+    val t = Similarity.rrfFuse(Seq(tied), "q", "doc", "s", k = 2)
+      .orderBy(desc("rrf")).collect().map(_.getString(1)).toSeq
+    assert(t == Seq("a", "z")) // 'a' wins the tie -> rank 1 -> higher rrf
+    // k truncates per query by (rrf desc, doc asc)
+    assert(Similarity.rrfFuse(Seq(a, b), "q", "doc", "s", k = 1)
+      .collect().map(_.getString(1)).toSeq == Seq("d2"))
+    // plumbing: fusing a real BM25 list with a cosine list (bm25TopK emits
+    // a single global list — lift it with a constant query key)
+    val docs = Seq((1L, "spark table merge"), (2L, "spark hash"),
+      (3L, "other words entirely")).toDF("doc_id", "text")
+    val lex = graft.llm.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "table"), k = 3).select(lit("q0").as("q"),
+      col("doc_id").cast("string").as("doc"), col("score").as("s"))
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (9L, Array(1f, 0.05f))).toDF("id", "v")
+    val dense = Similarity.cosineTopK(vecs.filter(col("id") === 9L),
+        vecs.filter(col("id") =!= 9L), "id", "v", k = 3)
+      .select(lit("q0").as("q"), col("nid").cast("string").as("doc"),
+        col("sim").as("s"))
+    val fused = Similarity.rrfFuse(Seq(lex, dense), "q", "doc", "s", k = 2)
+    assert(fused.count() == 2)
+    assert(fused.collect().map(_.getString(1)).toSet.subsetOf(Set("1", "2", "3")))
+  }
 }
