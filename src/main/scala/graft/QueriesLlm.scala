@@ -444,6 +444,11 @@ object QueriesLlm {
       .select("doc_id", "lang").hashSample("doc_id", 0.25)),
     "hash_split" -> ((s, d) => documents(s, d)
       .select("doc_id").hashSplit("doc_id")),
+    // exact-duplicate classes split together (key = md5(text), not id) —
+    // a duplicated doc can never straddle train/val; the near-dup cluster
+    // mode is spec-gated (LlmSpec: same cluster -> same split)
+    "leakage_safe_split" -> ((s, d) => graft.llm.Sampling.leakageSafeSplit(
+      documents(s, d), "doc_id", "text").select("doc_id", "split")),
     "stratified_hash_sample" -> ((s, d) => documents(s, d)
       .select("doc_id", "lang")
       .stratifiedHashSample("doc_id", "lang",
@@ -1623,6 +1628,13 @@ object QueriesLlm {
         |       WHEN u < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS u FROM documents)""".stripMargin,
+    "leakage_safe_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(md5(text) || '#42'), 1, 8)) AS BIGINT)
         |  / 4294967296.0 AS u FROM documents)""".stripMargin,
     "stratified_hash_sample" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang,

@@ -55,6 +55,42 @@ object Sampling {
     df.withColumn(destCol, expr)
   }
 
+  /** Leakage-safe train/val/test split: every member of a duplicate
+    * CLUSTER lands in the SAME split, so a near-duplicate of an eval
+    * document can never leak into train — the eval-contamination failure
+    * mode of splitting by document id. The split key is the cluster label
+    * when an (id, cluster) assignment is supplied (e.g. from
+    * [[graft.llm.Dedup.dupClusters]] over minhash pairs); without one it
+    * is the EXACT-duplicate class (md5 of the text), which needs no pair
+    * generation at all. Docs absent from a supplied cluster frame are
+    * their own singleton class (split on their id).
+    *
+    * Scale shape: exact mode is one narrow projection — the key is a hash
+    * of the text, no shuffle, no join; cluster mode is one equi-join on
+    * id. Determinism: the split rides [[hashUniform]] of the key, so it
+    * is partition/run/engine-invariant and stable under corpus growth
+    * (new docs never move an existing cluster's split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      clusters: Option[DataFrame] = None, clusterCol: String = "cluster",
+      destCol: String = "split", seed: Long = 42L): DataFrame = {
+    val keyed = clusters match {
+      case None =>
+        df.withColumn("__lsk", md5(col(s"`$textCol`").cast("binary")))
+      case Some(c) =>
+        df.join(c.select(col(s"`$idCol`"),
+            col(s"`$clusterCol`").cast("string").as("__lsc")),
+          Seq(idCol), "left")
+          .withColumn("__lsk",
+            coalesce(col("__lsc"), concat(lit("__singleton#"),
+              col(s"`$idCol`").cast("string"))))
+          .drop("__lsc")
+    }
+    hashSplit(keyed, "__lsk", weights, destCol, seed).drop("__lsk")
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis 2006, the A-ES exponential-key family): every row draws
     * r = −ln(u)/w with u its content-hash uniform ([[hashUniform]] — NOT

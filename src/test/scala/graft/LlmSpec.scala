@@ -1170,4 +1170,33 @@ class LlmSpec extends SparkSpec {
     assert(fused.count() == 2)
     assert(fused.collect().map(_.getString(1)).toSet.subsetOf(Set("1", "2", "3")))
   }
+
+  test("leakageSafeSplit: clusters split together; exact dups split together; singletons fall back") {
+    import graft.llm.{Dedup, Sampling}
+    // exact mode: identical texts land in the same split, always
+    val docs = Seq((1L, "aaa bbb ccc"), (2L, "aaa bbb ccc"), (3L, "ddd eee"),
+      (4L, "fff ggg hhh"), (5L, "fff ggg hhh")).toDF("doc_id", "text")
+    val exact = Sampling.leakageSafeSplit(docs, "doc_id", "text")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exact(1L) == exact(2L) && exact(4L) == exact(5L))
+    // cluster mode: every member of a supplied near-dup cluster gets the
+    // cluster's split; docs absent from the frame are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    // dupClusters emits (id, cluster) — realign the id column to ours
+    val clusters = Dedup.dupClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id")
+    val byCluster = Sampling.leakageSafeSplit(docs, "doc_id", "text",
+        clusters = Some(clusters))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byCluster(1L) == byCluster(2L) && byCluster(2L) == byCluster(3L))
+    // a doc missing from the cluster frame still splits (on its own id)
+    val partial = clusters.filter(col("doc_id") =!= 5L)
+    val withGap = Sampling.leakageSafeSplit(docs, "doc_id", "text",
+        clusters = Some(partial))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set("train", "val", "test").contains(withGap(5L)))
+    // stability: re-running yields the identical assignment
+    assert(Sampling.leakageSafeSplit(docs, "doc_id", "text")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap == exact)
+  }
 }
