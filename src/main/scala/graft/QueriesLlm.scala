@@ -444,6 +444,13 @@ object QueriesLlm {
       .select("doc_id", "lang").hashSample("doc_id", 0.25)),
     "hash_split" -> ((s, d) => documents(s, d)
       .select("doc_id").hashSplit("doc_id")),
+    // temperature-scaled mixture (alpha=0.5 -> weight ∝ sqrt(count)):
+    // low-resource langs up-weighted; sqrt + ordered-fold normalization
+    // keep the derived weights bit-reproducible in DuckDB
+    "mix_domains_temperature" -> ((s, d) =>
+      graft.llm.Sampling.mixDomainsTemperature(
+        documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
+        alpha = 0.5, targetRows = 600L).select("doc_id", "lang", "copy")),
     // exact-duplicate classes split together (key = md5(text), not id) —
     // a duplicated doc can never straddle train/val; the near-dup cluster
     // mode is spec-gated (LlmSpec: same cluster -> same split)
@@ -1650,6 +1657,22 @@ object QueriesLlm {
         |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
         |  / 4294967296.0 AS u
         |  FROM documents d JOIN w USING (lang) JOIN n USING (lang))
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
+        |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
+        |FROM m""".stripMargin,
+    // weights derived IN SQL: sqrt (correctly rounded in both engines,
+    // unlike pow) over per-lang counts, normalized by an ordered left fold
+    // (list_sum ORDER BY lang = the Scala sorted-domain foldLeft), then
+    // the same mult/copy expansion as mix_domains
+    "mix_domains_temperature" ->
+      """WITH n AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+        |z AS (SELECT list_sum(list(sqrt(CAST(n_d AS DOUBLE)) ORDER BY lang)) AS z FROM n),
+        |w AS (SELECT lang, sqrt(CAST(n_d AS DOUBLE)) / z.z AS wt, n_d FROM n, z),
+        |m AS (SELECT d.doc_id, d.lang, w.wt * 600.0 / CAST(w.n_d AS DOUBLE) AS mult,
+        |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS u
+        |  FROM documents d JOIN w USING (lang))
         |SELECT doc_id, lang,
         |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
         |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy

@@ -235,6 +235,37 @@ object Sampling {
       .drop("__dom", "__mult", "__copies")
   }
 
+  /** Temperature-scaled mixture (the multilingual-pretraining sampler,
+    * e.g. mBERT/XLM-R style): domain weight ∝ count^alpha, normalized —
+    * alpha = 1 reproduces the natural distribution, alpha → 0 approaches
+    * uniform, the usual 0.3–0.7 range up-weights low-resource domains.
+    * Weights derive from ONE bounded count aggregate (|domains| rows on
+    * the driver — model-sized, like every trained-path fit here) and feed
+    * [[mixDomains]]' hash-deterministic expansion.
+    */
+  def mixDomainsTemperature(df: DataFrame, keyCol: String, domainCol: String,
+      alpha: Double, targetRows: Long, copyCol: String = "copy",
+      seed: Long = 42L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"mix_domains: temperature alpha must be in [0, 1], got $alpha")
+    val counts = df.groupBy(col(s"`$domainCol`").cast("string").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // sqrt for alpha = 0.5: IEEE sqrt is correctly rounded everywhere,
+    // pow(x, 0.5) is not guaranteed to be — the exact form keeps the
+    // derived weights bit-reproducible by an external engine (the oracle
+    // replicates this path; normalization is an ORDERED left fold over
+    // the sorted domains for the same reason)
+    val powed = counts.map { case (d, n) =>
+      d -> (if (alpha == 0.5) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha)) }
+    val z = powed.map(_._2).foldLeft(0.0d)(_ + _)
+    require(z > 0.0, "mix_domains: empty input")
+    mixDomains(df, keyCol, domainCol,
+      powed.map { case (d, p) => d -> p / z }.toIndexedSeq, targetRows,
+      copyCol, seed)
+  }
+
   /** Hashed n-gram feature buckets of a document — the DSIR feature map
     * (Xie et al., Data Selection for Language Models via Importance
     * Resampling, arXiv:2302.03169 §3: hashed unigrams + bigrams of the

@@ -1199,4 +1199,25 @@ class LlmSpec extends SparkSpec {
     assert(Sampling.leakageSafeSplit(docs, "doc_id", "text")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap == exact)
   }
+
+  test("mixDomainsTemperature: alpha=1 tracks natural shares, alpha=0 is uniform") {
+    import graft.llm.Sampling
+    // 300 'big' vs 30 'small' rows; target 330
+    val df = ((0 until 300).map(i => (i.toLong, "big")) ++
+      (300 until 330).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    def shares(alpha: Double): Map[String, Long] =
+      Sampling.mixDomainsTemperature(df, "id", "dom", alpha, targetRows = 330L)
+        .groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = shares(1.0)
+    // alpha=1: weight ∝ count -> expansion preserves the 10:1 ratio (±hash
+    // rounding of the fractional copy)
+    assert(math.abs(natural("big") - 300L) <= 5 && math.abs(natural("small") - 30L) <= 5)
+    val uniform = shares(0.0)
+    // alpha=0: both domains get half the target
+    assert(math.abs(uniform("big") - 165L) <= 5 && math.abs(uniform("small") - 165L) <= 5)
+    val mid = shares(0.5)
+    // monotone in between: small's share strictly grows as alpha falls
+    assert(mid("small") > natural("small") && mid("small") < uniform("small"))
+  }
 }
