@@ -444,6 +444,18 @@ object QueriesLlm {
       .select("doc_id", "lang").hashSample("doc_id", 0.25)),
     "hash_split" -> ((s, d) => documents(s, d)
       .select("doc_id").hashSplit("doc_id")),
+    // C4 §2.2 line cleaning over a synthesized 3-line doc: the corpus text
+    // with terminal punctuation (kept iff >= 5 words), a too-short line
+    // (dropped), and a boilerplate 'cookie' line (dropped)
+    "c4_line_filter" -> ((s, d) => {
+      val raw = concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("short one."),
+        concat(lit("cookie policy accepted for doc "), col("doc_id"),
+          lit(" yes indeed.")))
+      documents(s, d).select(col("doc_id"),
+        graft.llm.TextAnalysis.c4LineFilter(raw).as("clean"))
+    }),
     // temperature-scaled mixture (alpha=0.5 -> weight ∝ sqrt(count)):
     // low-resource langs up-weighted; sqrt + ordered-fold normalization
     // keep the derived weights bit-reproducible in DuckDB
@@ -1661,6 +1673,15 @@ object QueriesLlm {
         |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
         |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
         |FROM m""".stripMargin,
+    "c4_line_filter" ->
+      """SELECT doc_id, array_to_string(list_filter(
+        |    string_split(text || '.' || chr(10) || 'short one.' || chr(10) ||
+        |      'cookie policy accepted for doc ' || doc_id || ' yes indeed.', chr(10)),
+        |    l -> regexp_matches(trim(l), '[.!?"”'']$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT regexp_matches(lower(trim(l)), 'javascript|lorem ipsum|cookie')
+        |      AND NOT contains(trim(l), '{')), chr(10)) AS clean
+        |FROM documents""".stripMargin,
     // weights derived IN SQL: sqrt (correctly rounded in both engines,
     // unlike pow) over per-lang counts, normalized by an ordered left fold
     // (list_sum ORDER BY lang = the Scala sorted-domain foldLeft), then

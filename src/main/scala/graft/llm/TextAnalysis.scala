@@ -230,6 +230,27 @@ object TextAnalysis {
       keep.as("keep"))
   }
 
+  /** C4-style LINE cleaning (Raffel et al. 2020 §2.2, the public rules):
+    * keep only lines that end in terminal punctuation (. ! ? or closing
+    * quote), have ≥ `minWords` whitespace words, and don't carry the
+    * boilerplate markers ("javascript", "lorem ipsum", "cookie",
+    * case-insensitive) or "{" (code). The document-level companion rules
+    * (page dedup, bad-words, short pages) live in [[gopherQualityFlags]] /
+    * the dedup family; this is the line-granular trim that precedes them.
+    * One narrow codegen expression: split → filter → array_join — no
+    * shuffle, streaming-safe.
+    */
+  def c4LineFilter(text: Column, minWords: Int = 5): Column = {
+    val kept = filter(split(text, "\n", -1), l => {
+      val t = trim(l)
+      t.rlike("[.!?\"”']$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower(t).rlike("javascript|lorem ipsum|cookie") &&
+        !t.contains("{")
+    })
+    array_join(kept, "\n")
+  }
+
   /** Strip HTML: drop script/style blocks wholesale, remove remaining tags,
     * unescape the five predefined XML entities, collapse runs of
     * whitespace. Chained codegen regexp_replaces — narrow, streaming-safe.

@@ -1220,4 +1220,32 @@ class LlmSpec extends SparkSpec {
     // monotone in between: small's share strictly grows as alpha falls
     assert(mid("small") > natural("small") && mid("small") < uniform("small"))
   }
+
+  test("c4LineFilter: terminal punctuation, min words, boilerplate and code rules") {
+    import graft.llm.TextAnalysis
+    val doc = Seq(
+      "this line ends with a period and has many words.",   // kept
+      "no terminal punctuation here at all",                 // dropped: no .!?
+      "short line.",                                         // dropped: < 5 words
+      "Enable JavaScript to view the full content here.",    // dropped: boilerplate
+      "function f() { return the code marker drops this }.", // dropped: '{'
+      "does a question with enough words survive the cut?",  // kept: '?'
+      "he said “the closing quote counts as terminal.”" // kept: ”
+    ).mkString("\n")
+    val out = Seq(doc).toDF("t")
+      .select(TextAnalysis.c4LineFilter(col("t")).as("c"))
+      .collect()(0).getString(0)
+    val lines = out.split("\n").toSeq
+    assert(lines.size == 3)
+    assert(lines(0).startsWith("this line") && lines(1).startsWith("does a") &&
+      lines(2).startsWith("he said"))
+    // all-dropped and empty docs come back as the empty string
+    assert(Seq("nope\n{", "").toDF("t")
+      .select(TextAnalysis.c4LineFilter(col("t")).as("c"))
+      .collect().forall(_.getString(0) == ""))
+    // minWords is configurable
+    assert(Seq("short line.").toDF("t")
+      .select(TextAnalysis.c4LineFilter(col("t"), minWords = 2).as("c"))
+      .collect()(0).getString(0) == "short line.")
+  }
 }
