@@ -444,6 +444,21 @@ object QueriesLlm {
       .select("doc_id", "lang").hashSample("doc_id", 0.25)),
     "hash_split" -> ((s, d) => documents(s, d)
       .select("doc_id").hashSplit("doc_id")),
+    // eTLD+1 extraction over 5 synthesized URL shapes per doc: scheme'd
+    // subdomain on a two-label suffix, www on .com, userinfo+port, bare
+    // host, and an IPv4 literal
+    "extract_domain" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = element_at(array(
+        concat(lit("https://cdn"), id % 7, lit(".example"), id % 3, lit(".co.uk/path/page")),
+        concat(lit("http://www.site"), id % 5, lit(".com/x?q=1")),
+        concat(lit("ftp://user:pw@host"), id % 4, lit(".org:8080/f")),
+        concat(lit("archive"), id % 6, lit(".ac.uk/page")),
+        concat(lit("http://10.0."), id % 9, lit(".25/x"))),
+        (id % 5 + 1).cast("int"))
+      documents(s, d).select(id,
+        graft.llm.TextAnalysis.extractRegisteredDomain(url).as("domain"))
+    }),
     // C4 §2.2 line cleaning over a synthesized 3-line doc: the corpus text
     // with terminal punctuation (kept iff >= 5 words), a too-short line
     // (dropped), and a boilerplate 'cookie' line (dropped)
@@ -1673,6 +1688,29 @@ object QueriesLlm {
         |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
         |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
         |FROM m""".stripMargin,
+    "extract_domain" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'https://cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.co.uk/path/page'
+        |    WHEN 1 THEN 'http://www.site' || (doc_id % 5) || '.com/x?q=1'
+        |    WHEN 2 THEN 'ftp://user:pw@host' || (doc_id % 4) || '.org:8080/f'
+        |    WHEN 3 THEN 'archive' || (doc_id % 6) || '.ac.uk/page'
+        |    ELSE 'http://10.0.' || (doc_id % 9) || '.25/x' END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, lower(regexp_extract(url,
+        |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS host FROM u),
+        |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+        |  len(string_split(host, '.')) AS n FROM h),
+        |e AS (SELECT doc_id, host, labels, n,
+        |  labels[-2] || '.' || labels[-1] AS last2 FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
+        |       WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+        |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+        |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
+        |         THEN labels[-3] || '.' || last2
+        |       ELSE last2 END AS domain
+        |FROM e""".stripMargin,
     "c4_line_filter" ->
       """SELECT doc_id, array_to_string(list_filter(
         |    string_split(text || '.' || chr(10) || 'short one.' || chr(10) ||

@@ -230,6 +230,39 @@ object TextAnalysis {
       keep.as("keep"))
   }
 
+  /** Registered-domain (eTLD+1) extraction from a URL — the grouping key
+    * for per-domain caps, per-domain dedup, and domain mixing in web-corpus
+    * pipelines (CCNet/RefinedWeb shape: cap documents per registered
+    * domain, not per host, or one spam domain's subdomains flood the
+    * corpus). Heuristic public-suffix handling: a built-in list of common
+    * TWO-LABEL suffixes (co.uk, com.au, co.jp, …) takes three labels,
+    * everything else two; IPv4 hosts and dotless hosts pass through whole.
+    * The full Mozilla PSL is data this container doesn't carry — swap the
+    * literal list for it in production; the plan shape (pure codegen
+    * string ops, no lookup join) is unchanged since the PSL compiles to
+    * the same literal set.
+    *
+    * Per-domain caps compose from existing verbs:
+    * `df.withColumn("dom", extractRegisteredDomain(col("url")))` then
+    * [[graft.operators.GroupedOps.groupbyTopk]] on ("dom") by quality.
+    */
+  def extractRegisteredDomain(url: Column): Column = {
+    val host = lower(regexp_extract(url,
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val twoLevelSuffixes = Seq("co.uk", "org.uk", "ac.uk", "gov.uk",
+      "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp", "com.br",
+      "com.cn", "com.mx", "co.in", "co.kr", "com.tw", "com.ar", "co.za",
+      "com.sg", "com.hk")
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || n <= 2, host)
+      .when(lastTwo.isin(twoLevelSuffixes: _*),
+        concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+          element_at(labels, -1)))
+      .otherwise(lastTwo)
+  }
+
   /** C4-style LINE cleaning (Raffel et al. 2020 §2.2, the public rules):
     * keep only lines that end in terminal punctuation (. ! ? or closing
     * quote), have ≥ `minWords` whitespace words, and don't carry the

@@ -1248,4 +1248,21 @@ class LlmSpec extends SparkSpec {
       .select(TextAnalysis.c4LineFilter(col("t"), minWords = 2).as("c"))
       .collect()(0).getString(0) == "short line.")
   }
+
+  test("extractRegisteredDomain: schemes, userinfo, ports, 2-label suffixes, IPs, bare hosts") {
+    import graft.llm.TextAnalysis
+    val cases = Seq(
+      "https://a.b.news.example.CO.UK/path?q=1" -> "example.co.uk",
+      "http://www.site.com/x" -> "site.com",
+      "ftp://user:pw@deep.sub.host.org:8080/f" -> "host.org",
+      "bare.ac.uk/page" -> "bare.ac.uk",
+      "http://192.168.0.1:443/x" -> "192.168.0.1",
+      "localhost:8080/x" -> "localhost",
+      "example.com" -> "example.com",
+      "https://x.co.jp" -> "x.co.jp")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextAnalysis.extractRegisteredDomain(col("u")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) => assert(out(u) == want, s"$u -> ${out(u)}") }
+  }
 }
