@@ -459,6 +459,25 @@ object QueriesLlm {
       documents(s, d).select(id,
         graft.llm.TextAnalysis.extractRegisteredDomain(url).as("domain"))
     }),
+    // the RefinedWeb per-domain cap as an end-to-end composition gate:
+    // eTLD+1 extraction -> quality score -> top-2 per domain (keyed window)
+    "domain_cap" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = element_at(array(
+        concat(lit("https://cdn"), id % 7, lit(".example"), id % 3, lit(".co.uk/path/page")),
+        concat(lit("http://www.site"), id % 5, lit(".com/x?q=1")),
+        concat(lit("ftp://user:pw@host"), id % 4, lit(".org:8080/f")),
+        concat(lit("archive"), id % 6, lit(".ac.uk/page")),
+        concat(lit("http://10.0."), id % 9, lit(".25/x"))),
+        (id % 5 + 1).cast("int"))
+      val scored = documents(s, d).select(id, col("text"))
+        .withColumn("domain", graft.llm.TextAnalysis.extractRegisteredDomain(url))
+        .withColumn("q", round(graft.llm.TextAnalysis.qualityScore(col("text")) * 1e6)
+          .cast("long"))
+        .select("domain", "doc_id", "q")
+      operators.GroupedOps.groupbyTopk(scored, Seq("domain"), "q", k = 2,
+        tiebreak = Seq("doc_id"))
+    }),
     // C4 §2.2 line cleaning over a synthesized 3-line doc: the corpus text
     // with terminal punctuation (kept iff >= 5 words), a too-short line
     // (dropped), and a boilerplate 'cookie' line (dropped)
@@ -1688,6 +1707,40 @@ object QueriesLlm {
         |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
         |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
         |FROM m""".stripMargin,
+    "domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'https://cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.co.uk/path/page'
+        |    WHEN 1 THEN 'http://www.site' || (doc_id % 5) || '.com/x?q=1'
+        |    WHEN 2 THEN 'ftp://user:pw@host' || (doc_id % 4) || '.org:8080/f'
+        |    WHEN 3 THEN 'archive' || (doc_id % 6) || '.ac.uk/page'
+        |    ELSE 'http://10.0.' || (doc_id % 9) || '.25/x' END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, lower(regexp_extract(url,
+        |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS host FROM u),
+        |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+        |  len(string_split(host, '.')) AS n FROM h),
+        |e AS (SELECT doc_id, host, labels, n,
+        |  labels[-2] || '.' || labels[-1] AS last2 FROM d),
+        |dom AS (SELECT doc_id,
+        |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
+        |       WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+        |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+        |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
+        |         THEN labels[-3] || '.' || last2
+        |       ELSE last2 END AS domain FROM e),
+        |q AS (SELECT doc_id, CAST(round(round(
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) >= 3
+        |        AND CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) <= 10
+        |   THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |  (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.2 +
+        |  (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.1,
+        |  6) * 1e6) AS BIGINT) AS q FROM documents),
+        |r AS (SELECT dom.domain, dom.doc_id, q.q, row_number() OVER
+        |  (PARTITION BY dom.domain ORDER BY q.q DESC, dom.doc_id DESC) AS rn
+        |  FROM dom JOIN q USING (doc_id))
+        |SELECT domain, doc_id, q FROM r WHERE rn <= 2""".stripMargin,
     "extract_domain" ->
       """WITH u AS (SELECT doc_id,
         |  CASE doc_id % 5

@@ -27,6 +27,19 @@ class StreamingSpec extends SparkSpec {
       "stateless_out")
     assert(out.columns.toSeq == Seq("id", "s_val", "flag"))
     assert(out.count() == 2)
+    // the r19 codegen kernels are stateless column expressions — they run
+    // on a stream with no watermark or state store
+    val in2 = MemoryStream[(String, String)]
+    in2.addData(("https://a.example.co.uk/x",
+      "good long line with plenty of words here.\nshort."))
+    val out2 = runToCompletion(
+      in2.toDF().toDF("url", "text").select(
+        graft.llm.TextAnalysis.extractRegisteredDomain(col("url")).as("dom"),
+        graft.llm.TextAnalysis.c4LineFilter(col("text")).as("clean")),
+      "stateless_r19_out")
+    val r = out2.collect()(0)
+    assert(r.getString(0) == "example.co.uk")
+    assert(r.getString(1).startsWith("good long") && !r.getString(1).contains("short"))
   }
 
   test("pca projection is stateless and agrees with batch on a stream") {
