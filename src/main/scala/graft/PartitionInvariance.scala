@@ -35,7 +35,9 @@ object PartitionInvariance {
     def canon(df: DataFrame): (String, Long) = {
       val cols = df.columns.map(c =>
         coalesce(col(s"`$c`").cast("string"), lit("∅")))
-      val h = conv(substring(md5(concat_ws("", cols.toIndexedSeq: _*)), 1, 12), 16, 10)
+      // U+0001 separator: an empty one would hash ('ab','c') and
+      // ('a','bc') identically, hiding a column-boundary shift
+      val h = conv(substring(md5(concat_ws("\u0001", cols.toIndexedSeq: _*)), 1, 12), 16, 10)
       val row = df.agg(
         sum(h.cast("decimal(38,0)")).cast("string"), count(lit(1))).collect()(0)
       (Option(row.getString(0)).getOrElse("0"), row.getLong(1))

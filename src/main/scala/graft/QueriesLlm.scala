@@ -44,6 +44,44 @@ object QueriesLlm {
     * computed double rides a micro-scaled BIGINT. Monotone on both engines'
     * agreed values — selection/ranking semantics inside operators unchanged.
     */
+  // the 5 synthesized URL shapes shared by the extract_domain and
+  // domain_cap gates (and mirrored by SynthUrlSql for their oracles):
+  // scheme'd subdomain on a two-label suffix, www on .com, userinfo+port,
+  // bare host, IPv4 literal
+  private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(
+      concat(lit("https://cdn"), id % 7, lit(".example"), id % 3, lit(".co.uk/path/page")),
+      concat(lit("http://www.site"), id % 5, lit(".com/x?q=1")),
+      concat(lit("ftp://user:pw@host"), id % 4, lit(".org:8080/f")),
+      concat(lit("archive"), id % 6, lit(".ac.uk/page")),
+      concat(lit("http://10.0."), id % 9, lit(".25/x"))),
+      (id % 5 + 1).cast("int"))
+
+  // DuckDB mirror of synthUrl + the eTLD+1 extraction CASE, interpolated
+  // into both oracles so the four copies cannot desynchronize
+  private val SynthUrlSql: String =
+    """  CASE doc_id % 5
+      |    WHEN 0 THEN 'https://cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.co.uk/path/page'
+      |    WHEN 1 THEN 'http://www.site' || (doc_id % 5) || '.com/x?q=1'
+      |    WHEN 2 THEN 'ftp://user:pw@host' || (doc_id % 4) || '.org:8080/f'
+      |    WHEN 3 THEN 'archive' || (doc_id % 6) || '.ac.uk/page'
+      |    ELSE 'http://10.0.' || (doc_id % 9) || '.25/x' END""".stripMargin
+
+  private val DomainFromUrlSql: String =
+    """h AS (SELECT doc_id, regexp_extract(lower(url),
+      |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1) AS host FROM u),
+      |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+      |  len(string_split(host, '.')) AS n FROM h),
+      |e AS (SELECT doc_id, host, labels, n,
+      |  labels[-2] || '.' || labels[-1] AS last2 FROM d),
+      |dom AS (SELECT doc_id,
+      |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
+      |       WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+      |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+      |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
+      |         THEN labels[-3] || '.' || last2
+      |       ELSE last2 END AS domain FROM e)""".stripMargin
+
   private def microCols(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((acc, c) =>
       acc.withColumn(c, round(col(s"`$c`") * 1e6).cast("long")))
@@ -447,31 +485,15 @@ object QueriesLlm {
     // eTLD+1 extraction over 5 synthesized URL shapes per doc: scheme'd
     // subdomain on a two-label suffix, www on .com, userinfo+port, bare
     // host, and an IPv4 literal
-    "extract_domain" -> ((s, d) => {
-      val id = col("doc_id")
-      val url = element_at(array(
-        concat(lit("https://cdn"), id % 7, lit(".example"), id % 3, lit(".co.uk/path/page")),
-        concat(lit("http://www.site"), id % 5, lit(".com/x?q=1")),
-        concat(lit("ftp://user:pw@host"), id % 4, lit(".org:8080/f")),
-        concat(lit("archive"), id % 6, lit(".ac.uk/page")),
-        concat(lit("http://10.0."), id % 9, lit(".25/x"))),
-        (id % 5 + 1).cast("int"))
-      documents(s, d).select(id,
-        graft.llm.TextAnalysis.extractRegisteredDomain(url).as("domain"))
-    }),
+    "extract_domain" -> ((s, d) => documents(s, d).select(col("doc_id"),
+      graft.llm.TextAnalysis.extractRegisteredDomain(synthUrl(col("doc_id")))
+        .as("domain"))),
     // the RefinedWeb per-domain cap as an end-to-end composition gate:
     // eTLD+1 extraction -> quality score -> top-2 per domain (keyed window)
     "domain_cap" -> ((s, d) => {
       val id = col("doc_id")
-      val url = element_at(array(
-        concat(lit("https://cdn"), id % 7, lit(".example"), id % 3, lit(".co.uk/path/page")),
-        concat(lit("http://www.site"), id % 5, lit(".com/x?q=1")),
-        concat(lit("ftp://user:pw@host"), id % 4, lit(".org:8080/f")),
-        concat(lit("archive"), id % 6, lit(".ac.uk/page")),
-        concat(lit("http://10.0."), id % 9, lit(".25/x"))),
-        (id % 5 + 1).cast("int"))
       val scored = documents(s, d).select(id, col("text"))
-        .withColumn("domain", graft.llm.TextAnalysis.extractRegisteredDomain(url))
+        .withColumn("domain", graft.llm.TextAnalysis.extractRegisteredDomain(synthUrl(id)))
         .withColumn("q", round(graft.llm.TextAnalysis.qualityScore(col("text")) * 1e6)
           .cast("long"))
         .select("domain", "doc_id", "q")
@@ -482,8 +504,11 @@ object QueriesLlm {
     // with terminal punctuation (kept iff >= 5 words), a too-short line
     // (dropped), and a boilerplate 'cookie' line (dropped)
     "c4_line_filter" -> ((s, d) => {
+      // coalesce: a null text must synthesize the same 3-line doc in both
+      // engines (DuckDB || would NULL the whole expression where Spark's
+      // concat_ws skips the null element)
       val raw = concat_ws("\n",
-        concat(col("text"), lit(".")),
+        concat(coalesce(col("text"), lit("")), lit(".")),
         lit("short one."),
         concat(lit("cookie policy accepted for doc "), col("doc_id"),
           lit(" yes indeed.")))
@@ -1708,27 +1733,10 @@ object QueriesLlm {
         |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
         |FROM m""".stripMargin,
     "domain_cap" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE doc_id % 5
-        |    WHEN 0 THEN 'https://cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.co.uk/path/page'
-        |    WHEN 1 THEN 'http://www.site' || (doc_id % 5) || '.com/x?q=1'
-        |    WHEN 2 THEN 'ftp://user:pw@host' || (doc_id % 4) || '.org:8080/f'
-        |    WHEN 3 THEN 'archive' || (doc_id % 6) || '.ac.uk/page'
-        |    ELSE 'http://10.0.' || (doc_id % 9) || '.25/x' END AS url
+      raw"""WITH u AS (SELECT doc_id,
+        |$SynthUrlSql AS url
         |  FROM documents),
-        |h AS (SELECT doc_id, lower(regexp_extract(url,
-        |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS host FROM u),
-        |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
-        |  len(string_split(host, '.')) AS n FROM h),
-        |e AS (SELECT doc_id, host, labels, n,
-        |  labels[-2] || '.' || labels[-1] AS last2 FROM d),
-        |dom AS (SELECT doc_id,
-        |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
-        |       WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-        |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
-        |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
-        |         THEN labels[-3] || '.' || last2
-        |       ELSE last2 END AS domain FROM e),
+        |$DomainFromUrlSql,
         |q AS (SELECT doc_id, CAST(round(round(
         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |  (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) >= 3
@@ -1742,31 +1750,14 @@ object QueriesLlm {
         |  FROM dom JOIN q USING (doc_id))
         |SELECT domain, doc_id, q FROM r WHERE rn <= 2""".stripMargin,
     "extract_domain" ->
-      """WITH u AS (SELECT doc_id,
-        |  CASE doc_id % 5
-        |    WHEN 0 THEN 'https://cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.co.uk/path/page'
-        |    WHEN 1 THEN 'http://www.site' || (doc_id % 5) || '.com/x?q=1'
-        |    WHEN 2 THEN 'ftp://user:pw@host' || (doc_id % 4) || '.org:8080/f'
-        |    WHEN 3 THEN 'archive' || (doc_id % 6) || '.ac.uk/page'
-        |    ELSE 'http://10.0.' || (doc_id % 9) || '.25/x' END AS url
+      raw"""WITH u AS (SELECT doc_id,
+        |$SynthUrlSql AS url
         |  FROM documents),
-        |h AS (SELECT doc_id, lower(regexp_extract(url,
-        |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS host FROM u),
-        |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
-        |  len(string_split(host, '.')) AS n FROM h),
-        |e AS (SELECT doc_id, host, labels, n,
-        |  labels[-2] || '.' || labels[-1] AS last2 FROM d)
-        |SELECT doc_id,
-        |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
-        |       WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-        |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
-        |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
-        |         THEN labels[-3] || '.' || last2
-        |       ELSE last2 END AS domain
-        |FROM e""".stripMargin,
+        |$DomainFromUrlSql
+        |SELECT doc_id, domain FROM dom""".stripMargin,
     "c4_line_filter" ->
       """SELECT doc_id, array_to_string(list_filter(
-        |    string_split(text || '.' || chr(10) || 'short one.' || chr(10) ||
+        |    string_split(coalesce(text, '') || '.' || chr(10) || 'short one.' || chr(10) ||
         |      'cookie policy accepted for doc ' || doc_id || ' yes indeed.', chr(10)),
         |    l -> regexp_matches(trim(l), '[.!?"”'']$')
         |      AND len(string_split_regex(trim(l), '\s+')) >= 5

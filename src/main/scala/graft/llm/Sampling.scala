@@ -78,7 +78,11 @@ object Sampling {
       destCol: String = "split", seed: Long = 42L): DataFrame = {
     val keyed = clusters match {
       case None =>
-        df.withColumn("__lsk", md5(col(s"`$textCol`").cast("binary")))
+        // a null text has no dup class — it splits on its id like a
+        // cluster-mode singleton (md5(null) is null, and a null key would
+        // otherwise funnel EVERY null-text row into the last bucket)
+        df.withColumn("__lsk", coalesce(md5(col(s"`$textCol`").cast("binary")),
+          concat(lit("__nulltext#"), col(s"`$idCol`").cast("string"))))
       case Some(c) =>
         df.join(c.select(col(s"`$idCol`"),
             col(s"`$clusterCol`").cast("string").as("__lsc")),
@@ -248,7 +252,11 @@ object Sampling {
       seed: Long = 42L): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"mix_domains: temperature alpha must be in [0, 1], got $alpha")
-    val counts = df.groupBy(col(s"`$domainCol`").cast("string").as("d"))
+    // null domains carry no weight in mixDomains (its CASE falls through
+    // to 0) — drop them here too, or the null group's key would NPE the
+    // driver-side sort
+    val counts = df.filter(col(s"`$domainCol`").isNotNull)
+      .groupBy(col(s"`$domainCol`").cast("string").as("d"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     // sqrt for alpha = 0.5: IEEE sqrt is correctly rounded everywhere,

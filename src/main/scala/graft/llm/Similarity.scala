@@ -98,17 +98,28 @@ object Similarity {
     require(rrfK >= 0, s"rrf_fuse: rrfK must be >= 0, got $rrfK")
     val wRank = Window.partitionBy(col("__q"))
       .orderBy(col("__s").desc, col("__d").asc)
-    val contribs = rankings.map(r =>
+    // rank on the NATIVE score type — a cast to double would collapse
+    // distinct long scores above 2^53 into ties
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
       r.select(col(s"`$queryCol`").as("__q"), col(s"`$docCol`").as("__d"),
-          col(s"`$scoreCol`").cast("double").as("__s"))
+          col(s"`$scoreCol`").as("__s"))
+        .withColumn("__i", lit(i))
         .withColumn("__c",
           lit(1.0d) / (lit(rrfK.toDouble) + row_number().over(wRank)))
-        .drop("__s"))
+        .drop("__s")
+    }
     val wTop = Window.partitionBy(col("__q"))
       .orderBy(col("rrf").desc, col("__d").asc)
+    // the fuse sum folds in FIXED ranking order (__i), not partition
+    // arrival order — FP addition is non-associative, so with 3+ rankings
+    // a plain sum() would be layout-dependent in the last ulp and the
+    // rounded rrf could flip across runs
     contribs.reduce(_ unionByName _)
       .groupBy(col("__q"), col("__d"))
-      .agg(sum(col("__c")).as("rrf"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("__i"), col("__c")))),
+          x => x.getField("__c")),
+        lit(0.0d), (a, x) => a + x).as("rrf"))
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
       .select(col("__q").as(queryCol), col("__d").as(docCol), col("rrf"))

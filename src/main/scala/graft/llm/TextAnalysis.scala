@@ -247,8 +247,11 @@ object TextAnalysis {
     * [[graft.operators.GroupedOps.groupbyTopk]] on ("dom") by quality.
     */
   def extractRegisteredDomain(url: Column): Column = {
-    val host = lower(regexp_extract(url,
-      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1))
+    // lower() BEFORE the scheme strip: schemes are case-insensitive per
+    // RFC 3986 and real crawl URLs carry 'HTTP://' — a case-sensitive
+    // scheme regex would return the scheme itself as the host
+    val host = regexp_extract(lower(url),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
     val labels = split(host, "\\.")
     val n = size(labels)
     val twoLevelSuffixes = Seq("co.uk", "org.uk", "ac.uk", "gov.uk",

@@ -1153,6 +1153,13 @@ class LlmSpec extends SparkSpec {
     // k truncates per query by (rrf desc, doc asc)
     assert(Similarity.rrfFuse(Seq(a, b), "q", "doc", "s", k = 1)
       .collect().map(_.getString(1)).toSeq == Seq("d2"))
+    // 3+ rankings: contributions fold in FIXED ranking order, so the fused
+    // double is exact regardless of partition layout
+    val c3 = Seq(("q1", "d2", 1.0), ("q1", "d1", 2.0)).toDF("q", "doc", "s")
+    val three = Similarity.rrfFuse(Seq(a, b, c3), "q", "doc", "s", k = 3)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    assert(math.abs(three("d2") - ((1.0 / 62 + 1.0 / 61) + 1.0 / 62)) < e)
+    assert(math.abs(three("d1") - (1.0 / 61 + 1.0 / 61)) < e)
     // plumbing: fusing a real BM25 list with a cosine list (bm25TopK emits
     // a single global list — lift it with a constant query key)
     val docs = Seq((1L, "spark table merge"), (2L, "spark hash"),
@@ -1253,6 +1260,9 @@ class LlmSpec extends SparkSpec {
     import graft.llm.TextAnalysis
     val cases = Seq(
       "https://a.b.news.example.CO.UK/path?q=1" -> "example.co.uk",
+      // uppercase SCHEME: RFC 3986 schemes are case-insensitive; a
+      // case-sensitive strip would return 'http' as the domain
+      "HTTP://WWW.Example.COM/x" -> "example.com",
       "http://www.site.com/x" -> "site.com",
       "ftp://user:pw@deep.sub.host.org:8080/f" -> "host.org",
       "bare.ac.uk/page" -> "bare.ac.uk",
