@@ -33,6 +33,12 @@ object PlanAudit {
     "convert_units", "inflate_currency", "inflate_currency_name",
     "corpus_drift", "corpus_report", "corpus_overlap",
     "collocations",  // two single-row totals crossed in via broadcast
+    // single-row normalizer/total crossed in via broadcast (Catalyst
+    // constant-folds any constant equi-key back to a cross): Z = Σ count^α
+    // for the temperature mixes, the corpus total for domain_stats — all
+    // O(n)·1 scalar joins
+    "mix_domains_temperature", "mix_domains_by_domain", "mix_domains_wide",
+    "domain_stats",
     "pq_adc_topk",   // ≤10-row pinned query side crossed against the corpus
     // the BANDED range-join path always carries a nested-loop node for the
     // wide-interval overflow branch (span > maxBands rows only — bounded by

@@ -67,6 +67,43 @@ object QueriesLlm {
       |    WHEN 3 THEN 'archive' || (doc_id % 6) || '.ac.uk/page'
       |    ELSE 'http://10.0.' || (doc_id % 9) || '.25/x' END""".stripMargin
 
+  // second URL synth for the PSL-seam gate (domain_stats): a private-section
+  // suffix (github.io), trailing-dot FQDNs, an uppercase scheme/host, and a
+  // bare host — the shapes the round-20 suffix seam + trailing-dot fix added
+  private def synthUrl2(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(
+      concat(lit("https://proj"), id % 11, lit(".github.io/index")),
+      concat(lit("http://sub.blog"), id % 3, lit(".co.uk./post")),
+      concat(lit("https://www.example"), id % 4, lit(".com/page")),
+      concat(lit("host"), id % 5, lit(".org.")),
+      concat(lit("HTTP://CDN"), id % 6, lit(".Example.COM/x"))),
+      (id % 5 + 1).cast("int"))
+
+  private val SynthUrl2Sql: String =
+    """  CASE doc_id % 5
+      |    WHEN 0 THEN 'https://proj' || (doc_id % 11) || '.github.io/index'
+      |    WHEN 1 THEN 'http://sub.blog' || (doc_id % 3) || '.co.uk./post'
+      |    WHEN 2 THEN 'https://www.example' || (doc_id % 4) || '.com/page'
+      |    WHEN 3 THEN 'host' || (doc_id % 5) || '.org.'
+      |    ELSE 'HTTP://CDN' || (doc_id % 6) || '.Example.COM/x' END""".stripMargin
+
+  // eTLD+1 with the gate's user suffix rule github.io layered over the
+  // built-in two-label list, plus the trailing-dot strip
+  private val DomainFromUrl2Sql: String =
+    """h AS (SELECT doc_id, regexp_replace(regexp_extract(lower(url),
+      |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\.+$', '') AS host FROM u),
+      |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+      |  len(string_split(host, '.')) AS n FROM h),
+      |e AS (SELECT doc_id, host, labels, n,
+      |  labels[-2] || '.' || labels[-1] AS last2 FROM d),
+      |dom AS (SELECT doc_id,
+      |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
+      |       WHEN last2 IN ('github.io','co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+      |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+      |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
+      |         THEN labels[-3] || '.' || last2
+      |       ELSE last2 END AS domain FROM e)""".stripMargin
+
   private val DomainFromUrlSql: String =
     """h AS (SELECT doc_id, regexp_extract(lower(url),
       |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1) AS host FROM u),
@@ -500,9 +537,18 @@ object QueriesLlm {
       operators.GroupedOps.groupbyTopk(scored, Seq("domain"), "q", k = 2,
         tiebreak = Seq("doc_id"))
     }),
+    // per-domain monitoring through the PSL seam: github.io as a
+    // user-supplied private-section suffix, trailing-dot FQDNs normalized,
+    // top-5 domains by volume with micro-scaled corpus share
+    "domain_stats" -> ((s, d) => graft.llm.TextAnalysis.domainStats(
+      documents(s, d).select(col("doc_id"))
+        .withColumn("url", synthUrl2(col("doc_id"))),
+      "url", k = 5, suffixes = Seq("github.io"))),
     // C4 §2.2 line cleaning over a synthesized 3-line doc: the corpus text
     // with terminal punctuation (kept iff >= 5 words), a too-short line
-    // (dropped), and a boilerplate 'cookie' line (dropped)
+    // (dropped), and a boilerplate 'cookie policy' line (dropped by the
+    // paper's policy-phrase rule — r20 aligned the markers to C4's actual
+    // LINE rules; lorem-ipsum/'{' moved to the c4_page_filter page rules)
     "c4_line_filter" -> ((s, d) => {
       // coalesce: a null text must synthesize the same 3-line doc in both
       // engines (DuckDB || would NULL the whole expression where Spark's
@@ -515,6 +561,29 @@ object QueriesLlm {
       documents(s, d).select(col("doc_id"),
         graft.llm.TextAnalysis.c4LineFilter(raw).as("clean"))
     }),
+    // the faithful C4 DOCUMENT filter: line trim -> page rules. Four page
+    // shapes per doc: clean 3-sentence page (kept), + a lorem-ipsum line
+    // (page dropped), + a '{' code line (page dropped), a 2-sentence page
+    // (dropped by the >=3-sentences rule)
+    "c4_page_filter" -> ((s, d) => {
+      val good = concat_ws("\n",
+        concat(coalesce(col("text"), lit("")), lit(".")),
+        lit("Second good line right here okay."),
+        lit("Third good line right here too."))
+      val page = element_at(array(
+        good,
+        concat_ws("\n", good, lit("we use lorem ipsum filler today.")),
+        concat_ws("\n", good, lit("code sample { int x = 0; } done.")),
+        concat_ws("\n", lit("Only two sentences here total okay."),
+          lit("Second one right here as well."))),
+        (col("doc_id") % 4 + 1).cast("int"))
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.c4PageFilter(page).as("c4"))
+        .select(col("doc_id"), col("c4.clean").as("clean"),
+          col("c4.n_sentences").cast("long").as("n_sentences"),
+          col("c4.keep").as("keep"))
+    }),
     // temperature-scaled mixture (alpha=0.5 -> weight ∝ sqrt(count)):
     // low-resource langs up-weighted; sqrt + ordered-fold normalization
     // keep the derived weights bit-reproducible in DuckDB
@@ -522,6 +591,26 @@ object QueriesLlm {
       graft.llm.Sampling.mixDomainsTemperature(
         documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
         alpha = 0.5, targetRows = 600L).select("doc_id", "lang", "copy")),
+    // temperature mixing BY registered domain — the RefinedWeb-style
+    // composition the DataFrame-weights path exists for: eTLD+1 extraction
+    // -> count^0.5 weights derived in-engine (decimal-exact normalizer) ->
+    // equi-join expansion; no driver collect, no per-domain literal
+    "mix_domains_by_domain" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id")).withColumn("domain",
+        graft.llm.TextAnalysis.extractRegisteredDomain(synthUrl(col("doc_id"))))
+      graft.llm.Sampling.mixDomainsTemperature(docs, "doc_id", "domain",
+        alpha = 0.5, targetRows = 600L).select("doc_id", "domain", "copy")
+    }),
+    // the same no-collect path at per-doc domain cardinality (every doc its
+    // own domain at sf0.01; the sf1 lane reruns this row at >=100k DISTINCT
+    // domains — SF1_SMOKE.md) — proves temperature mixing scales in
+    // |domains| with no driver-side or plan-side per-domain term
+    "mix_domains_wide" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id")).withColumn("domain",
+        concat(lit("d"), pmod(col("doc_id"), lit(150000L)), lit(".example")))
+      graft.llm.Sampling.mixDomainsTemperature(docs, "doc_id", "domain",
+        alpha = 0.5, targetRows = 9000L).select("doc_id", "domain", "copy")
+    }),
     // exact-duplicate classes split together (key = md5(text), not id) —
     // a duplicated doc can never straddle train/val; the near-dup cluster
     // mode is spec-gated (LlmSpec: same cluster -> same split)
@@ -1707,12 +1796,17 @@ object QueriesLlm {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
         |  / 4294967296.0 AS u FROM documents)""".stripMargin,
+    // the key mirrors the engine's null-text fallback (Sampling
+    // .leakageSafeSplit keys null texts on '__nulltext#<id>'): without the
+    // coalesce, md5(NULL) is NULL, u is NULL, and every null-text row
+    // would fall through the CASE to 'test' instead of splitting on its id
     "leakage_safe_split" ->
       """SELECT doc_id,
         |  CASE WHEN u < 0.8 THEN 'train'
         |       WHEN u < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(md5(text) || '#42'), 1, 8)) AS BIGINT)
+        |  CAST(('0x' || substr(md5(coalesce(md5(text),
+        |    '__nulltext#' || CAST(doc_id AS VARCHAR)) || '#42'), 1, 8)) AS BIGINT)
         |  / 4294967296.0 AS u FROM documents)""".stripMargin,
     "stratified_hash_sample" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang,
@@ -1755,22 +1849,59 @@ object QueriesLlm {
         |  FROM documents),
         |$DomainFromUrlSql
         |SELECT doc_id, domain FROM dom""".stripMargin,
+    "domain_stats" ->
+      raw"""WITH u AS (SELECT doc_id,
+        |$SynthUrl2Sql AS url
+        |  FROM documents),
+        |$DomainFromUrl2Sql,
+        |n AS (SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain),
+        |t AS (SELECT SUM(n_docs) AS t FROM n),
+        |r AS (SELECT domain, n_docs,
+        |  CAST(round(CAST(n_docs AS DOUBLE) * 1e6 / CAST(t.t AS DOUBLE)) AS BIGINT) AS share_micro,
+        |  row_number() OVER (ORDER BY n_docs DESC, domain) AS rank FROM n, t)
+        |SELECT domain, n_docs, share_micro, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // the line-marker regex is interpolated from TextAnalysis.C4LineMarkers
+    // so engine and oracle cannot desynchronize
     "c4_line_filter" ->
-      """SELECT doc_id, array_to_string(list_filter(
+      raw"""SELECT doc_id, array_to_string(list_filter(
         |    string_split(coalesce(text, '') || '.' || chr(10) || 'short one.' || chr(10) ||
         |      'cookie policy accepted for doc ' || doc_id || ' yes indeed.', chr(10)),
-        |    l -> regexp_matches(trim(l), '[.!?"”'']$')
+        |    l -> regexp_matches(trim(l), '[.!?"”'']$$')
         |      AND len(string_split_regex(trim(l), '\s+')) >= 5
-        |      AND NOT regexp_matches(lower(trim(l)), 'javascript|lorem ipsum|cookie')
-        |      AND NOT contains(trim(l), '{')), chr(10)) AS clean
+        |      AND NOT regexp_matches(lower(trim(l)), '${graft.llm.TextAnalysis.C4LineMarkers}')), chr(10)) AS clean
         |FROM documents""".stripMargin,
+    "c4_page_filter" ->
+      raw"""WITH p AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN coalesce(text, '') || '.' || chr(10) ||
+        |      'Second good line right here okay.' || chr(10) || 'Third good line right here too.'
+        |    WHEN 1 THEN coalesce(text, '') || '.' || chr(10) ||
+        |      'Second good line right here okay.' || chr(10) || 'Third good line right here too.' ||
+        |      chr(10) || 'we use lorem ipsum filler today.'
+        |    WHEN 2 THEN coalesce(text, '') || '.' || chr(10) ||
+        |      'Second good line right here okay.' || chr(10) || 'Third good line right here too.' ||
+        |      chr(10) || 'code sample { int x = 0; } done.'
+        |    ELSE 'Only two sentences here total okay.' || chr(10) || 'Second one right here as well.'
+        |  END AS page FROM documents),
+        |c AS (SELECT doc_id, page, array_to_string(list_filter(string_split(page, chr(10)),
+        |  l -> regexp_matches(trim(l), '[.!?"”'']$$')
+        |    AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |    AND NOT regexp_matches(lower(trim(l)), '${graft.llm.TextAnalysis.C4LineMarkers}')), chr(10)) AS clean FROM p)
+        |SELECT doc_id, clean,
+        |  CAST(len(string_split_regex(clean, '[.!?]+')) - 1 AS BIGINT) AS n_sentences,
+        |  (len(string_split_regex(clean, '[.!?]+')) - 1 >= 3
+        |    AND NOT contains(lower(page), 'lorem ipsum')
+        |    AND NOT contains(page, '{')) AS keep
+        |FROM c""".stripMargin,
     // weights derived IN SQL: sqrt (correctly rounded in both engines,
-    // unlike pow) over per-lang counts, normalized by an ordered left fold
-    // (list_sum ORDER BY lang = the Scala sorted-domain foldLeft), then
-    // the same mult/copy expansion as mix_domains
+    // unlike pow) over per-lang counts, normalized by the DECIMAL(38,18)
+    // sum (exact, so associative, so identical in both engines regardless
+    // of combine order — the engine's partition-invariant normalizer),
+    // then the same mult/copy expansion as mix_domains
     "mix_domains_temperature" ->
       """WITH n AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
-        |z AS (SELECT list_sum(list(sqrt(CAST(n_d AS DOUBLE)) ORDER BY lang)) AS z FROM n),
+        |z AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_d AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
         |w AS (SELECT lang, sqrt(CAST(n_d AS DOUBLE)) / z.z AS wt, n_d FROM n, z),
         |m AS (SELECT d.doc_id, d.lang, w.wt * 600.0 / CAST(w.n_d AS DOUBLE) AS mult,
         |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
@@ -1779,6 +1910,38 @@ object QueriesLlm {
         |SELECT doc_id, lang,
         |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
         |    + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
+        |FROM m""".stripMargin,
+    // eTLD+1 extraction feeding the in-engine temperature weights: same
+    // decimal-exact normalizer, expansion joined back on domain
+    "mix_domains_by_domain" ->
+      raw"""WITH u AS (SELECT doc_id,
+        |$SynthUrlSql AS url
+        |  FROM documents),
+        |$DomainFromUrlSql,
+        |n AS (SELECT domain, count(*) AS n_d FROM dom GROUP BY domain),
+        |z AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_d AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
+        |w AS (SELECT domain, sqrt(CAST(n_d AS DOUBLE)) / z.z AS wt, n_d FROM n, z),
+        |m AS (SELECT dom.doc_id, dom.domain, w.wt * 600.0 / CAST(w.n_d AS DOUBLE) AS mult,
+        |  CAST(('0x' || substr(md5(CAST(dom.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS uu
+        |  FROM dom JOIN w USING (domain))
+        |SELECT doc_id, domain,
+        |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
+        |    + CASE WHEN uu < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
+        |FROM m""".stripMargin,
+    "mix_domains_wide" ->
+      """WITH docs AS (SELECT doc_id,
+        |  'd' || CAST(doc_id % 150000 AS VARCHAR) || '.example' AS domain FROM documents),
+        |n AS (SELECT domain, count(*) AS n_d FROM docs GROUP BY domain),
+        |z AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_d AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
+        |w AS (SELECT domain, sqrt(CAST(n_d AS DOUBLE)) / z.z AS wt, n_d FROM n, z),
+        |m AS (SELECT docs.doc_id, docs.domain, w.wt * 9000.0 / CAST(w.n_d AS DOUBLE) AS mult,
+        |  CAST(('0x' || substr(md5(CAST(docs.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 AS uu
+        |  FROM docs JOIN w USING (domain))
+        |SELECT doc_id, domain,
+        |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
+        |    + CASE WHEN uu < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
         |FROM m""".stripMargin,
     // full replication of the pinned-centroid SemDeDup path: cell = argmax
     // over dot(vec, centroid)/||centroid|| (first index wins ties, 1-based,

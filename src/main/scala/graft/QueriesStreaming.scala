@@ -57,11 +57,32 @@ object QueriesStreaming {
     * batch-inferred schema + the same ts normalization [[Tables.events]]
     * applies (NANOS-as-long vs MICROS dispatch).
     */
+  /** StreamInvariance seam (VERDICT r19 #6): when set to Some(n), every
+    * stream source reads an n-file re-chunked copy of its table one file
+    * per micro-batch instead of the driver's single-file/one-batch layout —
+    * same rows, different arrival chunking — and the already-split sources
+    * add n extra files. The invariance main flips this between its two
+    * passes; the driver's gates always run with None.
+    */
+  @volatile private[graft] var invarianceSplit: Option[Int] = None
+
+  private def plainSource(s: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rangeCol: Option[String] = None): DataFrame =
+    invarianceSplit match {
+      case Some(n) if n > 1 =>
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(streamSplitDirFor(s, dir, table, n, rangeCol))
+      case _ => s.readStream.schema(schema).parquet(streamDirFor(dir, table))
+    }
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val st = s.readStream.schema(raw.schema)
-      .parquet(streamDirFor(dir, "events"))
+    // events chunk by time range: the arrival contract of an event stream
+    // (bounded disorder per the watermark); the keyless tables chunk
+    // randomly — their operators must not care about arrival order at all
+    val st = plainSource(s, dir, "events", raw.schema, rangeCol = Some("ts"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -69,20 +90,17 @@ object QueriesStreaming {
     }
   }
 
-  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    s.readStream.schema(schema).parquet(streamDirFor(dir, "documents"))
-  }
+  private def documentsStream(s: SparkSession, dir: String): DataFrame =
+    plainSource(s, dir, "documents",
+      s.read.parquet(s"$dir/documents.parquet").schema)
 
-  private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-    s.readStream.schema(schema).parquet(streamDirFor(dir, "embeddings"))
-  }
+  private def embeddingsStream(s: SparkSession, dir: String): DataFrame =
+    plainSource(s, dir, "embeddings",
+      s.read.parquet(s"$dir/embeddings.parquet").schema)
 
-  private def customerStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/customer.parquet").schema
-    s.readStream.schema(schema).parquet(streamDirFor(dir, "customer"))
-  }
+  private def customerStream(s: SparkSession, dir: String): DataFrame =
+    plainSource(s, dir, "customer",
+      s.read.parquet(s"$dir/customer.parquet").schema)
 
   /** An N-file copy of one table so maxFilesPerTrigger=1 delivers N real
     * micro-batches INSIDE a driver gate (the plain symlinked source is one
@@ -92,7 +110,7 @@ object QueriesStreaming {
     * can never silently reuse a stale copy.
     */
   private def streamSplitDirFor(s: SparkSession, dir: String, table: String,
-      nFiles: Int): String = {
+      nFiles: Int, rangeCol: Option[String] = None): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, s"$table.parquet").toRealPath()
     // the key folds in the source's content fingerprint (total size + max
@@ -114,11 +132,33 @@ object QueriesStreaming {
     val key = src.toString.replaceAll("[^A-Za-z0-9._-]", "_") +
       "-" + java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(src.toString + "#" + fp)) +
-      s"-split$nFiles"
+      s"-split$nFiles" + rangeCol.map(c => s"-range_$c").getOrElse("")
     val d = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-stream-$key")
-    if (!Files.exists(d.resolve("_SUCCESS")))
-      s.read.parquet(src.toString).repartition(nFiles)
+    if (!Files.exists(d.resolve("_SUCCESS"))) {
+      val raw = s.read.parquet(src.toString)
+      // rangeCol: chunk in EVENT-TIME ranges (file k = k-th time slice, the
+      // shape a real time-ordered ingest delivers and the only one the
+      // watermark contract admits — random chunking would make almost every
+      // later batch "late" and watermark-dropped, which tests the source's
+      // contract violation, not the operator); file order follows partition
+      // order because part-0000k names sort with the range index
+      rangeCol.fold(raw.repartition(nFiles))(c =>
+          raw.repartitionByRange(nFiles, col(s"`$c`")))
         .write.mode("overwrite").parquet(d.toString)
+      // FileStreamSource drains new files in MODIFICATION-TIME order, and a
+      // parallel write finishes its tasks in arbitrary order — stamp
+      // strictly increasing mtimes in part-file (= range-partition) order
+      // so the delivered micro-batch order IS the range order
+      import scala.jdk.CollectionConverters._
+      val parts = Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      val base = System.currentTimeMillis() - parts.size * 1000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      }
+    }
     d.toString
   }
 
@@ -131,7 +171,8 @@ object QueriesStreaming {
       nFiles: Int): DataFrame = {
     val schema = s.read.parquet(s"$dir/customer.parquet").schema
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(streamSplitDirFor(s, dir, "customer", nFiles))
+      .parquet(streamSplitDirFor(s, dir, "customer",
+        nFiles + invarianceSplit.getOrElse(0)))
   }
 
   private def eventsStreamSplit(s: SparkSession, dir: String,
@@ -140,7 +181,8 @@ object QueriesStreaming {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val st = s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamSplitDirFor(s, dir, "events", nFiles))
+      .parquet(streamSplitDirFor(s, dir, "events",
+        nFiles + invarianceSplit.getOrElse(0)))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         st.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -218,21 +218,43 @@ object Sampling {
       copyCol: String = "copy", seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty, "mix_domains: no domain weights")
     require(weights.forall(_._2 >= 0.0), "mix_domains: negative weight")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "mix_domains: duplicate domain in weights")
+    import df.sparkSession.implicits._
+    mixDomainsBy(df, keyCol, domainCol,
+      weights.toDF("domain", "weight"), targetRows, copyCol, seed)
+  }
+
+  /** DataFrame-weights form of [[mixDomains]]: `weights` is a
+    * (domain, weight) frame applied by EQUI-JOIN, so the weight table can
+    * be web-scale (one row per registered domain — millions of keys from
+    * [[graft.llm.TextAnalysis.extractRegisteredDomain]]) without the
+    * literal CASE chain or any driver materialization the Seq form would
+    * imply at that cardinality. AQE broadcasts the weight/count side when
+    * it is small; above broadcast size it is a plain shuffled equi-join —
+    * either way the corpus never collects and the plan carries no
+    * |domains|-sized expression. Domains absent from `weights` (and null
+    * domains) drop, exactly like a zero/unlisted weight in the Seq form.
+    */
+  def mixDomainsBy(df: DataFrame, keyCol: String, domainCol: String,
+      weights: DataFrame, targetRows: Long, copyCol: String = "copy",
+      seed: Long = 42L, weightDomainCol: String = "domain",
+      weightCol: String = "weight"): DataFrame = {
     require(targetRows > 0, "mix_domains: targetRows must be positive")
     val dom = col(s"`$domainCol`").cast("string")
     val counts = df.groupBy(dom.as("__dom")).agg(count(lit(1)).as("__n"))
-    // weight literal CASE — |weights| is small; rows of unlisted domains
-    // get weight 0 and vanish with their empty copy array
-    val w = weights.foldLeft(lit(0.0d)) { case (acc, (k, v)) =>
-      when(col("__dom") === k, lit(v)).otherwise(acc)
-    }
-    val mult = w * lit(targetRows.toDouble) / col("__n").cast("double")
+    val wtab = counts.join(
+      weights.select(col(s"`$weightDomainCol`").cast("string").as("__dom"),
+        col(s"`$weightCol`").cast("double").as("__w")), Seq("__dom"))
+    // mult is pure per-row arithmetic over the joined (w, n) pair — no
+    // float aggregation, so it is partition-invariant and replicable by an
+    // external oracle bit-for-bit
+    val mult = col("__w") * lit(targetRows.toDouble) / col("__n").cast("double")
     val u = hashUniform(col(s"`$keyCol`"), seed)
     val copies = (floor(col("__mult")).cast("int") +
       when(u < col("__mult") - floor(col("__mult")), 1).otherwise(0))
-    df.join(broadcast(counts.withColumn("__mult", mult)
-        .select(col("__dom"), col("__mult"))),
-        dom === col("__dom"), "left")
+    df.join(wtab.withColumn("__mult", mult).select(col("__dom"), col("__mult")),
+        dom === col("__dom"))
       .withColumn("__copies", coalesce(copies, lit(0)))
       .withColumn(copyCol, explode(when(col("__copies") > 0,
         sequence(lit(0), col("__copies") - 1)).otherwise(array().cast("array<int>"))))
@@ -243,35 +265,45 @@ object Sampling {
     * e.g. mBERT/XLM-R style): domain weight ∝ count^alpha, normalized —
     * alpha = 1 reproduces the natural distribution, alpha → 0 approaches
     * uniform, the usual 0.3–0.7 range up-weights low-resource domains.
-    * Weights derive from ONE bounded count aggregate (|domains| rows on
-    * the driver — model-sized, like every trained-path fit here) and feed
-    * [[mixDomains]]' hash-deterministic expansion.
+    *
+    * Everything stays in-engine: one per-domain count aggregate, the
+    * count^alpha weight per row of THAT bounded table, and a
+    * decimal-exact normalizer — then the [[mixDomainsBy]] equi-join
+    * expansion. No driver collect and no per-domain literal anywhere, so
+    * this composes with web-scale domain keys (temperature-mix BY
+    * registered domain from
+    * [[graft.llm.TextAnalysis.extractRegisteredDomain]], ~10⁷ distinct
+    * eTLD+1s) exactly like any other join.
+    *
+    * Determinism: sqrt for alpha = 0.5 (IEEE-correctly rounded everywhere,
+    * pow(x, 0.5) is not guaranteed to be), and the normalizer Z = Σ n^α is
+    * summed as DECIMAL(38,18) — decimal addition is exact, hence
+    * associative, hence partition/run/engine-invariant, unlike a float
+    * sum whose value depends on combine order — then cast back to double
+    * once. An external oracle replicates the whole path bit-for-bit.
     */
   def mixDomainsTemperature(df: DataFrame, keyCol: String, domainCol: String,
       alpha: Double, targetRows: Long, copyCol: String = "copy",
       seed: Long = 42L): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"mix_domains: temperature alpha must be in [0, 1], got $alpha")
-    // null domains carry no weight in mixDomains (its CASE falls through
-    // to 0) — drop them here too, or the null group's key would NPE the
-    // driver-side sort
-    val counts = df.filter(col(s"`$domainCol`").isNotNull)
-      .groupBy(col(s"`$domainCol`").cast("string").as("d"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    // sqrt for alpha = 0.5: IEEE sqrt is correctly rounded everywhere,
-    // pow(x, 0.5) is not guaranteed to be — the exact form keeps the
-    // derived weights bit-reproducible by an external engine (the oracle
-    // replicates this path; normalization is an ORDERED left fold over
-    // the sorted domains for the same reason)
-    val powed = counts.map { case (d, n) =>
-      d -> (if (alpha == 0.5) math.sqrt(n.toDouble)
-            else math.pow(n.toDouble, alpha)) }
-    val z = powed.map(_._2).foldLeft(0.0d)(_ + _)
-    require(z > 0.0, "mix_domains: empty input")
-    mixDomains(df, keyCol, domainCol,
-      powed.map { case (d, p) => d -> p / z }.toIndexedSeq, targetRows,
-      copyCol, seed)
+    // null domains carry no weight (mixDomainsBy's equi-join never matches
+    // them) — exclude them from the normalizer too
+    val nD = col("n").cast("double")
+    val powed = df.filter(col(s"`$domainCol`").isNotNull)
+      .groupBy(col(s"`$domainCol`").cast("string").as("domain"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__p", if (alpha == 0.5) sqrt(nD) else pow(nD, alpha))
+    val z = powed.agg(sum(col("__p").cast("decimal(38,18)")).as("__z"))
+    // the 1-row Z frame rides a one-row broadcast nested loop — the scalar
+    // join shape (same documented PlanAudit category as collocations'
+    // single-row totals; a constant equi-key doesn't help, Catalyst
+    // constant-folds it back to a cross). O(n)·1, not quadratic. weight =
+    // p / Z is then pure per-row double arithmetic.
+    val weights = powed.crossJoin(broadcast(z))
+      .select(col("domain"),
+        (col("__p") / col("__z").cast("double")).as("weight"))
+    mixDomainsBy(df, keyCol, domainCol, weights, targetRows, copyCol, seed)
   }
 
   /** Hashed n-gram feature buckets of a document — the DSIR feature map
@@ -378,29 +410,39 @@ object Sampling {
     val scored = w.withColumn("skey", round(col("log_weight") + gumbel, 6))
     if (k <= thresholdCutoff)
       scored.orderBy(col("skey").desc, col(s"`$idCol`")).limit(k)
+    else thresholdTopK(scored, idCol, k)
+  }
+
+  /** The large-k threshold selection of [[dsirResample]], seam'd so its
+    * defensive a ≥ k branch (unreachable in exact arithmetic by the ε
+    * bias, reachable only through a float edge at the q−ε boundary or
+    * sketch tie behavior) can be FORCED by a spec via `thrOverride` —
+    * SamplingSpec pins that the branch returns the identical top-k set.
+    */
+  private[graft] def thresholdTopK(scored: DataFrame, idCol: String, k: Int,
+      thrOverride: Option[Double] = None): DataFrame = {
+    val pinned = scored.localCheckpoint()
+    val n = pinned.count()
+    if (n <= k) pinned.orderBy(col("skey").desc, col(s"`$idCol`"))
     else {
-      val pinned = scored.localCheckpoint()
-      val n = pinned.count()
-      if (n <= k) pinned.orderBy(col("skey").desc, col(s"`$idCol`"))
+      // rank error ≤ εn each side; quantile target 1 − k/n + ε biases the
+      // realized rank into [n−k, n−k+2εn], so #(skey > thr) ≤ k always
+      val eps = math.max(1e-7, math.min(0.05 * k / n, 0.01))
+      val q = math.min(1.0, 1.0 - k.toDouble / n + eps)
+      val thr = thrOverride.getOrElse(
+        pinned.stat.approxQuantile("skey", Array(q), eps).head)
+      val above = pinned.filter(col("skey") > thr)
+      val a = above.count()
+      // the ε bias makes a > k unreachable in exact arithmetic, but a
+      // floating-point edge at the q−ε boundary (or sketch tie behavior)
+      // must not turn into limit(negative): fall back to a plain top-k
+      // over the (≈k-sized) above set — still no full-frame sort
+      if (a >= k) above.orderBy(col("skey").desc, col(s"`$idCol`")).limit(k)
       else {
-        // rank error ≤ εn each side; quantile target 1 − k/n + ε biases the
-        // realized rank into [n−k, n−k+2εn], so #(skey > thr) ≤ k always
-        val eps = math.max(1e-7, math.min(0.05 * k / n, 0.01))
-        val q = math.min(1.0, 1.0 - k.toDouble / n + eps)
-        val thr = pinned.stat.approxQuantile("skey", Array(q), eps).head
-        val above = pinned.filter(col("skey") > thr)
-        val a = above.count()
-        // the ε bias makes a > k unreachable in exact arithmetic, but a
-        // floating-point edge at the q−ε boundary (or sketch tie behavior)
-        // must not turn into limit(negative): fall back to a plain top-k
-        // over the (≈k-sized) above set — still no full-frame sort
-        if (a >= k) above.orderBy(col("skey").desc, col(s"`$idCol`")).limit(k)
-        else {
-          val trim = pinned.filter(col("skey") <= thr)
-            .orderBy(col("skey").desc, col(s"`$idCol`"))
-            .limit((k - a).toInt)
-          above.unionByName(trim)
-        }
+        val trim = pinned.filter(col("skey") <= thr)
+          .orderBy(col("skey").desc, col(s"`$idCol`"))
+          .limit((k - a).toInt)
+        above.unionByName(trim)
       }
     }
   }

@@ -230,61 +230,187 @@ object TextAnalysis {
       keep.as("keep"))
   }
 
+  /** The built-in suffix rules: common TWO-LABEL public suffixes. A
+    * fallback, not the Mozilla PSL — production callers layer the real
+    * list (or their private-section additions like `github.io`) on top via
+    * [[extractRegisteredDomain]]'s `suffixes` seam.
+    */
+  private[graft] val builtinSuffixes: Seq[String] = Seq("co.uk", "org.uk",
+    "ac.uk", "gov.uk", "com.au", "net.au", "org.au", "co.jp", "ne.jp",
+    "or.jp", "com.br", "com.cn", "com.mx", "co.in", "co.kr", "com.tw",
+    "com.ar", "co.za", "com.sg", "com.hk")
+
   /** Registered-domain (eTLD+1) extraction from a URL — the grouping key
     * for per-domain caps, per-domain dedup, and domain mixing in web-corpus
     * pipelines (CCNet/RefinedWeb shape: cap documents per registered
     * domain, not per host, or one spam domain's subdomains flood the
-    * corpus). Heuristic public-suffix handling: a built-in list of common
-    * TWO-LABEL suffixes (co.uk, com.au, co.jp, …) takes three labels,
-    * everything else two; IPv4 hosts and dotless hosts pass through whole.
-    * The full Mozilla PSL is data this container doesn't carry — swap the
-    * literal list for it in production; the plan shape (pure codegen
-    * string ops, no lookup join) is unchanged since the PSL compiles to
-    * the same literal set.
+    * corpus).
+    *
+    * `suffixes` is the public-suffix seam: rules in the Mozilla PSL's own
+    * syntax, layered OVER the built-in two-label list — exact rules
+    * (`github.io` — exactly what a crawl cap needs, or every `*.github.io`
+    * site collapses into one "domain"), wildcard rules (`*.ck`: any label
+    * under ck is a public suffix), and exception rules (`!www.ck`: cancels
+    * the wildcard; the rule itself is the registrable domain). Matching
+    * follows the PSL algorithm: exception rules first, then longer rules
+    * beat shorter ones, then the implicit `*` default (last label is the
+    * suffix, registrable = last two). The rules compile to a literal
+    * when-chain of codegen string ops — no lookup join, plan cost
+    * O(|distinct rule lengths|), so loading the ~9k-rule PSL stays a
+    * scan-side projection.
+    *
+    * Hosts: IPv4 literals and dotless hosts pass through whole; a
+    * trailing-dot FQDN (`example.com.` — legal in crawls) is normalized
+    * before labeling. A host that IS a public suffix has no registrable
+    * domain and passes through whole (the PSL "no registrable part" case).
     *
     * Per-domain caps compose from existing verbs:
     * `df.withColumn("dom", extractRegisteredDomain(col("url")))` then
     * [[graft.operators.GroupedOps.groupbyTopk]] on ("dom") by quality.
     */
-  def extractRegisteredDomain(url: Column): Column = {
+  def extractRegisteredDomain(url: Column, suffixes: Seq[String] = Nil): Column = {
     // lower() BEFORE the scheme strip: schemes are case-insensitive per
     // RFC 3986 and real crawl URLs carry 'HTTP://' — a case-sensitive
-    // scheme regex would return the scheme itself as the host
-    val host = regexp_extract(lower(url),
-      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+    // scheme regex would return the scheme itself as the host. The
+    // trailing-dot strip must precede labeling: 'example.com.' would
+    // otherwise split to an empty last label and defeat every rule.
+    val host = regexp_replace(regexp_extract(lower(url),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1), "\\.+$", "")
     val labels = split(host, "\\.")
     val n = size(labels)
-    val twoLevelSuffixes = Seq("co.uk", "org.uk", "ac.uk", "gov.uk",
-      "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp", "com.br",
-      "com.cn", "com.mx", "co.in", "co.kr", "com.tw", "com.ar", "co.za",
-      "com.sg", "com.hk")
-    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || n <= 2, host)
-      .when(lastTwo.isin(twoLevelSuffixes: _*),
-        concat_ws(".", element_at(labels, -3), element_at(labels, -2),
-          element_at(labels, -1)))
-      .otherwise(lastTwo)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+
+    val userRules = suffixes.map(_.trim.toLowerCase).filter(_.nonEmpty)
+    require(userRules.forall(r => !r.contains("*") || r.startsWith("*.")),
+      "extract_registered_domain: wildcard rules must be '*.<suffix>'")
+    val exceptions = userRules.filter(_.startsWith("!")).map(_.drop(1))
+    val wildcards = userRules.filter(_.startsWith("*.")).map(_.drop(2))
+    val exacts = userRules.filterNot(r => r.startsWith("!") || r.startsWith("*."))
+    val labelsOf = (r: String) => r.count(_ == '.') + 1
+
+    // PSL precedence: exceptions beat everything; among prevailing rules
+    // the longest match wins, so evaluate rule groups longest-first. Each
+    // group is one isin over the rules of that label count — a literal IN,
+    // codegen, no join.
+    val base =
+      when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || n <= 2, host)
+    val withExceptions = exceptions.groupBy(labelsOf).toSeq
+      .sortBy(-_._1).foldLeft(base) { case (acc, (k, rules)) =>
+        // exception rule matched: the rule ITSELF is the registrable domain
+        acc.when(n >= k && lastK(k).isin(rules: _*), lastK(k))
+      }
+    // exact and wildcard rules merge into one longest-first pass: a
+    // wildcard '*.x' is an effective suffix of labelsOf(x)+1 labels
+    val ruleLens = (exacts.map(labelsOf) ++ wildcards.map(labelsOf(_) + 1) ++
+      Seq(2 /* builtin two-label group */)).distinct.sorted.reverse
+    val chained = ruleLens.foldLeft(withExceptions) { case (acc, k) =>
+      val exactK = exacts.filter(labelsOf(_) == k) ++
+        (if (k == 2) builtinSuffixes else Nil)
+      val wildK = wildcards.filter(labelsOf(_) == k - 1)
+      val acc1 = if (exactK.isEmpty) acc else
+        // suffix of k labels: registrable = last k+1; host == suffix -> whole
+        acc.when(n > k && lastK(k).isin(exactK.distinct: _*), lastK(k + 1))
+          .when(n === k && lastK(k).isin(exactK.distinct: _*), host)
+      if (wildK.isEmpty) acc1 else
+        // '*.x': any (k-1)+1-label suffix under x — registrable = last k+1
+        acc1.when(n > k && lastK(k - 1).isin(wildK: _*), lastK(k + 1))
+          .when(n === k && lastK(k - 1).isin(wildK: _*), host)
+    }
+    chained.otherwise(lastK(2))
   }
 
-  /** C4-style LINE cleaning (Raffel et al. 2020 §2.2, the public rules):
-    * keep only lines that end in terminal punctuation (. ! ? or closing
-    * quote), have ≥ `minWords` whitespace words, and don't carry the
-    * boilerplate markers ("javascript", "lorem ipsum", "cookie",
-    * case-insensitive) or "{" (code). The document-level companion rules
-    * (page dedup, bad-words, short pages) live in [[gopherQualityFlags]] /
-    * the dedup family; this is the line-granular trim that precedes them.
-    * One narrow codegen expression: split → filter → array_join — no
-    * shuffle, streaming-safe.
+  /** Per-domain corpus monitoring over a URL column — the domain-keyed twin
+    * of corpus_report: registered-domain extraction (through the `suffixes`
+    * PSL seam of [[extractRegisteredDomain]]), docs per domain, each
+    * domain's micro-scaled share of the corpus, and the top-`k` domains by
+    * volume. The share-of-top-1 row is rank 1.
+    *
+    * Scale shape: one map-side-combinable count aggregate (|domains| rows),
+    * one exact LONG total joined back on a constant key (1-row broadcast
+    * hash join), then orderBy+limit = TakeOrderedAndProject — the global
+    * rank window runs AFTER the k-row cut, so no single-partition pass
+    * ever sees more than k rows.
+    */
+  def domainStats(df: DataFrame, urlCol: String, k: Int = 5,
+      suffixes: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "domain_stats: k must be positive")
+    val counts = df
+      .select(extractRegisteredDomain(col(s"`$urlCol`"), suffixes).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__t"))
+    // one-row total crossed in via broadcast (the scalar-join shape,
+    // PlanAudit expected category) — O(|domains|)·1
+    val top = counts.crossJoin(broadcast(total))
+      .withColumn("share_micro",
+        round(col("n_docs").cast("double") * 1e6 / col("__t").cast("double"))
+          .cast("long"))
+      .orderBy(col("n_docs").desc, col("domain"))
+      .limit(k)
+    // rank assignment over the k-row result only (bounded post-TakeOrdered
+    // window, the buildVocab pattern)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs").desc, col("domain"))).cast("long"))
+      .select("domain", "n_docs", "share_micro", "rank")
+  }
+
+  /** C4 LINE cleaning (Raffel et al. 2020 §2.2) — exactly the paper's
+    * LINE-granular rules, no more: keep only lines that end in terminal
+    * punctuation (. ! ? or closing quote), have ≥ `minWords` whitespace
+    * words, don't contain the word "javascript" (case-insensitive — the
+    * paper's only line-level word rule), and don't carry one of C4's six
+    * boilerplate policy phrases ("terms of use", "privacy policy",
+    * "cookie policy", "uses cookies", "use of cookies", "use cookies").
+    * The PAGE-level rules ("lorem ipsum", curly brace, ≥ 3 sentences)
+    * belong to [[c4PageFilter]], which composes this stage. One narrow
+    * codegen expression: split → filter → array_join — no shuffle,
+    * streaming-safe.
     */
   def c4LineFilter(text: Column, minWords: Int = 5): Column = {
     val kept = filter(split(text, "\n", -1), l => {
       val t = trim(l)
       t.rlike("[.!?\"”']$") &&
         size(split(t, "\\s+")) >= minWords &&
-        !lower(t).rlike("javascript|lorem ipsum|cookie") &&
-        !t.contains("{")
+        !lower(t).rlike(C4LineMarkers)
     })
     array_join(kept, "\n")
+  }
+
+  /** The C4 line-removal markers (applied to the lowercased line): the word
+    * "javascript" plus the six policy phrases — shared with the oracle so
+    * the two regexes cannot desynchronize.
+    */
+  private[graft] val C4LineMarkers: String =
+    "\\bjavascript\\b|terms of use|privacy policy|cookie policy|" +
+      "uses cookies|use of cookies|use cookies"
+
+  /** The faithful C4 DOCUMENT filter (Raffel et al. 2020 §2.2): the
+    * [[c4LineFilter]] line trim, then the PAGE-level rules on what the
+    * paper calls a page — drop the page when the raw text contains the
+    * phrase "lorem ipsum" (case-insensitive) or a curly brace "{", or when
+    * the cleaned text carries fewer than `minSentences` sentences
+    * (sentence ≈ a terminal-punctuation run, counted on the retained
+    * lines). Emits struct(clean, n_sentences, keep) rather than dropping
+    * rows, so callers can audit what a filter removed before committing to
+    * it; `df.filter($"c4.keep")` is the drop form. The paper's remaining
+    * page rule — the "List of Dirty, Naughty …" word list — is a data
+    * input, not an algorithm: apply it as a filter_string over this
+    * output with the caller's own list.
+    *
+    * Still one narrow codegen projection per row — no shuffle,
+    * streaming-safe, 100 TB-safe by construction.
+    */
+  def c4PageFilter(text: Column, minWords: Int = 5,
+      minSentences: Int = 3): Column = {
+    val clean = c4LineFilter(text, minWords)
+    // sentences = terminal-punct runs in the retained lines; split -1
+    // keeps trailing empties irrelevant here since the last kept line ends
+    // in terminal punctuation by rule
+    val nSentences = size(split(clean, "[.!?]+", -1)) - 1
+    val keep = nSentences >= minSentences &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
+    struct(clean.as("clean"), nSentences.as("n_sentences"), keep.as("keep"))
   }
 
   /** Strip HTML: drop script/style blocks wholesale, remove remaining tags,

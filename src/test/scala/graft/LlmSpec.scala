@@ -1228,14 +1228,40 @@ class LlmSpec extends SparkSpec {
     assert(mid("small") > natural("small") && mid("small") < uniform("small"))
   }
 
-  test("c4LineFilter: terminal punctuation, min words, boilerplate and code rules") {
+  test("dsirResample threshold fallback: the a >= k branch returns the identical top-k set") {
+    import graft.llm.Sampling
+    // 200 rows with ties (skey = i % 37) — tie-break rides the id
+    val scored = (0 until 200).map(i => (i.toLong, (i % 37).toDouble))
+      .toDF("id", "skey")
+    val want = scored.orderBy(col("skey").desc, col("id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // thrOverride = -1 puts every row above the threshold: a = 200 >= k —
+    // the defensive branch the ε bias makes unreachable in exact arithmetic
+    val forced = Sampling.thresholdTopK(scored, "id", 10,
+      thrOverride = Some(-1.0)).collect().map(_.getLong(0)).toSet
+    assert(forced == want)
+    // and the normal a < k union-trim path agrees on the same frame
+    val trimmed = Sampling.thresholdTopK(scored, "id", 10,
+      thrOverride = Some(35.0)).collect().map(_.getLong(0)).toSet
+    assert(trimmed == want)
+    // no-override path (real approxQuantile) still the same set
+    val real = Sampling.thresholdTopK(scored, "id", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(real == want)
+  }
+
+  test("c4LineFilter: terminal punctuation, min words, javascript word, policy phrases") {
     import graft.llm.TextAnalysis
     val doc = Seq(
       "this line ends with a period and has many words.",   // kept
       "no terminal punctuation here at all",                 // dropped: no .!?
       "short line.",                                         // dropped: < 5 words
-      "Enable JavaScript to view the full content here.",    // dropped: boilerplate
-      "function f() { return the code marker drops this }.", // dropped: '{'
+      "Enable JavaScript to view the full content here.",    // dropped: word rule
+      "this site uses cookies to improve your experience.",  // dropped: policy phrase
+      "please read our privacy policy before you continue.", // dropped: policy phrase
+      "he baked cookies for the fair and everyone ate them.",// KEPT: 'cookies' alone is not a C4 phrase
+      "function f() { return the line rules keep this }.",   // KEPT: '{' is a PAGE rule
+      "the lorem ipsum phrase is a page rule not a line rule.", // KEPT
       "does a question with enough words survive the cut?",  // kept: '?'
       "he said “the closing quote counts as terminal.”" // kept: ”
     ).mkString("\n")
@@ -1243,17 +1269,47 @@ class LlmSpec extends SparkSpec {
       .select(TextAnalysis.c4LineFilter(col("t")).as("c"))
       .collect()(0).getString(0)
     val lines = out.split("\n").toSeq
-    assert(lines.size == 3)
-    assert(lines(0).startsWith("this line") && lines(1).startsWith("does a") &&
-      lines(2).startsWith("he said"))
+    assert(lines.size == 6, lines.mkString("|"))
+    assert(lines(0).startsWith("this line") && lines(1).startsWith("he baked") &&
+      lines(2).startsWith("function f") && lines(3).startsWith("the lorem") &&
+      lines(4).startsWith("does a") && lines(5).startsWith("he said"))
     // all-dropped and empty docs come back as the empty string
-    assert(Seq("nope\n{", "").toDF("t")
+    assert(Seq("nope", "").toDF("t")
       .select(TextAnalysis.c4LineFilter(col("t")).as("c"))
       .collect().forall(_.getString(0) == ""))
     // minWords is configurable
     assert(Seq("short line.").toDF("t")
       .select(TextAnalysis.c4LineFilter(col("t"), minWords = 2).as("c"))
       .collect()(0).getString(0) == "short line.")
+  }
+
+  test("c4PageFilter: page-level lorem ipsum, curly brace, and min-sentence rules") {
+    import graft.llm.TextAnalysis
+    val goodPage = Seq(
+      "the first retained sentence sits right here.",
+      "the second retained sentence follows it closely.",
+      "the third retained sentence completes the page.").mkString("\n")
+    val cases = Seq(
+      (goodPage, true, 3),
+      // lorem ipsum anywhere on the page (even a line the LINE filter
+      // keeps) drops the page
+      (goodPage + "\nwe use Lorem Ipsum filler text here today.", false, 4),
+      // a curly brace anywhere drops the page — including on a line the
+      // line rules keep
+      (goodPage + "\ncode sample { int x = 0; } appears here.", false, 4),
+      // fewer than 3 sentences after the line trim drops the page
+      ("only two sentences survive this cut today. here is the second and final one.", false, 2),
+      // the line trim feeds the sentence count: junk lines don't count
+      ("no terminal punctuation on this line\nanother bare line", false, 0))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.c4PageFilter(col("t")).as("c"))
+      .select(col("c.clean"), col("c.n_sentences"), col("c.keep")).collect()
+    cases.zip(out).foreach { case ((page, wantKeep, wantN), r) =>
+      assert(r.getInt(1) == wantN, s"n_sentences of: $page")
+      assert(r.getBoolean(2) == wantKeep, s"keep of: $page")
+    }
+    // the struct carries the cleaned text (line stage composed in)
+    assert(out(0).getString(0) == goodPage)
   }
 
   test("extractRegisteredDomain: schemes, userinfo, ports, 2-label suffixes, IPs, bare hosts") {
@@ -1274,5 +1330,53 @@ class LlmSpec extends SparkSpec {
       .select(col("u"), TextAnalysis.extractRegisteredDomain(col("u")).as("d"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (u, want) => assert(out(u) == want, s"$u -> ${out(u)}") }
+  }
+
+  test("extractRegisteredDomain: PSL seam — private suffixes, wildcard, exception, trailing dot") {
+    import graft.llm.TextAnalysis
+    val psl = Seq("github.io", "*.ck", "!www.ck")
+    val cases = Seq(
+      // trailing-dot FQDN (legal in crawls): normalized before labeling —
+      // pre-fix this returned 'com.'
+      "example.com." -> "example.com",
+      "https://deep.sub.example.co.uk./x" -> "example.co.uk",
+      // private-section suffix: without the rule every *.github.io site
+      // collapses into one "domain"
+      "https://alice.github.io/repo" -> "alice.github.io",
+      "https://pages.alice.github.io/x" -> "alice.github.io",
+      "github.io" -> "github.io", // host IS the suffix: no registrable part
+      // wildcard rule *.ck: any label under ck is a public suffix
+      "http://shop.foo.bar.ck/x" -> "foo.bar.ck",
+      "foo.bar.ck" -> "foo.bar.ck",
+      // exception rule !www.ck cancels the wildcard: www.ck is registrable
+      "http://foo.www.ck/x" -> "www.ck",
+      "www.ck" -> "www.ck",
+      // built-in rules still layered underneath
+      "https://a.b.example.co.jp/x" -> "example.co.jp",
+      "https://plain.example.org/x" -> "example.org")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextAnalysis.extractRegisteredDomain(col("u"), psl).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) => assert(out(u) == want, s"$u -> ${out(u)}") }
+    // malformed wildcard rules raise, not silently misparse
+    intercept[IllegalArgumentException] {
+      TextAnalysis.extractRegisteredDomain(col("u"), Seq("foo.*.bar"))
+    }
+  }
+
+  test("domainStats: counts, micro shares, top-k rank through the suffix seam") {
+    import graft.llm.TextAnalysis
+    val urls = Seq.fill(6)("https://a.github.io/x") ++
+      Seq.fill(3)("http://b.github.io/y") ++
+      Seq("https://c.example.com/z")
+    val out = TextAnalysis.domainStats(urls.toDF("url"), "url", k = 2,
+      suffixes = Seq("github.io")).collect()
+    assert(out.length == 2)
+    val top = out.find(_.getLong(3) == 1L).get
+    assert(top.getString(0) == "a.github.io" && top.getLong(1) == 6L &&
+      top.getLong(2) == 600000L)
+    val second = out.find(_.getLong(3) == 2L).get
+    assert(second.getString(0) == "b.github.io" && second.getLong(1) == 3L &&
+      second.getLong(2) == 300000L)
   }
 }
