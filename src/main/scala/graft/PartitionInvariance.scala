@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   * Hard gate: exits 1 on any mismatch. Usage: runMain graft.PartitionInvariance [sfDir]
   */
 object PartitionInvariance {
+  /** Order-independent canonical form shared by both invariance sweeps
+    * (batch here, streaming in [[StreamInvariance]]): per-row md5 over all
+    * columns cast to string (nulls → ∅), summed as decimal(38,0) alongside
+    * the row count. U+0001 separator: an empty one would hash ('ab','c')
+    * and ('a','bc') identically, hiding a column-boundary shift.
+    */
+  private[graft] def canon(df: DataFrame): (String, Long) = {
+    val cols = df.columns.map(c =>
+      coalesce(col(s"`$c`").cast("string"), lit("∅")))
+    val h = conv(substring(md5(concat_ws("\u0001", cols.toIndexedSeq: _*)), 1, 12), 16, 10)
+    val row = df.agg(
+      sum(h.cast("decimal(38,0)")).cast("string"), count(lit(1))).collect()(0)
+    (Option(row.getString(0)).getOrElse("0"), row.getLong(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
@@ -31,17 +46,7 @@ object PartitionInvariance {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    def canon(df: DataFrame): (String, Long) = {
-      val cols = df.columns.map(c =>
-        coalesce(col(s"`$c`").cast("string"), lit("∅")))
-      // U+0001 separator: an empty one would hash ('ab','c') and
-      // ('a','bc') identically, hiding a column-boundary shift
-      val h = conv(substring(md5(concat_ws("\u0001", cols.toIndexedSeq: _*)), 1, 12), 16, 10)
-      val row = df.agg(
-        sum(h.cast("decimal(38,0)")).cast("string"), count(lit(1))).collect()(0)
-      (Option(row.getString(0)).getOrElse("0"), row.getLong(1))
-    }
+    val canon = PartitionInvariance.canon _
 
     val streaming = QueriesStreaming.entries.keySet
     val names = SparkEntry.queries.keys.toSeq.filterNot(streaming).sorted

@@ -51,7 +51,7 @@ object QueriesLlm {
   private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     element_at(array(
       concat(lit("https://cdn"), id % 7, lit(".example"), id % 3, lit(".co.uk/path/page")),
-      concat(lit("http://www.site"), id % 5, lit(".com/x?q=1")),
+      concat(lit("http://www.site"), id % 7, lit(".com/x?q=1")),
       concat(lit("ftp://user:pw@host"), id % 4, lit(".org:8080/f")),
       concat(lit("archive"), id % 6, lit(".ac.uk/page")),
       concat(lit("http://10.0."), id % 9, lit(".25/x"))),
@@ -62,7 +62,7 @@ object QueriesLlm {
   private val SynthUrlSql: String =
     """  CASE doc_id % 5
       |    WHEN 0 THEN 'https://cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.co.uk/path/page'
-      |    WHEN 1 THEN 'http://www.site' || (doc_id % 5) || '.com/x?q=1'
+      |    WHEN 1 THEN 'http://www.site' || (doc_id % 7) || '.com/x?q=1'
       |    WHEN 2 THEN 'ftp://user:pw@host' || (doc_id % 4) || '.org:8080/f'
       |    WHEN 3 THEN 'archive' || (doc_id % 6) || '.ac.uk/page'
       |    ELSE 'http://10.0.' || (doc_id % 9) || '.25/x' END""".stripMargin
@@ -75,7 +75,7 @@ object QueriesLlm {
       concat(lit("https://proj"), id % 11, lit(".github.io/index")),
       concat(lit("http://sub.blog"), id % 3, lit(".co.uk./post")),
       concat(lit("https://www.example"), id % 4, lit(".com/page")),
-      concat(lit("host"), id % 5, lit(".org.")),
+      concat(lit("host"), id % 7, lit(".org.")),
       concat(lit("HTTP://CDN"), id % 6, lit(".Example.COM/x"))),
       (id % 5 + 1).cast("int"))
 
@@ -84,38 +84,40 @@ object QueriesLlm {
       |    WHEN 0 THEN 'https://proj' || (doc_id % 11) || '.github.io/index'
       |    WHEN 1 THEN 'http://sub.blog' || (doc_id % 3) || '.co.uk./post'
       |    WHEN 2 THEN 'https://www.example' || (doc_id % 4) || '.com/page'
-      |    WHEN 3 THEN 'host' || (doc_id % 5) || '.org.'
+      |    WHEN 3 THEN 'host' || (doc_id % 7) || '.org.'
       |    ELSE 'HTTP://CDN' || (doc_id % 6) || '.Example.COM/x' END""".stripMargin
+
+  // the built-in two-label suffix IN-list, interpolated from
+  // TextAnalysis.builtinSuffixes so engine and oracle cannot desynchronize
+  // (same pattern as C4LineMarkers)
+  private val BuiltinSuffixSql: String =
+    graft.llm.TextAnalysis.builtinSuffixes.map(s => s"'$s'").mkString(",")
 
   // eTLD+1 with the gate's user suffix rule github.io layered over the
   // built-in two-label list, plus the trailing-dot strip
   private val DomainFromUrl2Sql: String =
-    """h AS (SELECT doc_id, regexp_replace(regexp_extract(lower(url),
-      |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\.+$', '') AS host FROM u),
+    raw"""h AS (SELECT doc_id, regexp_replace(regexp_extract(lower(url),
+      |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\.+$$', '') AS host FROM u),
       |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
       |  len(string_split(host, '.')) AS n FROM h),
       |e AS (SELECT doc_id, host, labels, n,
       |  labels[-2] || '.' || labels[-1] AS last2 FROM d),
       |dom AS (SELECT doc_id,
-      |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
-      |       WHEN last2 IN ('github.io','co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-      |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
-      |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
+      |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$$') OR n <= 2 THEN host
+      |       WHEN last2 IN ('github.io',$BuiltinSuffixSql)
       |         THEN labels[-3] || '.' || last2
       |       ELSE last2 END AS domain FROM e)""".stripMargin
 
   private val DomainFromUrlSql: String =
-    """h AS (SELECT doc_id, regexp_extract(lower(url),
+    raw"""h AS (SELECT doc_id, regexp_extract(lower(url),
       |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1) AS host FROM u),
       |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,
       |  len(string_split(host, '.')) AS n FROM h),
       |e AS (SELECT doc_id, host, labels, n,
       |  labels[-2] || '.' || labels[-1] AS last2 FROM d),
       |dom AS (SELECT doc_id,
-      |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') OR n <= 2 THEN host
-      |       WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-      |         'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
-      |         'co.kr','com.tw','com.ar','co.za','com.sg','com.hk')
+      |  CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$$') OR n <= 2 THEN host
+      |       WHEN last2 IN ($BuiltinSuffixSql)
       |         THEN labels[-3] || '.' || last2
       |       ELSE last2 END AS domain FROM e)""".stripMargin
 
@@ -601,15 +603,19 @@ object QueriesLlm {
       graft.llm.Sampling.mixDomainsTemperature(docs, "doc_id", "domain",
         alpha = 0.5, targetRows = 600L).select("doc_id", "domain", "copy")
     }),
-    // the same no-collect path at per-doc domain cardinality (every doc its
-    // own domain at sf0.01; the sf1 lane reruns this row at >=100k DISTINCT
+    // the same no-collect path at web-scale domain cardinality: each doc
+    // fans out to 4 keys, each key its own domain below the 150k modulus
+    // (sf0.01: 2k distinct; the sf1 lane reruns this row at 150k DISTINCT
     // domains — SF1_SMOKE.md) — proves temperature mixing scales in
     // |domains| with no driver-side or plan-side per-domain term
     "mix_domains_wide" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id")).withColumn("domain",
-        concat(lit("d"), pmod(col("doc_id"), lit(150000L)), lit(".example")))
-      graft.llm.Sampling.mixDomainsTemperature(docs, "doc_id", "domain",
-        alpha = 0.5, targetRows = 9000L).select("doc_id", "domain", "copy")
+      val keys = documents(s, d).select(col("doc_id"))
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .select((col("doc_id") * 4 + col("j")).as("key"))
+        .withColumn("domain",
+          concat(lit("d"), pmod(col("key"), lit(150000L)), lit(".example")))
+      graft.llm.Sampling.mixDomainsTemperature(keys, "key", "domain",
+        alpha = 0.5, targetRows = 9000L).select("key", "domain", "copy")
     }),
     // exact-duplicate classes split together (key = md5(text), not id) —
     // a duplicated doc can never straddle train/val; the near-dup cluster
@@ -1901,7 +1907,7 @@ object QueriesLlm {
     // then the same mult/copy expansion as mix_domains
     "mix_domains_temperature" ->
       """WITH n AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
-        |z AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_d AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
+        |z AS (SELECT CAST(SUM(CAST(CAST(sqrt(CAST(n_d AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
         |w AS (SELECT lang, sqrt(CAST(n_d AS DOUBLE)) / z.z AS wt, n_d FROM n, z),
         |m AS (SELECT d.doc_id, d.lang, w.wt * 600.0 / CAST(w.n_d AS DOUBLE) AS mult,
         |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
@@ -1919,7 +1925,7 @@ object QueriesLlm {
         |  FROM documents),
         |$DomainFromUrlSql,
         |n AS (SELECT domain, count(*) AS n_d FROM dom GROUP BY domain),
-        |z AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_d AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
+        |z AS (SELECT CAST(SUM(CAST(CAST(sqrt(CAST(n_d AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
         |w AS (SELECT domain, sqrt(CAST(n_d AS DOUBLE)) / z.z AS wt, n_d FROM n, z),
         |m AS (SELECT dom.doc_id, dom.domain, w.wt * 600.0 / CAST(w.n_d AS DOUBLE) AS mult,
         |  CAST(('0x' || substr(md5(CAST(dom.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
@@ -1930,16 +1936,18 @@ object QueriesLlm {
         |    + CASE WHEN uu < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
         |FROM m""".stripMargin,
     "mix_domains_wide" ->
-      """WITH docs AS (SELECT doc_id,
-        |  'd' || CAST(doc_id % 150000 AS VARCHAR) || '.example' AS domain FROM documents),
+      """WITH k AS (SELECT doc_id * 4 + j.j AS key FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j),
+        |docs AS (SELECT key,
+        |  'd' || CAST(key % 150000 AS VARCHAR) || '.example' AS domain FROM k),
         |n AS (SELECT domain, count(*) AS n_d FROM docs GROUP BY domain),
-        |z AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_d AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
+        |z AS (SELECT CAST(SUM(CAST(CAST(sqrt(CAST(n_d AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM n),
         |w AS (SELECT domain, sqrt(CAST(n_d AS DOUBLE)) / z.z AS wt, n_d FROM n, z),
-        |m AS (SELECT docs.doc_id, docs.domain, w.wt * 9000.0 / CAST(w.n_d AS DOUBLE) AS mult,
-        |  CAST(('0x' || substr(md5(CAST(docs.doc_id AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
+        |m AS (SELECT docs.key, docs.domain, w.wt * 9000.0 / CAST(w.n_d AS DOUBLE) AS mult,
+        |  CAST(('0x' || substr(md5(CAST(docs.key AS VARCHAR) || '#42'), 1, 8)) AS BIGINT)
         |  / 4294967296.0 AS uu
         |  FROM docs JOIN w USING (domain))
-        |SELECT doc_id, domain,
+        |SELECT key, domain,
         |  CAST(unnest(generate_series(0, CAST(floor(mult) AS INT) - 1
         |    + CASE WHEN uu < mult - floor(mult) THEN 1 ELSE 0 END)) AS INT) AS copy
         |FROM m""".stripMargin,

@@ -134,7 +134,11 @@ object QueriesStreaming {
         scala.util.hashing.MurmurHash3.stringHash(src.toString + "#" + fp)) +
       s"-split$nFiles" + rangeCol.map(c => s"-range_$c").getOrElse("")
     val d = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-stream-$key")
-    if (!Files.exists(d.resolve("_SUCCESS"))) {
+    // cache sentinel is OUR OWN marker written AFTER the mtime stamping,
+    // not Spark's _SUCCESS (which commits before the stamping — a run
+    // killed in between would otherwise cache a dir whose arrival order is
+    // task-completion order, silently violating the range contract)
+    if (!Files.exists(d.resolve("_GRAFT_READY"))) {
       val raw = s.read.parquet(src.toString)
       // rangeCol: chunk in EVENT-TIME ranges (file k = k-th time slice, the
       // shape a real time-ordered ingest delivers and the only one the
@@ -158,6 +162,7 @@ object QueriesStreaming {
         Files.setLastModifiedTime(p,
           java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
       }
+      Files.createFile(d.resolve("_GRAFT_READY"))
     }
     d.toString
   }

@@ -32,14 +32,8 @@ object StreamInvariance {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def canon(df: DataFrame): (String, Long) = {
-      val cols = df.columns.map(c =>
-        coalesce(col(s"`$c`").cast("string"), lit("∅")))
-      val h = conv(substring(md5(concat_ws("\u0001", cols.toIndexedSeq: _*)), 1, 12), 16, 10)
-      val row = df.agg(
-        sum(h.cast("decimal(38,0)")).cast("string"), count(lit(1))).collect()(0)
-      (Option(row.getString(0)).getOrElse("0"), row.getLong(1))
-    }
+    // one canonical form for both invariance sweeps — shared, not copied
+    val canon = PartitionInvariance.canon _
 
     val names = QueriesStreaming.entries.keys.toSeq.sorted
 

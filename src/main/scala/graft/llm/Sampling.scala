@@ -241,21 +241,31 @@ object Sampling {
       seed: Long = 42L, weightDomainCol: String = "domain",
       weightCol: String = "weight"): DataFrame = {
     require(targetRows > 0, "mix_domains: targetRows must be positive")
-    val dom = col(s"`$domainCol`").cast("string")
-    val counts = df.groupBy(dom.as("__dom")).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(col(s"`$domainCol`").cast("string").as("__dom"))
+      .agg(count(lit(1)).as("__n"))
     val wtab = counts.join(
       weights.select(col(s"`$weightDomainCol`").cast("string").as("__dom"),
         col(s"`$weightCol`").cast("double").as("__w")), Seq("__dom"))
     // mult is pure per-row arithmetic over the joined (w, n) pair — no
     // float aggregation, so it is partition-invariant and replicable by an
     // external oracle bit-for-bit
-    val mult = col("__w") * lit(targetRows.toDouble) / col("__n").cast("double")
+    expandByMult(df, keyCol, domainCol, wtab.select(col("__dom"),
+      (col("__w") * lit(targetRows.toDouble) / col("__n").cast("double"))
+        .as("__mult")), copyCol, seed)
+  }
+
+  /** The shared replication tail of the domain mixers: join the corpus to a
+    * (__dom, __mult) table on domain, emit floor(mult) copies plus one more
+    * when the row's content-hash uniform falls below frac(mult). Inner
+    * join: domains without a multiplier drop, like a zero weight.
+    */
+  private def expandByMult(df: DataFrame, keyCol: String, domainCol: String,
+      multTab: DataFrame, copyCol: String, seed: Long): DataFrame = {
     val u = hashUniform(col(s"`$keyCol`"), seed)
     val copies = (floor(col("__mult")).cast("int") +
       when(u < col("__mult") - floor(col("__mult")), 1).otherwise(0))
-    df.join(wtab.withColumn("__mult", mult).select(col("__dom"), col("__mult")),
-        dom === col("__dom"))
-      .withColumn("__copies", coalesce(copies, lit(0)))
+    df.join(multTab, col(s"`$domainCol`").cast("string") === col("__dom"))
+      .withColumn("__copies", copies)
       .withColumn(copyCol, explode(when(col("__copies") > 0,
         sequence(lit(0), col("__copies") - 1)).otherwise(array().cast("array<int>"))))
       .drop("__dom", "__mult", "__copies")
@@ -280,30 +290,46 @@ object Sampling {
     * summed as DECIMAL(38,18) — decimal addition is exact, hence
     * associative, hence partition/run/engine-invariant, unlike a float
     * sum whose value depends on combine order — then cast back to double
-    * once. An external oracle replicates the whole path bit-for-bit.
+    * once. The per-term double→decimal conversion routes through the
+    * double's STRING form: engines disagree on a direct double→decimal
+    * cast (shortest-representation digits vs the exact binary expansion
+    * rounded at scale 18), but every engine's double→string is the unique
+    * shortest round-trip form, so string→decimal lands on identical
+    * decimals everywhere. An external oracle replicates the whole path
+    * bit-for-bit.
+    *
+    * An empty input (or one whose domains are all null) yields an EMPTY
+    * result, not a raise — validating non-emptiness would cost an eager
+    * action on the no-collect path (the same opt-in-scan trade as
+    * encode_categorical's checkValues, SURVEY §7.7).
     */
   def mixDomainsTemperature(df: DataFrame, keyCol: String, domainCol: String,
       alpha: Double, targetRows: Long, copyCol: String = "copy",
       seed: Long = 42L): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"mix_domains: temperature alpha must be in [0, 1], got $alpha")
-    // null domains carry no weight (mixDomainsBy's equi-join never matches
+    require(targetRows > 0, "mix_domains: targetRows must be positive")
+    // null domains carry no weight (the expansion equi-join never matches
     // them) — exclude them from the normalizer too
     val nD = col("n").cast("double")
     val powed = df.filter(col(s"`$domainCol`").isNotNull)
       .groupBy(col(s"`$domainCol`").cast("string").as("domain"))
       .agg(count(lit(1)).as("n"))
       .withColumn("__p", if (alpha == 0.5) sqrt(nD) else pow(nD, alpha))
-    val z = powed.agg(sum(col("__p").cast("decimal(38,18)")).as("__z"))
+    val z = powed.agg(
+      sum(col("__p").cast("string").cast("decimal(38,18)")).as("__z"))
     // the 1-row Z frame rides a one-row broadcast nested loop — the scalar
     // join shape (same documented PlanAudit category as collocations'
     // single-row totals; a constant equi-key doesn't help, Catalyst
-    // constant-folds it back to a cross). O(n)·1, not quadratic. weight =
-    // p / Z is then pure per-row double arithmetic.
-    val weights = powed.crossJoin(broadcast(z))
-      .select(col("domain"),
-        (col("__p") / col("__z").cast("double")).as("weight"))
-    mixDomainsBy(df, keyCol, domainCol, weights, targetRows, copyCol, seed)
+    // constant-folds it back to a cross). O(n)·1, not quadratic. The
+    // multiplier derives straight off powed's (n, p) so the corpus is
+    // aggregated ONCE — w = p/Z and mult = w·T/n are pure per-row double
+    // arithmetic in the same order the oracle spells out.
+    val multTab = powed.crossJoin(broadcast(z))
+      .select(col("domain").as("__dom"),
+        (col("__p") / col("__z").cast("double") * lit(targetRows.toDouble) /
+          col("n").cast("double")).as("__mult"))
+    expandByMult(df, keyCol, domainCol, multTab, copyCol, seed)
   }
 
   /** Hashed n-gram feature buckets of a document — the DSIR feature map

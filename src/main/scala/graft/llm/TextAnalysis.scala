@@ -282,8 +282,13 @@ object TextAnalysis {
       concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
 
     val userRules = suffixes.map(_.trim.toLowerCase).filter(_.nonEmpty)
-    require(userRules.forall(r => !r.contains("*") || r.startsWith("*.")),
-      "extract_registered_domain: wildcard rules must be '*.<suffix>'")
+    // a '*' anywhere except as the single leading label is malformed —
+    // '*.x.*' would otherwise pass and then silently never match (isin
+    // compares the literal string)
+    require(userRules.forall(r =>
+        !r.contains("*") || (r.startsWith("*.") && !r.drop(2).contains("*"))),
+      "extract_registered_domain: wildcard rules must be '*.<suffix>' " +
+        "with no further '*'")
     val exceptions = userRules.filter(_.startsWith("!")).map(_.drop(1))
     val wildcards = userRules.filter(_.startsWith("*.")).map(_.drop(2))
     val exacts = userRules.filterNot(r => r.startsWith("!") || r.startsWith("*."))
