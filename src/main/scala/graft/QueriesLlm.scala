@@ -87,6 +87,24 @@ object QueriesLlm {
       |    WHEN 3 THEN 'host' || (doc_id % 7) || '.org.'
       |    ELSE 'HTTP://CDN' || (doc_id % 6) || '.Example.COM/x' END""".stripMargin
 
+  // third URL synth, for the canonicalization gate: uppercase scheme/host +
+  // default https port + utm tracking param + fragment + trailing path
+  // slash; userinfo + non-default port + fbclid; schemeless host with
+  // trailing dot; root path with tracker-only query; http:80 with
+  // out-of-order params. The oracle states the hand-derived CANONICAL
+  // ANSWER for each shape (not a SQL re-implementation of the algorithm),
+  // so engine and oracle derive the result independently.
+  private def synthUrl3(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(
+      concat(lit("HTTPS://WWW.Shop"), id % 5, lit(".COM:443/Item/"), id % 7,
+        lit("/?utm_source=mail&b="), id % 3, lit("&a=1#frag")),
+      concat(lit("http://user:pw@news"), id % 4, lit(".co.uk:8080/story?id="),
+        id % 9, lit("&fbclid=xyz")),
+      concat(lit("site"), id % 6, lit(".org./a/b/")),
+      concat(lit("https://blog"), id % 3, lit(".net/?gclid=g"), id % 2),
+      concat(lit("http://a"), id % 8, lit(".com:80/x?z=2&y=1&x=3"))),
+      (id % 5 + 1).cast("int"))
+
   // the built-in two-label suffix IN-list, interpolated from
   // TextAnalysis.builtinSuffixes so engine and oracle cannot desynchronize
   // (same pattern as C4LineMarkers)
@@ -546,6 +564,39 @@ object QueriesLlm {
       documents(s, d).select(col("doc_id"))
         .withColumn("url", synthUrl2(col("doc_id"))),
       "url", k = 5, suffixes = Seq("github.io"))),
+    // URL canonicalization over the 5 messy synthUrl3 shapes — fragment,
+    // case, default ports, userinfo, trailing dots/slashes, tracking
+    // params, parameter ordering all normalized in one codegen projection
+    "url_canonicalize" -> ((s, d) => documents(s, d).select(col("doc_id"),
+      synthUrl3(col("doc_id")).as("url"),
+      graft.llm.TextAnalysis.canonicalizeUrl(synthUrl3(col("doc_id")))
+        .as("canon"))),
+    // URL-exact dedup as a composition: three raw variants per canonical
+    // fetch (case+tracker+fragment, userinfo+default port+trailing slash)
+    // collapse to one class; keep rule = min doc_id
+    "url_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = element_at(array(
+        concat(lit("http://dup"), id % 97, lit(".com/p"), id % 4),
+        concat(lit("HTTP://DUP"), id % 97, lit(".COM/p"), id % 4,
+          lit("?utm_campaign=x#frag")),
+        concat(lit("http://u@dup"), id % 97, lit(".com:80/p"), id % 4,
+          lit("/"))),
+        (id % 3 + 1).cast("int"))
+      documents(s, d).select(id, raw.as("url"))
+        .withColumn("canon",
+          graft.llm.TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+    }),
+    // domain blocklist (the UT1/RefinedWeb first stage) as ONE left_anti
+    // equi-join on eTLD+1 — blocks one registered domain per synthUrl
+    // family incl. the IPv4-literal branch
+    "filter_domains" -> ((s, d) => graft.llm.TextAnalysis.filterDomains(
+      documents(s, d).select(col("doc_id"))
+        .withColumn("url", synthUrl(col("doc_id"))),
+      "url", Seq("example1.co.uk", "site3.com", "10.0.4.25"))
+      .select("doc_id")),
     // C4 §2.2 line cleaning over a synthesized 3-line doc: the corpus text
     // with terminal punctuation (kept iff >= 5 words), a too-short line
     // (dropped), and a boilerplate 'cookie policy' line (dropped by the
@@ -1867,6 +1918,36 @@ object QueriesLlm {
         |  row_number() OVER (ORDER BY n_docs DESC, domain) AS rank FROM n, t)
         |SELECT domain, n_docs, share_micro, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+    // the canonical ANSWERS, hand-derived per synthUrl3 shape — an
+    // independent statement of the result, not a SQL port of the algorithm
+    "url_canonicalize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'HTTPS://WWW.Shop' || (doc_id % 5) || '.COM:443/Item/' || (doc_id % 7) || '/?utm_source=mail&b=' || (doc_id % 3) || '&a=1#frag'
+        |    WHEN 1 THEN 'http://user:pw@news' || (doc_id % 4) || '.co.uk:8080/story?id=' || (doc_id % 9) || '&fbclid=xyz'
+        |    WHEN 2 THEN 'site' || (doc_id % 6) || '.org./a/b/'
+        |    WHEN 3 THEN 'https://blog' || (doc_id % 3) || '.net/?gclid=g' || (doc_id % 2)
+        |    ELSE 'http://a' || (doc_id % 8) || '.com:80/x?z=2&y=1&x=3' END AS url,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'https://www.shop' || (doc_id % 5) || '.com/Item/' || (doc_id % 7) || '?a=1&b=' || (doc_id % 3)
+        |    WHEN 1 THEN 'http://news' || (doc_id % 4) || '.co.uk:8080/story?id=' || (doc_id % 9)
+        |    WHEN 2 THEN 'site' || (doc_id % 6) || '.org/a/b'
+        |    WHEN 3 THEN 'https://blog' || (doc_id % 3) || '.net'
+        |    ELSE 'http://a' || (doc_id % 8) || '.com/x?x=3&y=1&z=2' END AS canon
+        |FROM documents""".stripMargin,
+    "url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |  'http://dup' || (doc_id % 97) || '.com/p' || (doc_id % 4) AS canon
+        |  FROM documents)
+        |SELECT canon, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM c GROUP BY canon""".stripMargin,
+    "filter_domains" ->
+      raw"""WITH u AS (SELECT doc_id,
+        |$SynthUrlSql AS url
+        |  FROM documents),
+        |$DomainFromUrlSql
+        |SELECT doc_id FROM dom
+        |WHERE domain NOT IN ('example1.co.uk', 'site3.com', '10.0.4.25')""".stripMargin,
     // the line-marker regex is interpolated from TextAnalysis.C4LineMarkers
     // so engine and oracle cannot desynchronize
     "c4_line_filter" ->

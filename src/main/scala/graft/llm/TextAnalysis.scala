@@ -360,6 +360,97 @@ object TextAnalysis {
       .select("domain", "n_docs", "share_micro", "rank")
   }
 
+  /** Query parameters stripped by [[canonicalizeUrl]] by default: the
+    * common click/campaign trackers (plus any name starting `utm_`, handled
+    * separately). A defined, documented list so the oracle can replicate.
+    */
+  val DefaultDropParams: Seq[String] = Seq("fbclid", "gclid", "msclkid",
+    "mc_cid", "mc_eid", "igshid")
+
+  /** URL canonicalization for crawl dedup — the key-prep step before
+    * URL-exact dedup or frontier dedup in a crawl pipeline, where
+    * `HTTPS://Site.COM:443/a/?utm_source=x&b=1#frag` and
+    * `https://site.com/a?b=1` are the same fetch. Normalizations, in order:
+    * drop the fragment; lowercase the scheme and host (never path/query —
+    * those are case-sensitive per RFC 3986); strip userinfo; strip default
+    * ports (80 for http, 443 for https) and trailing host dots; strip
+    * trailing path slashes (`/a/` ≡ `/a`, root `/` ≡ empty); drop tracking
+    * parameters (any name starting `utm_`, plus `dropParams`,
+    * case-insensitively); sort surviving parameters bytewise so parameter
+    * order never splits a dedup class. Inputs with no parseable host pass
+    * through trimmed. Percent-encoding and `www.` stripping are left alone
+    * (both change semantics for some hosts; callers wanting them compose).
+    *
+    * One narrow whole-stage-codegen projection (regexp decompose + one
+    * array filter/sort over the parameter list) — no shuffle,
+    * streaming-safe, 100 TB cost is the scan. URL-exact dedup composes:
+    * `groupBy(canonicalizeUrl(col("url")))` with any keep rule.
+    */
+  def canonicalizeUrl(url: Column,
+      dropParams: Seq[String] = DefaultDropParams): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    // userinfo only counts before the first /?# — '@' later is path/query data
+    val rest2 = regexp_replace(rest, "^[^/@?#]*@", "")
+    val hostport = regexp_extract(rest2, "^([^/?#]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]*$", "")), "\\.+$", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathq = rest2.substr(length(hostport) + 1, length(rest2))
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = when(pathq.contains("?"),
+      regexp_replace(pathq, "^[^?]*\\?", "")).otherwise(lit(""))
+    val dropped = dropParams.map(_.toLowerCase)
+    val kept = filter(split(query, "&", -1), p => {
+      val name = lower(regexp_extract(p, "^([^=]*)", 1))
+      p =!= "" && !name.startsWith("utm_") &&
+        (if (dropped.isEmpty) lit(true) else !name.isin(dropped: _*))
+    })
+    val qstr = when(size(kept) > 0,
+      concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
+    val schemePart =
+      when(scheme === "", lit("")).otherwise(concat(scheme, lit("://")))
+    when(host === "", trim(url))
+      .otherwise(concat(schemePart, host, portPart, path, qstr))
+  }
+
+  /** Domain blocklist/allowlist filter over a URL column — the first stage
+    * of a CCNet/RefinedWeb-style crawl pipeline (drop every document from a
+    * blocklisted registered domain, e.g. the UT1 category lists at ~10⁶
+    * entries). `domains` arrives as a one-column DataFrame so the list is
+    * joined, never inlined: extract eTLD+1 (through the same `suffixes` PSL
+    * seam as [[extractRegisteredDomain]]), then ONE left_anti (blocklist) or
+    * left_semi (`keep = true`, allowlist) equi-join — AQE broadcasts a small
+    * list, a UT1-sized one rides a plain shuffled hash join; either way no
+    * |domains|-sized literal reaches the plan and nothing collects.
+    */
+  def filterDomainsBy(df: DataFrame, urlCol: String, domains: DataFrame,
+      keep: Boolean = false, suffixes: Seq[String] = Nil,
+      domainCol: String = "domain"): DataFrame = {
+    val tag = "__graft_dom"
+    // extractRegisteredDomain lowercases the host; lowercase the list for
+    // the same case-insensitive match a blocklist intends
+    val list = domains
+      .select(lower(col(s"`$domainCol`").cast("string")).as(tag)).distinct()
+    df.withColumn(tag, extractRegisteredDomain(col(s"`$urlCol`"), suffixes))
+      .join(list, Seq(tag), if (keep) "left_semi" else "left_anti")
+      .drop(tag)
+  }
+
+  /** Seq form of [[filterDomainsBy]] for literal lists. */
+  def filterDomains(df: DataFrame, urlCol: String, domains: Seq[String],
+      keep: Boolean = false, suffixes: Seq[String] = Nil): DataFrame = {
+    require(domains.nonEmpty, "filter_domains: empty domain list")
+    val spark = df.sparkSession
+    import spark.implicits._
+    filterDomainsBy(df, urlCol, domains.toDF("domain"), keep, suffixes)
+  }
+
   /** C4 LINE cleaning (Raffel et al. 2020 §2.2) — exactly the paper's
     * LINE-granular rules, no more: keep only lines that end in terminal
     * punctuation (. ! ? or closing quote), have ≥ `minWords` whitespace

@@ -1379,4 +1379,70 @@ class LlmSpec extends SparkSpec {
     assert(second.getString(0) == "b.github.io" && second.getLong(1) == 3L &&
       second.getLong(2) == 300000L)
   }
+
+  test("canonicalizeUrl: fragment, case, ports, userinfo, slashes, trackers, param order") {
+    import graft.llm.TextAnalysis
+    val cases = Seq(
+      // scheme+host lowercased, default https port dropped, utm_* dropped,
+      // fragment dropped, params sorted, trailing path slash stripped;
+      // path CASE preserved (paths are case-sensitive per RFC 3986)
+      "HTTPS://WWW.Shop.COM:443/Item/7/?utm_source=m&b=2&a=1#frag" ->
+        "https://www.shop.com/Item/7?a=1&b=2",
+      // userinfo stripped, NON-default port kept, fbclid dropped
+      "http://user:pw@news.co.uk:8080/story?id=4&fbclid=xyz" ->
+        "http://news.co.uk:8080/story?id=4",
+      // schemeless input stays schemeless; trailing host dot + path slash
+      "site.org./a/b/" -> "site.org/a/b",
+      // root path collapses; tracker-only query drops the '?' entirely
+      "https://blog.net/?gclid=g1" -> "https://blog.net",
+      // http default port 80 dropped; byte-order param sort
+      "http://a.com:80/x?z=2&y=1&x=3" -> "http://a.com/x?x=3&y=1&z=2",
+      // :80 is only default for http — https keeps it
+      "https://a.com:80/x" -> "https://a.com:80/x",
+      // '@' after the path start is data, not userinfo
+      "http://h.com/p?to=a@b.com" -> "http://h.com/p?to=a@b.com",
+      // empty query after '?' drops; tracker names match case-insensitively
+      "http://h.com/p?" -> "http://h.com/p",
+      "http://h.com/p?UTM_Source=x&FBCLID=1&k=v" -> "http://h.com/p?k=v",
+      // a valueless param survives; already-canonical input is a fixpoint
+      "http://h.com/p?flag" -> "http://h.com/p?flag",
+      "http://news.co.uk:8080/story?id=4" -> "http://news.co.uk:8080/story?id=4",
+      // IPv4 host; no parseable host passes through trimmed
+      "http://10.0.4.25:80/x" -> "http://10.0.4.25/x",
+      "   not a url   " -> "not a url")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) => assert(out(u) == want, s"$u -> ${out(u)}") }
+  }
+
+  test("filterDomains: blocklist anti-join, allowlist semi-join, PSL seam, case") {
+    import graft.llm.TextAnalysis
+    val df = Seq(
+      (1L, "https://spam.example.com/x"),
+      (2L, "http://a.GOOD.org/y"),
+      (3L, "https://alice.github.io/z"),
+      (4L, "bob.github.io/w")).toDF("id", "url")
+    // blocklist drops example.com rows only; list case-insensitive
+    val blocked = TextAnalysis.filterDomains(df, "url", Seq("Example.COM"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(blocked.sameElements(Array(2L, 3L, 4L)))
+    // allowlist keeps only the listed domain
+    val kept = TextAnalysis.filterDomains(df, "url", Seq("good.org"),
+      keep = true).select("id").collect().map(_.getLong(0))
+    assert(kept.sameElements(Array(2L)))
+    // through the PSL seam: github.io as a suffix separates alice/bob —
+    // blocking alice.github.io must NOT drop bob.github.io
+    val seam = TextAnalysis.filterDomains(df, "url", Seq("alice.github.io"),
+      suffixes = Seq("github.io")).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(seam.sameElements(Array(1L, 2L, 4L)))
+    // DataFrame form: schema preserved, original columns intact
+    val byDf = TextAnalysis.filterDomainsBy(df, "url",
+      Seq("example.com").toDF("domain"))
+    assert(byDf.columns.sameElements(df.columns) && byDf.count() == 3)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterDomains(df, "url", Nil)
+    }
+  }
 }
