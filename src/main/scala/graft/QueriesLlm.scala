@@ -48,7 +48,7 @@ object QueriesLlm {
   // domain_cap gates (and mirrored by SynthUrlSql for their oracles):
   // scheme'd subdomain on a two-label suffix, www on .com, userinfo+port,
   // bare host, IPv4 literal
-  private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     element_at(array(
       concat(lit("https://cdn"), id % 7, lit(".example"), id % 3, lit(".co.uk/path/page")),
       concat(lit("http://www.site"), id % 7, lit(".com/x?q=1")),
@@ -59,7 +59,7 @@ object QueriesLlm {
 
   // DuckDB mirror of synthUrl + the eTLD+1 extraction CASE, interpolated
   // into both oracles so the four copies cannot desynchronize
-  private val SynthUrlSql: String =
+  private[graft] val SynthUrlSql: String =
     """  CASE doc_id % 5
       |    WHEN 0 THEN 'https://cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.co.uk/path/page'
       |    WHEN 1 THEN 'http://www.site' || (doc_id % 7) || '.com/x?q=1'
@@ -126,7 +126,7 @@ object QueriesLlm {
       |         THEN labels[-3] || '.' || last2
       |       ELSE last2 END AS domain FROM e)""".stripMargin
 
-  private val DomainFromUrlSql: String =
+  private[graft] val DomainFromUrlSql: String =
     raw"""h AS (SELECT doc_id, regexp_extract(lower(url),
       |  '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1) AS host FROM u),
       |d AS (SELECT doc_id, host, string_split(host, '.') AS labels,

@@ -348,6 +348,23 @@ object QueriesStreaming {
         .select(col("doc_id"), col("n_features"),
           round(col("log_weight") * 1e6).cast("long").as("log_weight"))
     }),
+    // ingest-time domain blocklist: same blocklist + synth URLs as the
+    // batch filter_domains gate, run as a stateless stream-static
+    // left-outer + isNull (Structured Streaming has no stream-static
+    // left_anti); same oracle anti-join SQL
+    "url_filter_stream" -> ((s, d) => {
+      val blocklist = {
+        import s.implicits._
+        Seq("example1.co.uk", "site3.com", "10.0.4.25").toDF("domain")
+      }
+      runToCompletion(
+        StreamingOps.filterDomainsStream(
+          documentsStream(s, d).select(col("doc_id"))
+            .withColumn("url", QueriesLlm.synthUrl(col("doc_id"))),
+          "url", blocklist),
+        "gr_url_filter_stream", "append")
+        .select("doc_id")
+    }),
     "contamination_flags_stream" -> ((s, d) => {
       val ref = graft.llm.Dedup.winnowFingerprints(
         Tables.documents(s, d).filter(col("doc_id") < 20), "doc_id", "text")
@@ -548,6 +565,15 @@ object QueriesStreaming {
       |GROUP BY f.doc_id HAVING count(*) >= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the batch filter_domains anti-join, verbatim — the stream must emit
+    // exactly the rows the batch blocklist keeps
+    "url_filter_stream" ->
+      raw"""WITH u AS (SELECT doc_id,
+        |${QueriesLlm.SynthUrlSql} AS url
+        |  FROM documents),
+        |${QueriesLlm.DomainFromUrlSql}
+        |SELECT doc_id FROM dom
+        |WHERE domain NOT IN ('example1.co.uk', 'site3.com', '10.0.4.25')""".stripMargin,
     "asof_enrich_stream" ->
       s"""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
          |r AS (SELECT user_id, ts, max(value) AS click_value FROM events

@@ -164,6 +164,32 @@ object StreamingOps {
       model: DataFrame, buckets: Int): DataFrame =
     graft.llm.Sampling.dsirScore(stream, idCol, textCol, model, buckets)
 
+  /** Streaming domain blocklist/allowlist — the ingest-time form of
+    * [[graft.llm.TextAnalysis.filterDomainsBy]]: eTLD+1 of each arriving
+    * URL (same PSL `suffixes` seam) checked against a static domain list.
+    * Structured Streaming supports stream-static left OUTER but not
+    * left_anti, so the anti-join is expressed as left-outer against the
+    * marked list + an isNull filter — identical semantics, still
+    * stateless (no watermark, no state store): per-batch cost is one
+    * broadcast probe per row. `keep = true` flips to the allowlist
+    * (isNotNull), the same rows a left_semi would keep.
+    */
+  def filterDomainsStream(stream: DataFrame, urlCol: String,
+      domains: DataFrame, keep: Boolean = false, suffixes: Seq[String] = Nil,
+      domainCol: String = "domain"): DataFrame = {
+    val tag = "__graft_dom"
+    val mark = "__graft_blk"
+    val list = domains
+      .select(lower(col(s"`$domainCol`").cast("string")).as(tag)).distinct()
+      .withColumn(mark, lit(1))
+    val joined = stream
+      .withColumn(tag,
+        graft.llm.TextAnalysis.extractRegisteredDomain(col(s"`$urlCol`"), suffixes))
+      .join(broadcast(list), Seq(tag), "left_outer")
+    joined.filter(if (keep) col(mark).isNotNull else col(mark).isNull)
+      .drop(tag, mark)
+  }
+
   /** Streaming contamination flagging: winnow-fingerprint each incoming
     * document and stream-static join against a reference index — e.g.
     * `Dedup.winnowFingerprints` of a benchmark/eval corpus, the canonical

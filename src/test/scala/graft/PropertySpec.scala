@@ -467,4 +467,34 @@ class PropertySpec extends SparkSpec {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got == expected)
   }
+
+  test("canonicalizeUrl is idempotent over randomized URL shapes") {
+    // a canonical form must be a fixpoint — if canon(canon(u)) != canon(u),
+    // two passes of the same pipeline stage would split a dedup class
+    val rng = new Random(20)
+    val schemes = Seq("", "http://", "https://", "HTTP://", "ftp://")
+    val users = Seq("", "u@", "user:pw@")
+    val hosts = Seq("Example.COM", "a.b.co.uk", "site.org.", "10.0.0.1", "x")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b", "/a/b/", "//x//")
+    val queries = Seq("", "?", "?b=2&a=1", "?utm_source=x", "?gclid=1&k=v",
+      "?flag", "?z=1&z=0&UTM_X=q")
+    val frags = Seq("", "#f", "#a?b=1")
+    val urls = (1 to 300).map { _ =>
+      schemes(rng.nextInt(schemes.length)) + users(rng.nextInt(users.length)) +
+        hosts(rng.nextInt(hosts.length)) + ports(rng.nextInt(ports.length)) +
+        paths(rng.nextInt(paths.length)) + queries(rng.nextInt(queries.length)) +
+        frags(rng.nextInt(frags.length))
+    }.distinct
+    val out = urls.toDF("u")
+      .select(col("u"),
+        graft.llm.TextAnalysis.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("u"), col("c1"),
+        graft.llm.TextAnalysis.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not a fixpoint: '${r.getString(0)}' -> '${r.getString(1)}' -> '${r.getString(2)}'")
+    }
+  }
 }

@@ -117,4 +117,34 @@ class StreamBatchParitySpec extends SparkSpec {
     // duplicates really were dropped: L1 survives only in doc 1
     assert(sNorm.count(_._2.contains(L1)) == 1)
   }
+
+  test("filter_domains: stream left-outer+isNull equals the batch anti-join") {
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, "https://spam.example.com/x"),
+      (2L, "http://a.good.org/y"),
+      (3L, "https://alice.github.io/z"),
+      (4L, "bob.github.io/w"),
+      (5L, "http://10.0.4.25/x"))
+    val list = Seq("example.com", "alice.github.io", "10.0.4.25").toDF("domain")
+    val psl = Seq("github.io")
+    def run(keep: Boolean): Seq[Long] = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.filterDomainsStream(in.toDF().toDF("id", "url"),
+          "url", list, keep = keep, suffixes = psl)
+        .writeStream.format("memory").queryName(s"fd_parity_$keep")
+        .outputMode("append").start()
+      in.addData(rows: _*); q.processAllAvailable(); q.stop()
+      spark.table(s"fd_parity_$keep").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    }
+    def batch(keep: Boolean): Seq[Long] =
+      graft.llm.TextAnalysis.filterDomainsBy(rows.toDF("id", "url"), "url",
+          list, keep = keep, suffixes = psl)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(keep = false) == batch(keep = false))
+    assert(run(keep = true) == batch(keep = true))
+    // and the blocklist really bit: bob.github.io survives, alice doesn't
+    assert(run(keep = false) == Seq(2L, 4L))
+  }
 }
