@@ -683,16 +683,29 @@ object JoinOps {
       .localCheckpoint(eager = false)
     val lk0 = lkeys.select(col("__lkey"),
       explode(variantHashes(col("__lkey"), maxDist)).as("__vh"))
-    val rk0 = rkeys.select(col("__rkey"),
-      explode(variantHashes(col("__rkey"), maxDist)).as("__vh"))
+    // probe-vs-corpus prune: only variant hashes present on BOTH sides can
+    // produce candidates, so the right (corpus) explosion is semi-joined
+    // against the left (probe) side's distinct hash set BEFORE the bucket
+    // count. Exactly semantics-preserving: the prune removes whole buckets
+    // absent from the left, never rows within a surviving bucket, so every
+    // surviving bucket's distinct-string count — and hence the cap decision
+    // — is unchanged. When the probe is small its hash set broadcasts and
+    // the corpus variant stream never shuffles at full width (the
+    // entity-resolution shape: a dirty list probed against a reference);
+    // when both sides are large the semi-join's hash(__vh) exchange is
+    // REUSED by the count aggregate and candidate join downstream.
+    val lkH = lk0.select("__vh").distinct()
+    val rk0p = rkeys.select(col("__rkey"),
+        explode(variantHashes(col("__rkey"), maxDist)).as("__vh"))
+      .join(lkH, Seq("__vh"), "left_semi")
     // per-side bucket cap; the count aggregations shuffle on the same key
     // as the candidate join, so the exchange is reused
     val lOk = lk0.groupBy("__vh").count()
       .filter(col("count") <= maxBucket).drop("count")
-    val rOk = rk0.groupBy("__vh").count()
+    val rOk = rk0p.groupBy("__vh").count()
       .filter(col("count") <= maxBucket).drop("count")
     val lk = lk0.join(lOk, Seq("__vh"))
-    val rk = rk0.join(rOk, Seq("__vh"))
+    val rk = rk0p.join(rOk, Seq("__vh"))
     // candidate pairs over DISTINCT key strings (duplicates re-expand via
     // the final equi-joins), verified by exact edit distance; the equal
     // rescue runs outside the variant path so the cap cannot lose it
