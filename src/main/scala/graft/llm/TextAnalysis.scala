@@ -297,9 +297,13 @@ object TextAnalysis {
     // PSL precedence: exceptions beat everything; among prevailing rules
     // the longest match wins, so evaluate rule groups longest-first. Each
     // group is one isin over the rules of that label count — a literal IN,
-    // codegen, no join.
+    // codegen, no join. The isNull head keeps a null URL null: without it
+    // every condition evaluates null (size(null) is null), the chain falls
+    // through to the concat_ws fallback, and a null URL would surface as
+    // the spurious domain "" — a real dedup/cap key.
     val base =
-      when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || n <= 2, host)
+      when(host.isNull, lit(null).cast("string"))
+        .when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || n <= 2, host)
     val withExceptions = exceptions.groupBy(labelsOf).toSeq
       .sortBy(-_._1).foldLeft(base) { case (acc, (k, rules)) =>
         // exception rule matched: the rule ITSELF is the registrable domain

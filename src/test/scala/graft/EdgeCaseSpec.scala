@@ -517,4 +517,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(StreamingOps.nearDupFlags(withNulls, "doc_id", "text",
       empty, threshold = 0.8).count() == 0)
   }
+
+  test("round-20 URL verbs on null/degenerate inputs") {
+    import graft.llm.TextAnalysis
+    // null url -> null canon and null domain (no crash, no empty-string alias)
+    val nulls = Seq((1L, null: String), (2L, ""), (3L, "http://ok.com/x"))
+      .toDF("id", "url")
+    val c = nulls.select(col("id"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("canon"),
+      TextAnalysis.extractRegisteredDomain(col("url")).as("dom")).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(c(1L) == (None, None))
+    assert(c(2L) == (Some(""), Some("")))
+    assert(c(3L) == (Some("http://ok.com/x"), Some("ok.com")))
+    // blocklist contract for unparseable rows: a null/empty-domain row is
+    // NOT blocked (anti-join keeps unmatched keys, and null keys never
+    // match) but IS dropped by an allowlist — pinned, not accidental
+    val blocked = TextAnalysis.filterDomains(nulls, "url", Seq("ok.com"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(blocked.sameElements(Array(1L, 2L)))
+    val kept = TextAnalysis.filterDomains(nulls, "url", Seq("ok.com"),
+      keep = true).select("id").collect().map(_.getLong(0))
+    assert(kept.sameElements(Array(3L)))
+    // empty-frame blocklist input: empty out, schema intact
+    val empty = nulls.filter(lit(false))
+    assert(TextAnalysis.filterDomains(empty, "url", Seq("x.com"))
+      .columns.toSeq == Seq("id", "url"))
+    // c4PageFilter on null text: keep is NULL — `filter($"c4.keep")`
+    // drops the row, operationally identical to false, and no crash
+    val pg = Seq((1L, null: String)).toDF("id", "t")
+      .select(TextAnalysis.c4PageFilter(col("t")).as("c"))
+      .select(col("c.keep")).collect()
+    assert(pg(0).isNullAt(0))
+  }
 }
