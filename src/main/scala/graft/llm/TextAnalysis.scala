@@ -369,7 +369,8 @@ object TextAnalysis {
     * separately). A defined, documented list so the oracle can replicate.
     */
   val DefaultDropParams: Seq[String] = Seq("fbclid", "gclid", "msclkid",
-    "mc_cid", "mc_eid", "igshid")
+    "mc_cid", "mc_eid", "igshid", "yclid", "dclid", "wbraid", "gbraid",
+    "twclid", "ttclid")
 
   /** URL canonicalization for crawl dedup — the key-prep step before
     * URL-exact dedup or frontier dedup in a crawl pipeline, where
@@ -437,10 +438,12 @@ object TextAnalysis {
       keep: Boolean = false, suffixes: Seq[String] = Nil,
       domainCol: String = "domain"): DataFrame = {
     val tag = "__graft_dom"
-    // extractRegisteredDomain lowercases the host; lowercase the list for
-    // the same case-insensitive match a blocklist intends
+    // extractRegisteredDomain lowercases the host; lowercase + trim the
+    // list for the case-insensitive match a blocklist intends (file-sourced
+    // lists carry stray whitespace, and extracted domains never do)
     val list = domains
-      .select(lower(col(s"`$domainCol`").cast("string")).as(tag)).distinct()
+      .select(lower(trim(col(s"`$domainCol`").cast("string"))).as(tag))
+      .distinct()
     df.withColumn(tag, extractRegisteredDomain(col(s"`$urlCol`"), suffixes))
       .join(list, Seq(tag), if (keep) "left_semi" else "left_anti")
       .drop(tag)

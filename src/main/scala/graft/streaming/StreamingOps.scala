@@ -179,8 +179,10 @@ object StreamingOps {
       domainCol: String = "domain"): DataFrame = {
     val tag = "__graft_dom"
     val mark = "__graft_blk"
+    // lowercase + trim: same list normalization as the batch form
     val list = domains
-      .select(lower(col(s"`$domainCol`").cast("string")).as(tag)).distinct()
+      .select(lower(trim(col(s"`$domainCol`").cast("string"))).as(tag))
+      .distinct()
       .withColumn(mark, lit(1))
     val joined = stream
       .withColumn(tag,

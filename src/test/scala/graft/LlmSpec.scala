@@ -1423,8 +1423,9 @@ class LlmSpec extends SparkSpec {
       (2L, "http://a.GOOD.org/y"),
       (3L, "https://alice.github.io/z"),
       (4L, "bob.github.io/w")).toDF("id", "url")
-    // blocklist drops example.com rows only; list case-insensitive
-    val blocked = TextAnalysis.filterDomains(df, "url", Seq("Example.COM"))
+    // blocklist drops example.com rows only; list case-insensitive and
+    // whitespace-trimmed (file-sourced lists carry stray spaces)
+    val blocked = TextAnalysis.filterDomains(df, "url", Seq(" Example.COM "))
       .select("id").collect().map(_.getLong(0)).sorted
     assert(blocked.sameElements(Array(2L, 3L, 4L)))
     // allowlist keeps only the listed domain
