@@ -71,6 +71,13 @@ object Bench {
     // SPARK_GRAFT_QUERIES=a,b,c restricts the run (targeted perf iteration)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_REPEAT=n (opt-in, default 1 — the driver never sets it, so
+    // the official methodology is unchanged): time each selected query n
+    // times in one JVM and record the MINIMUM. The first run of any query in
+    // a fresh JVM absorbs seconds of one-time codegen/JIT (measured: the
+    // first 2-3 queries of a restricted run read 3-8 s high), so min-of-n is
+    // the only stable way to A/B a single operator change on a shared box.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     val selected = only match {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None    => SparkEntry.queries
@@ -97,7 +104,19 @@ object Bench {
       try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
       cancel.cancel()
       spark.sparkContext.clearJobGroup()
-      val dt = (System.nanoTime() - t0) / 1e9
+      var dt = (System.nanoTime() - t0) / 1e9
+      var rep = 1
+      while (rep < repeat) { // opt-in min-of-n (see SPARK_GRAFT_REPEAT above)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sharedState.cacheManager.clearCache()
+        graft.streaming.StreamingOps.unpinFuzzyIndexes()
+        val r0 = System.nanoTime()
+        try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        val rdt = (System.nanoTime() - r0) / 1e9
+        System.err.println(f"[bench]   repeat ${rep + 1} $name%-32s $rdt%8.2f s")
+        dt = math.min(dt, rdt)
+        rep += 1
+      }
       loads(name) = load1()
       // per-query progress on stderr: if a run ever degrades (round 6's
       // official bench took 25x the in-round time on the same commit), the

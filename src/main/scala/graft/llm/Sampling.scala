@@ -367,15 +367,30 @@ object Sampling {
     * raw feature, so the raw-side counts anchor the table.
     */
   def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = 4096, smoothing: Double = 1.0): DataFrame =
+    dsirModelFromRawFeatures(
+      raw.select(explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b")),
+      target, textCol, buckets, smoothing)
+
+  /** [[dsirModel]] over an already-featurized raw side (one column `b` of
+    * exploded bucket ids) — the seam [[dsirWeights]] uses to featurize the
+    * raw corpus ONCE and share it between model training and scoring.
+    *
+    * The two bucket-count tables are ≤`buckets` rows (model parameters, not
+    * data), so they are eagerly localCheckpoint-pinned: the totals collect
+    * and the returned ratio table all read the materialized counts instead
+    * of re-running the full tokenize+md5 featurization per action (the
+    * unpinned form featurized raw 3× and target 2× per dsir_weights run).
+    */
+  private[graft] def dsirModelFromRawFeatures(rawF: DataFrame,
+      target: DataFrame, textCol: String,
       buckets: Int = 4096, smoothing: Double = 1.0): DataFrame = {
     require(buckets > 0, "dsir: buckets must be positive")
     require(smoothing > 0.0, "dsir: smoothing must be positive")
-    val rawF = raw.select(
-      explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b"))
     val tgtF = target.select(
       explode(featureBuckets(col(s"`$textCol`"), buckets)).as("b"))
-    val tCnt = tgtF.groupBy("b").agg(count(lit(1)).as("tc"))
-    val rCnt = rawF.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tCnt = tgtF.groupBy("b").agg(count(lit(1)).as("tc")).localCheckpoint()
+    val rCnt = rawF.groupBy("b").agg(count(lit(1)).as("rc")).localCheckpoint()
     val tTot = tCnt.agg(coalesce(sum(col("tc")), lit(0L))).collect()(0).getLong(0).toDouble
     val rTot = rCnt.agg(coalesce(sum(col("rc")), lit(0L))).collect()(0).getLong(0).toDouble
     val s = smoothing
@@ -399,11 +414,30 @@ object Sampling {
         round(sum(col("lr")), 6).as("log_weight"))
       .withColumnRenamed("id", idCol)
 
+  /** Train + score in one pass over the raw corpus: the per-doc feature
+    * arrays are materialized once (localCheckpoint) and feed BOTH the
+    * model's raw bucket counts and the scoring join — the composed form
+    * otherwise tokenizes and md5-hashes the raw text twice (model train,
+    * then score). The checkpoint holds ~2 longs per raw token; at corpus
+    * scale trade that disk/memory against the saved full featurize pass,
+    * or call dsirModel + dsirScore separately to keep the recompute shape.
+    */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096,
-      smoothing: Double = 1.0): DataFrame =
-    dsirScore(raw, idCol, textCol,
-      dsirModel(raw, target, textCol, buckets, smoothing), buckets)
+      smoothing: Double = 1.0): DataFrame = {
+    val feats = raw.select(col(s"`$idCol`").as("id"),
+        featureBuckets(col(s"`$textCol`"), buckets).as("__fb"))
+      .localCheckpoint()
+    val model = dsirModelFromRawFeatures(
+      feats.select(explode(col("__fb")).as("b")),
+      target, textCol, buckets, smoothing)
+    feats.select(col("id"), explode(col("__fb")).as("b"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_features"),
+        round(sum(col("lr")), 6).as("log_weight"))
+      .withColumnRenamed("id", idCol)
+  }
 
   /** DSIR selection: Gumbel top-k over the [[dsirWeights]] log weights —
     * the distributed, deterministic form of sampling-without-replacement

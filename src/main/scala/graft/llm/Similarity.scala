@@ -675,12 +675,63 @@ object Similarity {
       .filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
       .select(col(idCol), col(vecCol))
       .localCheckpoint()
-    Array.tabulate(m) { s =>
-      val sliced = sample.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
-      trainCentroids(sliced, idCol, vecCol, k, kmeansIters,
-        trainTarget = Int.MaxValue)
+    pqTrainOnSample(sample, idCol, vecCol, m, dsub, k, kmeansIters)
+  }
+
+  /** Train all `m` subspace codebooks JOINTLY over one checkpointed sample:
+    * one seed collect (full vectors, sliced on the driver) plus ONE
+    * assignment+means job per Lloyd iteration covering every subspace,
+    * instead of m independent trainCentroids calls (m × (count + seed
+    * collect + re-checkpoint + iters collects) sequential driver-blocking
+    * jobs — at bench scale the job latency, not the arithmetic, was the
+    * entire cost). Per-subspace math is unchanged: same stride seed rows
+    * (the pmod/limit predicate is slice-independent, so every subspace
+    * always drew the same ids), same CentroidSims assignment kernel on the
+    * same slice, same per-(cell,component) avg with the same 6-dp rint,
+    * empty cells keep their previous centroid.
+    */
+  private def pqTrainOnSample(sample: DataFrame, idCol: String,
+      vecCol: String, m: Int, dsub: Int, k: Int,
+      kmeansIters: Int): Array[Array[Array[Double]]] = {
+    val n = sample.count()
+    val stride = math.max(1L, n / k)
+    val seedFull = sample.filter(pmod(col(s"`$idCol`"), lit(stride)) === 0)
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(seedFull.nonEmpty, "pqTrain: empty centroid sample")
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedFull.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 0 until kmeansIters) {
+      // bind each subspace's sims array once (CollapseProject would inline
+      // the kernel into both argmax operands), then assign all m cells in
+      // one narrow projection
+      val withSims = codebooks.zipWithIndex.foldLeft(sample) { case (acc, (cb, s)) =>
+        acc.withColumn(s"__sims$s",
+          cellSims(slice(col(s"`$vecCol`"), s * dsub + 1, dsub), cb))
+      }
+      val assigned = withSims.withColumn("__cells",
+        array((0 until m).map(s => argmaxCell(col(s"__sims$s"))): _*))
+      val means = assigned
+        .select(col("__cells"), posexplode(col(s"`$vecCol`")).as(Seq("pos", "x")))
+        .select((col("pos") / dsub).cast("int").as("s"),
+          pmod(col("pos"), lit(dsub)).as("sp"),
+          element_at(col("__cells"), (col("pos") / dsub).cast("int") + 1).as("cell"),
+          col("x"))
+        .groupBy("s", "cell", "sp").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1) - 1)(r.getInt(2).toInt) =
+          math.rint(r.getDouble(3) * 1e6) / 1e6
+      }
+      codebooks = next
     }
+    codebooks
   }
 
   /** Driver-side L2 norms of one codebook, in the same ascending-index
@@ -884,14 +935,12 @@ object Similarity {
       logs(s) += math.log(math.max(pca.eigenvalues(i), 1e-12d))
     }
     val rotation = buckets.flatMap(_.iterator).map(pca.components).toArray
-    val rotated = opqRotate(sample, vecCol, rotation)
-    val codebooks = Array.tabulate(m) { s =>
-      val sliced = rotated.select(col(idCol),
-        slice(col(s"`$vecCol`"), s * dsub + 1, dsub).as(vecCol))
-      trainCentroids(sliced, idCol, vecCol, k, kmeansIters,
-        trainTarget = Int.MaxValue)
-    }
-    OpqModel(rotation, codebooks)
+    // pin the rotated sample once: the joint trainer scans it per Lloyd
+    // iteration (and the seed collect), so the d×d rotation kernel runs
+    // one pass instead of once per subspace per action
+    val rotated = opqRotate(sample, vecCol, rotation).localCheckpoint()
+    OpqModel(rotation,
+      pqTrainOnSample(rotated, idCol, vecCol, m, dsub, k, kmeansIters))
   }
 
   /** ADC top-k in the rotated space: rotate both sides (dot products are
