@@ -226,9 +226,26 @@ object QueriesStreaming {
     // start, so the restore cannot race the running stream).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode).start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // Gate checkpoints are EPHEMERAL by construction (memory sink, bounded
+    // input, unique per-run name, deleted below) — but Spark's default temp
+    // checkpoint lands in java.io.tmpdir, where the HDFSBackedStateStore's
+    // per-batch delta files + offset/commit logs are each fsync'd; on a
+    // disk-backed /tmp those fsyncs dominate every stateful gate (measured
+    // at sf0.1: windowed_agg_stream 5.07 -> 1.72 s, sliding_window_stream
+    // 5.04 -> 2.49 s with a RAM-backed scratch). Production streams need
+    // DURABLE checkpoints and configure them on their own writeStream —
+    // the operators in StreamingOps never choose a location; only this
+    // verification harness does. SPARK_GRAFT_STREAM_CKPT overrides; when a
+    // RAM-backed /dev/shm is absent the behavior is Spark's default.
+    val ckptDir = sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some("/dev/shm/graft-stream-ckpt") else None
+    }.map(base => s"$base/$qn")
+    val q = try {
+      val w = df.writeStream.format("memory").queryName(qn).outputMode(mode)
+      ckptDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val timeoutMs =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT", "300").toLong * 1000L
     val waiter = new Thread(() => try q.processAllAvailable()
@@ -249,6 +266,17 @@ object QueriesStreaming {
     // gate later as an opaque hash/row mismatch instead of a clear timeout
     if (timedOut) throw new java.util.concurrent.TimeoutException(
       s"streaming gate $name did not complete within ${timeoutMs / 1000}s")
+    // completed cleanly: drop the ephemeral checkpoint (failed runs keep
+    // theirs for diagnosis, same as Spark's temp-checkpoint contract)
+    ckptDir.foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }
     spark.table(qn)
   }
 
