@@ -175,17 +175,24 @@ object Dedup {
     val bandJoinKeys = Seq("band", "bandhash") ++ byKeys
     // hot-bucket guard: boilerplate text (license headers, templated pages)
     // lands thousands of docs in one (band, bandhash) bucket, turning the
-    // self-join quadratic. Buckets over `maxBucketSize` are dropped from
+    // pair space quadratic. Buckets over `maxBucketSize` are dropped from
     // candidate generation; a pair sharing a hot bucket is usually still
-    // found through its other numBands-1 bands (OR-amplification). The count
-    // aggregation shuffles on the same keys as the self-join, so AQE reuses
-    // the exchange.
-    val bucketOk = banded.groupBy(bandJoinKeys.map(col): _*).count()
-      .filter(col("count") <= maxBucketSize).drop("count")
-    val inBucket = banded.join(bucketOk, bandJoinKeys)
-    val coldCands = inBucket.as("a").join(inBucket.as("b"), bandJoinKeys)
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    // found through its other numBands-1 bands (OR-amplification).
+    // Pair enumeration is ONE aggregation (collect the bucket membership,
+    // cap it, unnest the i<j pairs) instead of the former count-agg + cap
+    // join + bucket self-join — one exchange over the band rows and no
+    // join stages. The two chained Generates keep per-row memory O(bucket)
+    // (member × tail-slice), never an O(bucket²) in-memory pair array;
+    // per-bucket work is Σ|bucket|², identical to the self-join it replaces.
+    val coldCands = banded.groupBy(bandJoinKeys.map(col): _*)
+      .agg(collect_list(col("id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__x")))
+      .select(col("__x").as("__a"),
+        explode(slice(col("__ids"), col("__i") + lit(2),
+          size(col("__ids")) - col("__i") - lit(1))).as("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
     // The one case OR-amplification canNOT cover: a family of >maxBucketSize
     // documents with IDENTICAL signatures makes ALL its buckets hot at once,
     // so every family pair vanishes from the cold path. Such families are
@@ -219,20 +226,23 @@ object Dedup {
       .select(col("rep").as("id1"), col("id").as("id2"))
     val cands = coldCands.unionAll(starCands).dropDuplicates("id1", "id2")
     // cheap estimated-Jaccard prefilter from the signatures, then exact
-    // verification on the shingle sets — both joined back by id
-    val sigs = base.select(col("id"), col("sig"))
+    // verification on the shingle sets. Both payloads (sig + sorted
+    // shingles) ride ONE side table attached in one join per pair end —
+    // half the joins and half the base-table passes of the former
+    // sigs-then-shingles two-stage attach; the est filter still sits below
+    // the intersect projection (Catalyst pushes it through), so the exact
+    // kernel only runs on estimate-passing pairs.
     val margin = math.max(0.0, threshold - 0.15)
-    val estimated = cands
-      .join(sigs.withColumnRenamed("id", "id1").withColumnRenamed("sig", "sig1"), Seq("id1"))
-      .join(sigs.withColumnRenamed("id", "id2").withColumnRenamed("sig", "sig2"), Seq("id2"))
+    val side = base.select(col("id"), col("sig"),
+      array_sort(shingles(col("text"), shingleN)).as("sh"))
+    cands
+      .join(side.select(col("id").as("id1"), col("sig").as("sig1"),
+        col("sh").as("sh1")), Seq("id1"))
+      .join(side.select(col("id").as("id2"), col("sig").as("sig2"),
+        col("sh").as("sh2")), Seq("id2"))
       .withColumn("est", size(filter(zip_with(col("sig1"), col("sig2"),
         (x, y) => x === y), b => b)).cast("double") / numHashes)
       .filter(col("est") >= margin)
-      .select("id1", "id2")
-    val sh = base.select(col("id"), array_sort(shingles(col("text"), shingleN)).as("sh"))
-    estimated
-      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
-      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
       .withColumn("inter", graft.functions.vector.sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("j", col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")))
@@ -267,39 +277,44 @@ object Dedup {
           graft.functions.vector.minhash_sig(tokens(col("text")), numHashes, shingleN))
         .filter(col("sig").isNotNull)
         .localCheckpoint(eager = false)
-    def banded(base: DataFrame): DataFrame = {
-      val b = base.select(col("id"),
+    def bandRows(base: DataFrame, tag: Int): DataFrame =
+      base.select(col("id"),
         posexplode(bandHashes(col("sig"), numBands, rowsPerBand))
           .as(Seq("band", "bandhash")))
-      val ok = b.groupBy("band", "bandhash").count()
-        .filter(col("count") <= maxBucketSize).drop("count")
-      b.join(ok, Seq("band", "bandhash"))
-    }
+        .withColumn("__side", lit(tag))
     val (pBase, rBase) = (prep(probe, probeIdCol, probeTextCol),
       prep(ref, refIdCol, refTextCol))
-    val bandCands = banded(pBase).select(col("band"), col("bandhash"), col("id").as("pid"))
-      .join(banded(rBase).select(col("band"), col("bandhash"), col("id").as("rid")),
-        Seq("band", "bandhash"))
-      .select("pid", "rid")
+    // cogrouped candidate generation: ONE exchange over the unioned band
+    // rows collects each bucket's probe and ref memberships together
+    // (collect_list drops the null side of the when), applies BOTH per-side
+    // hot-bucket caps in the same aggregate, and unnests probe×ref — versus
+    // the former per-side count-agg + cap join + probe⋈ref join (4 shuffle
+    // stages). The chained Generates keep per-row memory O(bucket).
+    val bandCands = bandRows(pBase, 0).unionAll(bandRows(rBase, 1))
+      .groupBy("band", "bandhash")
+      .agg(collect_list(when(col("__side") === 0, col("id"))).as("__pids"),
+        collect_list(when(col("__side") === 1, col("id"))).as("__rids"))
+      .filter(size(col("__pids")).between(1, maxBucketSize) &&
+        size(col("__rids")).between(1, maxBucketSize))
+      .select(col("__rids"), explode(col("__pids")).as("pid"))
+      .select(col("pid"), explode(col("__rids")).as("rid"))
     val sigCands = pBase
       .select(xxhash64(col("sig").cast("string")).as("sigkey"), col("id").as("pid"))
       .join(rBase.select(xxhash64(col("sig").cast("string")).as("sigkey"),
         col("id").as("rid")), Seq("sigkey"))
       .select("pid", "rid")
     val cands = bandCands.unionAll(sigCands).dropDuplicates("pid", "rid")
+    // one payload attach per pair end (sig + sorted shingles together),
+    // same est-prefilter-below-exact-verify shape as minhashDupPairs
     val margin = math.max(0.0, threshold - 0.15)
-    val estimated = cands
-      .join(pBase.select(col("id").as("pid"), col("sig").as("sig1")), Seq("pid"))
-      .join(rBase.select(col("id").as("rid"), col("sig").as("sig2")), Seq("rid"))
+    cands
+      .join(pBase.select(col("id").as("pid"), col("sig").as("sig1"),
+        array_sort(shingles(col("text"), shingleN)).as("sh1")), Seq("pid"))
+      .join(rBase.select(col("id").as("rid"), col("sig").as("sig2"),
+        array_sort(shingles(col("text"), shingleN)).as("sh2")), Seq("rid"))
       .withColumn("est", size(filter(zip_with(col("sig1"), col("sig2"),
         (x, y) => x === y), b => b)).cast("double") / numHashes)
       .filter(col("est") >= margin)
-      .select("pid", "rid")
-    estimated
-      .join(pBase.select(col("id").as("pid"),
-        array_sort(shingles(col("text"), shingleN)).as("sh1")), Seq("pid"))
-      .join(rBase.select(col("id").as("rid"),
-        array_sort(shingles(col("text"), shingleN)).as("sh2")), Seq("rid"))
       .withColumn("inter",
         graft.functions.vector.sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("j", col("inter").cast("double") /
@@ -366,7 +381,16 @@ object Dedup {
     // identical to the distributed path's (cluster = least over id values)
     val integralId =
       edges.schema.fields.head.dataType == org.apache.spark.sql.types.LongType
-    if (integralId && edges.count() <= smallEdgeThreshold) {
+    // one action decides the path AND fetches the edges: collect at most
+    // threshold+1 rows — fewer than requested means we hold the COMPLETE
+    // edge list (bounded by construction), one more means fall through to
+    // the distributed loop. Replaces the former count() + collect() pair
+    // (two sequential jobs over the same checkpoint).
+    val probeN = (math.min(smallEdgeThreshold, Int.MaxValue - 1L) + 1L).toInt
+    val edgeHead =
+      if (integralId) edges.limit(probeN).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (integralId && edgeHead.length < probeN) {
       val parent = new scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -375,7 +399,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
+      edgeHead.foreach { row =>
         val (a, b) = (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
@@ -427,11 +451,13 @@ object Dedup {
     val pairs = minhashDupPairs(df, idCol, textCol, threshold,
       numBands, rowsPerBand, shingleN)
     val clusters = dupClusters(df.select(col(idCol)), idCol, pairs)
-    val sizes = clusters.groupBy(col("cluster"))
+    // canonical = min reachable id = the cluster LABEL itself, and the
+    // label is always a member id — so the per-cluster size aggregate IS
+    // the keep set (cluster → idCol rename), no sizes⋈clusters join and no
+    // id===cluster filter pass
+    val keep = clusters.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"))
-    val keep = clusters.join(sizes, Seq("cluster"))
-      .filter(col("id") === col("cluster")) // canonical = min reachable id
-      .select(col("id").as(idCol), col("cluster_size"))
+      .select(col("cluster").as(idCol), col("cluster_size"))
     df.join(keep, Seq(idCol))
   }
 
