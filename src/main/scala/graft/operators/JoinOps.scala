@@ -683,36 +683,43 @@ object JoinOps {
       .localCheckpoint(eager = false)
     val lk0 = lkeys.select(col("__lkey"),
       explode(variantHashes(col("__lkey"), maxDist)).as("__vh"))
-    // probe-vs-corpus prune: only variant hashes present on BOTH sides can
-    // produce candidates, so the right (corpus) explosion is semi-joined
-    // against the left (probe) side's distinct hash set BEFORE the bucket
-    // count. Exactly semantics-preserving: the prune removes whole buckets
-    // absent from the left, never rows within a surviving bucket, so every
-    // surviving bucket's distinct-string count — and hence the cap decision
-    // — is unchanged. When the probe is small its hash set broadcasts and
-    // the corpus variant stream never shuffles at full width (the
-    // entity-resolution shape: a dirty list probed against a reference);
-    // when both sides are large the semi-join's hash(__vh) exchange is
-    // REUSED by the count aggregate and candidate join downstream.
+    // probe-vs-corpus prune (r20): only variant hashes present on BOTH
+    // sides can produce candidates, so the right (corpus) explosion is
+    // semi-joined against the left (probe) side's distinct hash set BEFORE
+    // anything aggregates or shuffles at full width. Exactly semantics-
+    // preserving: whole absent buckets only, so every surviving bucket's
+    // per-side count — and hence the cap decision — is unchanged. When the
+    // probe is small its hash set broadcasts and the corpus variant stream
+    // is cut scan-side (measured at sf0.1: the unpruned cogroup aggregates
+    // 1.59M corpus variant rows in 3.9 s; pruned, the aggregate sees only
+    // the probe's ~16k buckets).
     val lkH = lk0.select("__vh").distinct()
     val rk0p = rkeys.select(col("__rkey"),
         explode(variantHashes(col("__rkey"), maxDist)).as("__vh"))
       .join(lkH, Seq("__vh"), "left_semi")
-    // per-side bucket cap; the count aggregations shuffle on the same key
-    // as the candidate join, so the exchange is reused
-    val lOk = lk0.groupBy("__vh").count()
-      .filter(col("count") <= maxBucket).drop("count")
-    val rOk = rk0p.groupBy("__vh").count()
-      .filter(col("count") <= maxBucket).drop("count")
-    val lk = lk0.join(lOk, Seq("__vh"))
-    val rk = rk0p.join(rOk, Seq("__vh"))
+    // cogrouped candidate generation: ONE exchange over the tagged union of
+    // the surviving variant rows collects each bucket's left and right key
+    // strings together (collect_list drops the null side of the when),
+    // applies BOTH per-side hot-bucket caps in the same aggregate, and
+    // unnests left×right with bounded per-row memory. This replaces the
+    // former two count/cap joins + the candidate equi-join; a bucket
+    // missing either side drops in the size filter.
+    val bucketPairs = lk0
+      .select(col("__vh"), col("__lkey").as("__k"), lit(0).as("__side"))
+      .unionAll(rk0p.select(col("__vh"), col("__rkey").as("__k"), lit(1).as("__side")))
+      .groupBy("__vh")
+      .agg(collect_list(when(col("__side") === 0, col("__k"))).as("__lks"),
+        collect_list(when(col("__side") === 1, col("__k"))).as("__rks"))
+      .filter(size(col("__lks")).between(1, maxBucket) &&
+        size(col("__rks")).between(1, maxBucket))
+      .select(col("__rks"), explode(col("__lks")).as("__lkey"))
+      .select(col("__lkey"), explode(col("__rks")).as("__rkey"))
     // candidate pairs over DISTINCT key strings (duplicates re-expand via
     // the final equi-joins), verified by exact edit distance; the equal
     // rescue runs outside the variant path so the cap cannot lose it
     val equalRescue = lkeys.join(rkeys, col("__lkey") === col("__rkey"))
       .select(col("__lkey"), col("__rkey"), lit(0).as("dist"))
-    val cand = lk.join(rk, Seq("__vh"))
-      .select("__lkey", "__rkey").distinct()
+    val cand = bucketPairs.distinct()
       .withColumn("dist", levenshtein(col("__lkey"), col("__rkey")))
       .filter(col("dist") <= maxDist)
       .unionByName(equalRescue)
@@ -747,17 +754,22 @@ object JoinOps {
       .localCheckpoint(eager = false) // feeds the variant explode + 2 string joins
     val keyed0 = base.select(col("id"),
       explode(variantHashes(col("s"), maxDist)).as("__vh"))
-    // bucket cap: counted on the same key the candidate join shuffles on,
-    // so the exchange is reused
-    val bucketOk = keyed0.groupBy("__vh").count()
-      .filter(col("count") <= maxBucket).drop("count")
-    val keyed = keyed0.join(bucketOk, Seq("__vh"))
-    // candidate ids are deduped BEFORE the strings join in: a k=2 pair
+    // ONE aggregation collects each variant bucket's ids, applies the
+    // hot-bucket cap on the collected size, and unnests the i<j pairs via
+    // two chained Generates (per-row memory O(bucket), never O(bucket²)) —
+    // replacing the former count-agg + cap join + bucket self-join. The
+    // candidate ids stay deduped BEFORE the strings join in: a k=2 pair
     // shares many deletion variants, so the (id1, id2) distinct runs over
     // 16-byte rows instead of shuffling both strings once per collision
-    val cand = keyed.as("a").join(keyed.as("b"), Seq("__vh"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val cand = keyed0.groupBy("__vh")
+      .agg(collect_list(col("id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__x")))
+      .select(col("__x").as("__a"),
+        explode(slice(col("__ids"), col("__i") + lit(2),
+          size(col("__ids")) - col("__i") - lit(1))).as("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
     // exact-equal rescue: a plain equi-join on the string itself — immune
     // to the cap, and the only candidates a capped identical clique needs
     val equalCand = base.as("a").join(base.as("b"),
