@@ -237,45 +237,58 @@ object QueriesStreaming {
     // the operators in StreamingOps never choose a location; only this
     // verification harness does. SPARK_GRAFT_STREAM_CKPT overrides; when a
     // RAM-backed /dev/shm is absent the behavior is Spark's default.
+    // the path must be unique ACROSS JVMs, not just within one (qn's runSeq
+    // restarts per JVM): a run killed hard (SIGKILL/timeout) leaves its
+    // checkpoint behind, and a later JVM reusing the same path would try to
+    // RECOVER from it — memory-sink queries refuse ("does not support
+    // recovering from checkpoint location") and the gate fails on a
+    // leftover, not on its own output. The UUID makes leftovers inert.
     val ckptDir = sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
         Some("/dev/shm/graft-stream-ckpt") else None
-    }.map(base => s"$base/$qn")
+    }.map(base => s"$base/$qn-${java.util.UUID.randomUUID().toString.take(8)}")
     val q = try {
       val w = df.writeStream.format("memory").queryName(qn).outputMode(mode)
       ckptDir.fold(w)(d => w.option("checkpointLocation", d)).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val timeoutMs =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT", "300").toLong * 1000L
-    val waiter = new Thread(() => try q.processAllAvailable()
-      catch { case _: Throwable => () })
-    waiter.setDaemon(true)
-    waiter.start()
-    waiter.join(timeoutMs)
-    val timedOut = waiter.isAlive
-    if (timedOut)
-      System.err.println(s"[stream-gate] TIMEOUT ${timeoutMs / 1000}s — stopping $qn")
-    q.stop()
-    waiter.join(10000L)
-    // a stream that died must surface as a query failure, not as an
-    // empty-table hash mismatch downstream
-    q.exception.foreach(e => throw e)
-    // a stream that HUNG (no exception) must surface too: the memory sink
-    // holds a partial table at this point, and returning it would fail the
-    // gate later as an opaque hash/row mismatch instead of a clear timeout
-    if (timedOut) throw new java.util.concurrent.TimeoutException(
-      s"streaming gate $name did not complete within ${timeoutMs / 1000}s")
-    // completed cleanly: drop the ephemeral checkpoint (failed runs keep
-    // theirs for diagnosis, same as Spark's temp-checkpoint contract)
-    ckptDir.foreach { d =>
-      try {
-        import scala.jdk.CollectionConverters._
-        val p = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+    try {
+      val timeoutMs =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT", "300").toLong * 1000L
+      val waiter = new Thread(() => try q.processAllAvailable()
+        catch { case _: Throwable => () })
+      waiter.setDaemon(true)
+      waiter.start()
+      waiter.join(timeoutMs)
+      val timedOut = waiter.isAlive
+      if (timedOut)
+        System.err.println(s"[stream-gate] TIMEOUT ${timeoutMs / 1000}s — stopping $qn")
+      q.stop()
+      waiter.join(10000L)
+      // a stream that died must surface as a query failure, not as an
+      // empty-table hash mismatch downstream
+      q.exception.foreach(e => throw e)
+      // a stream that HUNG (no exception) must surface too: the memory sink
+      // holds a partial table at this point, and returning it would fail the
+      // gate later as an opaque hash/row mismatch instead of a clear timeout
+      if (timedOut) throw new java.util.concurrent.TimeoutException(
+        s"streaming gate $name did not complete within ${timeoutMs / 1000}s")
+    } finally {
+      // drop the ephemeral checkpoint on success AND failure: /dev/shm is
+      // RAM, so keeping failed-run state (Spark's temp-checkpoint contract
+      // for /tmp) would leak memory instead of disk; the memory-sink table
+      // itself remains available for diagnosis. Hard JVM death still leaks
+      // until reboot — bounded by gate state size, and the UUID path means
+      // a leftover can never poison a later run.
+      if (!q.isActive) ckptDir.foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+              .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }
     }
     spark.table(qn)
   }

@@ -522,6 +522,67 @@ object vector {
       copy(child = c)
   }
 
+  /** Duplicate-line counts for [[graft.llm.TextAnalysis.dupLineStats]] in
+    * ONE compiled pass: split on '\n' (0x0A never occurs inside a UTF-8
+    * multi-byte sequence, so the byte scan equals the regex split), keep
+    * lines whose space-trimmed form is non-empty (UTF8String.trim — the
+    * same 0x20-only trim as SQL `trim`), count occurrences per distinct
+    * line with binary UTF8String equality (= SQL string equality), and
+    * fold (count−1) / (count−1)·numChars per group — value-identical to
+    * the sorted-adjacency HOF formulation it replaces (each extra copy of
+    * a line counts once, with that line's char length), without the
+    * per-row array_sort and the interpreted zip_with/aggregate lambdas.
+    * Int arithmetic wraps exactly like the non-ANSI Catalyst `+` it
+    * replaces. Returns (n_lines, n_dup_lines, dup_chars, tot_chars).
+    */
+  def dupLineCountsKernel(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]]()
+    var n = 0
+    var tot = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == '\n') {
+        val piece = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+        if (piece.trim().numChars() > 0) {
+          n += 1
+          tot += piece.numChars()
+          val e = map.get(piece)
+          if (e == null) map.put(piece, Array(1)) else e(0) += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var dups = 0
+    var dupChars = 0
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > 1) { dups += c - 1; dupChars += (c - 1) * e.getKey.numChars() }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, dups, dupChars, tot))
+  }
+
+  case class DupLineCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dups", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dupChars", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tot", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def nullSafeEval(a: Any): Any =
+      dupLineCountsKernel(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.vector.dupLineCountsKernel($a)")
+    override protected def withNewChildInternal(c: Expression): DupLineCounts =
+      copy(child = c)
+  }
+
   case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
     require(w >= 1, "WindowMin: window must be >= 1")
     override def dataType: DataType =
@@ -554,6 +615,8 @@ object vector {
     Bridge.column(LshBuckets(Bridge.expression(vec), planes))
   def deletion_hashes(s: Column, maxDist: Int): Column =
     Bridge.column(DeletionHashes(Bridge.expression(s), maxDist))
+  def dup_line_counts(text: Column): Column =
+    Bridge.column(DupLineCounts(Bridge.expression(text)))
   /** `centroids` in double (as refined by Lloyd); each row's norm is taken
     * in double BEFORE the float cast, matching the literal form's
     * `dot(vec, float literals) / lit(sqrt(sum of double squares))`.

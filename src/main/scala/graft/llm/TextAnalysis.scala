@@ -137,27 +137,19 @@ object TextAnalysis {
     * shuffle): duplicate detection via sorted-line adjacency.
     */
   def dupLineStats(text: Column): Column = {
-    // PERF CONTRACT: higher-order-function lambdas re-evaluate captured
-    // expressions PER ELEMENT (interpreted, no CSE) — an `element_at(sorted,
-    // i)` indexing loop re-sorts the array n times, turning this quadratic
-    // (measured: 75 s over sf0.1 documents). Every array here is therefore
-    // referenced a CONSTANT number of times: duplicate detection compares
-    // the sorted array against its own shift via slice + zip_with.
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
-    val s = array_sort(lines)
-    val n = size(s)
-    val m = greatest(n - 1, lit(0))
-    val prev = slice(s, lit(1), m) // s[0..n-2]
-    val next = slice(s, lit(2), m) // s[1..n-1]
-    // a line is a duplicate occurrence if it equals its predecessor in the
-    // sorted order (counts every extra copy, not the first)
-    val dupLines = aggregate(
-      zip_with(prev, next, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (a, x) => a + x)
-    val dupChars = aggregate(
-      zip_with(prev, next, (a, b) => when(a === b, length(b)).otherwise(0)),
-      lit(0), (a, x) => a + x)
-    val totChars = aggregate(transform(s, l => length(l)), lit(0), (a, x) => a + x)
+    // one codegen kernel pass per document (split + trim-filter + distinct-
+    // line occurrence counts; see vector.dupLineCountsKernel for the
+    // value-identity argument vs the former sorted-adjacency HOF chain,
+    // whose array_sort + interpreted zip_with/aggregate lambdas dominated
+    // every repetition-stats consumer). The four field reads below share
+    // ONE kernel evaluation via codegen subexpression elimination; the
+    // fraction arithmetic and rounding stay in Catalyst, unchanged. A null
+    // document keeps the exact legacy shape: null counts, 0.0 fractions.
+    val k = graft.functions.vector.dup_line_counts(text)
+    val n = k.getField("n")
+    val dupLines = k.getField("dups")
+    val dupChars = k.getField("dupChars")
+    val totChars = k.getField("tot")
     struct(
       n.as("n_lines"),
       dupLines.as("n_dup_lines"),
