@@ -17,6 +17,20 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Spread a (possibly single-file) input across the executor threads for
+    * the narrow signature pass WITHOUT forcing a full-corpus shuffle at
+    * scale: an input already at/above the default parallelism keeps its
+    * layout — at 100 TB the scan arrives in thousands of partitions and a
+    * blanket repartition would shuffle the whole text corpus for nothing —
+    * while the tiny single-partition parquet inputs of the gates still fan
+    * out. Output values never depend on the layout chosen
+    * (PartitionInvariance is the hard gate for that).
+    */
+  private def spreadNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Word n-grams of a token array, in order, duplicates kept. Built as a
     * zip_with chain over shifted slices so every array is referenced a
     * CONSTANT number of times — higher-order lambdas re-evaluate captured
@@ -153,9 +167,9 @@ object Dedup {
       byCols: Seq[String] = Nil): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // small parquet inputs arrive as one partition; shingle hashing is the
-    // dominant narrow cost — spread it across the executor threads
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val docs = df.repartition(par).select(
+    // dominant narrow cost — spread it across the executor threads (layout-
+    // conditional: see spreadNarrow)
+    val docs = spreadNarrow(df).select(
       (col(idCol).as("id") +: col(textCol).as("text") +:
         byCols.map(c => col(s"`$c`").as(s"__by_$c"))): _*)
     val byKeys = byCols.map(c => s"__by_$c")
@@ -270,9 +284,8 @@ object Dedup {
       threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
       shingleN: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val par = probe.sparkSession.sparkContext.defaultParallelism
     def prep(df: DataFrame, idCol: String, textCol: String): DataFrame =
-      df.repartition(par).select(col(idCol).as("id"), col(textCol).as("text"))
+      spreadNarrow(df).select(col(idCol).as("id"), col(textCol).as("text"))
         .withColumn("sig",
           graft.functions.vector.minhash_sig(tokens(col("text")), numHashes, shingleN))
         .filter(col("sig").isNotNull)
@@ -284,13 +297,28 @@ object Dedup {
         .withColumn("__side", lit(tag))
     val (pBase, rBase) = (prep(probe, probeIdCol, probeTextCol),
       prep(ref, refIdCol, refTextCol))
+    // probe-vs-ref prune (the fuzzyJoin r20 scheme): only buckets present
+    // on the PROBE side can produce pairs, so the ref (corpus) band
+    // explosion is semi-joined against the probe's distinct bucket set
+    // before the aggregate. Whole absent buckets only — surviving buckets
+    // keep their exact per-side counts, so every cap decision is unchanged.
+    // This is the new-shard-vs-corpus shape (addShard): a small probe's
+    // bucket set broadcasts and the corpus band stream is cut scan-side
+    // instead of aggregated at full width.
+    val pBand = bandRows(pBase, 0)
+    // the using-columns semi-join moves (band, bandhash) to the front —
+    // re-select the original order, the union below aligns POSITIONALLY
+    val rBand = bandRows(rBase, 1)
+      .join(pBand.select("band", "bandhash").distinct(),
+        Seq("band", "bandhash"), "left_semi")
+      .select("id", "band", "bandhash", "__side")
     // cogrouped candidate generation: ONE exchange over the unioned band
     // rows collects each bucket's probe and ref memberships together
     // (collect_list drops the null side of the when), applies BOTH per-side
     // hot-bucket caps in the same aggregate, and unnests probe×ref — versus
     // the former per-side count-agg + cap join + probe⋈ref join (4 shuffle
     // stages). The chained Generates keep per-row memory O(bucket).
-    val bandCands = bandRows(pBase, 0).unionAll(bandRows(rBase, 1))
+    val bandCands = pBand.unionAll(rBand)
       .groupBy("band", "bandhash")
       .agg(collect_list(when(col("__side") === 0, col("id"))).as("__pids"),
         collect_list(when(col("__side") === 1, col("id"))).as("__rids"))
