@@ -538,17 +538,27 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, window: Int = 4,
       maxDocFreq: Int = 10): DataFrame = {
-    // the fingerprint index feeds three consumers (df cut, sizes, self-join)
-    // — pin it so the md5 pipeline runs once, not per consumer
-    val fps = winnowFingerprints(df, idCol, textCol, shingleN, window)
+    // ONE aggregation builds the capped inverted index: collect each
+    // fingerprint's posting list and apply the document-frequency cut on
+    // the collected size — replacing the former count-agg + cap join
+    // (the fps checkpoint then feeds one consumer instead of three). The
+    // pinned postings feed both per-doc sizes and the pair explode; the
+    // chained Generates keep per-row memory O(postings), and per-bucket
+    // pair work stays bounded by maxDocFreq² exactly as the self-join was.
+    val postings = winnowFingerprints(df, idCol, textCol, shingleN, window)
+      .groupBy("fp").agg(collect_list(col("id")).as("__ids"))
+      .filter(size(col("__ids")) <= maxDocFreq)
       .localCheckpoint(eager = false)
-    val rare = fps.groupBy("fp").count()
-      .filter(col("count") <= maxDocFreq).drop("count")
-    val ff = fps.join(rare, Seq("fp"))
-    val sizes = ff.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = ff.as("a").join(ff.as("b"), Seq("fp"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+    val sizes = postings.select(explode(col("__ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = postings
+      .filter(size(col("__ids")) >= 2)
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__x")))
+      .select(col("__x").as("__a"),
+        explode(slice(col("__ids"), col("__i") + lit(2),
+          size(col("__ids")) - col("__i") - lit(1))).as("__b"))
+      .groupBy(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
       .agg(count(lit(1)).as("m"))
     inter
       .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
