@@ -63,6 +63,20 @@ object Prof21 {
       time(s"r$round dupClusters full")(noop(Dedup.dupClusters(
         corpus.select(col("doc_id").as("id")), "id",
         Dedup.minhashDupPairs(corpus, "doc_id", "text", 0.8))))
+      time(s"r$round dupClusters FORCED-DISTRIBUTED")(noop(Dedup.dupClusters(
+        corpus.select(col("doc_id").as("id")), "id",
+        Dedup.minhashDupPairs(corpus, "doc_id", "text", 0.8),
+        smallEdgeThreshold = 0L)))
+      // corpus >> members isolation: 600k ids, ~60 chained pairs — the
+      // distributed-loop shape whose per-iteration cost the member
+      // restriction targets (the sf0.1 documents corpus is too small to
+      // separate |corpus| from |members|)
+      val bigIds = spark.read.parquet(s"$d/lineitem.parquet")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id")).distinct()
+      val chainPairs = spark.range(0, 60).toDF("i")
+        .select((col("i") * 2).as("id1"), (col("i") * 2 + 2).as("id2"))
+      time(s"r$round dupClusters 600k-ids FORCED-DIST")(noop(Dedup.dupClusters(
+        bigIds, "id", chainPairs, smallEdgeThreshold = 0L)))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
     }

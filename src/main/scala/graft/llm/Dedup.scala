@@ -442,7 +442,18 @@ object Dedup {
         .join(broadcast(mapDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
     }
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // The iterative state is restricted to CLUSTER MEMBERS (edge
+    // endpoints): a row no edge touches can never change its label, yet
+    // the corpus-wide `labels` the loop previously carried made EVERY
+    // iteration shuffle the full corpus twice (edge⋈labels lookup + the
+    // update join). Near-dup members are a small fraction of a corpus at
+    // any scale, so the loop now shuffles |members| rows per iteration and
+    // the corpus is touched exactly once, by the final left join. Labels
+    // and convergence are unchanged: non-members keep cluster = own id,
+    // which is exactly what iterating them produced.
+    val members = edges.select(col("a").as("id")).distinct()
+      .localCheckpoint(eager = false)
+    var labels = members.select(col("id"), col("id").as("cluster"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -462,7 +473,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
   /** End-to-end near-dedup — the operation a training pipeline actually

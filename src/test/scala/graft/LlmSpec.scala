@@ -290,10 +290,13 @@ class LlmSpec extends SparkSpec {
   }
 
   test("dupClusters: chains collapse to the minimum reachable id") {
-    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // id 6 is touched by NO edge: it must come back as its own cluster on
+    // BOTH paths (the distributed loop iterates only edge endpoints and
+    // restores non-members via the final left join)
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3 (diameter 2), pair 4-5
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
-    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
     // driver union-find path (edges under the threshold)
     val out = Dedup.dupClusters(ids, "id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
