@@ -192,15 +192,32 @@ object Dedup {
     // pair space quadratic. Buckets over `maxBucketSize` are dropped from
     // candidate generation; a pair sharing a hot bucket is usually still
     // found through its other numBands-1 bands (OR-amplification).
-    // Pair enumeration is ONE aggregation (collect the bucket membership,
-    // cap it, unnest the i<j pairs) instead of the former count-agg + cap
-    // join + bucket self-join — one exchange over the band rows and no
-    // join stages. The two chained Generates keep per-row memory O(bucket)
+    // Pair enumeration shuffles the band rows ONCE (explicit hash
+    // repartition on the bucket key — the exchange is shared by both
+    // aggregations below via ReusedExchange) and then bounds per-group
+    // aggregation state BEFORE anything wide is built: a constant-state
+    // count aggregate finds the over-cap buckets (a tiny table — at most
+    // |band rows| / maxBucketSize keys), the band rows anti-join those
+    // keys away, and only then does collect_list materialize a bucket's
+    // membership — so the largest possible aggregation buffer is
+    // maxBucketSize ids BY CONSTRUCTION. The former shape collected the
+    // FULL membership first and capped on the collected size: one
+    // degenerate boilerplate bucket (the exact thing the cap exists to
+    // kill) became an unbounded, non-spillable buffer inside the
+    // aggregation (guide §5 — a single group's list cannot spill
+    // partially). The two chained Generates keep per-row memory O(bucket)
     // (member × tail-slice), never an O(bucket²) in-memory pair array;
-    // per-bucket work is Σ|bucket|², identical to the self-join it replaces.
-    val coldCands = banded.groupBy(bandJoinKeys.map(col): _*)
+    // per-bucket work is Σ|bucket|², identical to the self-join this
+    // replaced in r21. Dropped-bucket set and pair set are unchanged.
+    val keyedBand = banded.repartition(bandJoinKeys.map(col): _*)
+    val hotBuckets = keyedBand.groupBy(bandJoinKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(bandJoinKeys.map(col): _*)
+    val coldCands = keyedBand.join(hotBuckets, bandJoinKeys, "left_anti")
+      .groupBy(bandJoinKeys.map(col): _*)
       .agg(collect_list(col("id")).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .filter(size(col("__ids")) >= 2)
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__x")))
       .select(col("__x").as("__a"),
         explode(slice(col("__ids"), col("__i") + lit(2),
@@ -313,17 +330,27 @@ object Dedup {
         Seq("band", "bandhash"), "left_semi")
       .select("id", "band", "bandhash", "__side")
     // cogrouped candidate generation: ONE exchange over the unioned band
-    // rows collects each bucket's probe and ref memberships together
-    // (collect_list drops the null side of the when), applies BOTH per-side
-    // hot-bucket caps in the same aggregate, and unnests probe×ref — versus
-    // the former per-side count-agg + cap join + probe⋈ref join (4 shuffle
-    // stages). The chained Generates keep per-row memory O(bucket).
-    val bandCands = pBand.unionAll(rBand)
+    // rows (explicit repartition shared by both aggregations via
+    // ReusedExchange). Per-group state is bounded BEFORE the wide
+    // aggregate: a constant-state pair of conditional counts finds buckets
+    // over EITHER side's cap (tiny table), the band rows anti-join them
+    // away, and collect_list then materializes at most 2·maxBucketSize ids
+    // per bucket by construction — the former collect-then-cap shape let
+    // one boilerplate bucket build an unbounded non-spillable aggregation
+    // buffer (guide §5). Same dropped buckets, same probe×ref pair set;
+    // the chained Generates keep per-row memory O(bucket).
+    val unioned = pBand.unionAll(rBand)
+      .repartition(col("band"), col("bandhash"))
+    val hotBuckets = unioned.groupBy("band", "bandhash")
+      .agg(count(when(col("__side") === 0, lit(1))).as("__np"),
+        count(when(col("__side") === 1, lit(1))).as("__nr"))
+      .filter(col("__np") > maxBucketSize || col("__nr") > maxBucketSize)
+      .select("band", "bandhash")
+    val bandCands = unioned.join(hotBuckets, Seq("band", "bandhash"), "left_anti")
       .groupBy("band", "bandhash")
       .agg(collect_list(when(col("__side") === 0, col("id"))).as("__pids"),
         collect_list(when(col("__side") === 1, col("id"))).as("__rids"))
-      .filter(size(col("__pids")).between(1, maxBucketSize) &&
-        size(col("__rids")).between(1, maxBucketSize))
+      .filter(size(col("__pids")) >= 1 && size(col("__rids")) >= 1)
       .select(col("__rids"), explode(col("__pids")).as("pid"))
       .select(col("pid"), explode(col("__rids")).as("rid"))
     val sigCands = pBase
@@ -551,16 +578,26 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, window: Int = 4,
       maxDocFreq: Int = 10): DataFrame = {
-    // ONE aggregation builds the capped inverted index: collect each
-    // fingerprint's posting list and apply the document-frequency cut on
-    // the collected size — replacing the former count-agg + cap join
-    // (the fps checkpoint then feeds one consumer instead of three). The
-    // pinned postings feed both per-doc sizes and the pair explode; the
-    // chained Generates keep per-row memory O(postings), and per-bucket
-    // pair work stays bounded by maxDocFreq² exactly as the self-join was.
-    val postings = winnowFingerprints(df, idCol, textCol, shingleN, window)
+    // The capped inverted index is built over ONE shuffle of the
+    // fingerprint stream (explicit repartition on fp, shared by both
+    // aggregations via ReusedExchange) with per-group state bounded BEFORE
+    // the wide aggregate: a constant-state count finds fingerprints over
+    // the document-frequency cap (boilerplate n-grams — a bounded-size
+    // key set), the stream anti-joins them away, and collect_list then
+    // materializes at most maxDocFreq ids per fingerprint by construction.
+    // The former collect-then-filter shape materialized the FULL posting
+    // list of every fingerprint — including the boilerplate ones the cut
+    // exists to kill — as an unbounded non-spillable aggregation buffer
+    // (guide §5). Same surviving postings; the pinned postings feed both
+    // per-doc sizes and the pair explode, the chained Generates keep
+    // per-row memory O(postings), per-bucket pair work ≤ maxDocFreq².
+    val fpRows = winnowFingerprints(df, idCol, textCol, shingleN, window)
+      .repartition(col("fp"))
+    val hotFps = fpRows.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("fp")
+    val postings = fpRows.join(hotFps, Seq("fp"), "left_anti")
       .groupBy("fp").agg(collect_list(col("id")).as("__ids"))
-      .filter(size(col("__ids")) <= maxDocFreq)
       .localCheckpoint(eager = false)
     val sizes = postings.select(explode(col("__ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n"))

@@ -698,20 +698,29 @@ object JoinOps {
         explode(variantHashes(col("__rkey"), maxDist)).as("__vh"))
       .join(lkH, Seq("__vh"), "left_semi")
     // cogrouped candidate generation: ONE exchange over the tagged union of
-    // the surviving variant rows collects each bucket's left and right key
-    // strings together (collect_list drops the null side of the when),
-    // applies BOTH per-side hot-bucket caps in the same aggregate, and
-    // unnests left×right with bounded per-row memory. This replaces the
-    // former two count/cap joins + the candidate equi-join; a bucket
-    // missing either side drops in the size filter.
-    val bucketPairs = lk0
+    // the surviving variant rows (explicit repartition on the variant hash,
+    // shared by both aggregations via ReusedExchange), with per-group state
+    // bounded BEFORE the wide aggregate: constant-state conditional counts
+    // find buckets over EITHER side's cap (tiny table), the variant rows
+    // anti-join them away, and collect_list then holds at most 2·maxBucket
+    // keys per bucket by construction — the former collect-then-cap shape
+    // let one pathological shared variant build an unbounded non-spillable
+    // aggregation buffer (guide §5). Same dropped buckets, same candidate
+    // pairs; a bucket missing either side drops in the size filter.
+    val tagged = lk0
       .select(col("__vh"), col("__lkey").as("__k"), lit(0).as("__side"))
       .unionAll(rk0p.select(col("__vh"), col("__rkey").as("__k"), lit(1).as("__side")))
+      .repartition(col("__vh"))
+    val hotVariants = tagged.groupBy("__vh")
+      .agg(count(when(col("__side") === 0, lit(1))).as("__nl"),
+        count(when(col("__side") === 1, lit(1))).as("__nr"))
+      .filter(col("__nl") > maxBucket || col("__nr") > maxBucket)
+      .select("__vh")
+    val bucketPairs = tagged.join(hotVariants, Seq("__vh"), "left_anti")
       .groupBy("__vh")
       .agg(collect_list(when(col("__side") === 0, col("__k"))).as("__lks"),
         collect_list(when(col("__side") === 1, col("__k"))).as("__rks"))
-      .filter(size(col("__lks")).between(1, maxBucket) &&
-        size(col("__rks")).between(1, maxBucket))
+      .filter(size(col("__lks")) >= 1 && size(col("__rks")) >= 1)
       .select(col("__rks"), explode(col("__lks")).as("__lkey"))
       .select(col("__lkey"), explode(col("__rks")).as("__rkey"))
     // candidate pairs over DISTINCT key strings (duplicates re-expand via
@@ -754,16 +763,28 @@ object JoinOps {
       .localCheckpoint(eager = false) // feeds the variant explode + 2 string joins
     val keyed0 = base.select(col("id"),
       explode(variantHashes(col("s"), maxDist)).as("__vh"))
-    // ONE aggregation collects each variant bucket's ids, applies the
-    // hot-bucket cap on the collected size, and unnests the i<j pairs via
-    // two chained Generates (per-row memory O(bucket), never O(bucket²)) —
-    // replacing the former count-agg + cap join + bucket self-join. The
-    // candidate ids stay deduped BEFORE the strings join in: a k=2 pair
-    // shares many deletion variants, so the (id1, id2) distinct runs over
-    // 16-byte rows instead of shuffling both strings once per collision
-    val cand = keyed0.groupBy("__vh")
+    // Candidate generation shuffles the variant rows once (explicit
+    // repartition shared by both aggregations via ReusedExchange) and
+    // bounds per-group state BEFORE the wide aggregate: a constant-state
+    // count finds over-cap buckets (tiny table), the rows anti-join them
+    // away, and collect_list then holds at most maxBucket ids per bucket
+    // by construction — the former collect-then-cap shape let one
+    // pathological shared variant build an unbounded non-spillable
+    // aggregation buffer (guide §5). Same dropped buckets, same pairs; the
+    // i<j unnest via two chained Generates keeps per-row memory O(bucket),
+    // never O(bucket²). The candidate ids stay deduped BEFORE the strings
+    // join in: a k=2 pair shares many deletion variants, so the (id1, id2)
+    // distinct runs over 16-byte rows instead of shuffling both strings
+    // once per collision
+    val keyedVh = keyed0.repartition(col("__vh"))
+    val hotVariants = keyedVh.groupBy("__vh")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select("__vh")
+    val cand = keyedVh.join(hotVariants, Seq("__vh"), "left_anti")
+      .groupBy("__vh")
       .agg(collect_list(col("id")).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucket))
+      .filter(size(col("__ids")) >= 2)
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__x")))
       .select(col("__x").as("__a"),
         explode(slice(col("__ids"), col("__i") + lit(2),
