@@ -243,7 +243,11 @@ object QueriesStreaming {
     // RECOVER from it — memory-sink queries refuse ("does not support
     // recovering from checkpoint location") and the gate fails on a
     // leftover, not on its own output. The UUID makes leftovers inert.
-    val ckptDir = sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
+    // the system property exists for in-JVM tests (StreamCkptFallbackSpec
+    // forces the disk-backed fallback without re-execing sbt); the env var
+    // is the operator-facing override
+    val ckptDir = sys.props.get("spark.graft.streamCkpt")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_CKPT")).orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
         Some("/dev/shm/graft-stream-ckpt") else None

@@ -27,8 +27,14 @@ object Dedup {
     * (PartitionInvariance is the hard gate for that).
     */
   private def spreadNarrow(df: DataFrame): DataFrame = {
+    // a streaming frame keeps its micro-batch layout (probing partitions
+    // would throw; values never depend on layout anyway)
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    // toRdd, not .rdd: same partition count, without wrapping the plan in
+    // the external-row deserializer the probe would otherwise build
+    if (df.queryExecution.toRdd.getNumPartitions >= par) df
+    else df.repartition(par)
   }
 
   /** Word n-grams of a token array, in order, duplicates kept. Built as a
@@ -296,24 +302,42 @@ object Dedup {
     * id2 = ref id, j) — fixed names, same pair convention as the other
     * dedup ops (the two input id columns may share a name).
     */
+  /** One side's pinned signature base for [[crossCorpusDupPairs]] —
+    * exposed (package-private) so a composition whose driver is blocked on
+    * an independent sub-job (addShard's within-shard election) can
+    * materialize the corpus side CONCURRENTLY (guide §2.6) and pass it to
+    * [[crossCorpusDupPairsPrepped]]. numHashes/shingleN must match the
+    * pair call's numBands·rowsPerBand/shingleN.
+    */
+  private[graft] def crossCorpusPrep(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 128, shingleN: Int = 3): DataFrame =
+    spreadNarrow(df).select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig",
+        graft.functions.vector.minhash_sig(tokens(col("text")), numHashes, shingleN))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(eager = false)
+
   def crossCorpusDupPairs(probe: DataFrame, probeIdCol: String, probeTextCol: String,
       ref: DataFrame, refIdCol: String, refTextCol: String,
       threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
       shingleN: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    def prep(df: DataFrame, idCol: String, textCol: String): DataFrame =
-      spreadNarrow(df).select(col(idCol).as("id"), col(textCol).as("text"))
-        .withColumn("sig",
-          graft.functions.vector.minhash_sig(tokens(col("text")), numHashes, shingleN))
-        .filter(col("sig").isNotNull)
-        .localCheckpoint(eager = false)
+    crossCorpusDupPairsPrepped(
+      crossCorpusPrep(probe, probeIdCol, probeTextCol, numHashes, shingleN),
+      crossCorpusPrep(ref, refIdCol, refTextCol, numHashes, shingleN),
+      threshold, numBands, rowsPerBand, shingleN, maxBucketSize)
+  }
+
+  /** [[crossCorpusDupPairs]] over pre-prepped sides (see [[crossCorpusPrep]]). */
+  private[graft] def crossCorpusDupPairsPrepped(pBase: DataFrame, rBase: DataFrame,
+      threshold: Double, numBands: Int = 32, rowsPerBand: Int = 4,
+      shingleN: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    val numHashes = numBands * rowsPerBand
     def bandRows(base: DataFrame, tag: Int): DataFrame =
       base.select(col("id"),
         posexplode(bandHashes(col("sig"), numBands, rowsPerBand))
           .as(Seq("band", "bandhash")))
         .withColumn("__side", lit(tag))
-    val (pBase, rBase) = (prep(probe, probeIdCol, probeTextCol),
-      prep(ref, refIdCol, refTextCol))
     // probe-vs-ref prune (the fuzzyJoin r20 scheme): only buckets present
     // on the PROBE side can produce pairs, so the ref (corpus) band
     // explosion is semi-joined against the probe's distinct bucket set
@@ -378,22 +402,66 @@ object Dedup {
       .select(col("pid").as("id1"), col("rid").as("id2"), col("j"))
   }
 
-  /** Exact all-pairs n-gram Jaccard above a threshold — the quadratic
-    * baseline the LSH path approximates; use only at small scale or within
-    * blocks.
+  /** Exact all-pairs n-gram Jaccard above a threshold — result-identical
+    * to the quadratic all-pairs baseline, computed with prefix filtering
+    * (Bayardo et al., WWW 2007 "Scaling Up All Pairs Similarity Search";
+    * Chaudhuri et al., ICDE 2006): under ANY fixed total order of the
+    * shingle universe, two sets with |A∩B| ≥ α must both contain their
+    * smallest shared element within their first |x| − α + 1 elements
+    * (everything after that window is only α − 1 elements). J(A,B) ≥ t
+    * implies |A∩B| ≥ t·max(|A|,|B|) ≥ t·|x| for each side, so emitting
+    * index postings only for the first |x| − ⌊t·|x|⌋ + 1 sorted shingles
+    * of each document (⌊·⌋, not ⌈·⌉ — one element longer than optimal,
+    * immune to FP rounding in t·|x|, never shorter than the pigeonhole
+    * needs) generates EVERY qualifying pair as a candidate. Exact-Jaccard
+    * verification then makes precision exact too — same pair set, same j
+    * arithmetic as the all-pairs join this replaces (PairsJaccardSpec pins
+    * the equivalence property).
+    *
+    * Scale shape: candidates come from an equi-join-style bucket unnest on
+    * the prefix shingle (one shuffle keyed on the shingle, pair work
+    * quadratic per posting list — lists are short because prefixes are the
+    * ~(1−t) rarest-position slice of each doc), then one verify join per
+    * pair end. Nothing is corpus-quadratic, unlike the former broadcast
+    * nested loop (n²/2 intersect kernels). No hot-bucket cap: dropping a
+    * bucket here would LOSE pairs — a boilerplate-heavy corpus at a low
+    * threshold degrades toward all-pairs, which is this operator's honest
+    * worst case (the LSH path is the 100 TB plan).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    // sorted-distinct shingles once per doc -> the pair loop can use the
-    // allocation-free sorted-merge intersect kernel
-    val sh = df.select(col(idCol).as("id"),
-      array_sort(shingles(col(textCol), shingleN)).as("sh"))
-    // the pair join is a broadcast nested loop: parallelism = streamed-side
-    // partitions, so fan the streamed side out explicitly
-    val a = sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id").as("id1"), col("sh").as("sh1"))
-    val b = sh.select(col("id").as("id2"), col("sh").as("sh2"))
-    a.join(b, col("id1") < col("id2"))
+    require(threshold > 0 && threshold <= 1,
+      s"ngramJaccardPairs: threshold in (0,1], got $threshold")
+    // sorted-distinct shingles once per doc -> prefix slicing is a narrow
+    // projection and the verify step can use the allocation-free
+    // sorted-merge intersect kernel. Pinned: feeds the posting explode and
+    // both verify attaches.
+    val sh = spreadNarrow(df).select(col(idCol).as("id"),
+        array_sort(shingles(col(textCol), shingleN)).as("sh"))
+      .localCheckpoint(eager = false)
+    val prefLen = greatest(
+      size(col("sh")) - floor(lit(threshold) * size(col("sh"))).cast("int") + 1,
+      lit(0))
+    val postings = sh.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("g"))
+    // i<j pair unnest per posting list — the bounded-memory chained-
+    // Generate shape of the other generators (no cap: see doc note)
+    val cands = postings.groupBy("g")
+      .agg(collect_list(col("id")).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__x")))
+      .select(col("__x").as("__a"),
+        explode(slice(col("__ids"), col("__i") + lit(2),
+          size(col("__ids")) - col("__i") - lit(1))).as("__b"))
+      // strict <: the all-pairs form never paired a row with itself, so a
+      // duplicated id must not self-pair here either
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
+      .dropDuplicates("id1", "id2")
+    cands
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("inter", graft.functions.vector.sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("j", col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")))

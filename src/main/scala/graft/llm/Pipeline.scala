@@ -130,15 +130,42 @@ object Pipeline {
     val surv12 = pinned(staged
       .filter(!col("__exact_shard") && col("__in_corpus").isNull)
       .select(col("__id").as(idCol), col("__text").as(textCol)))
+    // Overlap the two independent sub-jobs (guide §2.6): the corpus-side
+    // signature pass of the stage-4 cross-corpus probe does not depend on
+    // the stage-3 within-shard election, but the election blocks the
+    // driver on its union-find collect — so without help the corpus scan
+    // only starts afterwards. A daemon thread materializes the pinned ref
+    // base while the election runs; job descriptions are thread-local, so
+    // the UI stays labelled. A warmer failure only loses the overlap (the
+    // final query materializes the pin itself); skipped when pin = false
+    // (recompute-preferring deployments, and the CheckpointProbe A/B).
+    // kill-switch (A/B seam, also for single-threaded-driver deployments):
+    // SPARK_GRAFT_ADDSHARD_OVERLAP=off or -Dspark.graft.addShardOverlap=off
+    val overlapOff = sys.props.get("spark.graft.addShardOverlap")
+      .orElse(sys.env.get("SPARK_GRAFT_ADDSHARD_OVERLAP")).contains("off")
+    val refBase = Dedup.crossCorpusPrep(corpus, idCol, textCol)
+    if (pin && !overlapOff) {
+      val sc = corpus.sparkSession.sparkContext
+      val warmer = new Thread(() => {
+        try {
+          sc.setJobDescription("addShard: corpus signature base (overlapped)")
+          refBase.count(): Unit
+        } catch { case _: Throwable => () }
+        finally sc.setJobDescription(null)
+      }, "addshard-ref-warmer")
+      warmer.setDaemon(true)
+      warmer.start()
+    }
     // canonical election within the shard: dedupNear returns the kept rows
     // WITH their text — bind once and reuse for both the flag and the
     // cross-corpus probe instead of re-deriving via an extra join
     val kept3Df = Dedup.dedupNear(surv12, idCol, textCol, threshold)
     val kept3 = kept3Df.select(col(s"`$idCol`").as("__id"))
       .withColumn("__near_keep", lit(true))
-    val flagged4 = Dedup.crossCorpusDupPairs(
-        kept3Df.select(col(s"`$idCol`"), col(s"`$textCol`")),
-        idCol, textCol, corpus, idCol, textCol, threshold)
+    val flagged4 = Dedup.crossCorpusDupPairsPrepped(
+        Dedup.crossCorpusPrep(
+          kept3Df.select(col(s"`$idCol`"), col(s"`$textCol`")), idCol, textCol),
+        refBase, threshold)
       .select(col("id1").as("__id")).distinct()
       .withColumn("__near_corpus", lit(true))
     staged.join(kept3, Seq("__id"), "left")

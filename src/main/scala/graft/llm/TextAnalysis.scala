@@ -548,7 +548,12 @@ object TextAnalysis {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(s"`$idCol`").as("id"),
       explode(Dedup.tokens(col(s"`$textCol`"))).as("t"))
+    // the vocab (model parameters, |distinct tokens| rows) feeds BOTH the
+    // scalar total and the scoring join — pin it or each consumer re-runs
+    // the corpus tokenize+aggregate (the total's action alone was a full
+    // corpus pass; same duplicated-featurize shape the DSIR family had)
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     // corpus token total: one bounded scalar action (sum over the vocab);
     // coalesce to 1 so an empty corpus yields an empty result instead of
     // an NPE on the null sum (the join is empty anyway, n is unused)
@@ -584,10 +589,18 @@ object TextAnalysis {
         (a, b) => struct(a.as("p"), b.as("t")))).as("__bg"))
       .select(col("id"), col("__bg.p").as("p"), col("__bg.t").as("t"))
     val uni = base.select(explode(col("__toks")).as("t"))
+    // the two count tables are the LM's parameters (vocab-sized, not
+    // corpus-sized) and each feeds two consumers — pin them so the scalar
+    // total reads the materialized c1 (not a second corpus tokenize) and
+    // the context totals cp read the materialized c2 (not a second bigram
+    // pass). Featurize passes drop 5 -> 3; N = Σc1 is the same long the
+    // former count-over-occurrences action produced.
     val c1 = uni.groupBy("t").agg(count(lit(1)).as("c1"))
-    val n = uni.agg(coalesce(count(lit(1)), lit(1L)))
+      .localCheckpoint(eager = false)
+    val n = c1.agg(coalesce(sum(col("c1")), lit(1L)))
       .collect()(0).getLong(0).toDouble
     val c2 = pairs.groupBy("p", "t").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false)
     val cp = c2.groupBy("p").agg(sum(col("c2")).cast("double").as("cp"))
     pairs
       .join(c2, Seq("p", "t"))
@@ -614,7 +627,12 @@ object TextAnalysis {
     */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 3): DataFrame = {
+    // ecdf consumes its input three times (count, per-value counts, the
+    // rank join) — pin the scored table (per-doc rows, ~3 narrow columns)
+    // or each consumer re-runs the whole unigram LM pipeline over the
+    // corpus (tokenize + vocab join), tripling the featurize passes
     val scored = unigramLogProb(df, idCol, textCol)
+      .localCheckpoint(eager = false)
     graft.functions.MathFunctions.ecdf(scored, "avg_logprob", "__e")
       .withColumn("bucket",
         least(ceil(col("__e") * nBuckets), lit(nBuckets.toLong)).cast("int"))
